@@ -1,0 +1,218 @@
+"""Window operators over the time axis: lag matrix, differencing,
+cumulative restore, rolling stats, ACF.
+
+Reference parity (SURVEY.md §2.3):
+- W1 ``convert_timeseries_dataframe_to_supervised`` (auto_ts/utils/etl.py:248-317)
+  → :func:`supervised_lag_matrix`
+- W2 one-step predictor shift (auto_ts/__init__.py:700-703) → :func:`shift`
+- W3 differencing (auto_ts/__init__.py:350-351) → :func:`difference`
+- W4 cumsum restore (auto_ts/models/build_pyflux.py:91-106) → :func:`cumulative_sum`
+- W5 rolling mean/std (auto_ts/utils/eda.py:234-242) → :func:`rolling_stats`
+- W9 zero-variance drop (auto_ts/models/build_ml.py:842-845) → :func:`drop_zero_variance`
+- W10 univariate lag helpers (auto_ts/models/build_ml.py:1128-1146) → :func:`add_lags`
+- W17 ACF (auto_ts/utils/eda.py:102-117) → :func:`acf`
+
+Scale notes: every function windows over
+``Window.partitionBy("series_id").orderBy(ts)`` — with millions of
+series the work distributes across executors with one shuffle on
+series_id (and Catalyst reuses that single partitioning across all lag
+columns: N lags = one shuffle, one window node). For a single giant
+series the window degenerates to one task; callers that need a
+partition-free global order should pre-shard by a coarse time bucket
+and splice boundaries (documented engine limitation, same as the
+reference's single-machine constraint).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def series_window(order_col: str = "ts", series_col: str = "series_id"):
+    return Window.partitionBy(series_col).orderBy(F.col(order_col))
+
+
+def shift(
+    df: DataFrame,
+    cols: Sequence[str],
+    periods: int = 1,
+    *,
+    order_col: str = "ts",
+    series_col: str = "series_id",
+    drop_null: bool = True,
+) -> DataFrame:
+    """Shift columns by ``periods`` (positive = lag, negative = lead)."""
+    w = series_window(order_col, series_col)
+    fn = (lambda c: F.lag(c, periods).over(w)) if periods >= 0 else (lambda c: F.lead(c, -periods).over(w))
+    out = df.select(
+        *[c for c in df.columns],
+        *[fn(c).alias(f"{c}_shift{periods}") for c in cols],
+    )
+    if drop_null:
+        out = out.na.drop(subset=[f"{c}_shift{periods}" for c in cols])
+    return out
+
+
+def supervised_lag_matrix(
+    df: DataFrame,
+    value_cols: Sequence[str],
+    n_in: int = 1,
+    n_out: int = 1,
+    *,
+    order_col: str = "ts",
+    series_col: str = "series_id",
+    dropnan: bool = True,
+) -> DataFrame:
+    """Lag/lead matrix: for each var, ``var(t-n_in)..var(t-1), var(t),
+    var(t+1)..var(t+n_out-1)``.
+
+    Column naming mirrors the reference's ``var(t-i)`` / ``var(t+i)``
+    convention but uses SQL-safe names ``var_lag_i`` / ``var_lead_i``.
+    One ``select`` → one Window node → one shuffle regardless of lag
+    count.
+    """
+    w = series_window(order_col, series_col)
+    exprs: list[Column] = [F.col(c) for c in df.columns]
+    new_names: list[str] = []
+    for i in range(n_in, 0, -1):
+        for c in value_cols:
+            name = f"{c}_lag_{i}"
+            exprs.append(F.lag(F.col(c), i).over(w).alias(name))
+            new_names.append(name)
+    for i in range(1, n_out):
+        for c in value_cols:
+            name = f"{c}_lead_{i}"
+            exprs.append(F.lead(F.col(c), i).over(w).alias(name))
+            new_names.append(name)
+    out = df.select(*exprs)
+    if dropnan and new_names:
+        out = out.na.drop(subset=new_names)
+    return out
+
+
+def add_lags(
+    df: DataFrame,
+    col: str,
+    lags: Sequence[int],
+    *,
+    order_col: str = "ts",
+    series_col: str = "series_id",
+) -> DataFrame:
+    """``lag_{k}_{col}`` columns (reference naming, build_ml.py:1128-1146)."""
+    w = series_window(order_col, series_col)
+    return df.select(
+        "*", *[F.lag(F.col(col), k).over(w).alias(f"lag_{k}_{col}") for k in lags]
+    )
+
+
+def difference(
+    df: DataFrame,
+    cols: Sequence[str],
+    order: int = 1,
+    *,
+    order_col: str = "ts",
+    series_col: str = "series_id",
+    drop_null: bool = True,
+) -> DataFrame:
+    """Apply ``order`` rounds of first-differencing to ``cols``.
+
+    ``order`` stacked differences compose into one Window stage: Catalyst
+    collapses the chained ``col - lag(col,1)`` projections over the same
+    window spec, so this stays a single shuffle.
+    """
+    out = df
+    for _ in range(order):
+        w = series_window(order_col, series_col)
+        out = out.select(
+            *[c for c in out.columns if c not in cols],
+            *[(F.col(c) - F.lag(F.col(c), 1).over(w)).alias(c) for c in cols],
+        )
+        if drop_null:
+            out = out.na.drop(subset=list(cols))
+    # restore original column order
+    return out.select(*df.columns)
+
+
+def cumulative_sum(
+    df: DataFrame,
+    cols: Sequence[str],
+    *,
+    order_col: str = "ts",
+    series_col: str = "series_id",
+    prefix: str = "cumsum_",
+) -> DataFrame:
+    """Running sum per series — the undo of :func:`difference` (W4)."""
+    w = series_window(order_col, series_col).rowsBetween(Window.unboundedPreceding, 0)
+    return df.select(
+        "*", *[F.sum(F.col(c)).over(w).alias(f"{prefix}{c}") for c in cols]
+    )
+
+
+def rolling_stats(
+    df: DataFrame,
+    col: str,
+    window_size: int,
+    *,
+    stats: Sequence[str] = ("mean", "std"),
+    order_col: str = "ts",
+    series_col: str = "series_id",
+    min_periods: bool = True,
+) -> DataFrame:
+    """Trailing rolling statistics over the previous ``window_size`` rows.
+
+    With ``min_periods`` False, rows with fewer than ``window_size``
+    trailing rows get NULL (pandas ``rolling(w).mean()`` semantics).
+    """
+    w = series_window(order_col, series_col).rowsBetween(-(window_size - 1), 0)
+    stat_fns = {
+        "mean": F.avg,
+        "std": F.stddev_samp,
+        "min": F.min,
+        "max": F.max,
+        "sum": F.sum,
+    }
+    exprs = []
+    cnt = F.count(F.col(col)).over(w)
+    for s in stats:
+        e = stat_fns[s](F.col(col)).over(w)
+        if not min_periods:
+            e = F.when(cnt >= window_size, e)
+        exprs.append(e.alias(f"rolling_{s}_{window_size}_{col}"))
+    return df.select("*", *exprs)
+
+
+def drop_zero_variance(df: DataFrame, candidate_cols: Sequence[str]) -> DataFrame:
+    """Drop columns whose sample stddev is 0 (one agg pass, W9)."""
+    row = df.agg(
+        *[F.stddev_samp(F.col(c)).alias(c) for c in candidate_cols]
+    ).collect()[0]
+    dead = [c for c in candidate_cols if row[c] is not None and row[c] == 0.0]
+    return df.drop(*dead) if dead else df
+
+
+def acf(
+    df: DataFrame,
+    col: str,
+    max_lag: int,
+    *,
+    order_col: str = "ts",
+    series_col: str = "series_id",
+) -> DataFrame:
+    """Autocorrelation for lags 1..max_lag as ``(lag, acf)`` rows (W17).
+
+    One window stage to materialize all lag columns, one agg of
+    ``corr(y, y_lag_k)``, then an unpivot — fully JVM-side.
+    """
+    w = series_window(order_col, series_col)
+    lagged = df.select(
+        F.col(col),
+        *[F.lag(F.col(col), k).over(w).alias(f"_l{k}") for k in range(1, max_lag + 1)],
+    )
+    aggs = lagged.agg(
+        *[F.corr(F.col(col), F.col(f"_l{k}")).alias(f"_l{k}") for k in range(1, max_lag + 1)]
+    )
+    stack_expr = ", ".join(f"{k}, _l{k}" for k in range(1, max_lag + 1))
+    return aggs.selectExpr(f"stack({max_lag}, {stack_expr}) as (lag, acf)")
