@@ -1,0 +1,171 @@
+"""Text-analysis expression builders for the documents pipeline.
+
+These are the LLM-training-data operators (BASELINE.json north star):
+language-ID, quality scoring, token counting, document fingerprinting,
+shingling, MinHash, SimHash. Everything here is a *Catalyst expression
+builder* — no Python UDFs — so the hot path stays in whole-stage
+codegen at 100 TB.
+
+Cross-engine determinism: every hash is derived from ``md5`` (present
+in both Spark and DuckDB) via the first 15 hex chars cast to a 60-bit
+integer, so DuckDB oracle queries can reproduce signatures bit-for-bit:
+Spark ``conv(substr(md5(x),1,15),16,10)`` ≡ DuckDB
+``cast('0x' || substr(md5(x),1,15) as ubigint)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword profiles for the n-gram/stopword-ratio
+# language heuristic. Real deployments swap in full profiles; the
+# operator shape (explode → broadcast join → argmax) is what scales.
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "that", "for", "it"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "una", "es", "por"),
+    "fr": ("le", "la", "de", "et", "un", "une", "est", "que", "pour", "dans"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "eine", "zu", "den", "von"),
+    "zh": ("de", "shi", "le", "bu", "wo", "you", "ta", "zhe", "men", "zai"),
+}
+
+STOPWORDS_EN = LANG_PROFILES["en"]
+
+
+def normalize_text(col: Column) -> Column:
+    """Lowercase, collapse non-alphanumerics to single spaces, trim."""
+    return F.trim(F.regexp_replace(F.lower(col), r"[^a-z0-9]+", " "))
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens of the normalized text (array<string>)."""
+    return F.split(normalize_text(col), r" ")
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count (W-token counting)."""
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """A BPE-approximating token count: words + digits + punctuation
+    runs, the common ``~4 chars/token`` regex heuristic."""
+    return F.size(F.regexp_extract_all(col, F.lit(r"\w+|[^\w\s]"), 0))
+
+
+def char_count(col: Column) -> Column:
+    return F.length(col)
+
+
+def punct_ratio(col: Column) -> Column:
+    stripped = F.regexp_replace(col, r"[^\p{Punct}]", "")
+    return F.length(stripped) / F.greatest(F.length(col), F.lit(1))
+
+
+def digit_ratio(col: Column) -> Column:
+    return F.length(F.regexp_replace(col, r"[^0-9]", "")) / F.greatest(
+        F.length(col), F.lit(1)
+    )
+
+
+def upper_ratio(col: Column) -> Column:
+    return F.length(F.regexp_replace(col, r"[^A-Z]", "")) / F.greatest(
+        F.length(col), F.lit(1)
+    )
+
+
+def stopword_ratio(col: Column, stopwords: tuple[str, ...] = STOPWORDS_EN) -> Column:
+    toks = tokens(col)
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    n_sw = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return n_sw / F.greatest(F.size(toks), F.lit(1))
+
+
+def mean_word_length(col: Column) -> Column:
+    toks = tokens(col)
+    return F.aggregate(
+        toks, F.lit(0).cast("double"), lambda acc, t: acc + F.length(t)
+    ) / F.greatest(F.size(toks), F.lit(1))
+
+
+def quality_score(col: Column) -> Column:
+    """Composite [0,1] quality heuristic: penalize very short docs,
+    high punctuation/digit density, low stopword incidence.
+
+    Deterministic arithmetic over the component ratios — matches the
+    oracle SQL expression term-for-term.
+    """
+    n_tok = token_count(col)
+    length_term = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    sw_term = F.least(stopword_ratio(col) * 5.0, F.lit(1.0))
+    punct_pen = F.greatest(F.lit(1.0) - punct_ratio(col) * 4.0, F.lit(0.0))
+    digit_pen = F.greatest(F.lit(1.0) - digit_ratio(col) * 4.0, F.lit(0.0))
+    return (length_term + sw_term + punct_pen + digit_pen) / 4.0
+
+
+def fingerprint(col: Column) -> Column:
+    """Deterministic 60-bit content fingerprint of the normalized text."""
+    return hash60(normalize_text(col))
+
+
+def hash60(col: Column) -> Column:
+    """md5-derived 60-bit integer hash — reproducible in DuckDB."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Word n-gram shingles (array<string>) of the normalized text.
+
+    ``transform(sequence(...))`` over the token array — JVM-side, no
+    explode needed until the caller wants one row per shingle.
+    """
+    toks = tokens(col)
+    k = F.size(toks) - (n - 1)
+    return F.when(k <= 0, F.array(F.concat_ws(" ", toks))).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+
+
+def minhash_signature(col: Column, num_hashes: int = 16, shingle_n: int = 3) -> Column:
+    """MinHash signature (array<bigint>, length ``num_hashes``).
+
+    Hash function family: ``hash60(seed_i || shingle)`` — one md5 per
+    (shingle, seed). All array ops, fully codegen'd; the signature for
+    a document is computed in one projection with no shuffle.
+    """
+    sh = shingles(col, shingle_n)
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(sh, lambda s, i=i: hash60(F.concat(F.lit(f"s{i}:"), s)))
+            )
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def simhash_sql(text_col_name: str, bits: int = 32) -> str:
+    """SimHash as a SQL expression string (for ``selectExpr``/``F.expr``).
+
+    Per-token md5-derived hashes vote bit-by-bit; bit b of the result
+    is set when the majority of token hashes have bit b set. SQL form
+    because ``shiftleft`` needs column-valued shift amounts, which the
+    Python DSL doesn't expose. Identical text in DuckDB SQL gives the
+    identical fingerprint (same md5-based hash family).
+    """
+    toks = (
+        f"split(trim(regexp_replace(lower({text_col_name}), '[^a-z0-9]+', ' ')), ' ')"
+    )
+    tok_hashes = (
+        f"transform({toks}, t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint))"
+    )
+    return (
+        "aggregate("
+        f"  transform(sequence(0, {bits - 1}), b -> "
+        f"    if(2 * size(filter({tok_hashes}, h -> (h div shiftleft(cast(1 as bigint), b)) % 2 = 1)) > size({toks}),"
+        "      shiftleft(cast(1 as bigint), b), cast(0 as bigint))),"
+        "  cast(0 as bigint), (acc, x) -> acc + x)"
+    )

@@ -1,0 +1,217 @@
+"""Deduplication operators for the training-data pipeline.
+
+Five families (BASELINE.json north star):
+- exact: hash-groupBy on the content fingerprint
+- n-gram Jaccard: exact pairwise similarity within deterministic
+  candidate buckets
+- MinHash + LSH: shingle → minhash → band → bucket-join — the scale
+  path (avoids the O(n²) pair explosion)
+- SimHash: near-dup by fingerprint hamming distance
+- embedding cosine: near-dup by vector similarity (see similarity.py)
+
+Scale notes: every candidate-generation step is an equi-join on a
+bucket key (band hash, length bucket), so the shuffle is proportional
+to candidate pairs, not n². The exact-verify step runs only on
+candidates. AQE skew-join handles hot buckets (e.g. empty-ish docs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from auto_ts_spark.functions import text as TX
+
+
+def exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Groups of byte-identical (post-normalization) documents.
+
+    Returns ``(fingerprint, n_dups, keep_id, dup_ids)`` for groups with
+    >1 member. One shuffle on the 60-bit fingerprint.
+    """
+    fp = df.select(F.col(id_col), TX.fingerprint(F.col(text_col)).alias("fingerprint"))
+    return (
+        fp.groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min(id_col).alias("keep_id"),
+            F.sort_array(F.collect_list(id_col)).alias("dup_ids"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def dedup_exact(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the min-id document per identical normalized content."""
+    ranked = df.select(
+        "*", TX.fingerprint(F.col(text_col)).alias("_fp")
+    ).withColumn(
+        "_keep", F.col(id_col) == F.min(id_col).over(Window.partitionBy("_fp"))
+    )
+    return ranked.filter(F.col("_keep")).drop("_fp", "_keep")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    length_bucket: int = 16,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-duplicate pairs.
+
+    Candidate restriction: only compare documents whose token counts
+    fall in the same or adjacent length bucket (a true near-dup at
+    threshold t must have length ratio ≥ t, so comparable lengths) —
+    deterministic, reproducible in the SQL oracle.
+
+    Returns ``(id_a, id_b, jaccard)`` with id_a < id_b, jaccard ≥
+    threshold.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(TX.shingles(F.col(text_col), shingle_n)).alias("sh"),
+        (TX.token_count(F.col(text_col)) / length_bucket).cast("int").alias("lb"),
+    )
+    a = sh.select(
+        F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), F.col("lb").alias("lb_a")
+    )
+    b = sh.select(
+        F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), F.col("lb").alias("lb_b")
+    )
+    # bucket-adjacency equi-join: explode a's bucket to {lb-1, lb, lb+1}
+    a_exp = a.select(
+        "id_a", "sh_a", F.explode(F.array(F.col("lb_a") - 1, F.col("lb_a"), F.col("lb_a") + 1)).alias("lb_b")
+    )
+    pairs = a_exp.join(b, "lb_b").filter(F.col("id_a") < F.col("id_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            F.round(inter / F.greatest(union, F.lit(1)), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs — the 100 TB dedup path.
+
+    shingle → minhash signature (one projection) → split into
+    ``bands`` bands of ``num_hashes/bands`` rows → hash each band →
+    explode to (band_id, band_hash) → self-join on band equality →
+    exact-Jaccard verify on the candidates only.
+
+    Candidate volume scales with true-duplicate density, not n².
+    Returns ``(id_a, id_b, jaccard)`` verified against ``threshold``.
+    """
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(TX.shingles(F.col(text_col), shingle_n)).alias("sh"),
+        TX.minhash_signature(F.col(text_col), num_hashes, shingle_n).alias("mh"),
+    )
+    banded = sig.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.hash(F.slice(F.col("mh"), b * rows_per_band + 1, rows_per_band)).alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "sh", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    a = banded.select(
+        F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "band", "bh"
+    )
+    b = banded.select(
+        F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), "band", "bh"
+    )
+    cand = (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
+    return cand.select(
+        "id_a",
+        "id_b",
+        F.round(inter / F.greatest(union, F.lit(1)), 6).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
+
+
+def simhash_pairs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    max_hamming: int = 3,
+    block_bits: int = 8,
+) -> DataFrame:
+    """SimHash near-dup pairs with hamming distance ≤ ``max_hamming``.
+
+    Blocking: split the fingerprint into ``bits/block_bits`` blocks; by
+    pigeonhole, any pair within distance ``max_hamming`` shares at
+    least one exact block when blocks > max_hamming. Equi-join per
+    block → verify with popcount. No O(n²) scan.
+    """
+    n_blocks = bits // block_bits
+    assert n_blocks > max_hamming, "need more blocks than max_hamming (pigeonhole)"
+    fp = df.select(
+        F.col(id_col).alias("id"),
+        F.expr(TX.simhash_sql(text_col, bits)).alias("sh"),
+    )
+    blocked = fp.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.expr(
+                            f"(sh div shiftleft(cast(1 as bigint), {i * block_bits})) % {1 << block_bits}"
+                        ).alias("bv"),
+                    )
+                    for i in range(n_blocks)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "sh", F.col("bb.blk").alias("blk"), F.col("bb.bv").alias("bv"))
+    a = blocked.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "blk", "bv")
+    b = blocked.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), "blk", "bv")
+    cand = (
+        a.join(b, ["blk", "bv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.select("id_a", "id_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )
