@@ -1,10 +1,20 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship slice (SURVEY.md §7.2) on sf0.001.
+``queries()`` exposes one PySpark callable per implemented operator
+from SURVEY.md §2 (plus the scale-extension operators); each has a
+matching DuckDB oracle in ``oracle_sql()`` unless the op is not
+SQL-expressible (those get the weaker rows-only check).
+
+Cross-engine parity conventions used throughout:
+- every float aggregate is ``round(x, 6)`` on BOTH sides; exact sums
+  go through DECIMAL then back to double so summation order can't
+  produce last-bit drift;
+- counts are BIGINT on both sides (Spark ``count`` is long natively);
+- text hashing is md5-derived 60-bit ints (identical in DuckDB);
+- day-of-week is canonical Monday=0: Spark ``(dayofweek(ts)+5)%7``
+  ≡ DuckDB ``isodow(ts)-1``;
+- all top-k orderings carry a unique tie-break key.
 """
 
 from __future__ import annotations
@@ -12,27 +22,1194 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from auto_ts_spark.functions import metrics as MET
+from auto_ts_spark.functions import text as TX
+from auto_ts_spark.functions.calendar import add_calendar_features
+from auto_ts_spark.io.sources import load_table
+from auto_ts_spark.operators import dedup as DD
+from auto_ts_spark.operators import folds as FOLDS
+from auto_ts_spark.operators import lags as LAGS
+from auto_ts_spark.operators import sessions as SESS
+from auto_ts_spark.operators import similarity as SIM
+from auto_ts_spark.operators import textops as TOPS
+from auto_ts_spark.operators.future import future_index
+from auto_ts_spark.operators.profile import class_weights, profile_columns
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+# ---------------------------------------------------------------- helpers
+
+# DuckDB fragment: normalized whitespace tokens of `text`
+_SQL_TOKS = (
+    "string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')"
+)
+
+
+def _sql_hash60(expr: str) -> str:
+    return f"cast(cast(concat('0x', substr(md5({expr}), 1, 15)) as ubigint) as bigint)"
+
+
+def _events_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events").withColumn("series_id", F.lit("0"))
+
+
+# ---------------------------------------------------------------- queries
+
+
+def q_tpch_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary (S1+P1+A1-A9 composite;
+    flagship agg). Sums routed through DECIMAL for exactness."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda c: c.cast("decimal(28,6)")  # noqa: E731
+    disc_price = dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    charge = dec(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+    )
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(dec(F.col("l_quantity"))).cast("double"), 6).alias("sum_qty"),
+            F.round(F.sum(dec(F.col("l_extendedprice"))).cast("double"), 6).alias(
+                "sum_base_price"
+            ),
+            F.round(F.sum(disc_price).cast("double"), 6).alias("sum_disc_price"),
+            F.round(F.sum(charge).cast("double"), 6).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_SQL_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       round(cast(sum(cast(l_quantity as decimal(28,6))) as double), 6) AS sum_qty,
+       round(cast(sum(cast(l_extendedprice as decimal(28,6))) as double), 6) AS sum_base_price,
+       round(cast(sum(cast(l_extendedprice * (1 - l_discount) as decimal(28,6))) as double), 6) AS sum_disc_price,
+       round(cast(sum(cast(l_extendedprice * (1 - l_discount) * (1 + l_tax) as decimal(28,6))) as double), 6) AS sum_charge,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_extendedprice), 6) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_lag_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/W2/W10: per-user lag(1,2,3) + lead(1) supervised matrix."""
+    ev = load_table(spark, sf_dir, "events")
+    out = LAGS.supervised_lag_matrix(
+        ev.select("user_id", "ts", "value"),
+        ["value"],
+        n_in=3,
+        n_out=2,
+        series_col="user_id",
+    )
+    return out.select(
+        "user_id",
+        "ts",
+        "value",
+        F.col("value_lag_1").alias("lag1"),
+        F.col("value_lag_2").alias("lag2"),
+        F.col("value_lag_3").alias("lag3"),
+        F.col("value_lead_1").alias("lead1"),
+    )
+
+
+_SQL_LAG_MATRIX = """
+WITH w AS (
+  SELECT user_id, ts, value,
+         lag(value, 1) OVER win AS lag1,
+         lag(value, 2) OVER win AS lag2,
+         lag(value, 3) OVER win AS lag3,
+         lead(value, 1) OVER win AS lead1
+  FROM events
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts)
+)
+SELECT * FROM w
+WHERE lag1 IS NOT NULL AND lag2 IS NOT NULL AND lag3 IS NOT NULL AND lead1 IS NOT NULL
+"""
+
+
+def q_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: two rounds of first-differencing per user."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    return LAGS.difference(ev, ["value"], order=2, series_col="user_id").select(
+        "user_id", "ts", F.round("value", 6).alias("diff2_value")
+    )
+
+
+_SQL_DIFFERENCE = """
+WITH d1 AS (
+  SELECT user_id, ts,
+         value - lag(value) OVER (PARTITION BY user_id ORDER BY ts) AS v
+  FROM events
+), d1f AS (SELECT * FROM d1 WHERE v IS NOT NULL),
+d2 AS (
+  SELECT user_id, ts,
+         v - lag(v) OVER (PARTITION BY user_id ORDER BY ts) AS v
+  FROM d1f
+)
+SELECT user_id, ts, round(v, 6) AS diff2_value FROM d2 WHERE v IS NOT NULL
+"""
+
+
+def q_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4: running sum per user (undo-differencing primitive)."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    return LAGS.cumulative_sum(ev, ["value"], series_col="user_id").select(
+        "user_id", "ts", F.round("cumsum_value", 6).alias("running_value")
+    )
+
+
+_SQL_CUMSUM = """
+SELECT user_id, ts,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS running_value
+FROM events
+"""
+
+
+def q_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5: trailing 4-row rolling mean/std per user."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    out = LAGS.rolling_stats(ev, "value", 4, series_col="user_id")
+    return out.select(
+        "user_id",
+        "ts",
+        F.round("rolling_mean_4_value", 6).alias("roll_mean"),
+        F.round("rolling_std_4_value", 6).alias("roll_std"),
+    )
+
+
+_SQL_ROLLING = """
+SELECT user_id, ts,
+       round(avg(value) OVER win, 6) AS roll_mean,
+       round(stddev_samp(value) OVER win, 6) AS roll_std
+FROM events
+WINDOW win AS (PARTITION BY user_id ORDER BY ts ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_calendar_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W8: calendar features (pandas-parity dow) on order dates."""
+    od = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    return add_calendar_features(od, "o_orderdate").select(
+        "o_orderkey",
+        F.col("ts_hour").alias("hour"),
+        F.col("ts_dayofweek").alias("dow_mon0"),
+        F.col("ts_quarter").alias("quarter"),
+        F.col("ts_month").alias("month"),
+        F.col("ts_year").alias("year"),
+        F.col("ts_dayofyear").alias("dayofyear"),
+        F.col("ts_dayofmonth").alias("dayofmonth"),
+        F.col("ts_weekofyear").alias("weekofyear"),
+        F.col("ts_weekend").alias("weekend"),
+    )
+
+
+_SQL_CALENDAR = """
+SELECT o_orderkey,
+       cast(hour(o_orderdate) as int) AS hour,
+       cast(isodow(o_orderdate) - 1 as int) AS dow_mon0,
+       cast(quarter(o_orderdate) as int) AS quarter,
+       cast(month(o_orderdate) as int) AS month,
+       cast(year(o_orderdate) as int) AS year,
+       cast(dayofyear(o_orderdate) as int) AS dayofyear,
+       cast(dayofmonth(o_orderdate) as int) AS dayofmonth,
+       cast(weekofyear(o_orderdate) as int) AS weekofyear,
+       cast(CASE WHEN isodow(o_orderdate) - 1 IN (5, 6) THEN 1 ELSE 0 END as int) AS weekend
+FROM orders
+"""
+
+
+def q_frequency_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6/W7: delta of the first two timestamps → frequency class +
+    seasonal period (as a query: same CASE ladder as the library)."""
+    ev = load_table(spark, sf_dir, "events")
+    first_two = (
+        FOLDS.with_row_number(
+            ev.withColumn("series_id", F.lit("0")), order_col="ts"
+        )
+        .filter(F.col("rn") <= 2)
+        .agg(
+            (
+                F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))
+            ).alias("delta_s")
+        )
+    )
+    freq = (
+        F.when(F.col("delta_s") < 60, "seconds")
+        .when(F.col("delta_s") < 3600, "minutes")
+        .when(F.col("delta_s") < 86400, "hours")
+        .when(F.col("delta_s") < 7 * 86400, "days")
+        .when(F.col("delta_s") < 28 * 86400, "weeks")
+        .when(F.col("delta_s") < 63 * 86400, "months")
+        .when(F.col("delta_s") < 135 * 86400, "quarters")
+        .when(F.col("delta_s") < 360 * 86400, "semi")
+        .otherwise("years")
+    )
+    period = (
+        F.when(F.col("freq") == "months", 12)
+        .when(F.col("freq") == "days", 30)
+        .when(F.col("freq") == "weeks", 52)
+        .when(F.col("freq") == "quarters", 4)
+        .when(F.col("freq") == "semi", 2)
+        .when(F.col("freq") == "hours", 24)
+        .when(F.col("freq").isin("minutes", "seconds"), 60)
+        .otherwise(1)
+    )
+    return first_two.withColumn("freq", freq).select(
+        "delta_s", "freq", period.cast("int").alias("seasonal_period")
+    )
+
+
+_SQL_FREQ = """
+WITH t2 AS (
+  SELECT ts FROM events ORDER BY ts LIMIT 2
+), d AS (
+  SELECT cast(floor(epoch(max(ts))) as bigint) - cast(floor(epoch(min(ts))) as bigint) AS delta_s FROM t2
+), f AS (
+  SELECT delta_s,
+         CASE WHEN delta_s < 60 THEN 'seconds'
+              WHEN delta_s < 3600 THEN 'minutes'
+              WHEN delta_s < 86400 THEN 'hours'
+              WHEN delta_s < 604800 THEN 'days'
+              WHEN delta_s < 2419200 THEN 'weeks'
+              WHEN delta_s < 5443200 THEN 'months'
+              WHEN delta_s < 11664000 THEN 'quarters'
+              WHEN delta_s < 31104000 THEN 'semi'
+              ELSE 'years' END AS freq
+  FROM d
+)
+SELECT delta_s, freq,
+       cast(CASE freq WHEN 'months' THEN 12 WHEN 'days' THEN 30 WHEN 'weeks' THEN 52
+                 WHEN 'quarters' THEN 4 WHEN 'semi' THEN 2 WHEN 'hours' THEN 24
+                 WHEN 'minutes' THEN 60 WHEN 'seconds' THEN 60 ELSE 1 END as int) AS seasonal_period
+FROM f
+"""
+
+
+def q_future_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W11: 8 daily future timestamps past max(ts)."""
+    ev = _events_series(spark, sf_dir)
+    return future_index(ev, 8, "days").select("series_id", "ts")
+
+
+_SQL_FUTURE_INDEX = """
+SELECT '0' AS series_id,
+       unnest(generate_series(mx + INTERVAL 1 DAY, mx + 8 * INTERVAL 1 DAY, INTERVAL 1 DAY)) AS ts
+FROM (SELECT max(ts) AS mx FROM events)
+"""
+
+
+def q_expanding_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W12: expanding-window CV fold summary (3 folds × 100-row tests)."""
+    ev = _events_series(spark, sf_dir)
+    folds = FOLDS.expanding_folds(ev, n_splits=3, test_size=100, order_col="event_id")
+    return folds.groupBy("fold", "role").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("rn").alias("min_rn"),
+        F.max("rn").alias("max_rn"),
+        F.round(F.sum(F.col("value").cast("decimal(28,6)")).cast("double"), 6).alias(
+            "sum_value"
+        ),
+    )
+
+
+_SQL_EXPANDING_FOLDS = """
+WITH numbered AS (
+  SELECT value, row_number() OVER (ORDER BY event_id) AS rn, count(*) OVER () AS n
+  FROM events
+), folds AS (
+  SELECT numbered.*, f.fold
+  FROM numbered, (SELECT unnest(generate_series(0, 2)) AS fold) f
+), roles AS (
+  SELECT fold, rn, value,
+         CASE WHEN rn <= n - (3 - fold) * 100 THEN 'train'
+              WHEN rn <= n - (3 - fold) * 100 + 100 THEN 'test' END AS role
+  FROM folds
+)
+SELECT fold, role, count(*) AS n, min(rn) AS min_rn, max(rn) AS max_rn,
+       round(cast(sum(cast(value as decimal(28,6))) as double), 6) AS sum_value
+FROM roles WHERE role IS NOT NULL
+GROUP BY fold, role
+"""
+
+
+def q_sliding_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W13: sliding-window CV fold summary (initial 9000, horizon 200,
+    period 300 — sized for the sf0.01 correctness run)."""
+    ev = _events_series(spark, sf_dir)
+    folds = FOLDS.sliding_folds(
+        ev, initial=9000, horizon=200, period=300, order_col="event_id"
+    )
+    return folds.groupBy("fold", "role").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("rn").alias("min_rn"),
+        F.max("rn").alias("max_rn"),
+    )
+
+
+_SQL_SLIDING_FOLDS = """
+WITH numbered AS (
+  SELECT row_number() OVER (ORDER BY event_id) AS rn, count(*) OVER () AS n
+  FROM events
+), nf AS (
+  SELECT *, least(cast(floor((n - 9200) / 300.0) as bigint) + 1, 1000) AS n_folds FROM numbered
+), valid AS (SELECT * FROM nf WHERE n_folds >= 1),
+folds AS (
+  SELECT valid.*, f.fold
+  FROM valid, LATERAL (SELECT unnest(generate_series(0, cast(n_folds - 1 as bigint))) AS fold) f
+), roles AS (
+  SELECT fold, rn,
+         CASE WHEN rn <= 9000 + fold * 300 THEN 'train'
+              WHEN rn <= 9000 + fold * 300 + 200 THEN 'test' END AS role
+  FROM folds
+)
+SELECT fold, role, count(*) AS n, min(rn) AS min_rn, max(rn) AS max_rn
+FROM roles WHERE role IS NOT NULL
+GROUP BY fold, role
+"""
+
+
+def q_naive_forecast_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5-A8/J1: score a naive lag-1 forecast per event_type — RMSE,
+    MAE, MAPE, std-normalized RMSE as one aggregate pass."""
+    ev = load_table(spark, sf_dir, "events")
+    lagged = LAGS.shift(
+        ev.select("event_type", "ts", "value"),
+        ["value"],
+        1,
+        series_col="event_type",
+    )
+    scored = MET.score(
+        lagged,
+        "value",
+        "value_shift1",
+        group_cols=["event_type"],
+        metrics=["rmse", "mae", "mape", "normalized_rmse"],
+    )
+    return scored.select(
+        "event_type",
+        F.round("rmse", 6).alias("rmse"),
+        F.round("mae", 6).alias("mae"),
+        F.round("mape", 6).alias("mape"),
+        F.round("normalized_rmse", 6).alias("normalized_rmse"),
+    )
+
+
+_SQL_NAIVE_METRICS = """
+WITH lagged AS (
+  SELECT event_type, value,
+         lag(value) OVER (PARTITION BY event_type ORDER BY ts) AS yhat
+  FROM events
+), f AS (SELECT * FROM lagged WHERE yhat IS NOT NULL)
+SELECT event_type,
+       round(sqrt(avg(pow(value - yhat, 2))), 6) AS rmse,
+       round(avg(abs(value - yhat)), 6) AS mae,
+       round(avg(abs((value - yhat) / value)) * 100, 6) AS mape,
+       round(sqrt(avg(pow(value - yhat, 2))) / stddev_samp(value), 6) AS normalized_rmse
+FROM f
+GROUP BY event_type
+"""
+
+
+def q_weighted_cv_rmse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W14/A10: per-fold naive-forecast RMSE combined as a
+    fold-index-weighted average (one row)."""
+    ev = _events_series(spark, sf_dir)
+    lagged = LAGS.shift(
+        ev.select("series_id", "event_id", "value"),
+        ["value"],
+        1,
+        order_col="event_id",
+    )
+    folds = FOLDS.expanding_folds(
+        lagged, n_splits=5, test_size=100, order_col="event_id"
+    ).filter(F.col("role") == "test")
+    per_fold = folds.groupBy("fold").agg(
+        MET.rmse(F.col("value"), F.col("value_shift1")).alias("rmse")
+    )
+    return per_fold.agg(
+        F.round(
+            F.sum(F.col("rmse") * (F.col("fold") + 1)) / F.sum(F.col("fold") + 1), 6
+        ).alias("weighted_rmse"),
+        F.count(F.lit(1)).alias("n_folds"),
+    )
+
+
+_SQL_WEIGHTED_CV = """
+WITH lagged AS (
+  SELECT event_id, value,
+         lag(value) OVER (ORDER BY event_id) AS yhat
+  FROM events
+), f AS (SELECT * FROM lagged WHERE yhat IS NOT NULL),
+numbered AS (
+  SELECT *, row_number() OVER (ORDER BY event_id) AS rn, count(*) OVER () AS n FROM f
+), folds AS (
+  SELECT numbered.*, fo.fold
+  FROM numbered, (SELECT unnest(generate_series(0, 4)) AS fold) fo
+), test_rows AS (
+  SELECT fold, value, yhat FROM folds
+  WHERE rn > n - (5 - fold) * 100 AND rn <= n - (5 - fold) * 100 + 100
+), per_fold AS (
+  SELECT fold, sqrt(avg(pow(value - yhat, 2))) AS rmse FROM test_rows GROUP BY fold
+)
+SELECT round(sum(rmse * (fold + 1)) / sum(fold + 1), 6) AS weighted_rmse,
+       count(*) AS n_folds
+FROM per_fold
+"""
+
+
+def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/A3 (classify_columns inputs): per-column null + distinct
+    counts on customer, computed in ONE aggregate scan."""
+    cust = load_table(spark, sf_dir, "customer")
+    profs = profile_columns(cust, exact_distinct=True)
+    return spark.createDataFrame(
+        [(p.name, p.n_null, p.n_distinct) for p in profs],
+        "column string, n_null bigint, n_distinct bigint",
+    )
+
+
+_SQL_COLUMN_PROFILE = """
+SELECT 'c_custkey' AS "column", sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS n_null, count(DISTINCT c_custkey) AS n_distinct FROM customer
+UNION ALL
+SELECT 'c_name', sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END), count(DISTINCT c_name) FROM customer
+UNION ALL
+SELECT 'c_nationkey', sum(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END), count(DISTINCT c_nationkey) FROM customer
+UNION ALL
+SELECT 'c_acctbal', sum(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END), count(DISTINCT c_acctbal) FROM customer
+UNION ALL
+SELECT 'c_mktsegment', sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END), count(DISTINCT c_mktsegment) FROM customer
+"""
+
+
+def q_frequency_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: value frequency table (top event types)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "event_type")
+        .limit(3)
+    )
+
+
+_SQL_FREQ_TABLE = """
+SELECT event_type, count(*) AS cnt FROM events
+GROUP BY event_type ORDER BY cnt DESC, event_type LIMIT 3
+"""
+
+
+def q_class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12: balanced class weights for orders.o_orderstatus."""
+    od = load_table(spark, sf_dir, "orders")
+    out = class_weights(od, "o_orderstatus")
+    return out.select(
+        "o_orderstatus", "cnt", F.round("weight", 6).alias("weight")
+    )
+
+
+_SQL_CLASS_WEIGHTS = """
+WITH counts AS (
+  SELECT o_orderstatus, count(*) AS cnt FROM orders GROUP BY o_orderstatus
+), tot AS (SELECT sum(cnt) AS n, count(*) AS k FROM counts)
+SELECT o_orderstatus, cnt, round(n / (k * cnt), 6) AS weight
+FROM counts, tot
+"""
+
+
+def q_token_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14 (explode) + A4: top-20 tokens across documents."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(TX.tokens(F.col("text"))).alias("token"))
+    return (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "token")
+        .limit(20)
+    )
+
+
+_SQL_TOKEN_EXPLODE = f"""
+WITH toks AS (SELECT unnest({_SQL_TOKS}) AS token FROM documents)
+SELECT token, count(*) AS cnt FROM toks
+GROUP BY token ORDER BY cnt DESC, token LIMIT 20
+"""
+
+
+def q_actual_vs_predicted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/J2: daily actuals joined (full outer) with a previous-day
+    persistence forecast."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        F.round(F.sum(F.col("value").cast("decimal(28,6)")).cast("double"), 6).alias(
+            "actual"
+        )
+    )
+    pred = daily.select(
+        (F.col("d") + F.expr("interval 1 day")).alias("d"),
+        F.col("actual").alias("yhat"),
+    )
+    return (
+        daily.join(pred, "d", "full_outer")
+        .select("d", "actual", "yhat")
+    )
+
+
+_SQL_ACTUAL_PRED_JOIN = """
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS d,
+         round(cast(sum(cast(value as decimal(28,6))) as double), 6) AS actual
+  FROM events GROUP BY 1
+), pred AS (
+  SELECT d + INTERVAL 1 DAY AS d, actual AS yhat FROM daily
+)
+SELECT coalesce(daily.d, pred.d) AS d, daily.actual AS actual, pred.yhat AS yhat
+FROM daily FULL OUTER JOIN pred ON daily.d = pred.d
+"""
+
+
+def q_train_tail_splice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5/P8: last-5 train rows ∪ test rows (the lag-splice input for
+    recursive forecasting)."""
+    ev = _events_series(spark, sf_dir)
+    numbered = FOLDS.with_row_number(ev, order_col="event_id")
+    train_tail = numbered.filter(
+        (F.col("rn") > 9800 - 5) & (F.col("rn") <= 9800)
+    ).withColumn("origin", F.lit("tail"))
+    test = numbered.filter(F.col("rn") > 9800).withColumn("origin", F.lit("test"))
+    return train_tail.unionByName(test).select("event_id", "value", "origin", "rn")
+
+
+_SQL_TRAIN_TAIL_SPLICE = """
+WITH numbered AS (
+  SELECT event_id, value, row_number() OVER (ORDER BY event_id) AS rn FROM events
+)
+SELECT event_id, value, 'tail' AS origin, rn FROM numbered WHERE rn > 9795 AND rn <= 9800
+UNION ALL
+SELECT event_id, value, 'test' AS origin, rn FROM numbered WHERE rn > 9800
+"""
+
+
+def q_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1/O5/A9/M14-shape: rank competing 'models' (naive lag-1 vs
+    rolling-mean-4 forecasts) by mean RMSE across event types —
+    leaderboard with rank and best flag."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    lagged = LAGS.shift(ev, ["value"], 1, series_col="event_type", drop_null=False)
+    rolled = LAGS.rolling_stats(
+        lagged, "value", 4, stats=("mean",), series_col="event_type"
+    )
+    prev_roll = LAGS.shift(
+        rolled, ["rolling_mean_4_value"], 1, series_col="event_type", drop_null=False
+    )
+    both = prev_roll.select(
+        "event_type",
+        "value",
+        F.col("value_shift1").alias("naive"),
+        F.col("rolling_mean_4_value_shift1").alias("rollmean"),
+    ).na.drop(subset=["naive", "rollmean"])
+    long = both.selectExpr(
+        "event_type",
+        "value",
+        "stack(2, 'naive_lag1', naive, 'rolling_mean4', rollmean) as (model, yhat)",
+    )
+    per_type = long.groupBy("model", "event_type").agg(
+        MET.rmse(F.col("value"), F.col("yhat")).alias("rmse")
+    )
+    board = per_type.groupBy("model").agg(
+        F.round(F.avg("rmse"), 6).alias("mean_rmse")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("mean_rmse").asc(), F.col("model"))
+    return board.withColumn("rank", F.row_number().over(w)).withColumn(
+        "is_best", (F.col("rank") == 1).cast("int")
+    )
+
+
+_SQL_LEADERBOARD = """
+WITH rolled AS (
+  SELECT event_type, ts, value,
+         avg(value) OVER (PARTITION BY event_type ORDER BY ts
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS rm
+  FROM events
+), base AS (
+  SELECT event_type, value,
+         lag(value) OVER win AS naive,
+         lag(rm) OVER win AS rollmean
+  FROM rolled
+  WINDOW win AS (PARTITION BY event_type ORDER BY ts)
+), f AS (SELECT * FROM base WHERE naive IS NOT NULL AND rollmean IS NOT NULL),
+long AS (
+  SELECT event_type, value, 'naive_lag1' AS model, naive AS yhat FROM f
+  UNION ALL
+  SELECT event_type, value, 'rolling_mean4', rollmean FROM f
+), per_type AS (
+  SELECT model, event_type, sqrt(avg(pow(value - yhat, 2))) AS rmse
+  FROM long GROUP BY model, event_type
+), board AS (
+  SELECT model, round(avg(rmse), 6) AS mean_rmse FROM per_type GROUP BY model
+)
+SELECT model, mean_rmse,
+       cast(row_number() OVER (ORDER BY mean_rmse ASC, model) as bigint) AS rank,
+       cast(CASE WHEN row_number() OVER (ORDER BY mean_rmse ASC, model) = 1 THEN 1 ELSE 0 END as int) AS is_best
+FROM board
+"""
+
+
+def q_topk_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3 + star join: top-10 suppliers by discounted revenue; the
+    supplier dim is broadcast (no shuffle of the fact table)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(28,6)"
+                )
+            ).cast("double"),
+            6,
+        ).alias("revenue")
+    )
+    return (
+        rev.join(F.broadcast(sup), rev.l_suppkey == sup.s_suppkey)
+        .select("s_suppkey", "s_name", "revenue")
+        .orderBy(F.desc("revenue"), "s_suppkey")
+        .limit(10)
+    )
+
+
+_SQL_TOPK_SUPPLIERS = """
+WITH rev AS (
+  SELECT l_suppkey,
+         round(cast(sum(cast(l_extendedprice * (1 - l_discount) as decimal(28,6))) as double), 6) AS revenue
+  FROM lineitem GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+ORDER BY revenue DESC, s_suppkey LIMIT 10
+"""
+
+
+def q_top_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W18/O4: corr(quantity, extendedprice) per part brand, top-5."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return (
+        joined.groupBy("p_brand")
+        .agg(F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr"))
+        .orderBy(F.desc("corr"), "p_brand")
+        .limit(5)
+    )
+
+
+_SQL_TOP_CORR = """
+SELECT p_brand, round(corr(l_quantity, l_extendedprice), 6) AS corr
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand ORDER BY corr DESC, p_brand LIMIT 5
+"""
+
+
+def q_minmax_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/S4: numeric range scan (the downcast driver) on lineitem."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.round(F.min("l_quantity"), 6).alias("min_qty"),
+        F.round(F.max("l_quantity"), 6).alias("max_qty"),
+        F.round(F.min("l_extendedprice"), 6).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 6).alias("max_price"),
+        F.min("l_linenumber").alias("min_ln"),
+        F.max("l_linenumber").alias("max_ln"),
+    )
+
+
+_SQL_MINMAX = """
+SELECT round(min(l_quantity), 6) AS min_qty, round(max(l_quantity), 6) AS max_qty,
+       round(min(l_extendedprice), 6) AS min_price, round(max(l_extendedprice), 6) AS max_price,
+       min(l_linenumber) AS min_ln, max(l_linenumber) AS max_ln
+FROM lineitem
+"""
+
+
+def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text quality metrics per document (token counts, stopword /
+    punct / digit ratios, composite quality score)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TOPS.text_profile(docs).select(
+        "doc_id", "n_chars", "n_tokens", "stopword_ratio", "quality"
+    ).withColumn("n_tokens", F.col("n_tokens").cast("bigint")).withColumn(
+        "n_chars", F.col("n_chars").cast("bigint")
+    )
+
+
+_SQL_TEXT_PROFILE = f"""
+WITH t AS (
+  SELECT doc_id, text, length(text) AS n_chars, {_SQL_TOKS} AS toks FROM documents
+), s AS (
+  SELECT doc_id, n_chars, cast(len(toks) as bigint) AS n_tokens,
+         len(list_filter(toks, x -> list_contains(['the','and','of','to','a','in','is','that','for','it'], x)))
+           / greatest(len(toks), 1) AS sw_ratio,
+         length(regexp_replace(text, '[^!-/:-@\\[-`{{|}}~]', '', 'g')) / greatest(length(text), 1) AS punct_ratio,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) / greatest(length(text), 1) AS digit_ratio
+  FROM t
+)
+SELECT doc_id, n_chars, n_tokens,
+       round(sw_ratio, 6) AS stopword_ratio,
+       round((least(n_tokens / 100.0, 1.0) + least(sw_ratio * 5.0, 1.0)
+            + greatest(1.0 - punct_ratio * 4.0, 0.0) + greatest(1.0 - digit_ratio * 4.0, 0.0)) / 4.0, 6) AS quality
+FROM s
+"""
+
+
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID prediction summary: docs + total profile hits per
+    predicted language."""
+    docs = load_table(spark, sf_dir, "documents")
+    pred = TOPS.language_id(docs)
+    return pred.groupBy("pred_lang").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("hits").alias("total_hits")
+    )
+
+
+_SQL_LANG_PROFILE_VALUES = ", ".join(
+    f"('{lang}', '{w}')" for lang, ws in TX.LANG_PROFILES.items() for w in ws
+)
+
+_SQL_LANGUAGE_ID = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SQL_TOKS}) AS word FROM documents
+), profiles(lang, word) AS (VALUES {_SQL_LANG_PROFILE_VALUES}),
+hits AS (
+  SELECT doc_id, lang, count(*) AS hits
+  FROM toks JOIN profiles USING (word) GROUP BY doc_id, lang
+), best AS (
+  SELECT doc_id, max(hits) AS max_hits FROM hits GROUP BY doc_id
+), pred AS (
+  SELECT h.doc_id, min(h.lang) AS pred_lang, max(h.hits) AS hits
+  FROM hits h JOIN best b ON h.doc_id = b.doc_id AND h.hits = b.max_hits
+  GROUP BY h.doc_id
+), all_docs AS (
+  SELECT d.doc_id, coalesce(p.pred_lang, 'und') AS pred_lang, coalesce(p.hits, 0) AS hits
+  FROM documents d LEFT JOIN pred p ON d.doc_id = p.doc_id
+)
+SELECT pred_lang, count(*) AS n_docs, sum(hits) AS total_hits
+FROM all_docs GROUP BY pred_lang
+"""
+
+
+def q_exact_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup summary: doc count, distinct fingerprints, duplicate
+    groups (md5-60bit fingerprint, reproducible in DuckDB)."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(TX.fingerprint(F.col("text")).alias("fp"))
+    groups = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("n"))
+    return groups.agg(
+        F.sum("n").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(F.when(F.col("n") > 1, 1).otherwise(0)).alias("n_dup_groups"),
+    )
+
+
+_SQL_EXACT_DEDUP = f"""
+WITH fp AS (
+  SELECT {_sql_hash60("trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))")} AS fp
+  FROM documents
+), groups AS (SELECT fp, count(*) AS n FROM fp GROUP BY fp)
+SELECT sum(n) AS n_docs, count(*) AS n_distinct,
+       sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS n_dup_groups
+FROM groups
+"""
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs (threshold 0.4) with
+    length-bucket candidate pruning."""
+    docs = load_table(spark, sf_dir, "documents")
+    return DD.ngram_jaccard_pairs(docs, threshold=0.4)
+
+
+_SQL_SHINGLES = """list_distinct(list_filter(
+    list_transform(list_zip(toks, toks[2:], toks[3:]),
+                   x -> CASE WHEN x[3] IS NOT NULL THEN concat(x[1], ' ', x[2], ' ', x[3]) END),
+    s -> s IS NOT NULL))"""
+
+_SQL_NGRAM_JACCARD = f"""
+WITH base AS (
+  SELECT doc_id AS id, {_SQL_TOKS} AS toks FROM documents
+), sh AS (
+  SELECT id, {_SQL_SHINGLES} AS sh, cast(len(toks) // 16 as int) AS lb FROM base
+), pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b, a.sh AS sh_a, b.sh AS sh_b
+  FROM sh a JOIN sh b
+    ON b.lb BETWEEN a.lb - 1 AND a.lb + 1 AND a.id < b.id
+), scored AS (
+  SELECT id_a, id_b,
+         round(len(list_intersect(sh_a, sh_b))
+               / greatest(len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b)), 1), 6) AS jaccard
+  FROM pairs
+)
+SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.4
+"""
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16)+LSH(8 bands) near-dup pairs, verified at 0.4 — the
+    scale path; md5-based hash family makes the signature (and thus
+    the candidate set) bit-reproducible in DuckDB."""
+    docs = load_table(spark, sf_dir, "documents")
+    return DD.minhash_lsh_pairs(
+        docs, num_hashes=16, bands=8, threshold=0.4
+    )
+
+
+_SQL_MINHASH_LSH = f"""
+WITH base AS (
+  SELECT doc_id AS id, {_SQL_TOKS} AS toks FROM documents
+), sh AS (
+  SELECT id, {_SQL_SHINGLES} AS sh,
+         list_filter(list_transform(list_zip(toks, toks[2:], toks[3:]),
+                     x -> CASE WHEN x[3] IS NOT NULL THEN concat(x[1], ' ', x[2], ' ', x[3]) END),
+                     s -> s IS NOT NULL) AS sh_all
+  FROM base
+), sig AS (
+  SELECT id, sh,
+         list_transform(generate_series(0, 15),
+            i -> list_min(list_transform(sh_all, s -> {_sql_hash60("concat('s', i, ':', s)")}))) AS mh
+  FROM sh
+), banded AS (
+  SELECT id, sh, b.band,
+         array_to_string(mh[b.band * 2 + 1 : b.band * 2 + 2], ',') AS bh
+  FROM sig, (SELECT unnest(generate_series(0, 7)) AS band) b
+), cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sh AS sh_a, b.sh AS sh_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh AND a.id < b.id
+), scored AS (
+  SELECT id_a, id_b,
+         round(len(list_intersect(sh_a, sh_b))
+               / greatest(len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b)), 1), 6) AS jaccard
+  FROM cand
+)
+SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.4
+"""
+
+
+def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprints for doc_id < 100 (bit-exact in
+    DuckDB via the shared md5 hash family)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return docs.select(
+        "doc_id", F.expr(TX.simhash_sql("text", 32)).alias("simhash")
+    )
+
+
+_SQL_SIMHASH = f"""
+WITH t AS (
+  SELECT doc_id, {_SQL_TOKS} AS toks FROM documents WHERE doc_id < 100
+), h AS (
+  SELECT doc_id, toks,
+         list_transform(toks, tk -> {_sql_hash60("tk")}) AS hs
+  FROM t
+)
+SELECT doc_id,
+       list_aggregate(
+         list_transform(generate_series(0, 31),
+           b -> CASE WHEN 2 * len(list_filter(hs, hh -> (hh >> b) & 1 = 1)) > len(toks)
+                     THEN (1::BIGINT << b) ELSE 0::BIGINT END),
+         'sum') AS simhash
+FROM h
+"""
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for query vectors vec_id<10
+    (broadcast queries; corpus scanned once)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    return SIM.brute_force_topk(emb, q, k=5)
+
+
+_SQL_EMBEDDING_TOPK = """
+WITH q AS (
+  SELECT vec_id AS query_id, cast(embedding as double[]) AS qv FROM embeddings WHERE vec_id < 10
+), c AS (
+  SELECT vec_id AS neighbor_id, cast(embedding as double[]) AS cv FROM embeddings
+), scored AS (
+  SELECT query_id, neighbor_id,
+         round(list_dot_product(qv, cv) /
+               (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS cosine
+  FROM c, q WHERE neighbor_id <> query_id
+), ranked AS (
+  SELECT *, cast(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) as int) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+"""
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs restricted to same-label
+    candidates (deterministic pruning both engines apply)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("label"),
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").cast("array<double>").alias("va"),
+    )
+    b = emb.select(
+        F.col("label"),
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").cast("array<double>").alias("vb"),
+    )
+    pairs = a.join(b, "label").filter(F.col("id_a") < F.col("id_b"))
+    return pairs.select(
+        "label",
+        "id_a",
+        "id_b",
+        F.round(SIM.cosine(F.col("va"), F.col("vb")), 6).alias("cosine"),
+    ).filter(F.col("cosine") >= 0.3)
+
+
+_SQL_EMBEDDING_NEAR_DUP = """
+WITH v AS (SELECT label, vec_id, cast(embedding as double[]) AS ve FROM embeddings)
+SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.ve, b.ve) /
+             (sqrt(list_dot_product(a.ve, a.ve)) * sqrt(list_dot_product(b.ve, b.ve))), 6) AS cosine
+FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.ve, b.ve) /
+      (sqrt(list_dot_product(a.ve, a.ve)) * sqrt(list_dot_product(b.ve, b.ve))) >= 0.2999995
+  AND round(list_dot_product(a.ve, b.ve) /
+      (sqrt(list_dot_product(a.ve, a.ve)) * sqrt(list_dot_product(b.ve, b.ve))), 6) >= 0.3
+"""
+
+
+def q_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W19 (batch twin of the streaming tumbling window): hourly event
+    rollup per type."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(28,6)")).cast("double"), 6).alias(
+                "sum_value"
+            ),
+        )
+    )
+
+
+_SQL_HOURLY_ROLLUP = """
+SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+       round(cast(sum(cast(value as decimal(28,6))) as double), 6) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (gap 30 min) per-user session stats."""
+    ev = load_table(spark, sf_dir, "events")
+    return SESS.session_stats(ev, gap_seconds=1800)
+
+
+_SQL_SESSIONIZE = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER win IS NULL THEN 0
+              WHEN cast(floor(epoch(ts)) as bigint) - cast(floor(epoch(lag(ts) OVER win)) as bigint) > 1800 THEN 1
+              ELSE 0 END AS new_s
+  FROM events
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+), per_session AS (
+  SELECT user_id, session_id, count(*) AS n_events,
+         cast(floor(epoch(max(ts))) as bigint) - cast(floor(epoch(min(ts))) as bigint) AS duration_s
+  FROM sess GROUP BY user_id, session_id
+)
+SELECT user_id, count(*) AS n_sessions,
+       round(avg(n_events), 6) AS avg_events_per_session,
+       round(avg(duration_s), 6) AS avg_session_duration_s
+FROM per_session GROUP BY user_id
+"""
+
+
+def q_fillna_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3: forward-fill a sparsified value column + missing flag.
+    Deterministic sparsification: null out value where event_id % 7 = 0."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_id") % 7 == 0, None)
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
+    from auto_ts_spark.operators.future import forward_fill
+
+    out = forward_fill(ev, ["value"], series_col="user_id")
+    return out.select(
+        "event_id", "user_id", F.round("value", 6).alias("value"), "value_missing_flag"
+    )
+
+
+_SQL_FILLNA_FFILL = """
+WITH sparse AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS value
+  FROM events
+)
+SELECT event_id, user_id,
+       round(last_value(value IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS value,
+       cast(CASE WHEN value IS NULL THEN 1 ELSE 0 END as int) AS value_missing_flag
+FROM sparse
+"""
+
+
+def q_json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-function family: JSON extraction + conditional + math on
+    the events props column."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return ev.select(
+        "event_id",
+        k.alias("k"),
+        F.when(k % 2 == 0, F.lit("even")).otherwise(F.lit("odd")).alias("parity"),
+        F.round(F.log(F.col("value") + 1), 6).alias("log_value"),
+        F.round(F.sqrt(F.abs(F.col("value"))), 6).alias("sqrt_abs_value"),
+    )
+
+
+_SQL_JSON_PROPS = """
+SELECT event_id,
+       cast(json_extract(props, '$.k') as int) AS k,
+       CASE WHEN cast(json_extract(props, '$.k') as int) % 2 = 0 THEN 'even' ELSE 'odd' END AS parity,
+       round(ln(value + 1), 6) AS log_value,
+       round(sqrt(abs(value)), 6) AS sqrt_abs_value
+FROM events
+"""
+
+
+# ---------------------------------------------------------------- contract
+
+_ORACLE: dict[str, str] = {
+    "tpch_pricing_summary": _SQL_TPCH_Q1,
+    "lag_matrix": _SQL_LAG_MATRIX,
+    "difference": _SQL_DIFFERENCE,
+    "cumsum": _SQL_CUMSUM,
+    "rolling_stats": _SQL_ROLLING,
+    "calendar_features": _SQL_CALENDAR,
+    "frequency_inference": _SQL_FREQ,
+    "future_index": _SQL_FUTURE_INDEX,
+    "expanding_folds": _SQL_EXPANDING_FOLDS,
+    "sliding_folds": _SQL_SLIDING_FOLDS,
+    "naive_forecast_metrics": _SQL_NAIVE_METRICS,
+    "weighted_cv_rmse": _SQL_WEIGHTED_CV,
+    "column_profile": _SQL_COLUMN_PROFILE,
+    "frequency_table": _SQL_FREQ_TABLE,
+    "class_weights": _SQL_CLASS_WEIGHTS,
+    "token_explode": _SQL_TOKEN_EXPLODE,
+    "actual_vs_predicted_join": _SQL_ACTUAL_PRED_JOIN,
+    "train_tail_splice": _SQL_TRAIN_TAIL_SPLICE,
+    "leaderboard": _SQL_LEADERBOARD,
+    "topk_suppliers": _SQL_TOPK_SUPPLIERS,
+    "top_correlations": _SQL_TOP_CORR,
+    "minmax_profile": _SQL_MINMAX,
+    "text_profile": _SQL_TEXT_PROFILE,
+    "language_id": _SQL_LANGUAGE_ID,
+    "exact_dedup_stats": _SQL_EXACT_DEDUP,
+    "ngram_jaccard_pairs": _SQL_NGRAM_JACCARD,
+    "minhash_lsh_pairs": _SQL_MINHASH_LSH,
+    "simhash_fingerprints": _SQL_SIMHASH,
+    "embedding_topk": _SQL_EMBEDDING_TOPK,
+    "embedding_near_dup": _SQL_EMBEDDING_NEAR_DUP,
+    "hourly_rollup": _SQL_HOURLY_ROLLUP,
+    "sessionize": _SQL_SESSIONIZE,
+    "fillna_ffill": _SQL_FILLNA_FFILL,
+    "json_props_extract": _SQL_JSON_PROPS,
+}
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "tpch_pricing_summary": q_tpch_pricing_summary,
+    "lag_matrix": q_lag_matrix,
+    "difference": q_difference,
+    "cumsum": q_cumsum,
+    "rolling_stats": q_rolling_stats,
+    "calendar_features": q_calendar_features,
+    "frequency_inference": q_frequency_inference,
+    "future_index": q_future_index,
+    "expanding_folds": q_expanding_folds,
+    "sliding_folds": q_sliding_folds,
+    "naive_forecast_metrics": q_naive_forecast_metrics,
+    "weighted_cv_rmse": q_weighted_cv_rmse,
+    "column_profile": q_column_profile,
+    "frequency_table": q_frequency_table,
+    "class_weights": q_class_weights,
+    "token_explode": q_token_explode,
+    "actual_vs_predicted_join": q_actual_vs_predicted_join,
+    "train_tail_splice": q_train_tail_splice,
+    "leaderboard": q_leaderboard,
+    "topk_suppliers": q_topk_suppliers,
+    "top_correlations": q_top_correlations,
+    "minmax_profile": q_minmax_profile,
+    "text_profile": q_text_profile,
+    "language_id": q_language_id,
+    "exact_dedup_stats": q_exact_dedup_stats,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "simhash_fingerprints": q_simhash_fingerprints,
+    "embedding_topk": q_embedding_topk,
+    "embedding_near_dup": q_embedding_near_dup,
+    "hourly_rollup": q_hourly_rollup,
+    "sessionize": q_sessionize,
+    "fillna_ffill": q_fillna_ffill,
+    "json_props_extract": q_json_props_extract,
+}
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship slice (SURVEY.md §7.2) on sf0.001: lag + calendar
+    features → expanding folds → per-fold naive-forecast RMSE →
+    leaderboard-shaped result."""
+    ev = _events_series(spark, SF_SMOKE)
+    feats = LAGS.supervised_lag_matrix(
+        ev.select("series_id", "ts", "value"), ["value"], n_in=3
+    )
+    feats = add_calendar_features(feats)
+    folds = FOLDS.expanding_folds(feats, n_splits=2, test_size=50).filter(
+        F.col("role") == "test"
+    )
+    per_fold = folds.groupBy("fold").agg(
+        MET.rmse(F.col("value"), F.col("value_lag_1")).alias("rmse"),
+        F.count(F.lit(1)).alias("n_test"),
+    )
+    return per_fold.select(
+        F.lit("naive_lag1").alias("model"),
+        "fold",
+        F.round("rmse", 6).alias("rmse"),
+        "n_test",
+    ).orderBy("fold")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(_ORACLE)

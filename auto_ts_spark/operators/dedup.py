@@ -134,9 +134,17 @@ def minhash_lsh_pairs(
         F.explode(
             F.array(
                 *[
+                    # band key = the signature slice itself (stringified):
+                    # engine-agnostic + deterministic, so the DuckDB
+                    # oracle reproduces the exact candidate set. (A real
+                    # cluster would hash this to 8 bytes; correctness is
+                    # identical.)
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.hash(F.slice(F.col("mh"), b * rows_per_band + 1, rows_per_band)).alias("bh"),
+                        F.concat_ws(
+                            ",",
+                            F.slice(F.col("mh"), b * rows_per_band + 1, rows_per_band),
+                        ).alias("bh"),
                     )
                     for b in range(bands)
                 ]

@@ -86,12 +86,13 @@ def sliding_folds(
         F.floor((F.col("_n") - F.lit(initial + horizon)) / F.lit(period)) + F.lit(1),
         F.lit(max_folds),
     )
+    # guard: Spark's sequence(0, -1) counts DOWN, so a series shorter
+    # than initial+horizon would fabricate negative folds — drop it
+    dfn = dfn.withColumn("_nf", n_folds).filter(F.col("_nf") >= 1)
     folds = dfn.select(
         "*",
-        F.explode(
-            F.sequence(F.lit(0), F.greatest(n_folds - F.lit(1), F.lit(-1)))
-        ).alias("fold"),
-    )
+        F.explode(F.sequence(F.lit(0), F.col("_nf") - F.lit(1))).alias("fold"),
+    ).drop("_nf")
     train_end = F.lit(initial) + F.col("fold") * F.lit(period)
     test_end = train_end + F.lit(horizon)
     rn = F.col("rn")

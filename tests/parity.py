@@ -1,0 +1,122 @@
+"""Local replica of the driver's t2 correctness check: run every
+``queries()`` entry in Spark AND its ``oracle_sql()`` in DuckDB over
+the same sf dir, then compare row count + column names + values
+(column-name-sorted, row-sorted)."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+def compare(spark_df, duck_df: pd.DataFrame, *, float_tol: float = 0.0) -> list[str]:
+    """Return a list of mismatch descriptions (empty = match)."""
+    issues: list[str] = []
+    sp = spark_df.toPandas()
+    if len(sp) != len(duck_df):
+        issues.append(f"row count: spark={len(sp)} duckdb={len(duck_df)}")
+    if sorted(sp.columns) != sorted(duck_df.columns):
+        issues.append(f"columns: spark={sorted(sp.columns)} duckdb={sorted(duck_df.columns)}")
+        return issues
+    if issues:
+        return issues
+    a, b = _canon(sp), _canon(duck_df)
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        if pd.api.types.is_float_dtype(av):
+            both_nan = av.isna() & bv.isna()
+            close = ((av - bv).abs() <= float_tol) | both_nan
+            if not close.all():
+                bad = (~close).idxmax()
+                issues.append(
+                    f"col {c}: first diff at row {bad}: spark={av[bad]!r} duckdb={bv[bad]!r}"
+                )
+        else:
+            eq = (av == bv) | (av.isna() & bv.isna())
+            if not eq.all():
+                bad = (~eq).idxmax()
+                issues.append(
+                    f"col {c}: first diff at row {bad}: spark={av[bad]!r} duckdb={bv[bad]!r}"
+                )
+    return issues
+
+
+def run_parity(spark, sf_dir: str, only: list[str] | None = None) -> dict[str, list[str]]:
+    import __spark_entry__ as E
+
+    con = duck_connection(sf_dir)
+    results: dict[str, list[str]] = {}
+    qs, oracles = E.queries(), E.oracle_sql()
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+        except Exception as ex:  # noqa: BLE001
+            results[name] = [f"SPARK ERROR: {type(ex).__name__}: {ex}"]
+            continue
+        sql = oracles.get(name)
+        if sql is None:
+            n = sdf.count()
+            results[name] = [] if n >= 0 else ["no rows"]
+            continue
+        try:
+            ddf = con.execute(sql).fetchdf()
+        except Exception as ex:  # noqa: BLE001
+            results[name] = [f"DUCKDB ERROR: {type(ex).__name__}: {str(ex)[:300]}"]
+            continue
+        try:
+            results[name] = compare(sdf, ddf)
+        except Exception as ex:  # noqa: BLE001
+            results[name] = [f"COMPARE ERROR: {type(ex).__name__}: {str(ex)[:300]}"]
+    return results
+
+
+if __name__ == "__main__":
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from auto_ts_spark import get_spark
+
+    sf_dir = os.environ.get("PARITY_SF_DIR", "/root/testdata/sf0.01")
+    only = sys.argv[1:] or None
+    spark = get_spark("parity")
+    res = run_parity(spark, sf_dir, only)
+    n_bad = 0
+    for name, issues in sorted(res.items()):
+        status = "OK " if not issues else "FAIL"
+        if issues:
+            n_bad += 1
+        print(f"[{status}] {name}")
+        for i in issues[:4]:
+            print(f"       {i}")
+    print(f"\n{len(res) - n_bad}/{len(res)} queries match")
+    sys.exit(1 if n_bad else 0)
