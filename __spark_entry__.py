@@ -414,7 +414,7 @@ WITH lagged AS (
 SELECT event_type,
        round(sqrt(avg(pow(value - yhat, 2))), 6) AS rmse,
        round(avg(abs(value - yhat)), 6) AS mae,
-       round(avg(abs((value - yhat) / value)) * 100, 6) AS mape,
+       round(avg(abs(CASE WHEN value = 0 THEN NULL ELSE (value - yhat) / value END)) * 100, 6) AS mape,
        round(sqrt(avg(pow(value - yhat, 2))) / stddev_samp(value), 6) AS normalized_rmse
 FROM f
 GROUP BY event_type
@@ -883,11 +883,14 @@ WITH base AS (
                      x -> CASE WHEN x[3] IS NOT NULL THEN concat(x[1], ' ', x[2], ' ', x[3]) END),
                      s -> s IS NOT NULL) AS sh_all
   FROM base
+), based AS (
+  SELECT id, sh, list_transform(sh_all, s -> {_sql_hash60("s")}) AS base FROM sh
 ), sig AS (
   SELECT id, sh,
          list_transform(generate_series(0, 15),
-            i -> list_min(list_transform(sh_all, s -> {_sql_hash60("concat('s', i, ':', s)")}))) AS mh
-  FROM sh
+            i -> list_min(list_transform(base,
+                 h -> ((2*i + 1) * (h % 2147483647) + (i * 2654435761 + 987654321) % 2147483647) % 2147483647))) AS mh
+  FROM based
 ), banded AS (
   SELECT id, sh, b.band,
          array_to_string(mh[b.band * 2 + 1 : b.band * 2 + 2], ',') AS bh
@@ -1106,6 +1109,90 @@ FROM events
 """
 
 
+# ------------------------------------------- non-SQL-expressible queries
+# (no oracle entry → the driver records the weaker rows-only check)
+
+
+def _daily_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → one daily-aggregated series (the AutoML input shape)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("day", "ts").alias("ts"))
+        .agg(F.sum("value").alias("y"))
+        .withColumn("series_id", F.lit("0"))
+    )
+
+
+def q_adf_stationarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W16: per-series ADF stationarity + auto-diff order (numpy OLS
+    ADF inside applyInPandas; not SQL-expressible)."""
+    from auto_ts_spark.models.registry import adf_table
+
+    return adf_table(_daily_series(spark, sf_dir))
+
+
+def q_automl_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1-M7/M14: CV leaderboard of the worker model families on the
+    daily events series (model fits are not SQL-expressible)."""
+    from auto_ts_spark.models.registry import (
+        leaderboard,
+        run_all_models,
+        score_predictions,
+    )
+
+    series = _daily_series(spark, sf_dir)
+    preds = run_all_models(
+        series,
+        n_splits=2,
+        horizon=5,
+        seasonal_period=7,
+        models=["fourier", "seasonal_ar", "var"],
+    )
+    scores = score_predictions(preds, series)
+    return leaderboard(scores).select(
+        "model", F.round("mean_rmse", 6).alias("mean_rmse"), "n_folds", "rank"
+    )
+
+
+def q_automl_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M13-shape: final 5-step forecast from the fourier family."""
+    from auto_ts_spark.models.registry import run_model, model_registry
+
+    series = _daily_series(spark, sf_dir)
+    reg = model_registry(seasonal_period=7)
+    preds = run_model(series, reg["fourier"], n_splits=2, horizon=5)
+    return preds.filter(F.col("fold") == -1).select(
+        "series_id", "ts", F.round("yhat", 6).alias("yhat")
+    )
+
+
+def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path: random-hyperplane LSH top-3 (numpy-seeded
+    planes; approximate by design → rows-only check)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    return SIM.lsh_topk(emb, q, k=3)
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary media + mapInPandas feature
+    extraction (decode kernel stubbed; Spark-side shape is real)."""
+    from auto_ts_spark.operators.multimodal import (
+        decode_and_featurize,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, 32)
+    feats = decode_and_featurize(media)
+    return feats.select(
+        "media_id",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+        F.round("std_gray", 6).alias("std_gray"),
+    )
+
+
 # ---------------------------------------------------------------- contract
 
 _ORACLE: dict[str, str] = {
@@ -1180,6 +1267,12 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionize": q_sessionize,
     "fillna_ffill": q_fillna_ffill,
     "json_props_extract": q_json_props_extract,
+    # non-SQL-expressible (rows-only checks)
+    "adf_stationarity": q_adf_stationarity,
+    "automl_leaderboard": q_automl_leaderboard,
+    "automl_forecast": q_automl_forecast,
+    "lsh_ann_topk": q_lsh_ann_topk,
+    "multimodal_features": q_multimodal_features,
 }
 
 

@@ -31,7 +31,9 @@ def mae(y: Column, yhat: Column) -> Column:
 
 
 def mape(y: Column, yhat: Column) -> Column:
-    return F.avg(F.abs((y - yhat) / y)) * 100
+    # defined over non-zero actuals: zero-y rows become NULL (skipped by
+    # avg) instead of raising under ANSI / yielding inf like pandas
+    return F.avg(F.abs(F.try_divide(y - yhat, y))) * 100
 
 
 def rmse_normalized_by_std(y: Column, yhat: Column) -> Column:

@@ -129,22 +129,45 @@ def shingles(col: Column, n: int = 3) -> Column:
     )
 
 
-def minhash_signature(col: Column, num_hashes: int = 16, shingle_n: int = 3) -> Column:
-    """MinHash signature (array<bigint>, length ``num_hashes``).
+# Universal-hash family for MinHash: h_i(x) = (a_i·(x mod P) + b_i) mod P
+# over the md5-derived base hash. ONE md5 per shingle (the 16-seeds-
+# ×-md5 variant was 16× slower and dominated sf0.1 bench wall-clock);
+# the linear permutations are integer arithmetic, reproducible in any
+# SQL engine. P = 2^31 - 1 keeps every product within int64.
+MINHASH_PRIME = 2_147_483_647
 
-    Hash function family: ``hash60(seed_i || shingle)`` — one md5 per
-    (shingle, seed). All array ops, fully codegen'd; the signature for
-    a document is computed in one projection with no shuffle.
+
+def minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    return [
+        (2 * i + 1, (i * 2_654_435_761 + 987_654_321) % MINHASH_PRIME)
+        for i in range(num_hashes)
+    ]
+
+
+def minhash_from_base(base_hashes: Column, num_hashes: int = 16) -> Column:
+    """MinHash signature (array<bigint>) from an array of base hashes.
+
+    Callers should materialize ``base_hashes`` as a real column first
+    (one projection) so the md5 work isn't duplicated per hash fn.
     """
-    sh = shingles(col, shingle_n)
+    def perm(a: int, b: int):
+        # closure factory: pyspark introspects lambda arity, so the
+        # coefficients must not appear as (defaulted) parameters
+        return lambda h: (F.lit(a) * (h % MINHASH_PRIME) + F.lit(b)) % MINHASH_PRIME
+
     return F.array(
         *[
-            F.array_min(
-                F.transform(sh, lambda s, i=i: hash60(F.concat(F.lit(f"s{i}:"), s)))
-            )
-            for i in range(num_hashes)
+            F.array_min(F.transform(base_hashes, perm(a, b)))
+            for a, b in minhash_coeffs(num_hashes)
         ]
     )
+
+
+def minhash_signature(col: Column, num_hashes: int = 16, shingle_n: int = 3) -> Column:
+    """MinHash signature straight from a text column (convenience; the
+    LSH operator materializes the base hashes itself)."""
+    base = F.transform(shingles(col, shingle_n), lambda s: hash60(s))
+    return minhash_from_base(base, num_hashes)
 
 
 def simhash_sql(text_col_name: str, bits: int = 32) -> str:

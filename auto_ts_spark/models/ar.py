@@ -1,0 +1,162 @@
+"""Seasonal-AR forecaster — the engine's (auto-)SARIMAX-family analogue.
+
+The reference grid-searches SARIMAX orders by AIC/BIC
+(auto_ts/models/ar_based/param_finder.py:41-143,
+build_sarimax.py:230-296). This re-expression keeps the same search
+shape — grid over (p, d, P) scored by AIC, best refit, h-step
+recursive forecast — with the model fitted by OLS on lagged values
+(AR + seasonal-AR + drift). MA terms are approximated by a second
+Hannan-Rissanen stage on lagged residuals when ``q > 0``.
+
+Deterministic, no optimizer iterations; one candidate fit is a single
+lstsq, so the whole grid for one series costs microseconds — the grid
+fan-out strategy in SURVEY.md §2.9-M1 becomes unnecessary below
+~100k series × candidates, and above that the per-series
+applyInPandas parallelism already covers it.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from auto_ts_spark.models.base import aic, future_timestamps
+
+
+def _lagged_design(y: np.ndarray, p: int, season_lags: list[int], q_resid: np.ndarray | None, q: int):
+    max_lag = max([p] + season_lags + [q]) if (p or season_lags or q) else 1
+    n = len(y)
+    if n <= max_lag + 1:
+        return None, None, max_lag
+    rows = np.arange(max_lag, n)
+    cols = [np.ones(len(rows))]
+    for i in range(1, p + 1):
+        cols.append(y[rows - i])
+    for m in season_lags:
+        cols.append(y[rows - m])
+    if q and q_resid is not None:
+        for j in range(1, q + 1):
+            cols.append(q_resid[rows - j])
+    return np.column_stack(cols), y[rows], max_lag
+
+
+def _fit_ar(y: np.ndarray, p: int, d: int, q: int, m: int, P: int):
+    """Fit one candidate; returns (params dict, aic) or None."""
+    yd = y.copy()
+    tails = []
+    for _ in range(d):
+        tails.append(yd[-1])
+        yd = np.diff(yd)
+    season_lags = [m * s for s in range(1, P + 1)] if m > 1 else []
+    resid = None
+    if q > 0:
+        # Hannan-Rissanen stage 1: long-AR residuals
+        X1, t1, _ = _lagged_design(yd, max(p, 2) + q, [], None, 0)
+        if X1 is None:
+            return None
+        b1, *_ = np.linalg.lstsq(X1, t1, rcond=None)
+        fitted = X1 @ b1
+        resid = np.zeros_like(yd)
+        resid[len(yd) - len(fitted):] = t1 - fitted
+    X, target, max_lag = _lagged_design(yd, p, season_lags, resid, q)
+    if X is None or len(target) <= X.shape[1] + 1:
+        return None
+    beta, *_ = np.linalg.lstsq(X, target, rcond=None)
+    rss = float(np.sum((target - X @ beta) ** 2))
+    score = aic(rss, len(target), X.shape[1] + 1)
+    return {
+        "beta": beta,
+        "p": p,
+        "d": d,
+        "q": q,
+        "season_lags": season_lags,
+        "yd": yd,
+        "resid": resid,
+        "tails": tails,
+        "max_lag": max_lag,
+    }, score
+
+
+def _forecast_fitted(model: dict, h: int) -> np.ndarray:
+    yd = model["yd"].tolist()
+    resid = model["resid"].tolist() if model["resid"] is not None else None
+    beta = model["beta"]
+    p, q, season_lags = model["p"], model["q"], model["season_lags"]
+    preds_d = []
+    for _ in range(h):
+        x = [1.0]
+        for i in range(1, p + 1):
+            x.append(yd[-i])
+        for m_lag in season_lags:
+            x.append(yd[-m_lag] if len(yd) >= m_lag else yd[0])
+        if q and resid is not None:
+            for j in range(1, q + 1):
+                x.append(resid[-j] if len(resid) >= j else 0.0)
+        yhat = float(np.dot(beta, x))
+        preds_d.append(yhat)
+        yd.append(yhat)
+        if resid is not None:
+            resid.append(0.0)  # expected future shocks are zero
+    # undo differencing (W4 cumsum, per tail level)
+    preds = np.array(preds_d, dtype=float)
+    for tail in reversed(model["tails"]):
+        preds = tail + np.cumsum(preds)
+    return preds
+
+
+def forecast_seasonal_ar(
+    pdf: pd.DataFrame,
+    folds: list[tuple[int, int]],
+    horizon: int,
+    *,
+    seasonal_period: int = 12,
+    max_p: int = 3,
+    max_d: int = 1,
+    max_q: int = 1,
+    max_P: int = 1,
+) -> pd.DataFrame:
+    """Per-series worker: AIC grid over (p,d,q,P), per-fold h-step
+    forecasts from the fold-local best model, final forecast fold=-1."""
+    pdf = pdf.sort_values("ts").reset_index(drop=True)
+    y_all = pdf["y"].to_numpy(dtype=float)
+    n = len(pdf)
+    m = seasonal_period if n >= 2 * seasonal_period + 4 else 0
+
+    def best_fit(y: np.ndarray):
+        best = None
+        for d in range(max_d + 1):
+            for p in range(max_p + 1):
+                for q in range(max_q + 1):
+                    for P in range(max_P + 1) if m else [0]:
+                        if p == 0 and q == 0 and P == 0:
+                            continue
+                        res = _fit_ar(y, p, d, q, m, P)
+                        if res and (best is None or res[1] < best[1]):
+                            best = res
+        return best[0] if best else None
+
+    out = []
+    for fold, (train_end, test_end) in enumerate(folds):
+        model = best_fit(y_all[:train_end])
+        k = test_end - train_end
+        yhat = _forecast_fitted(model, k) if model else np.full(k, y_all[:train_end].mean())
+        out.append(
+            pd.DataFrame({"ts": pdf["ts"].iloc[train_end:test_end].to_numpy(), "fold": fold, "yhat": yhat})
+        )
+    model = best_fit(y_all)
+    yhat = _forecast_fitted(model, horizon) if model else np.full(horizon, y_all.mean())
+    freq_s = (
+        (pdf["ts"].iloc[-1] - pdf["ts"].iloc[0]).total_seconds() / max(n - 1, 1)
+        if n > 1
+        else 86400.0
+    )
+    out.append(
+        pd.DataFrame(
+            {
+                "ts": future_timestamps(pdf["ts"].iloc[-1], horizon, freq_s).to_numpy(),
+                "fold": -1,
+                "yhat": yhat,
+            }
+        )
+    )
+    return pd.concat(out, ignore_index=True)

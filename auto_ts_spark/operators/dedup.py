@@ -123,10 +123,19 @@ def minhash_lsh_pairs(
     Returns ``(id_a, id_b, jaccard)`` verified against ``threshold``.
     """
     rows_per_band = num_hashes // bands
-    sig = df.select(
+    # three-step projection so Catalyst computes tokenize→shingle→md5
+    # exactly once per document, then 16 cheap permutations over it
+    shingled = df.select(
         F.col(id_col).alias("id"),
-        F.array_distinct(TX.shingles(F.col(text_col), shingle_n)).alias("sh"),
-        TX.minhash_signature(F.col(text_col), num_hashes, shingle_n).alias("mh"),
+        TX.shingles(F.col(text_col), shingle_n).alias("sh_all"),
+    )
+    based = shingled.select(
+        "id",
+        F.array_distinct(F.col("sh_all")).alias("sh"),
+        F.transform(F.col("sh_all"), lambda s: TX.hash60(s)).alias("base"),
+    )
+    sig = based.select(
+        "id", "sh", TX.minhash_from_base(F.col("base"), num_hashes).alias("mh")
     )
     banded = sig.select(
         "id",

@@ -1,0 +1,107 @@
+"""Dedup + similarity operators: planted-duplicate recovery and
+LSH-vs-brute-force recall."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from auto_ts_spark.operators import dedup, similarity
+
+
+@pytest.fixture(scope="module")
+def planted_docs(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "into the deep green forest to find food for the long cold winter"
+    )
+    near = base.replace("cold winter", "cold snowy winter")  # near-dup of 0
+    rows = [
+        (0, base),
+        (1, base),  # exact dup of 0
+        (2, near),  # near dup of 0
+        (3, "completely different text about spark dataframes and shuffles here"),
+        (4, "another unrelated document mentioning query optimizers and joins"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates_found(planted_docs):
+    groups = dedup.exact_duplicates(planted_docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["dup_ids"] == [0, 1]
+
+
+def test_dedup_exact_keeps_min_id(planted_docs):
+    kept = dedup.dedup_exact(planted_docs)
+    ids = sorted(r["doc_id"] for r in kept.select("doc_id").collect())
+    assert ids == [0, 2, 3, 4]
+
+
+def test_ngram_jaccard_finds_near_dup(planted_docs):
+    pairs = dedup.ngram_jaccard_pairs(planted_docs, threshold=0.5).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 1) in got and (0, 2) in got and (1, 2) in got
+    assert not any(3 in p or 4 in p for p in got)
+
+
+def test_minhash_lsh_finds_near_dup(planted_docs):
+    pairs = dedup.minhash_lsh_pairs(planted_docs, threshold=0.5).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 1) in got and (0, 2) in got
+
+
+def test_simhash_exact_dup_distance_zero(planted_docs):
+    pairs = dedup.simhash_pairs(planted_docs, max_hamming=3).collect()
+    d = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+    assert d[(0, 1)] == 0
+
+
+@pytest.fixture(scope="module")
+def planted_vectors(spark):
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(50, 16).astype(np.float32)
+    vecs[7] = vecs[0] + rng.randn(16).astype(np.float32) * 0.01  # near-dup of 0
+    rows = [(i, [float(x) for x in vecs[i]], int(i % 5)) for i in range(50)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_brute_force_topk_finds_planted_neighbor(planted_vectors):
+    q = planted_vectors.filter(F.col("vec_id") == 0)
+    out = similarity.brute_force_topk(planted_vectors, q, k=3).collect()
+    assert out[0]["neighbor_id"] == 7
+    assert out[0]["cosine"] > 0.99
+
+
+def test_lsh_topk_recall_against_brute_force(planted_vectors):
+    q = planted_vectors.filter(F.col("vec_id") < 5)
+    bf = similarity.brute_force_topk(planted_vectors, q, k=3)
+    ann = similarity.lsh_topk(planted_vectors, q, k=3, n_planes=4, n_tables=8)
+    bf_pairs = {(r["query_id"], r["neighbor_id"]) for r in bf.collect()}
+    ann_pairs = {(r["query_id"], r["neighbor_id"]) for r in ann.collect()}
+    recall = len(bf_pairs & ann_pairs) / len(bf_pairs)
+    assert recall >= 0.5  # multi-table LSH should catch most true top-3
+
+
+def test_embedding_near_dup_pairs(planted_vectors):
+    pairs = similarity.embedding_near_dup_pairs(
+        planted_vectors, threshold=0.99, n_tables=8, n_planes=4
+    ).collect()
+    assert any({r["id_a"], r["id_b"]} == {0, 7} for r in pairs)
+
+
+def test_language_id_deterministic(spark):
+    from auto_ts_spark.operators.textops import language_id
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the cat and the dog in the house"),
+            (1, "el gato y la casa de la madre es por un camino"),
+            (2, "xyzzy plugh qwerty"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["pred_lang"] for r in language_id(docs).collect()}
+    assert out[0] == "en"
+    assert out[1] == "es"
+    assert out[2] == "und"

@@ -1,0 +1,160 @@
+"""Forecaster invariants (SURVEY.md §5 strategy: computed oracles +
+seeded reproducibility, not hard-coded goldens)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from auto_ts_spark.models import stats
+from auto_ts_spark.models.ar import forecast_seasonal_ar
+from auto_ts_spark.models.base import expanding_fold_bounds
+from auto_ts_spark.models.fourier import forecast_fourier
+from auto_ts_spark.models.var_model import forecast_var
+
+
+def _series(n=96, seasonal=True, trend=True, noise=0.5, seed=1):
+    rng = np.random.RandomState(seed)
+    t = np.arange(n, dtype=float)
+    y = np.zeros(n)
+    if trend:
+        y += 10 + 0.5 * t
+    if seasonal:
+        y += 8 * np.sin(2 * np.pi * t / 12)
+    y += rng.randn(n) * noise
+    return pd.DataFrame(
+        {"ts": pd.date_range("2015-01-31", periods=n, freq="ME"), "y": y}
+    )
+
+
+def _cv_rmse(pred_df, pdf, folds):
+    merged = pred_df[pred_df["fold"] >= 0].merge(pdf, on="ts")
+    return float(np.sqrt(((merged["y"] - merged["yhat"]) ** 2).mean()))
+
+
+def test_fourier_recovers_trend_seasonal():
+    pdf = _series()
+    folds = expanding_fold_bounds(len(pdf), 3, 8)
+    out = forecast_fourier(pdf, folds, 8, seasonal_period=12)
+    rmse = _cv_rmse(out, pdf, folds)
+    assert rmse < 2.0  # noise is 0.5; structure must be captured
+    final = out[out["fold"] == -1]
+    assert len(final) == 8
+    assert final["ts"].min() > pdf["ts"].max()
+
+
+def test_fourier_beats_persistence():
+    pdf = _series()
+    folds = expanding_fold_bounds(len(pdf), 3, 8)
+    out = forecast_fourier(pdf, folds, 8, seasonal_period=12)
+    rmse = _cv_rmse(out, pdf, folds)
+    naive = pdf.copy()
+    naive["yhat"] = naive["y"].shift(1)
+    naive_rmse = float(np.sqrt(((naive["y"] - naive["yhat"]) ** 2).dropna().mean()))
+    assert rmse < naive_rmse
+
+
+def test_seasonal_ar_on_ar_process():
+    rng = np.random.RandomState(7)
+    n = 200
+    y = np.zeros(n)
+    for t in range(1, n):
+        y[t] = 0.8 * y[t - 1] + rng.randn() * 0.3
+    pdf = pd.DataFrame(
+        {"ts": pd.date_range("2015-01-01", periods=n, freq="D"), "y": y}
+    )
+    folds = expanding_fold_bounds(n, 3, 5)
+    out = forecast_seasonal_ar(pdf, folds, 5, seasonal_period=0)
+    rmse = _cv_rmse(out, pdf, folds)
+    marginal_std = float(np.std(y))
+    assert rmse < marginal_std  # exploits autocorrelation
+
+
+def test_seasonal_ar_undo_differencing_tracks_trend():
+    pdf = _series(seasonal=False, noise=0.1)
+    folds = expanding_fold_bounds(len(pdf), 2, 6)
+    out = forecast_seasonal_ar(pdf, folds, 6, seasonal_period=0, max_d=1)
+    final = out[out["fold"] == -1]["yhat"].to_numpy()
+    # trend is +0.5/step; forecast must keep climbing, not flatten
+    assert final[-1] > final[0]
+    assert abs(final[0] - (10 + 0.5 * len(pdf))) < 5
+
+
+def test_var_bivariate_coupling():
+    rng = np.random.RandomState(11)
+    n = 150
+    x = np.zeros(n)
+    y = np.zeros(n)
+    for t in range(1, n):
+        x[t] = 0.7 * x[t - 1] + rng.randn() * 0.2
+        y[t] = 0.5 * y[t - 1] + 0.4 * x[t - 1] + rng.randn() * 0.2
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.date_range("2015-01-01", periods=n, freq="D"),
+            "y": y,
+            "x": x,
+        }
+    )
+    folds = expanding_fold_bounds(n, 2, 5)
+    out = forecast_var(pdf, folds, 5, exog_cols=["x"])
+    rmse = _cv_rmse(out, pdf, folds)
+    # h-step-ahead of a mean-reverting process: should beat holding the
+    # last observed value over the same fold tests
+    persist_errs = []
+    for train_end, test_end in folds:
+        persist_errs.extend(y[train_end:test_end] - y[train_end - 1])
+    persist_rmse = float(np.sqrt(np.mean(np.square(persist_errs))))
+    assert rmse < persist_rmse
+
+
+def test_adf_stationary_vs_random_walk():
+    rng = np.random.RandomState(5)
+    white = rng.randn(300)
+    walk = np.cumsum(rng.randn(300))
+    assert stats.is_stationary(white)
+    assert not stats.is_stationary(walk)
+    assert stats.auto_diff_order(white) == 0
+    assert stats.auto_diff_order(walk) >= 1
+
+
+def test_workers_are_deterministic():
+    pdf = _series()
+    folds = expanding_fold_bounds(len(pdf), 2, 8)
+    a = forecast_fourier(pdf, folds, 8, seasonal_period=12)
+    b = forecast_fourier(pdf, folds, 8, seasonal_period=12)
+    assert np.array_equal(a["yhat"].to_numpy(), b["yhat"].to_numpy())
+
+
+@pytest.mark.slow
+def test_auto_timeseries_end_to_end(spark):
+    from auto_ts_spark.auto import AutoTimeSeries
+
+    pdf = _series(noise=2.0)
+    pdf = pdf.rename(columns={"ts": "Time Period", "y": "Sales"})
+    ats = AutoTimeSeries(forecast_period=6, n_splits=2)
+    ats.fit(spark.createDataFrame(pdf), "Time Period", "Sales")
+    board = ats.get_leaderboard()
+    assert set(board["model"]) == {"fourier", "seasonal_ar", "var", "ml_gbt"}
+    assert board["mean_rmse"].notna().all()
+    assert (board["mean_rmse"] > 0).all()
+    # ranked ascending
+    assert list(board["rank"]) == sorted(board["rank"])
+    fc = ats.predict().toPandas()
+    assert len(fc) == 6
+    # fourier should win on trend+seasonal data and forecast sanely
+    assert ats.get_best_model_name() == "fourier"
+    assert fc["yhat"].between(0, 200).all()
+
+
+def test_registry_multi_series(spark):
+    """Two independent series through one applyInPandas pass."""
+    from auto_ts_spark.models.registry import run_all_models, score_predictions
+
+    a = _series(seed=1).assign(series_id="a")
+    b = _series(seed=2).assign(series_id="b")
+    sdf = spark.createDataFrame(pd.concat([a, b]))
+    preds = run_all_models(
+        sdf, n_splits=2, horizon=6, seasonal_period=12, models=["fourier"]
+    )
+    scores = score_predictions(preds, sdf).toPandas()
+    assert set(scores["series_id"]) == {"a", "b"}
+    assert (scores["rmse"] < 5).all()

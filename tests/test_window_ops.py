@@ -1,0 +1,151 @@
+"""Window-operator unit tests: parity with pandas semantics
+(the reference's computational substrate) on small frames."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from auto_ts_spark.functions.calendar import add_calendar_features
+from auto_ts_spark.operators import folds, lags
+
+
+@pytest.fixture(scope="module")
+def small_series(spark):
+    ts = pd.date_range("2020-01-01", periods=30, freq="D")
+    rng = np.random.RandomState(0)
+    pdf = pd.DataFrame(
+        {"series_id": "0", "ts": ts, "value": rng.randn(30).round(6)}
+    )
+    return spark.createDataFrame(pdf), pdf
+
+
+def test_lag_matrix_matches_pandas_shift(small_series):
+    sdf, pdf = small_series
+    out = (
+        lags.supervised_lag_matrix(sdf, ["value"], n_in=2)
+        .orderBy("ts")
+        .toPandas()
+    )
+    expected = pdf.copy()
+    expected["value_lag_1"] = expected["value"].shift(1)
+    expected["value_lag_2"] = expected["value"].shift(2)
+    expected = expected.dropna().reset_index(drop=True)
+    assert np.allclose(out["value_lag_1"], expected["value_lag_1"])
+    assert np.allclose(out["value_lag_2"], expected["value_lag_2"])
+    assert len(out) == 28
+
+
+def test_difference_matches_pandas_diff(small_series):
+    sdf, pdf = small_series
+    out = lags.difference(sdf, ["value"], order=1).orderBy("ts").toPandas()
+    expected = pdf["value"].diff().dropna()
+    assert np.allclose(out["value"], expected)
+
+
+def test_cumsum_matches_pandas(small_series):
+    sdf, pdf = small_series
+    out = lags.cumulative_sum(sdf, ["value"]).orderBy("ts").toPandas()
+    assert np.allclose(out["cumsum_value"], pdf["value"].cumsum())
+
+
+def test_rolling_matches_pandas(small_series):
+    sdf, pdf = small_series
+    out = lags.rolling_stats(sdf, "value", 4).orderBy("ts").toPandas()
+    exp_mean = pdf["value"].rolling(4, min_periods=1).mean()
+    exp_std = pdf["value"].rolling(4, min_periods=2).std()
+    assert np.allclose(out["rolling_mean_4_value"], exp_mean)
+    got_std = out["rolling_std_4_value"].to_numpy()
+    assert np.isnan(got_std[0]) and np.allclose(got_std[1:], exp_std[1:])
+
+
+def test_rolling_strict_window_nulls(small_series):
+    sdf, _ = small_series
+    out = (
+        lags.rolling_stats(sdf, "value", 4, min_periods=False)
+        .orderBy("ts")
+        .toPandas()
+    )
+    assert out["rolling_mean_4_value"].isna().sum() == 3  # first 3 rows null
+
+
+def test_acf_matches_numpy(small_series):
+    sdf, pdf = small_series
+    out = lags.acf(sdf, "value", 3).toPandas().set_index("lag")["acf"]
+    for k in (1, 2, 3):
+        expected = pdf["value"].autocorr(k)  # pandas Pearson-corr autocorr
+        assert abs(out[k] - expected) < 1e-9
+
+
+def test_calendar_dow_matches_pandas(spark):
+    ts = pd.date_range("2021-06-01", periods=120, freq="7h")
+    sdf = spark.createDataFrame(pd.DataFrame({"ts": ts}))
+    out = add_calendar_features(sdf).orderBy("ts").toPandas()
+    assert (out["ts_dayofweek"].to_numpy() == ts.dayofweek.to_numpy()).all()
+    assert (out["ts_weekofyear"].to_numpy() == ts.isocalendar().week.to_numpy()).all()
+    assert (out["ts_hour"].to_numpy() == ts.hour.to_numpy()).all()
+    weekend = (ts.dayofweek >= 5).astype(int)
+    assert (out["ts_weekend"].to_numpy() == np.asarray(weekend)).all()
+
+
+def test_expanding_folds_sklearn_parity(spark):
+    """Fold membership must equal sklearn TimeSeriesSplit(n, test_size)."""
+    n, n_splits, test_size = 40, 3, 5
+    pdf = pd.DataFrame(
+        {"series_id": "0", "ts": pd.date_range("2020-01-01", periods=n, freq="D")}
+    )
+    out = (
+        folds.expanding_folds(spark.createDataFrame(pdf), n_splits, test_size)
+        .orderBy("fold", "rn")
+        .toPandas()
+    )
+    for i in range(n_splits):
+        train_end = n - (n_splits - i) * test_size
+        f = out[out["fold"] == i]
+        assert f[f["role"] == "train"]["rn"].max() == train_end
+        assert list(f[f["role"] == "test"]["rn"]) == list(
+            range(train_end + 1, train_end + test_size + 1)
+        )
+
+
+def test_sliding_folds_short_series_no_negative_folds(spark):
+    pdf = pd.DataFrame(
+        {"series_id": "0", "ts": pd.date_range("2020-01-01", periods=10, freq="D")}
+    )
+    out = folds.sliding_folds(
+        spark.createDataFrame(pdf), initial=100, horizon=10, period=10
+    )
+    assert out.count() == 0
+
+
+def test_forward_fill(spark):
+    from auto_ts_spark.operators.future import forward_fill
+
+    pdf = pd.DataFrame(
+        {
+            "series_id": "0",
+            "ts": pd.date_range("2020-01-01", periods=6, freq="D"),
+            "v": [1.0, None, None, 4.0, None, 6.0],
+        }
+    )
+    out = forward_fill(spark.createDataFrame(pdf), ["v"]).orderBy("ts").toPandas()
+    assert list(out["v"]) == [1.0, 1.0, 1.0, 4.0, 4.0, 6.0]
+    assert list(out["v_missing_flag"]) == [0, 1, 1, 0, 1, 0]
+
+
+def test_future_index_monthly(spark):
+    from auto_ts_spark.operators.future import future_index
+
+    pdf = pd.DataFrame(
+        {
+            "series_id": "0",
+            "ts": pd.date_range("2020-01-31", periods=3, freq="ME"),
+        }
+    )
+    out = (
+        future_index(spark.createDataFrame(pdf), 4, "months")
+        .orderBy("ts")
+        .toPandas()
+    )
+    assert len(out) == 4
+    assert out["ts"].iloc[0] > pdf["ts"].iloc[-1]
