@@ -124,9 +124,21 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return df
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one driver-generated parquet table (TESTDATA.md contract)."""
-    return read_parquet(spark, f"{sf_dir}/{name}.parquet")
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, *, parallel: bool = False
+) -> DataFrame:
+    """Read one driver-generated parquet table (TESTDATA.md contract).
+
+    ``parallel=True`` repartitions up to the cluster parallelism — use
+    only when the downstream stage is CPU-bound with no pushable
+    filters (repartition is a pushdown barrier).
+    """
+    df = read_parquet(spark, f"{sf_dir}/{name}.parquet")
+    if parallel:
+        from auto_ts_spark.operators.partitioning import ensure_parallelism
+
+        df = ensure_parallelism(df)
+    return df
 
 
 def load_ts(

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from auto_ts_spark.functions import text as TX
+from auto_ts_spark.operators.partitioning import ensure_parallelism
 
 
 def exact_duplicates(
@@ -31,7 +32,9 @@ def exact_duplicates(
     Returns ``(fingerprint, n_dups, keep_id, dup_ids)`` for groups with
     >1 member. One shuffle on the 60-bit fingerprint.
     """
-    fp = df.select(F.col(id_col), TX.fingerprint(F.col(text_col)).alias("fingerprint"))
+    fp = ensure_parallelism(df).select(
+        F.col(id_col), TX.fingerprint(F.col(text_col)).alias("fingerprint")
+    )
     return (
         fp.groupBy("fingerprint")
         .agg(
@@ -47,7 +50,7 @@ def dedup_exact(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Keep the min-id document per identical normalized content."""
-    ranked = df.select(
+    ranked = ensure_parallelism(df).select(
         "*", TX.fingerprint(F.col(text_col)).alias("_fp")
     ).withColumn(
         "_keep", F.col(id_col) == F.min(id_col).over(Window.partitionBy("_fp"))
@@ -74,7 +77,7 @@ def ngram_jaccard_pairs(
     Returns ``(id_a, id_b, jaccard)`` with id_a < id_b, jaccard ≥
     threshold.
     """
-    sh = df.select(
+    sh = ensure_parallelism(df).select(
         F.col(id_col).alias("id"),
         F.array_distinct(TX.shingles(F.col(text_col), shingle_n)).alias("sh"),
         (TX.token_count(F.col(text_col)) / length_bucket).cast("int").alias("lb"),
@@ -121,11 +124,23 @@ def minhash_lsh_pairs(
 
     Candidate volume scales with true-duplicate density, not n².
     Returns ``(id_a, id_b, jaccard)`` verified against ``threshold``.
+
+    Plan shape (why not a self-join): a self-join on the band key would
+    re-execute the whole tokenize→shingle→md5→minhash pipeline for each
+    side. Instead we group by (band, band_hash) and generate the pairs
+    *inside* each bucket with higher-order array functions — the
+    signature pipeline runs exactly once and the only shuffle carries
+    (band_hash → members). Skew note: a pathological hot bucket (e.g.
+    millions of empty documents) concentrates O(k²) pairs in one task;
+    at that point the documents are all mutual near-dups and a
+    production pipeline should exact-dedup (``dedup_exact``) first —
+    documented trade-off vs. the join-based plan AQE could skew-split.
     """
     rows_per_band = num_hashes // bands
-    # three-step projection so Catalyst computes tokenize→shingle→md5
-    # exactly once per document, then 16 cheap permutations over it
-    shingled = df.select(
+    # staged projections so Catalyst computes tokenize→shingle→md5
+    # exactly once per document, then 16 cheap permutations over it;
+    # repartition first: the md5 chain is the CPU hot spot
+    shingled = ensure_parallelism(df).select(
         F.col(id_col).alias("id"),
         TX.shingles(F.col(text_col), shingle_n).alias("sh_all"),
     )
@@ -160,25 +175,27 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("id", "sh", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
-    a = banded.select(
-        F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "band", "bh"
+    buckets = (
+        banded.groupBy("band", "bh")
+        .agg(F.collect_list(F.struct("id", "sh")).alias("ms"))
+        .filter(F.size("ms") > 1)
     )
-    b = banded.select(
-        F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), "band", "bh"
+    pairs = buckets.select(F.explode("ms").alias("a"), "ms").select(
+        "a",
+        F.explode(
+            F.filter(F.col("ms"), lambda m: m["id"] > F.col("a.id"))
+        ).alias("b"),
     )
-    cand = (
-        a.join(b, ["band", "bh"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
-    return cand.select(
-        "id_a",
-        "id_b",
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
+    scored = pairs.select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
         F.round(inter / F.greatest(union, F.lit(1)), 6).alias("jaccard"),
     ).filter(F.col("jaccard") >= threshold)
+    # same pair may surface from several bands with identical jaccard;
+    # dedup AFTER scoring so the shuffle carries 3 scalars, not arrays
+    return scored.dropDuplicates(["id_a", "id_b"])
 
 
 def simhash_pairs(
@@ -199,7 +216,7 @@ def simhash_pairs(
     """
     n_blocks = bits // block_bits
     assert n_blocks > max_hamming, "need more blocks than max_hamming (pigeonhole)"
-    fp = df.select(
+    fp = ensure_parallelism(df).select(
         F.col(id_col).alias("id"),
         F.expr(TX.simhash_sql(text_col, bits)).alias("sh"),
     )
@@ -220,15 +237,25 @@ def simhash_pairs(
             )
         ).alias("bb"),
     ).select("id", "sh", F.col("bb.blk").alias("blk"), F.col("bb.bv").alias("bv"))
-    a = blocked.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "blk", "bv")
-    b = blocked.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), "blk", "bv")
-    cand = (
-        a.join(b, ["blk", "bv"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
-        .dropDuplicates(["id_a", "id_b"])
+    # bucket-group pair generation (not a self-join): the simhash
+    # expression tree is computed once, and the block shuffle carries
+    # only (id, fingerprint)
+    buckets = (
+        blocked.groupBy("blk", "bv")
+        .agg(F.collect_list(F.struct("id", "sh")).alias("ms"))
+        .filter(F.size("ms") > 1)
     )
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return cand.select("id_a", "id_b", hamming.alias("hamming")).filter(
-        F.col("hamming") <= max_hamming
+    pairs = buckets.select(F.explode("ms").alias("a"), "ms").select(
+        "a",
+        F.explode(F.filter(F.col("ms"), lambda m: m["id"] > F.col("a.id"))).alias("b"),
+    )
+    hamming = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
+    return (
+        pairs.select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
     )

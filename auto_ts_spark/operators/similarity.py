@@ -17,6 +17,8 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from auto_ts_spark.operators.partitioning import ensure_parallelism
+
 
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -60,7 +62,9 @@ def brute_force_topk(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
         )
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    c = ensure_parallelism(corpus).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    )
     scored = (
         c.crossJoin(q)
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -148,7 +152,7 @@ def lsh_topk(
         ).select(out_id, out_vec, F.col("s.tbl").alias("tbl"), F.col("s.sig").alias("sig"))
 
     qs = signatures(queries, id_col, "query_id", "qvec")
-    cs = signatures(corpus, id_col, "neighbor_id", "cvec")
+    cs = signatures(ensure_parallelism(corpus), id_col, "neighbor_id", "cvec")
     cand = (
         cs.join(F.broadcast(qs), ["tbl", "sig"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -186,18 +190,27 @@ def embedding_near_dup_pairs(
             for t, planes in enumerate(tables)
         ]
     )
-    sigs = df.select(
+    sigs = ensure_parallelism(df).select(
         F.col(id_col).alias("id"), v.alias("vec"), F.explode(sig_structs).alias("s")
     ).select("id", "vec", F.col("s.tbl").alias("tbl"), F.col("s.sig").alias("sig"))
-    a = sigs.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), "tbl", "sig")
-    b = sigs.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), "tbl", "sig")
-    cand = (
-        a.join(b, ["tbl", "sig"])
-        .filter(F.col("id_a") < F.col("id_b"))
+    # bucket-group pair generation: signatures computed once, shuffle
+    # carries (bucket → members); see minhash_lsh_pairs for the skew
+    # trade-off discussion
+    buckets = (
+        sigs.groupBy("tbl", "sig")
+        .agg(F.collect_list(F.struct("id", "vec")).alias("ms"))
+        .filter(F.size("ms") > 1)
+    )
+    pairs = buckets.select(F.explode("ms").alias("a"), "ms").select(
+        "a",
+        F.explode(F.filter(F.col("ms"), lambda m: m["id"] > F.col("a.id"))).alias("b"),
+    )
+    return (
+        pairs.select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cosine(F.col("a.vec"), F.col("b.vec")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
         .dropDuplicates(["id_a", "id_b"])
     )
-    return cand.select(
-        "id_a",
-        "id_b",
-        F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6).alias("cosine"),
-    ).filter(F.col("cosine") >= threshold)
