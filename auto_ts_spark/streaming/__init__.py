@@ -1,0 +1,7 @@
+from auto_ts_spark.streaming.ops import (  # noqa: F401
+    read_event_stream,
+    session_agg,
+    sliding_agg,
+    stateful_rolling_forecast,
+    tumbling_agg,
+)

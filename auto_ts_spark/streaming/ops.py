@@ -1,0 +1,259 @@
+"""Structured Streaming variants of the window/aggregation core.
+
+The reference is batch-only (SURVEY.md §2.3 W19 — absent); these are
+the scale-extension operators: the same tumbling/sliding/session
+aggregations and rolling-forecast semantics, expressed as incremental
+streaming plans so a 100 TB/day event feed can be processed as it
+arrives instead of re-scanned.
+
+Design:
+- event time + watermark everywhere — late rows beyond the watermark
+  are dropped deterministically, in-watermark stragglers update their
+  window (correctness under out-of-order delivery).
+- every aggregation is expressed so the *same function* works under
+  batch and streaming (the tests assert batch ≡ streaming on the same
+  fixture): tumbling/sliding via ``F.window``, sessions via
+  ``F.session_window``.
+- custom stateful logic (per-series rolling forecast — the streaming
+  form of the reference's recursive one-step forecast,
+  auto_ts/models/build_ml.py:595-670) uses ``applyInPandasWithState``
+  with an explicit GroupState schema and a processing-time timeout so
+  state is bounded.
+
+Scale notes: streaming aggregation state lives in the state store
+partitioned by grouping key — the shuffle is identical to the batch
+groupBy; watermarks bound state size; ``availableNow`` triggers give
+incremental backfill over historical parquet with the same code.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_event_stream(
+    spark: SparkSession, path: str, *, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over an events directory (parquet).
+
+    The file source is the replayable-backfill path; swapping in a
+    Kafka source changes only this function — every downstream operator
+    is source-agnostic.
+    """
+    reader = spark.readStream.schema(EVENT_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def tumbling_agg(
+    events: DataFrame,
+    *,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    keys: Iterable[str] = ("event_type",),
+) -> DataFrame:
+    """Tumbling-window count/sum/avg per key with late-data watermark.
+
+    Streaming form of the batch hourly rollup (date_trunc groupBy):
+    identical grouping shuffle, incremental state per (window, key).
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), *keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            *keys,
+            "n_events",
+            "sum_value",
+            "avg_value",
+        )
+    )
+
+
+def sliding_agg(
+    events: DataFrame,
+    *,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+    keys: Iterable[str] = ("event_type",),
+) -> DataFrame:
+    """Sliding-window aggregation (streaming rolling stats, W5)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("win"), *keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.round(F.stddev_samp("value"), 6).alias("std_value"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            *keys,
+            "n_events",
+            "avg_value",
+            "std_value",
+        )
+    )
+
+
+def session_agg(
+    events: DataFrame,
+    *,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    key: str = "user_id",
+) -> DataFrame:
+    """Session windows per user: a session closes after ``gap`` of
+    inactivity (streaming form of the batch sessionize operator —
+    merging variable-length windows the state store handles natively).
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("win"), key)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            key,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+_FORECAST_STATE = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("mean", DoubleType()),
+        StructField("ewma", DoubleType()),
+    ]
+)
+
+_FORECAST_OUT = StructType(
+    [
+        StructField("series_id", StringType()),
+        StructField("batch_n", LongType()),
+        StructField("running_n", LongType()),
+        StructField("running_mean", DoubleType()),
+        StructField("ewma", DoubleType()),
+        StructField("yhat_next", DoubleType()),
+    ]
+)
+
+
+def stateful_rolling_forecast(
+    events: DataFrame,
+    *,
+    alpha: float = 0.3,
+    watermark: str = "2 hours",
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-series incremental forecast state (applyInPandasWithState).
+
+    The streaming analogue of the reference's recursive one-step-ahead
+    forecast loop (auto_ts/models/build_ml.py:595-670): instead of
+    re-lagging the whole frame per step, each micro-batch folds its
+    rows into O(1) state (count, running mean, EWMA) and emits the
+    one-step-ahead prediction ``yhat_next``. State is per-key in the
+    state store — millions of series scale horizontally. NoTimeout here
+    because the drain pattern is bounded backfill (availableNow), where
+    a processing-time timeout would keep scheduling batches forever; a
+    continuously-deployed variant should add EventTimeTimeout to expire
+    abandoned series.
+    """
+
+    def update(key, pdfs, state: GroupState):
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        # shuffle delivery order within a micro-batch is arbitrary — the
+        # EWMA fold is order-sensitive, so impose event-time order
+        rows = rows.sort_values(["ts", "event_id"])
+        vals = rows[value_col].astype(float)
+        if state.exists:
+            n, mean, ewma = state.get
+        else:
+            n, mean, ewma = 0, 0.0, None
+        for v in vals:
+            n += 1
+            mean += (v - mean) / n
+            ewma = v if ewma is None else alpha * v + (1 - alpha) * ewma
+        state.update((n, float(mean), float(ewma)))
+        yield pd.DataFrame(
+            {
+                "series_id": [str(key[0])],
+                "batch_n": [len(vals)],
+                "running_n": [n],
+                "running_mean": [round(float(mean), 6)],
+                "ewma": [round(float(ewma), 6)],
+                "yhat_next": [round(float(ewma), 6)],
+            }
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=_FORECAST_OUT,
+            stateStructType=_FORECAST_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_to_completion(
+    stream_df: DataFrame, *, sink_table: str, checkpoint_dir: str
+) -> None:
+    """Drain a bounded stream (availableNow) into a memory sink —
+    the incremental-backfill pattern: process all existing files in
+    micro-batches, then stop."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("complete" if _is_aggregation(stream_df) else "append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def _is_aggregation(df: DataFrame) -> bool:
+    return "Aggregate" in df._jdf.queryExecution().analyzed().toString()

@@ -1,0 +1,100 @@
+"""Streaming ≡ batch: every streaming operator, drained with an
+availableNow trigger over a multi-file copy of the events fixture, must
+reproduce the batch result of the *same function* on the same rows."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from auto_ts_spark.io.sources import load_table
+from auto_ts_spark.streaming import (
+    read_event_stream,
+    session_agg,
+    stateful_rolling_forecast,
+    tumbling_agg,
+)
+from auto_ts_spark.streaming.ops import run_to_completion
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def event_dir(spark, tmp_path_factory):
+    """events rewritten as 4 µs-timestamp parquet files (the file
+    stream replays them as micro-batches)."""
+    path = str(tmp_path_factory.mktemp("events_stream"))
+    load_table(spark, SF_DIR, "events").repartitionByRange(4, "ts").write.mode(
+        "overwrite"
+    ).parquet(path)
+    return path
+
+
+def _drain(spark, stream_df, name, tmp_path):
+    run_to_completion(stream_df, sink_table=name, checkpoint_dir=str(tmp_path / name))
+    return spark.table(name)
+
+
+def _sorted_pdf(df) -> pd.DataFrame:
+    pdf = df.toPandas()
+    return pdf[sorted(pdf.columns)].sort_values(sorted(pdf.columns)).reset_index(
+        drop=True
+    )
+
+
+def test_tumbling_agg_matches_batch(spark, event_dir, tmp_path):
+    stream = tumbling_agg(read_event_stream(spark, event_dir))
+    got = _drain(spark, stream, "t_tumbling", tmp_path)
+    want = tumbling_agg(spark.read.parquet(event_dir))  # same fn, batch plan
+    pd.testing.assert_frame_equal(_sorted_pdf(got), _sorted_pdf(want))
+    assert got.count() > 0
+
+
+def test_session_agg_matches_batch(spark, event_dir, tmp_path):
+    stream = session_agg(read_event_stream(spark, event_dir), gap="5 minutes")
+    got = _drain(spark, stream, "t_session", tmp_path)
+    want = session_agg(spark.read.parquet(event_dir), gap="5 minutes")
+    pd.testing.assert_frame_equal(_sorted_pdf(got), _sorted_pdf(want))
+
+
+def test_stateful_rolling_forecast_final_state(spark, event_dir, tmp_path):
+    stream = stateful_rolling_forecast(
+        read_event_stream(spark, event_dir, max_files_per_trigger=1)
+    )
+    got = _drain(spark, stream, "t_state", tmp_path).toPandas()
+    # several rows per key (one per micro-batch); the final state row
+    # must equal the batch count/mean
+    final = got.sort_values("running_n").groupby("series_id").last().reset_index()
+    want = (
+        spark.read.parquet(event_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 6).alias("mean"),
+        )
+        .toPandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    final = final.sort_values("series_id").reset_index(drop=True)
+    assert list(final["series_id"]) == list(want["event_type"])
+    assert list(final["running_n"]) == list(want["n"])
+    assert [round(m, 5) for m in final["running_mean"]] == [
+        round(m, 5) for m in want["mean"]
+    ]
+    # micro-batched incremental processing actually happened
+    assert (got.groupby("series_id").size() > 1).all()
+
+
+def test_ewma_deterministic_across_runs(spark, event_dir, tmp_path):
+    runs = []
+    for i in range(2):
+        stream = stateful_rolling_forecast(
+            read_event_stream(spark, event_dir, max_files_per_trigger=1)
+        )
+        got = _drain(spark, stream, f"t_ewma_{i}", tmp_path).toPandas()
+        runs.append(
+            got.sort_values(["series_id", "running_n"]).reset_index(drop=True)
+        )
+    pd.testing.assert_frame_equal(runs[0], runs[1])
