@@ -1109,6 +1109,103 @@ FROM events
 """
 
 
+
+def q_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W17: autocorrelation of the daily event-value series, lags 1..7
+    (one window stage for all lags, one corr agg, unpivot)."""
+    series = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").alias("ts"))
+        .agg(F.sum(F.col("value").cast("decimal(20,2)")).cast("double").alias("y"))
+        .withColumn("series_id", F.lit("0"))
+    )
+    return LAGS.acf(series, "y", 7).select(
+        "lag", F.round("acf", 6).alias("acf")
+    )
+
+
+_SQL_ACF = """
+WITH s AS (
+  SELECT date_trunc('day', ts) AS ts,
+         cast(sum(cast(value AS decimal(20,2))) AS double) AS y
+  FROM events GROUP BY 1
+), l AS (
+  SELECT y,
+         """ + ", ".join(f"lag(y,{k}) OVER (ORDER BY ts) AS l{k}" for k in range(1, 8)) + """
+  FROM s
+)
+SELECT lag, round(acf, 6) AS acf FROM (
+""" + " UNION ALL ".join(
+    f"SELECT cast({k} AS int) AS lag, corr(y, l{k}) AS acf FROM l" for k in range(1, 8)
+) + """
+)
+"""
+
+
+def q_zero_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W9: dead-feature detection — sample stddev per derived feature
+    in ONE agg pass; keep=false marks the columns drop_zero_variance
+    would drop (year/month are constant inside the short event span)."""
+    feats = load_table(spark, sf_dir, "events").select(
+        F.col("value"),
+        F.year("ts").cast("double").alias("year"),
+        F.month("ts").cast("double").alias("month"),
+        F.lit(1.0).alias("const_one"),
+    )
+    cols = ["value", "year", "month", "const_one"]
+    agg = feats.agg(*[F.round(F.stddev_samp(c), 6).alias(c) for c in cols])
+    stack = ", ".join(f"'{c}', {c}" for c in cols)
+    return agg.selectExpr(f"stack({len(cols)}, {stack}) as (feature, stddev)").select(
+        "feature", "stddev", (F.col("stddev") != 0).alias("keep")
+    )
+
+
+_SQL_ZERO_VARIANCE = """
+WITH a AS (
+  SELECT round(stddev_samp(value), 6) AS value,
+         round(stddev_samp(year(ts)), 6) AS year,
+         round(stddev_samp(month(ts)), 6) AS month,
+         round(stddev_samp(1.0), 6) AS const_one
+  FROM events
+)
+SELECT feature, stddev, stddev != 0 AS keep FROM (
+  SELECT 'value' AS feature, value AS stddev FROM a
+  UNION ALL SELECT 'year', year FROM a
+  UNION ALL SELECT 'month', month FROM a
+  UNION ALL SELECT 'const_one', const_one FROM a
+)
+"""
+
+
+def q_problem_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M11: problem-type detection (dtype x distinct-count thresholds)
+    for three candidate targets of the events table."""
+    from auto_ts_spark.operators.profile import detect_problem_type
+
+    ev = load_table(spark, sf_dir, "events")
+    rows = [
+        (c, detect_problem_type(ev, c)) for c in ("value", "event_type", "user_id")
+    ]
+    return spark.createDataFrame(rows, "target string, problem_type string")
+
+
+_SQL_PROBLEM_TYPE = """
+SELECT 'value' AS target,
+       CASE WHEN (SELECT count(DISTINCT value) FROM events) = 2
+            THEN 'Binary_Classification' ELSE 'Regression' END AS problem_type
+UNION ALL
+SELECT 'event_type',
+       CASE WHEN (SELECT count(DISTINCT event_type) FROM events) = 2
+            THEN 'Binary_Classification' ELSE 'Multi_Classification' END
+UNION ALL
+SELECT 'user_id',
+       CASE WHEN (SELECT count(DISTINCT user_id) FROM events) = 2
+            THEN 'Binary_Classification'
+            WHEN (SELECT count(DISTINCT user_id) FROM events) <= 30
+            THEN 'Multi_Classification' ELSE 'Regression' END
+"""
+
+
 # ------------------------------------------- non-SQL-expressible queries
 # (no oracle entry → the driver records the weaker rows-only check)
 
@@ -1193,9 +1290,22 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN scale path: k-means coarse quantizer (driver-sample
+    trained, broadcast) + n_probe cell probing + exact rescore
+    (approximate by design -> rows-only check)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    return SIM.ivf_topk(emb, q, k=3, n_centroids=8, n_probe=3)
+
+
 # ---------------------------------------------------------------- contract
 
 _ORACLE: dict[str, str] = {
+    "acf": _SQL_ACF,
+    "zero_variance": _SQL_ZERO_VARIANCE,
+    "problem_type": _SQL_PROBLEM_TYPE,
     "tpch_pricing_summary": _SQL_TPCH_Q1,
     "lag_matrix": _SQL_LAG_MATRIX,
     "difference": _SQL_DIFFERENCE,
@@ -1267,11 +1377,15 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionize": q_sessionize,
     "fillna_ffill": q_fillna_ffill,
     "json_props_extract": q_json_props_extract,
+    "acf": q_acf,
+    "zero_variance": q_zero_variance,
+    "problem_type": q_problem_type,
     # non-SQL-expressible (rows-only checks)
     "adf_stationarity": q_adf_stationarity,
     "automl_leaderboard": q_automl_leaderboard,
     "automl_forecast": q_automl_forecast,
     "lsh_ann_topk": q_lsh_ann_topk,
+    "ivf_ann_topk": q_ivf_ann_topk,
     "multimodal_features": q_multimodal_features,
 }
 

@@ -105,3 +105,35 @@ def test_language_id_deterministic(spark):
     assert out[0] == "en"
     assert out[1] == "es"
     assert out[2] == "und"
+
+
+class TestIVF:
+    def test_full_probe_equals_brute_force(self, spark):
+        from auto_ts_spark.operators.similarity import brute_force_topk, ivf_topk
+        from auto_ts_spark.io.sources import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        q = emb.filter(F.col("vec_id") < 5)
+        exact = brute_force_topk(emb, q, k=5).toPandas()
+        # probing every cell degenerates to exact search
+        full = ivf_topk(emb, q, k=5, n_centroids=8, n_probe=8).toPandas()
+        key = ["query_id", "rank"]
+        pd.testing.assert_frame_equal(
+            exact.sort_values(key).reset_index(drop=True),
+            full.sort_values(key).reset_index(drop=True),
+        )
+
+    def test_partial_probe_recall(self, spark):
+        from auto_ts_spark.operators.similarity import brute_force_topk, ivf_topk
+        from auto_ts_spark.io.sources import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        q = emb.filter(F.col("vec_id") < 10)
+        exact = brute_force_topk(emb, q, k=5).toPandas()
+        approx = ivf_topk(emb, q, k=5, n_centroids=8, n_probe=3).toPandas()
+        exact_pairs = set(zip(exact.query_id, exact.neighbor_id))
+        approx_pairs = set(zip(approx.query_id, approx.neighbor_id))
+        recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+        assert recall >= 0.2  # random embeddings cluster weakly; sanity floor
+        # every query returns k rows (cells are dense enough)
+        assert (approx.groupby("query_id").size() == 5).all()
