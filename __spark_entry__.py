@@ -1206,6 +1206,39 @@ SELECT 'user_id',
 """
 
 
+
+def q_label_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M12: NaN/unseen-safe label encoding — fit on the non-error
+    events (so 'error' is unseen at transform time and must land on
+    max_code+1), transform all events, summarize per (value, code)."""
+    from auto_ts_spark.operators.encoders import label_encode
+
+    ev = load_table(spark, sf_dir, "events")
+    train = ev.filter(F.col("event_type") != "error")
+    coded = label_encode(ev, "event_type", train_df=train)
+    return (
+        coded.groupBy("event_type", "event_type_code")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "event_type",
+            F.col("event_type_code").cast("bigint").alias("code"),
+            "n",
+        )
+    )
+
+
+_SQL_LABEL_ENCODE = """
+WITH m AS (
+  SELECT value, row_number() OVER (ORDER BY value) - 1 AS code
+  FROM (SELECT DISTINCT event_type AS value FROM events WHERE event_type <> 'error')
+), mx AS (SELECT max(code) AS mc FROM m)
+SELECT e.event_type, cast(coalesce(m.code, mx.mc + 1) AS bigint) AS code,
+       count(*) AS n
+FROM events e LEFT JOIN m ON e.event_type = m.value CROSS JOIN mx
+GROUP BY 1, 2
+"""
+
+
 # ------------------------------------------- non-SQL-expressible queries
 # (no oracle entry → the driver records the weaker rows-only check)
 
@@ -1303,6 +1336,7 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------- contract
 
 _ORACLE: dict[str, str] = {
+    "label_encode": _SQL_LABEL_ENCODE,
     "acf": _SQL_ACF,
     "zero_variance": _SQL_ZERO_VARIANCE,
     "problem_type": _SQL_PROBLEM_TYPE,
@@ -1380,6 +1414,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "acf": q_acf,
     "zero_variance": q_zero_variance,
     "problem_type": q_problem_type,
+    "label_encode": q_label_encode,
     # non-SQL-expressible (rows-only checks)
     "adf_stationarity": q_adf_stationarity,
     "automl_leaderboard": q_automl_leaderboard,

@@ -27,6 +27,7 @@ def test_contract_shapes():
         "automl_leaderboard",
         "automl_forecast",
         "lsh_ann_topk",
+        "ivf_ann_topk",
         "multimodal_features",
     }
 
