@@ -529,7 +529,7 @@ FROM counts, tot
 
 def q_token_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A14 (explode) + A4: top-20 tokens across documents."""
-    docs = load_table(spark, sf_dir, "documents", parallel=True)
+    docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(F.explode(TX.tokens(F.col("text"))).alias("token"))
     return (
         toks.groupBy("token")
@@ -746,7 +746,7 @@ FROM lineitem
 def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text quality metrics per document (token counts, stopword /
     punct / digit ratios, composite quality score)."""
-    docs = load_table(spark, sf_dir, "documents", parallel=True)
+    docs = load_table(spark, sf_dir, "documents")
     return TOPS.text_profile(docs).select(
         "doc_id", "n_chars", "n_tokens", "stopword_ratio", "quality"
     ).withColumn("n_tokens", F.col("n_tokens").cast("bigint")).withColumn(
@@ -776,7 +776,7 @@ FROM s
 def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID prediction summary: docs + total profile hits per
     predicted language."""
-    docs = load_table(spark, sf_dir, "documents", parallel=True)
+    docs = load_table(spark, sf_dir, "documents")
     pred = TOPS.language_id(docs)
     return pred.groupBy("pred_lang").agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("hits").alias("total_hits")
@@ -812,7 +812,7 @@ FROM all_docs GROUP BY pred_lang
 def q_exact_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup summary: doc count, distinct fingerprints, duplicate
     groups (md5-60bit fingerprint, reproducible in DuckDB)."""
-    docs = load_table(spark, sf_dir, "documents", parallel=True)
+    docs = load_table(spark, sf_dir, "documents")
     fp = docs.select(TX.fingerprint(F.col("text")).alias("fp"))
     groups = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("n"))
     return groups.agg(

@@ -83,19 +83,32 @@ def run_all_models(
     exog_cols: list[str] | None = None,
     models: list[str] | None = None,
 ) -> DataFrame:
-    """Union of per-model prediction frames with a ``model`` column."""
+    """All (series × model) fits in ONE applyInPandas stage.
+
+    The model axis is fanned out by exploding a literal array and
+    grouping on (series_id, model) — one scan and one shuffle total,
+    instead of one full job per model family. The shuffle carries each
+    series once per model (the per-series frame is the unit of work
+    anyway); on a cluster this packs #series × #models independent
+    tasks into a single stage, which AQE sizes as one unit.
+    """
     reg = model_registry(seasonal_period=seasonal_period, exog_cols=exog_cols)
     names = models or list(reg)
-    parts = []
-    for name in names:
-        preds = run_model(
-            df, reg[name], n_splits=n_splits, horizon=horizon, target=target
-        )
-        parts.append(preds.withColumn("model", F.lit(name)))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+
+    def apply_fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        series_id, name = key
+        worker = reg[name]
+        pdf = pdf.rename(columns={target: "y"}).sort_values("ts")
+        folds = expanding_fold_bounds(len(pdf), n_splits, horizon)
+        out = worker(pdf, folds, horizon)
+        out.insert(0, "series_id", series_id)
+        out["model"] = name
+        return out[["series_id", "ts", "fold", "yhat", "model"]]
+
+    fan = df.withColumn("_model", F.explode(F.array(*[F.lit(n) for n in names])))
+    return fan.groupBy("series_id", "_model").applyInPandas(
+        apply_fn, PRED_SCHEMA + ", model string"
+    )
 
 
 def score_predictions(
