@@ -1239,6 +1239,60 @@ GROUP BY 1, 2
 """
 
 
+
+def q_forecast_viz_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: full-outer join of daily actuals with a naive lag-7 forecast
+    frame carrying yhat / yhat_lower / yhat_upper (the Prophet-style
+    viz frame, build_prophet.py:513-521) — rows exist where either
+    side does."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").alias("ts"))
+        .agg(F.sum(F.col("value").cast("decimal(20,2)")).cast("double").alias("y"))
+    )
+    fc = (
+        daily.select(
+            (F.col("ts") + F.expr("INTERVAL 7 DAYS")).alias("ts"),
+            F.round(F.col("y"), 6).alias("yhat"),
+            F.round(F.col("y") * 0.9, 6).alias("yhat_lower"),
+            F.round(F.col("y") * 1.1, 6).alias("yhat_upper"),
+        )
+    )
+    return daily.select("ts", F.round("y", 6).alias("y")).join(
+        fc, "ts", "full_outer"
+    )
+
+
+_SQL_FORECAST_VIZ_JOIN = """
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS ts,
+         cast(sum(cast(value AS decimal(20,2))) AS double) AS y
+  FROM events GROUP BY 1
+), fc AS (
+  SELECT ts + INTERVAL 7 DAY AS ts, round(y, 6) AS yhat,
+         round(y * 0.9, 6) AS yhat_lower, round(y * 1.1, 6) AS yhat_upper
+  FROM daily
+)
+SELECT coalesce(d.ts, fc.ts) AS ts, round(d.y, 6) AS y,
+       fc.yhat, fc.yhat_lower, fc.yhat_upper
+FROM daily d FULL OUTER JOIN fc ON d.ts = fc.ts
+"""
+
+
+def q_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W17 (PACF): distributed ACF agg + driver-side Durbin-Levinson
+    (not SQL-expressible -> rows-only check)."""
+    from auto_ts_spark.operators.lags import pacf
+
+    series = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").alias("ts"))
+        .agg(F.sum(F.col("value").cast("decimal(20,2)")).cast("double").alias("y"))
+        .withColumn("series_id", F.lit("0"))
+    )
+    return pacf(series, "y", 7)
+
+
 # ------------------------------------------- non-SQL-expressible queries
 # (no oracle entry → the driver records the weaker rows-only check)
 
@@ -1336,6 +1390,7 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------- contract
 
 _ORACLE: dict[str, str] = {
+    "forecast_viz_join": _SQL_FORECAST_VIZ_JOIN,
     "label_encode": _SQL_LABEL_ENCODE,
     "acf": _SQL_ACF,
     "zero_variance": _SQL_ZERO_VARIANCE,
@@ -1415,6 +1470,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "zero_variance": q_zero_variance,
     "problem_type": q_problem_type,
     "label_encode": q_label_encode,
+    "forecast_viz_join": q_forecast_viz_join,
+    "pacf": q_pacf,
     # non-SQL-expressible (rows-only checks)
     "adf_stationarity": q_adf_stationarity,
     "automl_leaderboard": q_automl_leaderboard,

@@ -216,3 +216,41 @@ def acf(
     )
     stack_expr = ", ".join(f"{k}, _l{k}" for k in range(1, max_lag + 1))
     return aggs.selectExpr(f"stack({max_lag}, {stack_expr}) as (lag, acf)")
+
+
+def pacf(
+    df: DataFrame,
+    col: str,
+    max_lag: int,
+    *,
+    order_col: str = "ts",
+    series_col: str = "series_id",
+) -> "DataFrame":
+    """Partial autocorrelation for lags 1..max_lag (W17,
+    auto_ts/utils/eda.py:102-117).
+
+    The heavy part — the ACF — is the distributed one-pass corr agg
+    (:func:`acf`); the Durbin–Levinson recursion that turns k ACF
+    values into PACF is O(k²) scalar math on a k-row result, so it
+    runs on the driver (not SQL-expressible; rows-only check).
+    """
+    import numpy as np
+
+    rows = acf(df, col, max_lag, order_col=order_col, series_col=series_col).collect()
+    r = np.empty(max_lag + 1)
+    r[0] = 1.0
+    for row in rows:
+        r[row["lag"]] = row["acf"]
+    phi = np.zeros((max_lag + 1, max_lag + 1))
+    pacf_vals = []
+    for k in range(1, max_lag + 1):
+        if k == 1:
+            phi[1, 1] = r[1]
+        else:
+            num = r[k] - sum(phi[k - 1, j] * r[k - j] for j in range(1, k))
+            den = 1.0 - sum(phi[k - 1, j] * r[j] for j in range(1, k))
+            phi[k, k] = num / den if den != 0 else 0.0
+            for j in range(1, k):
+                phi[k, j] = phi[k - 1, j] - phi[k, k] * phi[k - 1, k - j]
+        pacf_vals.append((k, round(float(phi[k, k]), 6)))
+    return df.sparkSession.createDataFrame(pacf_vals, "lag int, pacf double")

@@ -29,6 +29,7 @@ def test_contract_shapes():
         "lsh_ann_topk",
         "ivf_ann_topk",
         "multimodal_features",
+        "pacf",
     }
 
 

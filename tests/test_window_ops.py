@@ -149,3 +149,28 @@ def test_future_index_monthly(spark):
     )
     assert len(out) == 4
     assert out["ts"].iloc[0] > pdf["ts"].iloc[-1]
+
+
+def test_pacf_ar1_signature(spark):
+    """PACF of an AR(1) process: pacf(1) near phi, pacf(k>1) near 0 —
+    the defining property Durbin-Levinson must reproduce."""
+    import numpy as np
+    import pandas as pd
+
+    from auto_ts_spark.operators.lags import pacf
+
+    rng = np.random.RandomState(7)
+    n, phi = 400, 0.7
+    y = np.zeros(n)
+    for i in range(1, n):
+        y[i] = phi * y[i - 1] + rng.randn()
+    pdf = pd.DataFrame(
+        {
+            "series_id": "0",
+            "ts": pd.date_range("2024-01-01", periods=n, freq="D"),
+            "y": y,
+        }
+    )
+    out = pacf(spark.createDataFrame(pdf), "y", 5).toPandas().set_index("lag")
+    assert abs(out.loc[1, "pacf"] - phi) < 0.12
+    assert (out.loc[2:, "pacf"].abs() < 0.15).all()
