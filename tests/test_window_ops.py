@@ -174,3 +174,26 @@ def test_pacf_ar1_signature(spark):
     out = pacf(spark.createDataFrame(pdf), "y", 5).toPandas().set_index("lag")
     assert abs(out.loc[1, "pacf"] - phi) < 0.12
     assert (out.loc[2:, "pacf"].abs() < 0.15).all()
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Skew salting must not change the result set (order-insensitive)."""
+    import pandas as pd
+
+    from auto_ts_spark.io.sources import load_table
+    from auto_ts_spark.operators.partitioning import salted_join
+
+    o = load_table(spark, "/root/testdata/sf0.001", "orders")
+    c = load_table(spark, "/root/testdata/sf0.001", "customer").select(
+        "c_custkey", "c_name"
+    )
+    plain = o.join(c, o.o_custkey == c.c_custkey).select("o_orderkey", "c_name")
+    salted = salted_join(
+        o.withColumnRenamed("o_custkey", "k"),
+        c.withColumnRenamed("c_custkey", "k"),
+        "k",
+        n_salts=4,
+    ).select("o_orderkey", "c_name")
+    a = plain.toPandas().sort_values(["o_orderkey", "c_name"]).reset_index(drop=True)
+    b = salted.toPandas().sort_values(["o_orderkey", "c_name"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
