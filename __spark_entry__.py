@@ -1343,6 +1343,99 @@ GROUP BY ROLLUP (n_name, year(o_orderdate))
 """
 
 
+
+def q_residual_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M15 (val.py:135-173): residual diagnostics of the naive lag-1
+    forecast on the daily series — Durbin-Watson, Jarque-Bera (explicit
+    population moments so both engines agree bit-for-bit), Ljung-Box
+    Q(5). All one scan + one agg: no statsmodels needed for these."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").alias("ts"))
+        .agg(F.sum(F.col("value").cast("decimal(20,2)")).cast("double").alias("y"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("ts")
+    e = daily.select(
+        "ts", (F.col("y") - F.lag("y", 1).over(w)).alias("e")
+    ).na.drop()
+    # lag columns of residuals for DW + Ljung-Box rho_k (explicit ts
+    # order — never rely on physical row order)
+    lags = e.select(
+        "e", *[F.lag("e", k).over(w).alias(f"e{k}") for k in range(1, 6)]
+    )
+    agg = lags.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.pow(F.col("e") - F.col("e1"), 2)).alias("num_dw"),
+        F.sum(F.pow("e", 2)).alias("ss"),
+        F.avg("e").alias("m1"),
+        F.avg(F.pow("e", 2)).alias("r2"),
+        F.avg(F.pow("e", 3)).alias("r3"),
+        F.avg(F.pow("e", 4)).alias("r4"),
+        *[F.sum(F.col("e") * F.col(f"e{k}")).alias(f"s{k}") for k in range(1, 6)],
+    )
+    m2 = F.col("r2") - F.pow("m1", 2)
+    m3 = F.col("r3") - 3 * F.col("m1") * F.col("r2") + 2 * F.pow("m1", 3)
+    m4 = (
+        F.col("r4")
+        - 4 * F.col("m1") * F.col("r3")
+        + 6 * F.pow("m1", 2) * F.col("r2")
+        - 3 * F.pow("m1", 4)
+    )
+    skew = m3 / F.pow(m2, 1.5)
+    kurt = m4 / F.pow(m2, 2) - 3
+    n = F.col("n")
+    jb = n / 6.0 * (F.pow(skew, 2) + F.pow(kurt, 2) / 4.0)
+    lb = (
+        n
+        * (n + 2)
+        * sum(
+            (F.pow(F.col(f"s{k}") / F.col("ss"), 2) / (n - k)) for k in range(1, 6)
+        )
+    )
+    return agg.select(
+        F.col("n").alias("n_resid"),
+        F.round(F.col("num_dw") / F.col("ss"), 6).alias("durbin_watson"),
+        F.round(jb, 6).alias("jarque_bera"),
+        F.round(lb, 6).alias("ljung_box_q5"),
+    )
+
+
+_SQL_RESIDUAL_DIAG = """
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS ts,
+         cast(sum(cast(value AS decimal(20,2))) AS double) AS y
+  FROM events GROUP BY 1
+), e AS (
+  SELECT ts, y - lag(y, 1) OVER (ORDER BY ts) AS e FROM daily
+  QUALIFY e IS NOT NULL
+), l AS (
+  SELECT e,
+         lag(e,1) OVER (ORDER BY ts) AS e1, lag(e,2) OVER (ORDER BY ts) AS e2,
+         lag(e,3) OVER (ORDER BY ts) AS e3, lag(e,4) OVER (ORDER BY ts) AS e4,
+         lag(e,5) OVER (ORDER BY ts) AS e5
+  FROM e
+), a AS (
+  SELECT count(*) AS n,
+         sum(pow(e - e1, 2)) AS num_dw,
+         sum(pow(e, 2)) AS ss,
+         avg(e) AS m1, avg(pow(e,2)) AS r2, avg(pow(e,3)) AS r3, avg(pow(e,4)) AS r4,
+         sum(e * e1) AS s1, sum(e * e2) AS s2, sum(e * e3) AS s3,
+         sum(e * e4) AS s4, sum(e * e5) AS s5
+  FROM l
+)
+SELECT n AS n_resid,
+       round(num_dw / ss, 6) AS durbin_watson,
+       round(n / 6.0 * (pow((r3 - 3*m1*r2 + 2*pow(m1,3)) / pow(r2 - pow(m1,2), 1.5), 2)
+             + pow((r4 - 4*m1*r3 + 6*pow(m1,2)*r2 - 3*pow(m1,4)) / pow(r2 - pow(m1,2), 2) - 3, 2) / 4.0), 6)
+         AS jarque_bera,
+       round(n * (n + 2) * (pow(s1/ss,2)/(n-1) + pow(s2/ss,2)/(n-2) + pow(s3/ss,2)/(n-3)
+             + pow(s4/ss,2)/(n-4) + pow(s5/ss,2)/(n-5)), 6) AS ljung_box_q5
+FROM a
+"""
+
+
 # ------------------------------------------- non-SQL-expressible queries
 # (no oracle entry → the driver records the weaker rows-only check)
 
@@ -1440,6 +1533,7 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------- contract
 
 _ORACLE: dict[str, str] = {
+    "residual_diagnostics": _SQL_RESIDUAL_DIAG,
     "revenue_rollup": _SQL_REVENUE_ROLLUP,
     "forecast_viz_join": _SQL_FORECAST_VIZ_JOIN,
     "label_encode": _SQL_LABEL_ENCODE,
@@ -1523,6 +1617,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "label_encode": q_label_encode,
     "forecast_viz_join": q_forecast_viz_join,
     "revenue_rollup": q_revenue_rollup,
+    "residual_diagnostics": q_residual_diagnostics,
     "pacf": q_pacf,
     # non-SQL-expressible (rows-only checks)
     "adf_stationarity": q_adf_stationarity,

@@ -143,3 +143,37 @@ def frame_sample(df: DataFrame, every_ms: int = 1000) -> DataFrame:
             "media_id", "frame_idx", (F.col("frame_idx") * every_ms).alias("ts_ms")
         )
     )
+
+
+def _fake_decode_audio(content: bytes, n_samples: int) -> np.ndarray:
+    """STUB PCM decoder (no codec libs in container): deterministic
+    float32 waveform seeded by content. Real deployments use
+    librosa/soundfile here."""
+    seed = int.from_bytes(content[:4], "little") if content else 0
+    rng = np.random.RandomState(seed)
+    return (rng.rand(n_samples).astype(np.float32) * 2.0) - 1.0
+
+
+def audio_features(df: DataFrame, *, frame_ms: int = 250) -> DataFrame:
+    """audio → (media_id, rms, zero_crossing_rate, n_samples) via
+    mapInPandas; sample count derives from (duration_ms, sample_rate)
+    metadata, so batching cost is predictable before decode."""
+    out_schema = "media_id long, rms double, zero_crossing_rate double, n_samples long"
+
+    def worker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                meta = row["meta"]
+                n = max(int(meta["duration_ms"] * meta["sample_rate"] / 1000), 1)
+                wave = _fake_decode_audio(row["content"], n)
+                zc = float(np.mean(np.abs(np.diff(np.signbit(wave).astype(np.int8)))))
+                rows.append(
+                    (row["media_id"], float(np.sqrt((wave**2).mean())), zc, n)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "rms", "zero_crossing_rate", "n_samples"],
+            )
+
+    return df.select("media_id", "content", "meta").mapInPandas(worker, out_schema)

@@ -137,3 +137,19 @@ class TestIVF:
         assert recall >= 0.2  # random embeddings cluster weakly; sanity floor
         # every query returns k rows (cells are dense enough)
         assert (approx.groupby("query_id").size() == 5).all()
+
+
+def test_audio_features_shape(spark):
+    from auto_ts_spark.operators.multimodal import audio_features, synthetic_media
+
+    media = synthetic_media(spark, 16, kind="audio")
+    out = audio_features(media).toPandas()
+    assert len(out) == 16
+    assert (out["rms"] > 0).all() and (out["rms"] < 1.2).all()
+    assert (out["n_samples"] > 0).all()
+    # deterministic across runs
+    out2 = audio_features(media).toPandas()
+    pd.testing.assert_frame_equal(
+        out.sort_values("media_id").reset_index(drop=True),
+        out2.sort_values("media_id").reset_index(drop=True),
+    )
