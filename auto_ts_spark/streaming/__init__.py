@@ -1,4 +1,5 @@
 from auto_ts_spark.streaming.ops import (  # noqa: F401
+    dedup_stream,
     read_event_stream,
     session_agg,
     sliding_agg,

@@ -17,8 +17,8 @@ Design:
 - custom stateful logic (per-series rolling forecast — the streaming
   form of the reference's recursive one-step forecast,
   auto_ts/models/build_ml.py:595-670) uses ``applyInPandasWithState``
-  with an explicit GroupState schema and a processing-time timeout so
-  state is bounded.
+  with an explicit GroupState schema; watermarked dedup state expires
+  automatically, keeping state bounded.
 
 Scale notes: streaming aggregation state lives in the state store
 partitioned by grouping key — the shuffle is identical to the batch
@@ -257,3 +257,20 @@ def run_to_completion(
 
 def _is_aggregation(df: DataFrame) -> bool:
     return "Aggregate" in df._jdf.queryExecution().analyzed().toString()
+
+
+def dedup_stream(
+    df: DataFrame,
+    *,
+    key_cols: Iterable[str] = ("event_id",),
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup: keep the first arrival per key, dropping
+    re-deliveries within the watermark horizon (state per key expires
+    with the watermark, so memory is bounded by arrival rate x
+    watermark, not stream length). The streaming form of the batch
+    ``dedup_exact`` — at-least-once sources become effectively-once."""
+    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )

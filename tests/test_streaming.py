@@ -98,3 +98,22 @@ def test_ewma_deterministic_across_runs(spark, event_dir, tmp_path):
             got.sort_values(["series_id", "running_n"]).reset_index(drop=True)
         )
     pd.testing.assert_frame_equal(runs[0], runs[1])
+
+
+def test_dedup_stream_drops_redeliveries(spark, event_dir, tmp_path):
+    from auto_ts_spark.streaming import dedup_stream
+
+    # a source directory where every file is delivered twice
+    import shutil, os
+
+    dup_dir = str(tmp_path / "dup_events")
+    os.makedirs(dup_dir)
+    for i, f in enumerate(sorted(os.listdir(event_dir))):
+        if f.endswith(".parquet"):
+            shutil.copy(f"{event_dir}/{f}", f"{dup_dir}/a{i}.parquet")
+            shutil.copy(f"{event_dir}/{f}", f"{dup_dir}/b{i}.parquet")
+    stream = dedup_stream(read_event_stream(spark, dup_dir))
+    got = _drain(spark, stream, "t_dedup", tmp_path)
+    n_unique = spark.read.parquet(event_dir).select("event_id").distinct().count()
+    assert got.count() == n_unique
+    assert got.select("event_id").distinct().count() == n_unique
