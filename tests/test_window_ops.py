@@ -197,3 +197,41 @@ def test_salted_join_equals_plain_join(spark):
     a = plain.toPandas().sort_values(["o_orderkey", "c_name"]).reset_index(drop=True)
     b = salted.toPandas().sort_values(["o_orderkey", "c_name"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_lag_ops_do_not_leak_across_series(spark):
+    """The scale design hangs on per-series window partitioning: lags,
+    diffs, and rolling stats must never read a neighboring series."""
+    import pandas as pd
+
+    from auto_ts_spark.operators.lags import difference, rolling_stats, supervised_lag_matrix
+
+    pdf = pd.concat(
+        [
+            pd.DataFrame(
+                {
+                    "series_id": sid,
+                    "ts": pd.date_range("2024-01-01", periods=10, freq="D"),
+                    "y": [base + i for i in range(10)],
+                }
+            )
+            for sid, base in [("a", 0.0), ("b", 1000.0)]
+        ]
+    )
+    df = spark.createDataFrame(pdf)
+
+    lagged = supervised_lag_matrix(df, ["y"], n_in=2).toPandas()
+    for sid, base in [("a", 0.0), ("b", 1000.0)]:
+        part = lagged[lagged.series_id == sid].sort_values("ts")
+        # first rows with full lags start at t=2; lag values stay in-series
+        assert part["y_lag_1"].between(base, base + 9).all()
+        assert part["y_lag_2"].between(base, base + 9).all()
+        assert len(part) == 8  # 2 boundary rows dropped per series, not globally
+
+    diffed = difference(df, ["y"]).toPandas()
+    assert len(diffed) == 18  # one boundary row per series
+    assert (diffed["y"] == 1.0).all()  # never the 991 cross-series jump
+
+    rolled = rolling_stats(df, "y", window_size=3, stats=("mean",)).toPandas()
+    b0 = rolled[(rolled.series_id == "b")].sort_values("ts").iloc[2]
+    assert b0["rolling_mean_3_y"] == 1001.0  # windows restart per series
