@@ -1507,6 +1507,34 @@ FROM lineitem
 """
 
 
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (scale extension; Spark has no native operator): for
+    each purchase event, the same user's most recent click value at or
+    before the purchase time. Union + ordered-window carry — one
+    shuffle, linear; oracle is DuckDB's native ASOF JOIN."""
+    from auto_ts_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    right = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.round("value", 6).alias("click_value")
+    )
+    return asof_join(left, right, on="ts", by=["user_id"])
+
+
+_SQL_ASOF_JOIN = """
+SELECT l.user_id, l.ts, l.event_id,
+       r.click_value AS click_value, r.ts AS ts_right
+FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase') l
+ASOF LEFT JOIN (SELECT user_id, ts, round(value, 6) AS click_value
+                FROM events WHERE event_type = 'click') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
 # ------------------------------------------- non-SQL-expressible queries
 # (no oracle entry → the driver records the weaker rows-only check)
 
@@ -1604,6 +1632,7 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------- contract
 
 _ORACLE: dict[str, str] = {
+    "asof_join": _SQL_ASOF_JOIN,
     "seasonal_decompose": _SQL_SEASONAL_DECOMPOSE,
     "quantile_profile": _SQL_QUANTILE_PROFILE,
     "residual_diagnostics": _SQL_RESIDUAL_DIAG,
@@ -1693,6 +1722,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "residual_diagnostics": q_residual_diagnostics,
     "seasonal_decompose": q_seasonal_decompose,
     "quantile_profile": q_quantile_profile,
+    "asof_join": q_asof_join,
     "pacf": q_pacf,
     # non-SQL-expressible (rows-only checks)
     "adf_stationarity": q_adf_stationarity,
