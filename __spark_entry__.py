@@ -1535,6 +1535,51 @@ ASOF LEFT JOIN (SELECT user_id, ts, round(value, 6) AS click_value
 """
 
 
+
+def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample a sparse event subset (value > 19) per event_type onto
+    a 1-hour grid with forward-fill — upsample + gap-fill in two
+    shuffles (grid join + ffill window)."""
+    from auto_ts_spark.operators.future import resample_regular
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value") > 19)
+        .select("event_type", "ts", F.round("value", 6).alias("value"))
+    )
+    out = resample_regular(
+        ev, ["value"], 3600, series_col="event_type", fill="ffill"
+    )
+    return out.select(
+        "event_type", "ts", F.round("value", 6).alias("value")
+    )
+
+
+_SQL_RESAMPLE_FFILL = """
+WITH src AS (
+  SELECT event_type, ts, round(value, 6) AS value FROM events WHERE value > 19
+), obs AS (
+  SELECT event_type,
+         make_timestamp(cast(floor(epoch(ts) / 3600) * 3600 AS bigint) * 1000000) AS gts,
+         avg(value) AS value
+  FROM src GROUP BY 1, 2
+), bounds AS (
+  SELECT event_type,
+         make_timestamp(cast(floor(epoch(min(ts)) / 3600) * 3600 AS bigint) * 1000000) AS lo,
+         max(ts) AS hi
+  FROM src GROUP BY 1
+), grid AS (
+  SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 3600 SECONDS)) AS gts
+  FROM bounds
+)
+SELECT g.event_type, g.gts AS ts,
+       round(last_value(o.value IGNORE NULLS) OVER (
+         PARTITION BY g.event_type ORDER BY g.gts
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS value
+FROM grid g LEFT JOIN obs o ON g.event_type = o.event_type AND g.gts = o.gts
+"""
+
+
 # ------------------------------------------- non-SQL-expressible queries
 # (no oracle entry → the driver records the weaker rows-only check)
 
@@ -1632,6 +1677,7 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------- contract
 
 _ORACLE: dict[str, str] = {
+    "resample_ffill": _SQL_RESAMPLE_FFILL,
     "asof_join": _SQL_ASOF_JOIN,
     "seasonal_decompose": _SQL_SEASONAL_DECOMPOSE,
     "quantile_profile": _SQL_QUANTILE_PROFILE,
@@ -1723,6 +1769,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "seasonal_decompose": q_seasonal_decompose,
     "quantile_profile": q_quantile_profile,
     "asof_join": q_asof_join,
+    "resample_ffill": q_resample_ffill,
     "pacf": q_pacf,
     # non-SQL-expressible (rows-only checks)
     "adf_stationarity": q_adf_stationarity,

@@ -139,3 +139,61 @@ def forward_fill(
             out = out.withColumn(f"{c}_missing_flag", F.col(c).isNull().cast("int"))
         out = out.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
     return out
+
+
+def resample_regular(
+    df: DataFrame,
+    value_cols: list[str],
+    interval_seconds: int = 3600,
+    *,
+    ts_col: str = "ts",
+    series_col: str = "series_id",
+    fill: str = "ffill",
+) -> DataFrame:
+    """Resample each series onto a regular grid of ``interval_seconds``
+    buckets, filling gaps (``fill``: 'ffill' carries the last
+    observation, 'null' leaves holes, 'zero' inserts 0). The upsample
+    counterpart of the rollup path — the reference handles only
+    already-regular series; this makes irregular data regular first.
+    Fixed-width intervals only (epoch math); calendar intervals
+    (months) go through date_trunc rollups instead.
+
+    Plan: bucket = epoch-floor (one projection), per-series min/max
+    (one agg) -> ``sequence()`` + ``explode`` builds the grid with no
+    driver loop, left-join bucket averages, then the ffill window. Two
+    shuffles regardless of series count or gap density.
+    """
+    step = int(interval_seconds)
+    bucket = F.timestamp_seconds(
+        (F.floor(F.unix_timestamp(F.col(ts_col)) / step) * step).cast("bigint")
+    )
+    obs = df.groupBy(series_col, bucket.alias("_grid_ts")).agg(
+        *[F.avg(c).alias(c) for c in value_cols]
+    )
+    bounds = df.groupBy(series_col).agg(
+        F.min(ts_col).alias("_lo"), F.max(ts_col).alias("_hi")
+    )
+    grid = bounds.select(
+        series_col,
+        F.explode(
+            F.expr(
+                f"sequence(timestamp_seconds(cast(floor(unix_timestamp(_lo) / {step}) "
+                f"* {step} as bigint)), _hi, interval {step} seconds)"
+            )
+        ).alias("_grid_ts"),
+    )
+    joined = grid.join(obs, [series_col, "_grid_ts"], "left")
+    if fill == "ffill":
+        w = (
+            Window.partitionBy(series_col)
+            .orderBy("_grid_ts")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        joined = joined.select(
+            series_col,
+            "_grid_ts",
+            *[F.last(c, ignorenulls=True).over(w).alias(c) for c in value_cols],
+        )
+    elif fill == "zero":
+        joined = joined.na.fill({c: 0 for c in value_cols})
+    return joined.withColumnRenamed("_grid_ts", ts_col)

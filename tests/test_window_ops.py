@@ -273,3 +273,37 @@ def test_seasonal_decompose_multi_series(spark):
         # planted pattern recovered per series (phase offset by the 3
         # trend-edge rows is absorbed because pattern is position-locked)
         assert np.allclose(sorted(got), sorted(seasonal), atol=1e-6)
+
+
+def test_resample_regular_gap_fill(spark):
+    """Irregular observations -> exact hourly grid; gaps forward-fill;
+    bucket averages; per-series bounds respected."""
+    import pandas as pd
+
+    from auto_ts_spark.operators.future import resample_regular
+
+    pdf = pd.DataFrame(
+        {
+            "series_id": ["a"] * 3 + ["b"] * 2,
+            "ts": pd.to_datetime(
+                [
+                    "2024-01-01 00:05",
+                    "2024-01-01 00:20",
+                    "2024-01-01 03:40",
+                    "2024-01-02 10:00",
+                    "2024-01-02 12:30",
+                ]
+            ),
+            "y": [1.0, 3.0, 9.0, 5.0, 7.0],
+        }
+    )
+    out = (
+        resample_regular(spark.createDataFrame(pdf), ["y"], 3600)
+        .orderBy("series_id", "ts")
+        .toPandas()
+    )
+    a = out[out.series_id == "a"]
+    assert list(a["y"]) == [2.0, 2.0, 2.0, 9.0]  # avg bucket, 2 ffilled gaps
+    assert a["ts"].iloc[0] == pd.Timestamp("2024-01-01 00:00")
+    b = out[out.series_id == "b"]
+    assert len(b) == 3 and list(b["y"]) == [5.0, 5.0, 7.0]  # own bounds
