@@ -747,10 +747,15 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text quality metrics per document (token counts, stopword /
     punct / digit ratios, composite quality score)."""
     docs = load_table(spark, sf_dir, "documents")
-    return TOPS.text_profile(docs).select(
-        "doc_id", "n_chars", "n_tokens", "stopword_ratio", "quality"
-    ).withColumn("n_tokens", F.col("n_tokens").cast("bigint")).withColumn(
-        "n_chars", F.col("n_chars").cast("bigint")
+    return (
+        TOPS.text_profile(docs)
+        .select(
+            "doc_id", "n_chars", "n_tokens", "n_bpe_tokens",
+            "stopword_ratio", "quality",
+        )
+        .withColumn("n_tokens", F.col("n_tokens").cast("bigint"))
+        .withColumn("n_bpe_tokens", F.col("n_bpe_tokens").cast("bigint"))
+        .withColumn("n_chars", F.col("n_chars").cast("bigint"))
     )
 
 
@@ -759,13 +764,14 @@ WITH t AS (
   SELECT doc_id, text, length(text) AS n_chars, {_SQL_TOKS} AS toks FROM documents
 ), s AS (
   SELECT doc_id, n_chars, cast(len(toks) as bigint) AS n_tokens,
+         cast(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) as bigint) AS n_bpe_tokens,
          len(list_filter(toks, x -> list_contains(['the','and','of','to','a','in','is','that','for','it'], x)))
            / greatest(len(toks), 1) AS sw_ratio,
          length(regexp_replace(text, '[^!-/:-@\\[-`{{|}}~]', '', 'g')) / greatest(length(text), 1) AS punct_ratio,
          length(regexp_replace(text, '[^0-9]', '', 'g')) / greatest(length(text), 1) AS digit_ratio
   FROM t
 )
-SELECT doc_id, n_chars, n_tokens,
+SELECT doc_id, n_chars, n_tokens, n_bpe_tokens,
        round(sw_ratio, 6) AS stopword_ratio,
        round((least(n_tokens / 100.0, 1.0) + least(sw_ratio * 5.0, 1.0)
             + greatest(1.0 - punct_ratio * 4.0, 0.0) + greatest(1.0 - digit_ratio * 4.0, 0.0)) / 4.0, 6) AS quality

@@ -36,6 +36,10 @@ HEADLINE = [
     "minhash_lsh_pairs",
     "embedding_topk",
     "automl_leaderboard",
+    "asof_join",
+    "seasonal_decompose",
+    "revenue_rollup",
+    "resample_ffill",
 ]
 
 
