@@ -1680,6 +1680,94 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_topk(emb, q, k=3, n_centroids=8, n_probe=3)
 
 
+def q_customer_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 set operations (reserved extension in SURVEY — Spark
+    ``intersect``/``exceptAll`` over distinct key sets): customers who
+    ordered in both 1994 and 1995, plus customers active in 1994 who
+    churned in 1995. Distinct inputs make except ≡ exceptAll; both
+    sides shuffle on the bare key so AQE can coalesce."""
+    o = load_table(spark, sf_dir, "orders")
+    y94 = (
+        o.filter(F.year("o_orderdate") == 1994).select("o_custkey").distinct()
+    )
+    y95 = (
+        o.filter(F.year("o_orderdate") == 1995).select("o_custkey").distinct()
+    )
+    both = y94.intersect(y95).withColumn("set_op", F.lit("both_years"))
+    churned = y94.exceptAll(y95).withColumn("set_op", F.lit("churned_1995"))
+    return both.unionByName(churned).select("o_custkey", "set_op")
+
+
+_SQL_SET_OPS = """
+WITH y94 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1994),
+     y95 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995)
+SELECT o_custkey, 'both_years' AS set_op FROM (SELECT * FROM y94 INTERSECT SELECT * FROM y95)
+UNION ALL
+SELECT o_custkey, 'churned_1995' AS set_op FROM (SELECT * FROM y94 EXCEPT SELECT * FROM y95)
+"""
+
+
+def q_datetime_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 date family (auto_ts/utils/etl.py:335-446): the reference
+    probes ~100 strptime formats per column; here heterogenous string
+    dates (3 formats, chosen by key) are re-parsed with a
+    ``coalesce(try_to_timestamp(fmt) ...)`` cascade — the same
+    first-match-wins semantics, ANSI-safe, fully JVM-side."""
+    o = load_table(spark, sf_dir, "orders")
+    raw = o.select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 3 == 0,
+            F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"),
+        )
+        .when(F.col("o_orderkey") % 3 == 1, F.date_format("o_orderdate", "MM/dd/yyyy"))
+        .otherwise(F.date_format("o_orderdate", "yyyyMMdd"))
+        .alias("raw_ts"),
+    )
+    parsed = raw.select(
+        "o_orderkey",
+        "raw_ts",
+        F.coalesce(
+            F.try_to_timestamp(F.col("raw_ts"), F.lit("yyyy-MM-dd HH:mm:ss")),
+            F.try_to_timestamp(F.col("raw_ts"), F.lit("MM/dd/yyyy")),
+            F.try_to_timestamp(F.col("raw_ts"), F.lit("yyyyMMdd")),
+        ).alias("parsed_ts"),
+    )
+    return parsed.filter(F.col("o_orderkey") <= 2000)
+
+
+_SQL_DATETIME_PARSE = """
+WITH raw AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 3 = 0 THEN strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')
+              WHEN o_orderkey % 3 = 1 THEN strftime(o_orderdate, '%m/%d/%Y')
+              ELSE strftime(o_orderdate, '%Y%m%d') END AS raw_ts
+  FROM orders
+)
+SELECT o_orderkey, raw_ts,
+       coalesce(try_strptime(raw_ts, '%Y-%m-%d %H:%M:%S'),
+                try_strptime(raw_ts, '%m/%d/%Y'),
+                try_strptime(raw_ts, '%Y%m%d')) AS parsed_ts
+FROM raw
+WHERE o_orderkey <= 2000
+"""
+
+
+def q_feature_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3 (ml_models.py:159-176): top-10 ranked GBT feature
+    importances over the lag+calendar matrix of the daily events
+    series (tree-ensemble internals -> rows-only check)."""
+    from auto_ts_spark.models import ml as ML
+
+    series = _daily_series(spark, sf_dir)
+    feat, feature_cols = ML.build_features(series)
+    _, model = ML.fit_gbt(feat, feature_cols, max_iter=10)
+    imp = ML.feature_importances(model, feature_cols).head(10)
+    return spark.createDataFrame(imp).select(
+        "feature", F.round("importance", 6).alias("importance"), "rank"
+    )
+
+
 # ---------------------------------------------------------------- contract
 
 _ORACLE: dict[str, str] = {
@@ -1728,6 +1816,8 @@ _ORACLE: dict[str, str] = {
     "sessionize": _SQL_SESSIONIZE,
     "fillna_ffill": _SQL_FILLNA_FFILL,
     "json_props_extract": _SQL_JSON_PROPS,
+    "customer_set_ops": _SQL_SET_OPS,
+    "datetime_parse": _SQL_DATETIME_PARSE,
 }
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1776,6 +1866,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quantile_profile": q_quantile_profile,
     "asof_join": q_asof_join,
     "resample_ffill": q_resample_ffill,
+    "customer_set_ops": q_customer_set_ops,
+    "datetime_parse": q_datetime_parse,
     "pacf": q_pacf,
     # non-SQL-expressible (rows-only checks)
     "adf_stationarity": q_adf_stationarity,
@@ -1784,6 +1876,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lsh_ann_topk": q_lsh_ann_topk,
     "ivf_ann_topk": q_ivf_ann_topk,
     "multimodal_features": q_multimodal_features,
+    "feature_importance": q_feature_importance,
 }
 
 

@@ -67,6 +67,24 @@ def fit_gbt(
     return assembler, gbt.fit(assembled)
 
 
+def feature_importances(model, feature_cols: list[str]) -> pd.DataFrame:
+    """O3 (auto_ts/models/ml_models.py:159-176): ranked feature
+    importances of a fitted tree ensemble. The reference sorts the
+    XGBoost importance series descending and keeps the top 10; here the
+    vector comes from Spark ML's ``featureImportances`` (impurity
+    gain, normalized to sum 1)."""
+    imp = model.featureImportances
+    rows = [
+        {"feature": feature_cols[i], "importance": float(imp[i])}
+        for i in range(len(feature_cols))
+    ]
+    out = pd.DataFrame(rows).sort_values(
+        ["importance", "feature"], ascending=[False, True]
+    )
+    out["rank"] = range(1, len(out) + 1)
+    return out.reset_index(drop=True)
+
+
 def cv_scores_ml(
     df: DataFrame,
     *,

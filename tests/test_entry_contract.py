@@ -30,6 +30,7 @@ def test_contract_shapes():
         "ivf_ann_topk",
         "multimodal_features",
         "pacf",
+        "feature_importance",
     }
 
 
