@@ -1753,6 +1753,52 @@ WHERE o_orderkey <= 2000
 """
 
 
+def q_bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 scale extension (the reference's joins are single-node
+    in-memory merges, SURVEY §2.5): fact-fact join with the shuffle
+    paid once at WRITE time. orders and lineitem are persisted bucketed
+    on orderkey into co-located parquet buckets, so the join plans as a
+    SortMergeJoin over bare bucketed scans — zero Exchange on either
+    side (asserted in tests/test_bucketing.py). At 100 TB this is the
+    difference between shuffling the fact table on every pipeline run
+    and never shuffling it again."""
+    import os as _os
+    import re as _re
+
+    from auto_ts_spark.io.bucketing import bucketed_join, write_bucketed
+
+    tag = _re.sub(r"[^0-9A-Za-z]+", "_", _os.path.basename(sf_dir.rstrip("/")))
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    ot = write_bucketed(o, f"ats_bkt_orders_{tag}", bucket_by="o_orderkey", num_buckets=8)
+    lt = write_bucketed(
+        li, f"ats_bkt_lineitem_{tag}", bucket_by="l_orderkey", num_buckets=8
+    )
+    j = bucketed_join(spark, lt, ot, on=F.col("l_orderkey") == F.col("o_orderkey"))
+    return j.groupBy("o_orderpriority").agg(
+        F.round(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(28,6)"
+                )
+            ).cast("double"),
+            6,
+        ).alias("revenue"),
+        F.countDistinct("o_orderkey").alias("n_orders"),
+    )
+
+
+_SQL_BUCKETED_JOIN = """
+SELECT o_orderpriority,
+       round(cast(sum(cast(l_extendedprice * (1 - l_discount) as decimal(28,6))) as double), 6) AS revenue,
+       count(DISTINCT o_orderkey) AS n_orders
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
 def q_feature_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O3 (ml_models.py:159-176): top-10 ranked GBT feature
     importances over the lag+calendar matrix of the daily events
@@ -1818,6 +1864,7 @@ _ORACLE: dict[str, str] = {
     "json_props_extract": _SQL_JSON_PROPS,
     "customer_set_ops": _SQL_SET_OPS,
     "datetime_parse": _SQL_DATETIME_PARSE,
+    "bucketed_join_revenue": _SQL_BUCKETED_JOIN,
 }
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1868,6 +1915,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "resample_ffill": q_resample_ffill,
     "customer_set_ops": q_customer_set_ops,
     "datetime_parse": q_datetime_parse,
+    "bucketed_join_revenue": q_bucketed_join_revenue,
     "pacf": q_pacf,
     # non-SQL-expressible (rows-only checks)
     "adf_stationarity": q_adf_stationarity,
