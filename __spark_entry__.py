@@ -1799,6 +1799,45 @@ GROUP BY o_orderpriority
 """
 
 
+def q_range_join_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 scale extension: interval containment join via bin
+    bucketing (operators/rangejoin.py). Every ~97th event anchors a
+    10-minute window; all events inside each window are counted and
+    summed. The naive non-equi join is a nested-loop cartesian; the
+    bin strategy makes it an equi-join on the bin id — linear shuffle,
+    no CartesianProduct in the plan (tests/test_plan_hygiene.py)."""
+    from auto_ts_spark.operators.rangejoin import range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    anchors = ev.filter(F.col("event_id") % 97 == 0).select(
+        F.col("event_id").alias("anchor_id"),
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("w_end"),
+    )
+    pts = ev.select("ts", "value")
+    j = range_join(
+        pts, anchors, point_ts="ts", start="w_start", end="w_end", bin_seconds=600
+    )
+    return j.groupBy("anchor_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(28,6)")).cast("double"), 6).alias(
+            "sum_value"
+        ),
+    )
+
+
+_SQL_RANGE_JOIN = """
+WITH anchors AS (
+  SELECT event_id AS anchor_id, ts AS w_start, ts + INTERVAL 10 MINUTE AS w_end
+  FROM events WHERE event_id % 97 = 0
+)
+SELECT anchor_id, count(*) AS n_events,
+       round(cast(sum(cast(value as decimal(28,6))) as double), 6) AS sum_value
+FROM events e JOIN anchors a ON e.ts >= a.w_start AND e.ts < a.w_end
+GROUP BY anchor_id
+"""
+
+
 def q_feature_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O3 (ml_models.py:159-176): top-10 ranked GBT feature
     importances over the lag+calendar matrix of the daily events
@@ -1865,6 +1904,7 @@ _ORACLE: dict[str, str] = {
     "customer_set_ops": _SQL_SET_OPS,
     "datetime_parse": _SQL_DATETIME_PARSE,
     "bucketed_join_revenue": _SQL_BUCKETED_JOIN,
+    "range_join_window": _SQL_RANGE_JOIN,
 }
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1916,6 +1956,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customer_set_ops": q_customer_set_ops,
     "datetime_parse": q_datetime_parse,
     "bucketed_join_revenue": q_bucketed_join_revenue,
+    "range_join_window": q_range_join_window,
     "pacf": q_pacf,
     # non-SQL-expressible (rows-only checks)
     "adf_stationarity": q_adf_stationarity,
