@@ -480,15 +480,15 @@ def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_COLUMN_PROFILE = """
-SELECT 'c_custkey' AS "column", sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS n_null, count(DISTINCT c_custkey) AS n_distinct FROM customer
+SELECT 'c_custkey' AS "column", cast(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null, count(DISTINCT c_custkey) AS n_distinct FROM customer
 UNION ALL
-SELECT 'c_name', sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END), count(DISTINCT c_name) FROM customer
+SELECT 'c_name', cast(sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT), count(DISTINCT c_name) FROM customer
 UNION ALL
-SELECT 'c_nationkey', sum(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END), count(DISTINCT c_nationkey) FROM customer
+SELECT 'c_nationkey', cast(sum(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT), count(DISTINCT c_nationkey) FROM customer
 UNION ALL
-SELECT 'c_acctbal', sum(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END), count(DISTINCT c_acctbal) FROM customer
+SELECT 'c_acctbal', cast(sum(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS BIGINT), count(DISTINCT c_acctbal) FROM customer
 UNION ALL
-SELECT 'c_mktsegment', sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END), count(DISTINCT c_mktsegment) FROM customer
+SELECT 'c_mktsegment', cast(sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS BIGINT), count(DISTINCT c_mktsegment) FROM customer
 """
 
 
@@ -810,7 +810,7 @@ hits AS (
   SELECT d.doc_id, coalesce(p.pred_lang, 'und') AS pred_lang, coalesce(p.hits, 0) AS hits
   FROM documents d LEFT JOIN pred p ON d.doc_id = p.doc_id
 )
-SELECT pred_lang, count(*) AS n_docs, sum(hits) AS total_hits
+SELECT pred_lang, count(*) AS n_docs, cast(sum(hits) AS BIGINT) AS total_hits
 FROM all_docs GROUP BY pred_lang
 """
 
@@ -833,8 +833,8 @@ WITH fp AS (
   SELECT {_sql_hash60("trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))")} AS fp
   FROM documents
 ), groups AS (SELECT fp, count(*) AS n FROM fp GROUP BY fp)
-SELECT sum(n) AS n_docs, count(*) AS n_distinct,
-       sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS n_dup_groups
+SELECT cast(sum(n) AS BIGINT) AS n_docs, count(*) AS n_distinct,
+       cast(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups
 FROM groups
 """
 
@@ -846,10 +846,13 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.ngram_jaccard_pairs(docs, threshold=0.4)
 
 
-_SQL_SHINGLES = """list_distinct(list_filter(
+# Mirrors auto_ts_spark.functions.text.shingles(): docs with fewer than
+# n tokens fall back to ONE whole-text shingle on BOTH engines.
+_SQL_SHINGLES = """CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+    ELSE list_distinct(list_filter(
     list_transform(list_zip(toks, toks[2:], toks[3:]),
                    x -> CASE WHEN x[3] IS NOT NULL THEN concat(x[1], ' ', x[2], ' ', x[3]) END),
-    s -> s IS NOT NULL))"""
+    s -> s IS NOT NULL)) END"""
 
 _SQL_NGRAM_JACCARD = f"""
 WITH base AS (
@@ -885,9 +888,10 @@ WITH base AS (
   SELECT doc_id AS id, {_SQL_TOKS} AS toks FROM documents
 ), sh AS (
   SELECT id, {_SQL_SHINGLES} AS sh,
-         list_filter(list_transform(list_zip(toks, toks[2:], toks[3:]),
-                     x -> CASE WHEN x[3] IS NOT NULL THEN concat(x[1], ' ', x[2], ' ', x[3]) END),
-                     s -> s IS NOT NULL) AS sh_all
+         CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+              ELSE list_filter(list_transform(list_zip(toks, toks[2:], toks[3:]),
+                   x -> CASE WHEN x[3] IS NOT NULL THEN concat(x[1], ' ', x[2], ' ', x[3]) END),
+                   s -> s IS NOT NULL) END AS sh_all
   FROM base
 ), based AS (
   SELECT id, sh, list_transform(sh_all, s -> {_sql_hash60("s")}) AS base FROM sh
@@ -932,11 +936,11 @@ WITH t AS (
   FROM t
 )
 SELECT doc_id,
-       list_aggregate(
+       cast(list_aggregate(
          list_transform(generate_series(0, 31),
            b -> CASE WHEN 2 * len(list_filter(hs, hh -> (hh >> b) & 1 = 1)) > len(toks)
                      THEN (1::BIGINT << b) ELSE 0::BIGINT END),
-         'sum') AS simhash
+         'sum') AS BIGINT) AS simhash
 FROM h
 """
 
@@ -1148,6 +1152,33 @@ SELECT lag, round(acf, 6) AS acf FROM (
 """
 
 
+_SQL_PACF = """
+WITH RECURSIVE s AS (
+  SELECT date_trunc('day', ts) AS ts,
+         cast(sum(cast(value AS decimal(20,2))) AS double) AS y
+  FROM events GROUP BY 1
+), l AS (
+  SELECT y, """ + ", ".join(f"lag(y,{k}) OVER (ORDER BY ts) AS l{k}" for k in range(1, 8)) + """
+  FROM s
+), r AS (
+  SELECT [1.0] || [""" + ", ".join(f"corr(y, l{k})" for k in range(1, 8)) + """] AS rv FROM l
+), dl(k, phi) AS (
+  -- Durbin-Levinson: phi is the length-k coefficient vector phi_{k,1..k};
+  -- rv is 1-indexed with rv[m+1] = r_m.
+  SELECT 1, [rv[2]] FROM r
+  UNION ALL
+  SELECT k + 1, list_transform(phi, (p, j) -> p - a * phi[k + 1 - j]) || [a]
+  FROM (
+    SELECT k, phi,
+      (rv[k+2] - list_sum(list_transform(phi, (p, j) -> p * rv[k+2-j])))
+      / (1 - list_sum(list_transform(phi, (p, j) -> p * rv[j+1]))) AS a
+    FROM dl, r WHERE k < 7
+  )
+)
+SELECT cast(k AS int) AS lag, round(phi[k], 6) AS pacf FROM dl ORDER BY k
+"""
+
+
 def q_zero_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W9: dead-feature detection — sample stddev per derived feature
     in ONE agg pass; keep=false marks the columns drop_zero_variance
@@ -1287,7 +1318,7 @@ FROM daily d FULL OUTER JOIN fc ON d.ts = fc.ts
 
 def q_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W17 (PACF): distributed ACF agg + driver-side Durbin-Levinson
-    (not SQL-expressible -> rows-only check)."""
+    (oracle: DuckDB recursive CTE over a list column)."""
     from auto_ts_spark.operators.lags import pacf
 
     series = (
@@ -1683,27 +1714,28 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_customer_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.7 set operations (reserved extension in SURVEY — Spark
     ``intersect``/``exceptAll`` over distinct key sets): customers who
-    ordered in both 1994 and 1995, plus customers active in 1994 who
-    churned in 1995. Distinct inputs make except ≡ exceptAll; both
-    sides shuffle on the bare key so AQE can coalesce."""
+    ordered in both 1995 and 1996, plus customers active in 1995 who
+    churned in 1996 (the fixture's orders span 1995-2001, so both
+    branches are non-empty at every sf). Distinct inputs make except ≡
+    exceptAll; both sides shuffle on the bare key so AQE can coalesce."""
     o = load_table(spark, sf_dir, "orders")
-    y94 = (
-        o.filter(F.year("o_orderdate") == 1994).select("o_custkey").distinct()
-    )
     y95 = (
         o.filter(F.year("o_orderdate") == 1995).select("o_custkey").distinct()
     )
-    both = y94.intersect(y95).withColumn("set_op", F.lit("both_years"))
-    churned = y94.exceptAll(y95).withColumn("set_op", F.lit("churned_1995"))
+    y96 = (
+        o.filter(F.year("o_orderdate") == 1996).select("o_custkey").distinct()
+    )
+    both = y95.intersect(y96).withColumn("set_op", F.lit("both_years"))
+    churned = y95.exceptAll(y96).withColumn("set_op", F.lit("churned_1996"))
     return both.unionByName(churned).select("o_custkey", "set_op")
 
 
 _SQL_SET_OPS = """
-WITH y94 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1994),
-     y95 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995)
-SELECT o_custkey, 'both_years' AS set_op FROM (SELECT * FROM y94 INTERSECT SELECT * FROM y95)
+WITH y95 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+     y96 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+SELECT o_custkey, 'both_years' AS set_op FROM (SELECT * FROM y95 INTERSECT SELECT * FROM y96)
 UNION ALL
-SELECT o_custkey, 'churned_1995' AS set_op FROM (SELECT * FROM y94 EXCEPT SELECT * FROM y95)
+SELECT o_custkey, 'churned_1996' AS set_op FROM (SELECT * FROM y95 EXCEPT SELECT * FROM y96)
 """
 
 
@@ -1905,6 +1937,7 @@ _ORACLE: dict[str, str] = {
     "datetime_parse": _SQL_DATETIME_PARSE,
     "bucketed_join_revenue": _SQL_BUCKETED_JOIN,
     "range_join_window": _SQL_RANGE_JOIN,
+    "pacf": _SQL_PACF,
 }
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

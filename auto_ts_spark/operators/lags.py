@@ -232,7 +232,7 @@ def pacf(
     The heavy part — the ACF — is the distributed one-pass corr agg
     (:func:`acf`); the Durbin–Levinson recursion that turns k ACF
     values into PACF is O(k²) scalar math on a k-row result, so it
-    runs on the driver (not SQL-expressible; rows-only check).
+    runs on the driver (oracle-checkable: DuckDB recursive CTE).
     """
     import numpy as np
 

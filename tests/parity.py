@@ -36,8 +36,25 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
 
+def _dtype_kind(s: pd.Series) -> str:
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    return "object"
+
+
 def compare(spark_df, duck_df: pd.DataFrame, *, float_tol: float = 0.0) -> list[str]:
-    """Return a list of mismatch descriptions (empty = match)."""
+    """Return a list of mismatch descriptions (empty = match).
+
+    Type-strict like the driver's value hash: an int column on one side
+    and float/object (e.g. DuckDB HUGEINT) on the other is a failure
+    even when the values are equal.
+    """
     issues: list[str] = []
     sp = spark_df.toPandas()
     if len(sp) != len(duck_df):
@@ -45,6 +62,10 @@ def compare(spark_df, duck_df: pd.DataFrame, *, float_tol: float = 0.0) -> list[
     if sorted(sp.columns) != sorted(duck_df.columns):
         issues.append(f"columns: spark={sorted(sp.columns)} duckdb={sorted(duck_df.columns)}")
         return issues
+    for c in sp.columns:
+        ka, kb = _dtype_kind(sp[c]), _dtype_kind(duck_df[c])
+        if ka != kb:
+            issues.append(f"col {c}: dtype kind mismatch: spark={ka}({sp[c].dtype}) duckdb={kb}({duck_df[c].dtype})")
     if issues:
         return issues
     a, b = _canon(sp), _canon(duck_df)

@@ -29,7 +29,6 @@ def test_contract_shapes():
         "lsh_ann_topk",
         "ivf_ann_topk",
         "multimodal_features",
-        "pacf",
         "feature_importance",
     }
 
