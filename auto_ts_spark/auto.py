@@ -13,6 +13,13 @@ Differences by design (SURVEY.md §7.3):
 - stationarity analysis (W16) is reported per series, not applied
   destructively to shared state (reference quirk noted in SURVEY §3.1
   step 3 — intentional deviation).
+
+predict() accepts the reference's three testdata shapes
+(auto_ts/__init__.py:910-1008): None (the forecast computed at fit
+time), an int forecast period (stats families only, like the
+reference), or an unseen DataFrame/path whose ts column is re-parsed
+with the format stored at fit time and whose rows supply future
+timestamps and known exog values.
 """
 
 from __future__ import annotations
@@ -21,12 +28,22 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from auto_ts_spark.io.sources import load_ts
+from auto_ts_spark.io.sources import load_ts, probe_datetime_format, read_input
 from auto_ts_spark.models import ml as ML
 from auto_ts_spark.models import registry as REG
 from auto_ts_spark.operators.future import infer_frequency, seasonal_period
+from auto_ts_spark.operators.profile import detect_problem_type
 
 WORKER_MODELS = ("fourier", "seasonal_ar", "var")
+
+_ALIAS = {
+    "prophet": "fourier",
+    "sarimax": "seasonal_ar",
+    "auto_sarimax": "seasonal_ar",
+    "arima": "seasonal_ar",
+    "ml": "ml_gbt",
+    "stats": "seasonal_ar",
+}
 
 
 class AutoTimeSeries:
@@ -41,12 +58,16 @@ class AutoTimeSeries:
         model_type: str | list[str] = "best",
         seasonal_period: int | None = None,
         lags: int = 3,
+        score_type: str = "rmse",
     ) -> None:
+        if score_type not in ("rmse", "normalized_rmse"):
+            raise ValueError("score_type must be 'rmse' or 'normalized_rmse'")
         self.forecast_period = max(forecast_period, 1)
         self.n_splits = n_splits
         self.model_type = model_type
         self.seasonal_period_override = seasonal_period
         self.lags = lags
+        self.score_type = score_type
         self.freq_: str | None = None
         self.m_: int | None = None
         self.scores_: DataFrame | None = None
@@ -56,6 +77,12 @@ class AutoTimeSeries:
         self.train_df_: DataFrame | None = None
         self.exog_cols_: list[str] = []
         self.target_: str = "y"
+        self.ts_column_: str | None = None
+        self.datetime_format_: str | None = None
+        self.series_id_col_: str | None = None
+        self.problem_type_: str = "Regression"
+        self.ml_fitted_: tuple | None = None  # (assembler, model, feature_cols)
+        self._intervals_: DataFrame | None = None
 
     # ------------------------------------------------------------ fit
 
@@ -65,15 +92,7 @@ class AutoTimeSeries:
         names = (
             [self.model_type] if isinstance(self.model_type, str) else list(self.model_type)
         )
-        alias = {
-            "prophet": "fourier",
-            "sarimax": "seasonal_ar",
-            "auto_sarimax": "seasonal_ar",
-            "arima": "seasonal_ar",
-            "ml": "ml_gbt",
-            "stats": "seasonal_ar",
-        }
-        return [alias.get(n.lower(), n.lower()) for n in names]
+        return [_ALIAS.get(n.lower(), n.lower()) for n in names]
 
     def fit(
         self,
@@ -93,11 +112,23 @@ class AutoTimeSeries:
             from auto_ts_spark.session import get_spark
 
             spark = get_spark("auto_ts")
+        raw = read_input(spark, traindata, sep=sep)
+        # store the datetime format so predict() re-parses unseen data
+        # identically (reference strf_time_format, __init__.py:954)
+        self.datetime_format_ = probe_datetime_format(raw, ts_column)
         df = load_ts(
-            spark, traindata, ts_column, target, sep=sep, series_id=series_id
+            spark,
+            raw,
+            ts_column,
+            target,
+            sep=sep,
+            series_id=series_id,
+            datetime_format=self.datetime_format_,
         )
         df = df.withColumnRenamed(target, "y")
         self.target_ = target
+        self.ts_column_ = ts_column
+        self.series_id_col_ = series_id
         self.exog_cols_ = [
             c
             for c, t in df.dtypes
@@ -107,6 +138,10 @@ class AutoTimeSeries:
         self.train_df_ = df.cache()
         self.freq_ = infer_frequency(df)
         self.m_ = self.seasonal_period_override or seasonal_period(self.freq_)
+        self.problem_type_ = detect_problem_type(df, "y")
+
+        if self.problem_type_ != "Regression":
+            return self._fit_classification(spark, df)
 
         names = self._model_names()
         worker_names = [n for n in names if n in WORKER_MODELS]
@@ -129,14 +164,18 @@ class AutoTimeSeries:
                 horizon=self.forecast_period,
                 exog_cols=self.exog_cols_,
             )
+            feat, feature_cols = ML.build_features(
+                df, "y", lags=self.lags, exog_cols=self.exog_cols_
+            )
+            assembler, model = ML.fit_gbt(feat, feature_cols, "y")
+            self.ml_fitted_ = (assembler, model, feature_cols)
             ml_future = ML.recursive_forecast_ml(
                 df,
                 self.forecast_period,
                 lags=self.lags,
                 exog_cols=self.exog_cols_,
+                fitted=self.ml_fitted_,
             )
-            sid = df.select("series_id").first()[0]
-            ml_future.insert(0, "series_id", sid)
             ml_preds = spark.createDataFrame(
                 ml_future[["series_id", "ts", "fold", "yhat"]]
             ).withColumn("model", F.lit("ml_gbt"))
@@ -156,12 +195,51 @@ class AutoTimeSeries:
                 F.col("rmse"),
                 F.lit(None).cast("double").alias("mae"),
                 F.col("n_test").cast("long"),
+                F.col("nrmse").cast("double"),
             )
             scores = scores.unionByName(ml_scores)
         self.scores_ = scores.cache()
         self.leaderboard_ = (
-            REG.leaderboard(self.scores_).orderBy("rank").toPandas()
+            REG.leaderboard(self.scores_, metric=self.score_type)
+            .orderBy("rank")
+            .toPandas()
         )
+        return self
+
+    def _fit_classification(self, spark, df: DataFrame) -> "AutoTimeSeries":
+        """Classification dispatch (reference ml_models.py:35-365,
+        570-616): lag+calendar features → class-weighted classifier;
+        the 'rmse' score column carries the CV error rate (lower is
+        better, so the leaderboard contract holds)."""
+        self.ml_cv_ = ML.cv_scores_ml_classifier(
+            df,
+            lags=self.lags,
+            n_splits=self.n_splits,
+            horizon=self.forecast_period,
+            exog_cols=self.exog_cols_,
+        )
+        counts = df.groupBy("y").count()
+        n_classes = counts.count()
+        feat, feature_cols = ML.build_features(
+            df, "y", lags=self.lags, exog_cols=self.exog_cols_
+        )
+        assembler, model = ML.fit_classifier(
+            feat, feature_cols, "y", n_classes=n_classes
+        )
+        self.ml_fitted_ = (assembler, model, feature_cols)
+        sid = df.select("series_id").first()[0]
+        scores = spark.createDataFrame(self.ml_cv_).select(
+            "model",
+            F.lit(sid).alias("series_id"),
+            "fold",
+            F.col("rmse"),
+            F.lit(None).cast("double").alias("mae"),
+            F.col("n_test").cast("long"),
+            F.col("nrmse").cast("double"),
+        )
+        self.scores_ = scores.cache()
+        self.leaderboard_ = REG.leaderboard(self.scores_).orderBy("rank").toPandas()
+        self.predictions_ = None
         return self
 
     # ------------------------------------------------------ accessors
@@ -186,16 +264,160 @@ class AutoTimeSeries:
 
     # -------------------------------------------------------- predict
 
-    def predict(self, model: str | None = None) -> DataFrame:
-        """Final h-step forecast rows (fold == -1) for the chosen (or
-        best) model: (series_id, ts, yhat)."""
-        if self.predictions_ is None:
-            raise RuntimeError("call fit first")
+    def _resolve_model(self, model: str | None) -> str:
         name = model or self.get_best_model_name()
+        return _ALIAS.get(name.lower(), name.lower()) if isinstance(name, str) else name
+
+    def _stored_forecast(self, name: str, simple: bool) -> DataFrame:
+        out = self.predictions_.filter(
+            (F.col("fold") == -1) & (F.col("model") == name)
+        )
+        if simple:
+            return out.select("series_id", "ts", "yhat").orderBy("series_id", "ts")
+        if self._intervals_ is None:
+            self._intervals_ = REG.with_prediction_intervals(
+                self.predictions_, self.train_df_
+            ).cache()
         return (
-            self.predictions_.filter(
-                (F.col("fold") == -1) & (F.col("model") == name)
+            self._intervals_.filter(F.col("model") == name)
+            .select("series_id", "ts", "yhat", "mean_se", "yhat_lower", "yhat_upper")
+            .orderBy("series_id", "ts")
+        )
+
+    def _load_testdata(self, testdata, sep: str) -> DataFrame:
+        """Re-coerce unseen data exactly like fit did: stored datetime
+        format, same series column, target optional (never required —
+        and never leaked into features)."""
+        spark = self.train_df_.sparkSession
+        raw = read_input(spark, testdata, sep=sep)
+        target = self.target_ if self.target_ in raw.columns else None
+        df = load_ts(
+            spark,
+            raw,
+            self.ts_column_,
+            target,
+            sep=sep,
+            series_id=self.series_id_col_,
+            datetime_format=self.datetime_format_,
+        )
+        if target is not None:
+            df = df.withColumnRenamed(target, "y")
+        return df
+
+    def predict(
+        self,
+        testdata: DataFrame | str | int | None = None,
+        model: str | None = None,
+        *,
+        simple: bool = True,
+        sep: str = ",",
+    ) -> DataFrame:
+        """Forecast (reference auto_ts/__init__.py:910-1008).
+
+        - ``testdata=None``: the h-step forecast computed at fit time
+          for the chosen (or best) model; ``simple=False`` adds
+          ``mean_se``/``yhat_lower``/``yhat_upper`` interval columns
+          (reference build_ml.py:674-680).
+        - ``testdata=int``: a new forecast horizon — stats/worker
+          families only, like the reference (ML needs exog rows).
+        - ``testdata=DataFrame|path``: unseen rows; the ts column is
+          re-parsed with the stored format. ML predicts row-by-row
+          with known exog (build_ml.py:531-683); worker families
+          forecast len(test) steps and align to the test timestamps.
+        """
+        if self.train_df_ is None:
+            raise RuntimeError("call fit first")
+        name = self._resolve_model(model)
+
+        if self.problem_type_ != "Regression":
+            if testdata is None or isinstance(testdata, int):
+                raise ValueError(
+                    "classification predict needs an unseen test frame "
+                    "(reference ml_models.py predict contract)"
+                )
+            return self._predict_ml_testdata(self._load_testdata(testdata, sep))
+
+        if testdata is None:
+            return self._stored_forecast(name, simple)
+
+        if isinstance(testdata, int):
+            if name == "ml_gbt":
+                raise ValueError(
+                    "ML models need a test dataframe with exog rows, not a "
+                    "forecast period (reference __init__.py:938-945)"
+                )
+            return self._forecast_horizon(name, testdata, simple)
+
+        test_df = self._load_testdata(testdata, sep)
+        if name in ("ml_gbt", "ml_gbt_classifier"):
+            return self._predict_ml_testdata(test_df)
+        return self._predict_worker_testdata(name, test_df, simple)
+
+    def _forecast_horizon(self, name: str, horizon: int, simple: bool) -> DataFrame:
+        """Re-run the chosen worker with a new horizon; CV folds are
+        recomputed in the same single applyInPandas stage."""
+        preds = REG.run_all_models(
+            self.train_df_,
+            n_splits=self.n_splits,
+            horizon=horizon,
+            seasonal_period=self.m_,
+            exog_cols=self.exog_cols_,
+            models=[name],
+        )
+        if simple:
+            return (
+                preds.filter(F.col("fold") == -1)
+                .select("series_id", "ts", "yhat")
+                .orderBy("series_id", "ts")
             )
-            .select("series_id", "ts", "yhat")
+        return (
+            REG.with_prediction_intervals(preds, self.train_df_)
+            .select("series_id", "ts", "yhat", "mean_se", "yhat_lower", "yhat_upper")
+            .orderBy("series_id", "ts")
+        )
+
+    def _predict_ml_testdata(self, test_df: DataFrame) -> DataFrame:
+        spark = self.train_df_.sparkSession
+        test_pdf = test_df.select(
+            "series_id", "ts", *self.exog_cols_
+        ).toPandas()
+        out = ML.forecast_ml_on_testdata(
+            self.train_df_,
+            test_pdf,
+            lags=self.lags,
+            exog_cols=self.exog_cols_,
+            fitted=self.ml_fitted_,
+        )
+        return spark.createDataFrame(out[["series_id", "ts", "yhat"]]).orderBy(
+            "series_id", "ts"
+        )
+
+    def _predict_worker_testdata(
+        self, name: str, test_df: DataFrame, simple: bool
+    ) -> DataFrame:
+        """Worker families on unseen rows: forecast as many steps as
+        the longest test series, then align positionally to each
+        series' own test timestamps (the reference indexes the result
+        frame by the test index, build_arima_base.py:310-369)."""
+        from pyspark.sql import Window
+
+        h = (
+            test_df.groupBy("series_id")
+            .count()
+            .agg(F.max("count"))
+            .collect()[0][0]
+        )
+        fc = self._forecast_horizon(name, int(h), simple)
+        wf = Window.partitionBy("series_id").orderBy("ts")
+        fc_rn = fc.withColumn("_rn", F.row_number().over(wf)).drop("ts")
+        test_rn = test_df.select("series_id", "ts").withColumn(
+            "_rn", F.row_number().over(wf)
+        )
+        cols = ["series_id", "ts", "yhat"] + (
+            [] if simple else ["mean_se", "yhat_lower", "yhat_upper"]
+        )
+        return (
+            test_rn.join(fc_rn, ["series_id", "_rn"])
+            .select(*cols)
             .orderBy("series_id", "ts")
         )

@@ -144,6 +144,34 @@ def load_table(
     return df
 
 
+def read_input(
+    spark: SparkSession, path_or_df: str | DataFrame, *, sep: str = ","
+) -> DataFrame:
+    """S1/S2 input dispatch (auto_ts/utils/etl.py:17-85): accept a
+    DataFrame, a parquet path, or a CSV path."""
+    if isinstance(path_or_df, DataFrame):
+        return path_or_df
+    if path_or_df.endswith(".parquet") or path_or_df.endswith("/"):
+        return spark.read.parquet(path_or_df)
+    return (
+        spark.read.option("header", True)
+        .option("sep", sep)
+        .option("inferSchema", True)
+        .csv(path_or_df)
+    )
+
+
+def probe_datetime_format(df: DataFrame, ts_column: str) -> str | None:
+    """Infer the datetime format of a string ts column from a 12-row
+    sample (reference stores ``strf_time_format`` at fit and re-applies
+    it to test data, auto_ts/__init__.py:954 +
+    utils/etl.py:179-226). Returns None for non-string columns."""
+    if dict(df.dtypes).get(ts_column) != "string":
+        return None
+    sample = [r[0] for r in df.select(ts_column).limit(12).collect()]
+    return infer_datetime_format(df.sparkSession, sample)
+
+
 def load_ts(
     spark: SparkSession,
     path_or_df: str | DataFrame,
@@ -162,17 +190,7 @@ def load_ts(
     preserving the reference's target-first column contract
     (auto_ts/models/build_ml.py:416-427).
     """
-    if isinstance(path_or_df, DataFrame):
-        df = path_or_df
-    elif path_or_df.endswith(".parquet") or path_or_df.endswith("/"):
-        df = spark.read.parquet(path_or_df)
-    else:
-        df = (
-            spark.read.option("header", True)
-            .option("sep", sep)
-            .option("inferSchema", True)
-            .csv(path_or_df)
-        )
+    df = read_input(spark, path_or_df, sep=sep)
     df = dedup_columns(df)
 
     if ts_column not in df.columns:
@@ -182,8 +200,7 @@ def load_ts(
     dtype = dict(df.dtypes)[ts_column]
     if dtype == "string":
         if datetime_format is None:
-            sample = [r[0] for r in df.select(ts_column).limit(12).collect()]
-            datetime_format = infer_datetime_format(spark, sample)
+            datetime_format = probe_datetime_format(df, ts_column)
         if datetime_format is None:
             # no known format: tolerate malformed rows as NULL (dropped
             # below) instead of failing the whole scan under ANSI mode

