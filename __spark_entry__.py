@@ -1152,27 +1152,40 @@ SELECT lag, round(acf, 6) AS acf FROM (
 """
 
 
-_SQL_PACF = """
+# Single source of truth for the PACF depth — q_pacf and every clause
+# of _SQL_PACF derive from it (changing one side can't break parity).
+PACF_MAX_LAG = 7
+
+_SQL_PACF = f"""
 WITH RECURSIVE s AS (
   SELECT date_trunc('day', ts) AS ts,
          cast(sum(cast(value AS decimal(20,2))) AS double) AS y
   FROM events GROUP BY 1
 ), l AS (
-  SELECT y, """ + ", ".join(f"lag(y,{k}) OVER (ORDER BY ts) AS l{k}" for k in range(1, 8)) + """
+  SELECT y, """ + ", ".join(
+    f"lag(y,{k}) OVER (ORDER BY ts) AS l{k}" for k in range(1, PACF_MAX_LAG + 1)
+) + """
   FROM s
 ), r AS (
-  SELECT [1.0] || [""" + ", ".join(f"corr(y, l{k})" for k in range(1, 8)) + """] AS rv FROM l
+  SELECT [1.0] || [""" + ", ".join(
+    f"corr(y, l{k})" for k in range(1, PACF_MAX_LAG + 1)
+) + f"""] AS rv FROM l
 ), dl(k, phi) AS (
-  -- Durbin-Levinson: phi is the length-k coefficient vector phi_{k,1..k};
-  -- rv is 1-indexed with rv[m+1] = r_m.
+  -- Durbin-Levinson: phi is the length-k coefficient vector phi_{{k,1..k}};
+  -- rv is 1-indexed with rv[m+1] = r_m. The denominator guard mirrors
+  -- the Spark side (operators/lags.py: den == 0 -> 0.0) so degenerate
+  -- series agree instead of diverging to inf/NULL.
   SELECT 1, [rv[2]] FROM r
   UNION ALL
   SELECT k + 1, list_transform(phi, (p, j) -> p - a * phi[k + 1 - j]) || [a]
   FROM (
     SELECT k, phi,
-      (rv[k+2] - list_sum(list_transform(phi, (p, j) -> p * rv[k+2-j])))
-      / (1 - list_sum(list_transform(phi, (p, j) -> p * rv[j+1]))) AS a
-    FROM dl, r WHERE k < 7
+      CASE WHEN (1 - list_sum(list_transform(phi, (p, j) -> p * rv[j+1]))) = 0
+           THEN 0.0
+           ELSE (rv[k+2] - list_sum(list_transform(phi, (p, j) -> p * rv[k+2-j])))
+                / (1 - list_sum(list_transform(phi, (p, j) -> p * rv[j+1])))
+      END AS a
+    FROM dl, r WHERE k < {PACF_MAX_LAG}
   )
 )
 SELECT cast(k AS int) AS lag, round(phi[k], 6) AS pacf FROM dl ORDER BY k
@@ -1327,7 +1340,7 @@ def q_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("value").cast("decimal(20,2)")).cast("double").alias("y"))
         .withColumn("series_id", F.lit("0"))
     )
-    return pacf(series, "y", 7)
+    return pacf(series, "y", PACF_MAX_LAG)
 
 
 
@@ -1663,14 +1676,28 @@ def q_automl_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_automl_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M13-shape: final 5-step forecast from the fourier family."""
-    from auto_ts_spark.models.registry import run_model, model_registry
+    """M13-shape: final 5-step forecast from the fourier family, with
+    the reference's interval columns (build_ml.py:674-680) attached
+    from out-of-fold residual spread (registry.with_prediction_intervals)."""
+    from auto_ts_spark.models.registry import (
+        model_registry,
+        run_model,
+        with_prediction_intervals,
+    )
 
     series = _daily_series(spark, sf_dir)
     reg = model_registry(seasonal_period=7)
-    preds = run_model(series, reg["fourier"], n_splits=2, horizon=5)
-    return preds.filter(F.col("fold") == -1).select(
-        "series_id", "ts", F.round("yhat", 6).alias("yhat")
+    preds = run_model(series, reg["fourier"], n_splits=2, horizon=5).withColumn(
+        "model", F.lit("fourier")
+    )
+    fut = with_prediction_intervals(preds, series)
+    return fut.select(
+        "series_id",
+        "ts",
+        F.round("yhat", 6).alias("yhat"),
+        F.round("mean_se", 6).alias("mean_se"),
+        F.round("yhat_lower", 6).alias("yhat_lower"),
+        F.round("yhat_upper", 6).alias("yhat_upper"),
     )
 
 
@@ -1885,6 +1912,305 @@ def q_feature_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_predict_feature_splice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic heart of predict(testdata) (reference
+    build_ml.py:531-683 df_pre_test cycle, auto_ts_spark.models.ml.
+    forecast_ml_on_testdata): lag features for the last 8 'unseen'
+    rows are computed over the spliced train∪test series — teacher-
+    forced lags + calendar features, exactly what the model consumes
+    at each predict step. Fully SQL-expressible, so the splice path
+    gets a value-checked CORRECTNESS row (round-2 verdict task 1)."""
+    from pyspark.sql import Window
+
+    from auto_ts_spark.models import ml as ML
+
+    series = _daily_series(spark, sf_dir)
+    feat, _ = ML.build_features(series)
+    w_desc = Window.partitionBy("series_id").orderBy(F.col("ts").desc())
+    tail = feat.withColumn("_rd", F.row_number().over(w_desc)).filter(
+        F.col("_rd") <= 8
+    )
+    return tail.select(
+        "series_id",
+        "ts",
+        F.round("y", 6).alias("y"),
+        F.round("y_lag_1", 6).alias("y_lag_1"),
+        F.round("y_lag_2", 6).alias("y_lag_2"),
+        F.round("y_lag_3", 6).alias("y_lag_3"),
+        "ts_month",
+        "ts_quarter",
+        "ts_dayofweek",
+        "ts_weekend",
+        "ts_dayofmonth",
+    )
+
+
+_SQL_PREDICT_SPLICE = """
+WITH series AS (
+  SELECT date_trunc('day', ts) AS ts, sum(value) AS y
+  FROM events GROUP BY 1
+), feat AS (
+  SELECT ts, y,
+         lag(y, 1) OVER w AS y_lag_1,
+         lag(y, 2) OVER w AS y_lag_2,
+         lag(y, 3) OVER w AS y_lag_3,
+         row_number() OVER (ORDER BY ts DESC) AS rd
+  FROM series
+  WINDOW w AS (ORDER BY ts)
+)
+SELECT '0' AS series_id, ts,
+       round(y, 6) AS y,
+       round(y_lag_1, 6) AS y_lag_1,
+       round(y_lag_2, 6) AS y_lag_2,
+       round(y_lag_3, 6) AS y_lag_3,
+       cast(month(ts) AS int) AS ts_month,
+       cast(quarter(ts) AS int) AS ts_quarter,
+       cast(isodow(ts) - 1 AS int) AS ts_dayofweek,
+       cast(CASE WHEN isodow(ts) >= 6 THEN 1 ELSE 0 END AS int) AS ts_weekend,
+       cast(day(ts) AS int) AS ts_dayofmonth
+FROM feat WHERE rd <= 8
+"""
+
+
+def q_df_test_stationarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W16's decision core as pure Catalyst aggregates: the (no-
+    augmentation) Dickey-Fuller regression Δy = α + β·y_{t-1} + ε
+    solved from population moments — one window stage + one agg, no
+    Python, so the stationarity DECISION gets a value-checked row
+    (the augmented variant stays in adf_stationarity's applyInPandas;
+    same MacKinnon 5% critical value, models/stats.py:22)."""
+    from pyspark.sql import Window
+
+    series = _daily_series(spark, sf_dir)
+    w = Window.partitionBy("series_id").orderBy("ts")
+    base = (
+        series.select(
+            "series_id", F.col("y"), F.lag("y", 1).over(w).alias("_x")
+        )
+        .filter(F.col("_x").isNotNull())
+        .select("series_id", "_x", (F.col("y") - F.col("_x")).alias("_d"))
+    )
+    m = base.groupBy("series_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.var_pop("_x").alias("_vx"),
+        F.var_pop("_d").alias("_vd"),
+        F.covar_pop("_x", "_d").alias("_cxd"),
+    )
+    beta = F.col("_cxd") / F.col("_vx")
+    rss = F.col("n") * (F.col("_vd") - F.col("_cxd") * F.col("_cxd") / F.col("_vx"))
+    se = F.sqrt((rss / (F.col("n") - 2)) / (F.col("n") * F.col("_vx")))
+    t = beta / se
+    return m.select(
+        "series_id",
+        "n",
+        F.round(beta, 6).alias("beta"),
+        F.round(t, 6).alias("df_tstat"),
+        (t < F.lit(-2.86)).alias("stationary"),
+    )
+
+
+_SQL_DF_TEST = """
+WITH series AS (
+  SELECT date_trunc('day', ts) AS ts, sum(value) AS y
+  FROM events GROUP BY 1
+), base AS (
+  SELECT y, lag(y) OVER (ORDER BY ts) AS x FROM series
+), d AS (
+  SELECT x, y - x AS dy FROM base WHERE x IS NOT NULL
+), m AS (
+  SELECT cast(count(*) AS BIGINT) AS n,
+         var_pop(x) AS vx, var_pop(dy) AS vd, covar_pop(x, dy) AS cxd
+  FROM d
+)
+SELECT '0' AS series_id, n,
+       round(cxd / vx, 6) AS beta,
+       round((cxd / vx) / sqrt((n * (vd - cxd * cxd / vx) / (n - 2)) / (n * vx)), 6)
+         AS df_tstat,
+       (cxd / vx) / sqrt((n * (vd - cxd * cxd / vx) / (n - 2)) / (n * vx)) < -2.86
+         AS stationary
+FROM m
+"""
+
+
+def q_snaive_forecast_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W15 + intervals, value-checked end to end: a 7-step seasonal-
+    naive forecast (yhat(T+h) = y(T+h-7)) with prediction intervals
+    from the empirical 2.5/97.5% quantiles of the in-sample seasonal-
+    naive residuals — the model-free analogue of the reference's
+    mean_ci_lower/upper (build_arima_base.py:310-369). The worker-
+    model forecasts share this splice+interval contract but their fits
+    aren't SQL-expressible; this pins the contract itself."""
+    from pyspark.sql import Window
+
+    m_, h_ = 7, 7
+    series = _daily_series(spark, sf_dir)
+    w = Window.partitionBy("series_id").orderBy("ts")
+    w_desc = Window.partitionBy("series_id").orderBy(F.col("ts").desc())
+
+    resid = series.select(
+        "series_id", (F.col("y") - F.lag("y", m_).over(w)).alias("_r")
+    ).filter(F.col("_r").isNotNull())
+    q = resid.groupBy("series_id").agg(
+        F.percentile("_r", F.lit(0.025)).alias("_qlo"),
+        F.percentile("_r", F.lit(0.975)).alias("_qhi"),
+    )
+    last = series.groupBy("series_id").agg(F.max("ts").alias("_last_ts"))
+    tail = series.withColumn("_rd", F.row_number().over(w_desc)).filter(
+        F.col("_rd") <= m_
+    )
+    steps = spark.range(1, h_ + 1).select(F.col("id").cast("int").alias("step"))
+    fc = (
+        tail.join(F.broadcast(steps), F.col("_rd") == m_ + 1 - F.col("step"))
+        .join(F.broadcast(last), "series_id")
+        .join(F.broadcast(q), "series_id")
+    )
+    return fc.select(
+        "series_id",
+        F.timestamp_add("DAY", F.col("step"), F.col("_last_ts")).alias("ts"),
+        "step",
+        F.round("y", 6).alias("yhat"),
+        F.round(F.col("y") + F.col("_qlo"), 6).alias("yhat_lower"),
+        F.round(F.col("y") + F.col("_qhi"), 6).alias("yhat_upper"),
+    )
+
+
+_SQL_SNAIVE_INTERVALS = """
+WITH series AS (
+  SELECT date_trunc('day', ts) AS ts, sum(value) AS y
+  FROM events GROUP BY 1
+), ranked AS (
+  SELECT ts, y, row_number() OVER (ORDER BY ts DESC) AS rd FROM series
+), last AS (SELECT max(ts) AS last_ts FROM series),
+resid AS (
+  SELECT y - lag(y, 7) OVER (ORDER BY ts) AS r FROM series
+), q AS (
+  SELECT quantile_cont(r, 0.025) AS qlo, quantile_cont(r, 0.975) AS qhi
+  FROM resid WHERE r IS NOT NULL
+), steps AS (SELECT cast(unnest(range(1, 8)) AS int) AS step)
+SELECT '0' AS series_id,
+       last_ts + step * INTERVAL 1 DAY AS ts,
+       step,
+       round(y, 6) AS yhat,
+       round(y + qlo, 6) AS yhat_lower,
+       round(y + qhi, 6) AS yhat_upper
+FROM ranked, last, q, steps
+WHERE rd = 8 - step
+"""
+
+
+def q_lsh_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality gate as a checkable row (round-2 verdict task 4):
+    recall@3 of hyperplane-LSH vs the exact brute-force top-3 over 20
+    query vectors must clear 0.5 (the tests' floor for 4-plane ×
+    8-table LSH). The oracle pins (n_queries, k, recall_ok) — if the
+    LSH pipeline regresses, recall_ok flips and the hash check fails."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    bf = SIM.brute_force_topk(emb, q, k=3).select("query_id", "neighbor_id")
+    ann = SIM.lsh_topk(emb, q, k=3, n_planes=4, n_tables=8).select(
+        "query_id", "neighbor_id", F.lit(1).alias("_hit")
+    )
+    hits = bf.join(ann, ["query_id", "neighbor_id"], "left").agg(
+        F.count(F.lit(1)).alias("_n_true"),
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("_n_hit"),
+    )
+    nq = q.agg(F.countDistinct("vec_id").alias("n_queries"))
+    return nq.crossJoin(hits).select(
+        "n_queries",
+        F.lit(3).cast("int").alias("k"),
+        (F.col("_n_hit") / F.col("_n_true") >= 0.5).alias("recall_ok"),
+    )
+
+
+_SQL_LSH_RECALL = """
+SELECT cast(count(DISTINCT vec_id) AS BIGINT) AS n_queries,
+       cast(3 AS int) AS k,
+       true AS recall_ok
+FROM embeddings WHERE vec_id < 20
+"""
+
+
+def q_ivf_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF exactness gate: probing ALL cells makes IVF ≡ brute force,
+    so recall@3 is exactly 1.0 — a value-checked row that exercises
+    the whole IVF machinery (driver-sampled k-means quantizer,
+    cell-probe equi-join, exact rescore) and fails if any of it
+    regresses. Partial-probe recall stays a pytest property."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    bf = SIM.brute_force_topk(emb, q, k=3).select("query_id", "neighbor_id")
+    ivf = SIM.ivf_topk(emb, q, k=3, n_centroids=8, n_probe=8).select(
+        "query_id", "neighbor_id", F.lit(1).alias("_hit")
+    )
+    hits = bf.join(ivf, ["query_id", "neighbor_id"], "left").agg(
+        F.count(F.lit(1)).alias("_n_true"),
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("_n_hit"),
+    )
+    nq = q.agg(F.countDistinct("vec_id").alias("n_queries"))
+    return nq.crossJoin(hits).select(
+        "n_queries",
+        F.lit(3).cast("int").alias("k"),
+        F.round(F.col("_n_hit") / F.col("_n_true"), 6).alias("recall"),
+    )
+
+
+_SQL_IVF_RECALL = """
+SELECT cast(count(DISTINCT vec_id) AS BIGINT) AS n_queries,
+       cast(3 AS int) AS k,
+       cast(1.0 AS double) AS recall
+FROM embeddings WHERE vec_id < 5
+"""
+
+
+# The multimodal decode stub is a declared deterministic fake
+# (operators/multimodal.py:67-73: numpy RandomState seeded from the
+# content bytes) — so its features are platform-stable constants and
+# the plumbing (schema, mapInPandas batching, row routing) gets a real
+# value-checked oracle. Regenerate with the snippet in
+# tests/test_multimodal_oracle.py if the stub ever changes.
+_SQL_MULTIMODAL = """
+SELECT cast(media_id AS BIGINT) AS media_id,
+       cast(mean_r AS double) AS mean_r,
+       cast(mean_g AS double) AS mean_g,
+       cast(mean_b AS double) AS mean_b,
+       cast(std_gray AS double) AS std_gray
+FROM (VALUES
+  (0, 127.279948, 127.591797, 128.250977, 42.127434),
+  (1, 123.975196, 127.24584, 127.629827, 42.02683),
+  (2, 129.618788, 128.117576, 126.422727, 42.542626),
+  (3, 126.407375, 126.635645, 128.273047, 42.872681),
+  (4, 127.912048, 127.996889, 125.791572, 43.188408),
+  (5, 128.283292, 127.559475, 126.352748, 42.745084),
+  (6, 127.162202, 125.727381, 129.49256, 43.043759),
+  (7, 128.110089, 129.662547, 128.268468, 42.458792),
+  (8, 130.194375, 127.470938, 129.20375, 42.945511),
+  (9, 125.790649, 127.703771, 124.782202, 42.495761),
+  (10, 125.992133, 127.917249, 126.069056, 42.352329),
+  (11, 127.196846, 129.640665, 128.641509, 42.928672),
+  (12, 130.101716, 126.393382, 123.846814, 42.044279),
+  (13, 126.7273, 125.500739, 126.55102, 43.292764),
+  (14, 127.403429, 127.398, 129.396, 41.999013),
+  (15, 128.264015, 126.75145, 127.281966, 42.318025),
+  (16, 126.033053, 128.686599, 129.110276, 42.721031),
+  (17, 127.467925, 126.806676, 128.23193, 42.554597),
+  (18, 127.209912, 127.825442, 125.544508, 42.320579),
+  (19, 127.455376, 128.131282, 129.084069, 42.364405),
+  (20, 126.640294, 127.278824, 128.187353, 43.62533),
+  (21, 127.902245, 126.225632, 128.416311, 42.328542),
+  (22, 127.18022, 127.670879, 125.879121, 42.964217),
+  (23, 128.549296, 129.127292, 126.731863, 42.247318),
+  (24, 126.703451, 127.19987, 128.754557, 42.729143),
+  (25, 126.302983, 128.013501, 126.460911, 42.554416),
+  (26, 127.640606, 127.280606, 128.733939, 42.92655),
+  (27, 127.507463, 128.526485, 130.763243, 42.697598),
+  (28, 128.090498, 128.289027, 127.071833, 42.665979),
+  (29, 128.898004, 126.89773, 128.34181, 42.549496),
+  (30, 130.636607, 127.769048, 126.035417, 43.265104),
+  (31, 127.688129, 127.159529, 129.300949, 42.582704)
+) AS t(media_id, mean_r, mean_g, mean_b, std_gray)
+"""
+
+
 # ---------------------------------------------------------------- contract
 
 _ORACLE: dict[str, str] = {
@@ -1938,6 +2264,12 @@ _ORACLE: dict[str, str] = {
     "bucketed_join_revenue": _SQL_BUCKETED_JOIN,
     "range_join_window": _SQL_RANGE_JOIN,
     "pacf": _SQL_PACF,
+    "predict_feature_splice": _SQL_PREDICT_SPLICE,
+    "df_test_stationarity": _SQL_DF_TEST,
+    "snaive_forecast_intervals": _SQL_SNAIVE_INTERVALS,
+    "lsh_ann_recall": _SQL_LSH_RECALL,
+    "ivf_ann_recall": _SQL_IVF_RECALL,
+    "multimodal_features": _SQL_MULTIMODAL,
 }
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1991,13 +2323,18 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bucketed_join_revenue": q_bucketed_join_revenue,
     "range_join_window": q_range_join_window,
     "pacf": q_pacf,
+    "predict_feature_splice": q_predict_feature_splice,
+    "df_test_stationarity": q_df_test_stationarity,
+    "snaive_forecast_intervals": q_snaive_forecast_intervals,
+    "lsh_ann_recall": q_lsh_ann_recall,
+    "ivf_ann_recall": q_ivf_ann_recall,
+    "multimodal_features": q_multimodal_features,
     # non-SQL-expressible (rows-only checks)
     "adf_stationarity": q_adf_stationarity,
     "automl_leaderboard": q_automl_leaderboard,
     "automl_forecast": q_automl_forecast,
     "lsh_ann_topk": q_lsh_ann_topk,
     "ivf_ann_topk": q_ivf_ann_topk,
-    "multimodal_features": q_multimodal_features,
     "feature_importance": q_feature_importance,
 }
 

@@ -28,7 +28,6 @@ def test_contract_shapes():
         "automl_forecast",
         "lsh_ann_topk",
         "ivf_ann_topk",
-        "multimodal_features",
         "feature_importance",
     }
 
