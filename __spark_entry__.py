@@ -1259,8 +1259,10 @@ SELECT 'user_id',
 
 def q_label_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M12: NaN/unseen-safe label encoding — fit on the non-error
-    events (so 'error' is unseen at transform time and must land on
-    max_code+1), transform all events, summarize per (value, code)."""
+    events (so 'error' is unseen at transform time and must get its
+    own code past max_code, sorted among the unseen — reference
+    my_encoders.py:81-95 grows the dict per unseen value), transform
+    all events, summarize per (value, code)."""
     from auto_ts_spark.operators.encoders import label_encode
 
     ev = load_table(spark, sf_dir, "events")
@@ -1281,10 +1283,16 @@ _SQL_LABEL_ENCODE = """
 WITH m AS (
   SELECT value, row_number() OVER (ORDER BY value) - 1 AS code
   FROM (SELECT DISTINCT event_type AS value FROM events WHERE event_type <> 'error')
-), mx AS (SELECT max(code) AS mc FROM m)
-SELECT e.event_type, cast(coalesce(m.code, mx.mc + 1) AS bigint) AS code,
+), mx AS (SELECT max(code) AS mc FROM m),
+u AS (
+  SELECT value, mc + row_number() OVER (ORDER BY value) AS code
+  FROM (SELECT DISTINCT event_type AS value FROM events
+        WHERE event_type NOT IN (SELECT value FROM m)) CROSS JOIN mx
+)
+SELECT e.event_type, cast(coalesce(m.code, u.code) AS bigint) AS code,
        count(*) AS n
-FROM events e LEFT JOIN m ON e.event_type = m.value CROSS JOIN mx
+FROM events e LEFT JOIN m ON e.event_type = m.value
+              LEFT JOIN u ON e.event_type = u.value
 GROUP BY 1, 2
 """
 
