@@ -59,7 +59,16 @@ class AutoTimeSeries:
         seasonal_period: int | None = None,
         lags: int = 3,
         score_type: str = "rmse",
+        model_config: dict | None = None,
+        ml_tune: bool = False,
     ) -> None:
+        """``model_config`` forwards the Prophet-family configuration
+        surface (growth/cap/seasonality_mode/holidays/seasonal_periods,
+        reference build_prophet.py:70-80, 587-649) to the fourier
+        worker. ``ml_tune=True`` picks the GBT boost rounds on a
+        temporal holdout before CV (reference ml_models.py:340-365
+        xgb.cv early stopping; off by default — the reference caps its
+        own search effort on larger data the same way)."""
         if score_type not in ("rmse", "normalized_rmse"):
             raise ValueError("score_type must be 'rmse' or 'normalized_rmse'")
         self.forecast_period = max(forecast_period, 1)
@@ -68,6 +77,11 @@ class AutoTimeSeries:
         self.seasonal_period_override = seasonal_period
         self.lags = lags
         self.score_type = score_type
+        self.model_config = dict(model_config or {})
+        self.ml_tune = ml_tune
+        self.ml_max_iter_: int = 40
+        self.ml_trials_: pd.DataFrame | None = None
+        self.multi_: dict[str, "AutoTimeSeries"] | None = None
         self.freq_: str | None = None
         self.m_: int | None = None
         self.scores_: DataFrame | None = None
@@ -98,11 +112,15 @@ class AutoTimeSeries:
         self,
         traindata: DataFrame | str,
         ts_column: str,
-        target: str,
+        target: str | list[str],
         *,
         sep: str = ",",
         series_id: str | None = None,
     ) -> "AutoTimeSeries":
+        if isinstance(target, (list, tuple)):
+            return self._fit_multi_label(
+                traindata, ts_column, list(target), sep=sep, series_id=series_id
+            )
         spark = (
             traindata.sparkSession
             if isinstance(traindata, DataFrame)
@@ -154,20 +172,31 @@ class AutoTimeSeries:
                 seasonal_period=self.m_,
                 exog_cols=self.exog_cols_,
                 models=worker_names,
+                fourier_config=self.model_config,
             )
             preds_parts.append(preds)
         if "ml_gbt" in names:
+            if self.ml_tune:
+                self.ml_max_iter_, self.ml_trials_ = ML.tune_gbt_max_iter(
+                    df,
+                    lags=self.lags,
+                    exog_cols=self.exog_cols_,
+                    holdout=self.forecast_period,
+                )
             self.ml_cv_ = ML.cv_scores_ml(
                 df,
                 lags=self.lags,
                 n_splits=self.n_splits,
                 horizon=self.forecast_period,
                 exog_cols=self.exog_cols_,
+                max_iter=self.ml_max_iter_,
             )
             feat, feature_cols = ML.build_features(
                 df, "y", lags=self.lags, exog_cols=self.exog_cols_
             )
-            assembler, model = ML.fit_gbt(feat, feature_cols, "y")
+            assembler, model = ML.fit_gbt(
+                feat, feature_cols, "y", max_iter=self.ml_max_iter_
+            )
             self.ml_fitted_ = (assembler, model, feature_cols)
             ml_future = ML.recursive_forecast_ml(
                 df,
@@ -204,6 +233,49 @@ class AutoTimeSeries:
             .orderBy("rank")
             .toPandas()
         )
+        return self
+
+    def _fit_multi_label(
+        self,
+        traindata,
+        ts_column: str,
+        targets: list[str],
+        *,
+        sep: str,
+        series_id: str | None,
+    ) -> "AutoTimeSeries":
+        """Multi-label targets (reference auto_ts/__init__.py:281-291 +
+        ml_models.py:302-322 MultiOutputRegressor): one independent
+        single-target pipeline per label — exactly MultiOutput's
+        per-output decomposition — with the leaderboard and predictions
+        concatenated under a ``target`` column."""
+        import copy as _copy
+
+        self.multi_ = {}
+        boards = []
+        for t in targets:
+            sub = AutoTimeSeries(
+                forecast_period=self.forecast_period,
+                n_splits=self.n_splits,
+                model_type=self.model_type,
+                seasonal_period=self.seasonal_period_override,
+                lags=self.lags,
+                score_type=self.score_type,
+                model_config=_copy.deepcopy(self.model_config),
+                ml_tune=self.ml_tune,
+            )
+            other = [o for o in targets if o != t]
+            data = traindata.drop(*other) if isinstance(traindata, DataFrame) else traindata
+            sub.fit(data, ts_column, t, sep=sep, series_id=series_id)
+            self.multi_[t] = sub
+            board = sub.get_leaderboard().copy()
+            board.insert(0, "target", t)
+            boards.append(board)
+        self.target_ = targets  # type: ignore[assignment]
+        self.ts_column_ = ts_column
+        self.leaderboard_ = pd.concat(boards, ignore_index=True)
+        self.train_df_ = next(iter(self.multi_.values())).train_df_
+        self.problem_type_ = next(iter(self.multi_.values())).problem_type_
         return self
 
     def _fit_classification(self, spark, df: DataFrame) -> "AutoTimeSeries":
@@ -327,6 +399,17 @@ class AutoTimeSeries:
         """
         if self.train_df_ is None:
             raise RuntimeError("call fit first")
+        if self.multi_ is not None:
+            parts = [
+                sub.predict(testdata, model, simple=simple, sep=sep).withColumn(
+                    "target", F.lit(t)
+                )
+                for t, sub in self.multi_.items()
+            ]
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            return out
         name = self._resolve_model(model)
 
         if self.problem_type_ != "Regression":
@@ -363,6 +446,7 @@ class AutoTimeSeries:
             seasonal_period=self.m_,
             exog_cols=self.exog_cols_,
             models=[name],
+            fourier_config=self.model_config,
         )
         if simple:
             return (

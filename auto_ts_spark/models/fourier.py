@@ -8,6 +8,22 @@ squares in numpy. Deterministic (no MCMC), which the golden-test
 strategy (SURVEY.md §5) prefers, and orders of magnitude cheaper per
 series; one fit is a single ~(n × 2K+2) lstsq.
 
+Prophet configuration surface (reference build_prophet.py:70-80,
+587-649), re-expressed:
+- ``growth='logistic'`` + ``cap``: y is mapped through the logit
+  ``log(y/(cap-y))``, fitted linearly, and inverted — the saturating
+  trend shape without Stan.
+- ``seasonality_mode='multiplicative'``: fit on log y (requires y>0;
+  falls back to additive otherwise) — Prophet's trend·(1+s) becomes
+  additive in log space.
+- ``holidays``: a list of dates (ONE shared indicator regressor — the
+  coefficient is learned from past occurrences and applied to future
+  ones) or a dict {name: [dates]} (one regressor per holiday name,
+  Prophet's holiday-frame semantics: occurrences share a coefficient).
+- ``seasonal_periods``: extra (period, k) Fourier blocks — the
+  freq→add_seasonality map (build_prophet.py:587-649) that adds e.g.
+  weekly + yearly terms for daily data.
+
 Runs inside applyInPandas workers — see models/registry.py.
 """
 
@@ -19,13 +35,21 @@ import pandas as pd
 from auto_ts_spark.models.base import expanding_fold_bounds, future_timestamps
 
 
-def _design(t: np.ndarray, period: float, k_fourier: int, exog: np.ndarray | None) -> np.ndarray:
+def _design(
+    t: np.ndarray,
+    periods: list[tuple[float, int]],
+    exog: np.ndarray | None,
+    holiday_ind: np.ndarray | None = None,
+) -> np.ndarray:
     cols = [np.ones_like(t), t]
-    for k in range(1, k_fourier + 1):
-        ang = 2.0 * np.pi * k * t / period
-        cols.append(np.sin(ang))
-        cols.append(np.cos(ang))
+    for period, k_fourier in periods:
+        for k in range(1, k_fourier + 1):
+            ang = 2.0 * np.pi * k * t / period
+            cols.append(np.sin(ang))
+            cols.append(np.cos(ang))
     X = np.column_stack(cols)
+    if holiday_ind is not None and holiday_ind.size:
+        X = np.column_stack([X, holiday_ind])
     if exog is not None and exog.size:
         X = np.column_stack([X, exog])
     return X
@@ -37,6 +61,23 @@ def _fit_beta(X: np.ndarray, y: np.ndarray, ridge: float = 1e-8) -> np.ndarray:
     return np.linalg.solve(XtX, X.T @ y)
 
 
+def seasonality_blocks(freq_seconds: float) -> list[tuple[float, int]]:
+    """freq → default extra seasonalities, mirroring the reference's
+    time_interval → add_seasonality map (build_prophet.py:587-649):
+    sub-daily data gets daily+weekly blocks, daily gets weekly+yearly,
+    weekly gets yearly."""
+    day = 86400.0
+    if freq_seconds <= 0:
+        return []
+    if freq_seconds < day:  # hourly/minutely
+        return [(day / freq_seconds, 3), (7 * day / freq_seconds, 3)]
+    if freq_seconds < 7 * day:  # daily
+        return [(7 * day / freq_seconds, 3), (365.25 * day / freq_seconds, 5)]
+    if freq_seconds < 28 * day:  # weekly
+        return [(365.25 * day / freq_seconds, 5)]
+    return []
+
+
 def forecast_fourier(
     pdf: pd.DataFrame,
     folds: list[tuple[int, int]],
@@ -45,55 +86,96 @@ def forecast_fourier(
     seasonal_period: int = 12,
     k_fourier: int = 3,
     exog_cols: list[str] | None = None,
+    growth: str = "linear",
+    cap: float | None = None,
+    seasonality_mode: str = "additive",
+    holidays: list | None = None,
+    seasonal_periods: list[tuple[float, int]] | None = None,
 ) -> pd.DataFrame:
     """Per-series worker: CV test predictions per fold + final forecast
     (fold = -1). Exog future values are persisted (last observed) when
     the future frame has none — same policy as the reference's
     univariate future frame."""
     pdf = pdf.sort_values("ts").reset_index(drop=True)
-    y = pdf["y"].to_numpy(dtype=float)
+    y_raw = pdf["y"].to_numpy(dtype=float)
     n = len(pdf)
-    exog = (
-        pdf[exog_cols].to_numpy(dtype=float) if exog_cols else None
-    )
+
+    # --- target transform (growth / seasonality_mode), with inverse
+    eps = 1e-9
+    if growth == "logistic" and cap is not None and np.all(y_raw < cap) and np.all(
+        y_raw > 0
+    ):
+        fwd = lambda v: np.log(np.clip(v, eps, cap - eps) / (cap - np.clip(v, eps, cap - eps)))  # noqa: E731
+        inv = lambda v: cap / (1.0 + np.exp(-v))  # noqa: E731
+    elif seasonality_mode == "multiplicative" and np.all(y_raw > 0):
+        fwd, inv = np.log, np.exp
+    else:
+        fwd = inv = lambda v: v  # noqa: E731
+    y = fwd(y_raw)
+
+    exog = pdf[exog_cols].to_numpy(dtype=float) if exog_cols else None
     t_all = np.arange(n, dtype=float)
-    out_rows: list[pd.DataFrame] = []
-
-    def fit_predict(train_n: int, idx_pred: np.ndarray) -> np.ndarray:
-        Xtr = _design(
-            t_all[:train_n], seasonal_period, k_fourier, exog[:train_n] if exog is not None else None
-        )
-        beta = _fit_beta(Xtr, y[:train_n])
-        ex_pred = None
-        if exog is not None:
-            in_range = idx_pred[idx_pred < n]
-            ex_pred = exog[np.clip(idx_pred, 0, n - 1)]
-            if len(in_range) < len(idx_pred):  # persist last row for future steps
-                ex_pred[idx_pred >= n] = exog[train_n - 1]
-        Xp = _design(idx_pred.astype(float), seasonal_period, k_fourier, ex_pred)
-        return Xp @ beta
-
-    for fold, (train_end, test_end) in enumerate(folds):
-        idx = np.arange(train_end, test_end)
-        yhat = fit_predict(train_end, idx)
-        out_rows.append(
-            pd.DataFrame({"ts": pdf["ts"].iloc[train_end:test_end].to_numpy(), "fold": fold, "yhat": yhat})
-        )
+    periods: list[tuple[float, int]] = [(float(seasonal_period), k_fourier)] if (
+        seasonal_period and seasonal_period > 1
+    ) else []
+    periods += list(seasonal_periods or [])
 
     freq_s = (
         (pdf["ts"].iloc[-1] - pdf["ts"].iloc[0]).total_seconds() / max(n - 1, 1)
         if n > 1
         else 86400.0
     )
-    future_idx = np.arange(n, n + horizon)
-    yhat_future = fit_predict(n, future_idx)
-    out_rows.append(
-        pd.DataFrame(
-            {
-                "ts": future_timestamps(pdf["ts"].iloc[-1], horizon, freq_s).to_numpy(),
-                "fold": -1,
-                "yhat": yhat_future,
-            }
+    if isinstance(holidays, dict):
+        hol_groups = [
+            {pd.Timestamp(h).normalize() for h in dates}
+            for _, dates in sorted(holidays.items())
+        ]
+    elif holidays:
+        hol_groups = [{pd.Timestamp(h).normalize() for h in holidays}]
+    else:
+        hol_groups = []
+
+    def holiday_matrix(ts_vals: pd.Series) -> np.ndarray | None:
+        if not hol_groups:
+            return None
+        norm = pd.DatetimeIndex(ts_vals).normalize()
+        return np.column_stack(
+            [norm.isin(sorted(g)).astype(float) for g in hol_groups]
         )
+
+    hol_all = holiday_matrix(pdf["ts"])
+    out_rows: list[pd.DataFrame] = []
+
+    def fit_predict(train_n: int, idx_pred: np.ndarray, ts_pred: pd.Series) -> np.ndarray:
+        Xtr = _design(
+            t_all[:train_n],
+            periods,
+            exog[:train_n] if exog is not None else None,
+            hol_all[:train_n] if hol_all is not None else None,
+        )
+        beta = _fit_beta(Xtr, y[:train_n])
+        ex_pred = None
+        if exog is not None:
+            ex_pred = exog[np.clip(idx_pred, 0, n - 1)]
+            if (idx_pred >= n).any():  # persist last row for future steps
+                ex_pred[idx_pred >= n] = exog[train_n - 1]
+        Xp = _design(
+            idx_pred.astype(float), periods, ex_pred, holiday_matrix(ts_pred)
+        )
+        return inv(Xp @ beta)
+
+    for fold, (train_end, test_end) in enumerate(folds):
+        idx = np.arange(train_end, test_end)
+        ts_pred = pdf["ts"].iloc[train_end:test_end]
+        yhat = fit_predict(train_end, idx, ts_pred)
+        out_rows.append(
+            pd.DataFrame({"ts": ts_pred.to_numpy(), "fold": fold, "yhat": yhat})
+        )
+
+    future_idx = np.arange(n, n + horizon)
+    future_ts = future_timestamps(pdf["ts"].iloc[-1], horizon, freq_s)
+    yhat_future = fit_predict(n, future_idx, pd.Series(future_ts))
+    out_rows.append(
+        pd.DataFrame({"ts": future_ts.to_numpy(), "fold": -1, "yhat": yhat_future})
     )
     return pd.concat(out_rows, ignore_index=True)

@@ -117,6 +117,46 @@ def fit_classifier(
     return assembler, clf.fit(assembled)
 
 
+def tune_gbt_max_iter(
+    df: DataFrame,
+    *,
+    target: str = "y",
+    lags: int = 3,
+    exog_cols: list[str] | None = None,
+    candidates: tuple[int, ...] = (10, 20, 40, 80),
+    holdout: int = 8,
+) -> tuple[int, pd.DataFrame]:
+    """M9's boost-round tuning (reference ml_models.py:340-365:
+    ``xgb.cv(nfold=5, early_stopping_rounds=10)`` picks
+    num_boost_rounds), re-expressed for time series: hold out each
+    series' last ``holdout`` rows, fit each candidate maxIter on the
+    prefix, score one-step-ahead RMSE on the holdout, return the
+    argmin (and the trial table). Random k-fold CV would leak future
+    rows into training, so the temporal holdout replaces nfold=5.
+
+    Cost: len(candidates) distributed fits — the candidate axis is
+    small and sequential like the reference's early-stopping sweep.
+    """
+    feat, feature_cols = build_features(df, target, lags=lags, exog_cols=exog_cols)
+    feat = _per_series_cutoff(feat, 1, holdout).cache()
+    cut = F.col("_n") - holdout
+    train = feat.filter(F.col("rn") <= cut)
+    val = feat.filter(F.col("rn") > cut)
+    rows = []
+    for m in candidates:
+        _, model = fit_gbt(train, feature_cols, target, max_iter=m)
+        assembler = VectorAssembler(inputCols=feature_cols, outputCol="features")
+        pred = model.transform(assembler.transform(val))
+        rmse = pred.agg(
+            F.sqrt(F.avg(F.pow(F.col(target) - F.col("prediction"), 2))).alias("r")
+        ).collect()[0]["r"]
+        rows.append({"max_iter": m, "rmse": float(rmse)})
+    feat.unpersist()
+    trials = pd.DataFrame(rows)
+    best = int(trials.sort_values(["rmse", "max_iter"]).iloc[0]["max_iter"])
+    return best, trials
+
+
 def feature_importances(model, feature_cols: list[str]) -> pd.DataFrame:
     """O3 (auto_ts/models/ml_models.py:159-176): ranked feature
     importances of a fitted tree ensemble. The reference sorts the
@@ -152,6 +192,7 @@ def cv_scores_ml(
     n_splits: int = 3,
     horizon: int = 8,
     exog_cols: list[str] | None = None,
+    max_iter: int = 40,
 ) -> pd.DataFrame:
     """Expanding-window CV: per fold, train on every series' prefix,
     score the next ``horizon`` rows of each series (one-step-ahead
@@ -170,7 +211,7 @@ def cv_scores_ml(
         )
         if train.limit(1).count() == 0:
             continue
-        assembler, model = fit_gbt(train, feature_cols, target)
+        assembler, model = fit_gbt(train, feature_cols, target, max_iter=max_iter)
         pred = model.transform(assembler.transform(test))
         agg = pred.agg(
             F.sqrt(F.avg(F.pow(F.col(target) - F.col("prediction"), 2))).alias("rmse"),

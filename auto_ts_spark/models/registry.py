@@ -35,16 +35,24 @@ PRED_SCHEMA = "series_id string, ts timestamp, fold int, yhat double"
 
 
 def model_registry(
-    *, seasonal_period: int = 12, exog_cols: list[str] | None = None
+    *,
+    seasonal_period: int = 12,
+    exog_cols: list[str] | None = None,
+    fourier_config: dict | None = None,
 ) -> dict[str, Callable]:
     """Per-series forecast workers, keyed by reference model family:
     'fourier' ≈ Prophet, 'seasonal_ar' ≈ (auto-)SARIMAX, 'var' ≈ VAR.
-    The ML family is Spark-side (models/ml.py), not a worker."""
+    The ML family is Spark-side (models/ml.py), not a worker.
+
+    ``fourier_config`` forwards the Prophet configuration surface
+    (growth/cap/seasonality_mode/holidays/seasonal_periods — reference
+    build_prophet.py:70-80, 587-649) into the fourier worker."""
     return {
         "fourier": partial(
             FOUR.forecast_fourier,
             seasonal_period=seasonal_period,
             exog_cols=exog_cols,
+            **(fourier_config or {}),
         ),
         "seasonal_ar": partial(
             AR.forecast_seasonal_ar, seasonal_period=seasonal_period
@@ -82,6 +90,7 @@ def run_all_models(
     seasonal_period: int = 12,
     exog_cols: list[str] | None = None,
     models: list[str] | None = None,
+    fourier_config: dict | None = None,
 ) -> DataFrame:
     """All (series × model) fits in ONE applyInPandas stage.
 
@@ -92,7 +101,11 @@ def run_all_models(
     anyway); on a cluster this packs #series × #models independent
     tasks into a single stage, which AQE sizes as one unit.
     """
-    reg = model_registry(seasonal_period=seasonal_period, exog_cols=exog_cols)
+    reg = model_registry(
+        seasonal_period=seasonal_period,
+        exog_cols=exog_cols,
+        fourier_config=fourier_config,
+    )
     names = models or list(reg)
 
     def apply_fn(key, pdf):  # no hints: (key, pdf) form is inferred by arity

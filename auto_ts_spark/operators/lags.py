@@ -17,10 +17,18 @@ Scale notes: every function windows over
 series the work distributes across executors with one shuffle on
 series_id (and Catalyst reuses that single partitioning across all lag
 columns: N lags = one shuffle, one window node). For a single giant
-series the window degenerates to one task; callers that need a
-partition-free global order should pre-shard by a coarse time bucket
-and splice boundaries (documented engine limitation, same as the
-reference's single-machine constraint).
+series that window degenerates to one task — use the ``sharded_*``
+variants below, which time-shard the series (partitioning.shard_series:
+two-pass global row number → shard id → boundary rows spliced into the
+next shard as context) so one 100 TB series becomes n/shard_rows
+independent tasks with bit-identical results (parity-tested).
+
+Measured crossover (BASELINE.md r3 probe): sharding costs ~3 shuffles
+vs the global path's one, so the global single-task sort wins at 2M
+rows (3.8 s vs 9.8 s) and breaks even around 10M (9.2 s vs 10.5 s on
+local[32]). Past that the single sort task degrades super-linearly
+and eventually spills/OOMs — reach for ``sharded_*`` there; it stays
+n/shard_rows-parallel at any size.
 """
 
 from __future__ import annotations
@@ -182,6 +190,124 @@ def rolling_stats(
             e = F.when(cnt >= window_size, e)
         exprs.append(e.alias(f"rolling_{s}_{window_size}_{col}"))
     return df.select("*", *exprs)
+
+
+def sharded_lag_matrix(
+    df: DataFrame,
+    value_cols: Sequence[str],
+    n_in: int = 1,
+    *,
+    shard_rows: int = 1 << 20,
+    order_col: str = "ts",
+    series_col: str = "series_id",
+    dropnan: bool = True,
+) -> DataFrame:
+    """:func:`supervised_lag_matrix` (lags only) for a single giant
+    series: windows run per (series, time-shard) with ``n_in`` boundary
+    rows spliced in as context, so the result is identical to the
+    global window while using ceil(n/shard_rows) tasks instead of 1."""
+    from auto_ts_spark.operators.partitioning import shard_series
+
+    sharded = shard_series(
+        df,
+        context_rows=n_in,
+        shard_rows=shard_rows,
+        order_col=order_col,
+        series_col=series_col,
+    )
+    w = Window.partitionBy(series_col, "_shard").orderBy(F.col(order_col))
+    exprs: list[Column] = [F.col(c) for c in df.columns] + [F.col("_ctx")]
+    new_names: list[str] = []
+    for i in range(n_in, 0, -1):
+        for c in value_cols:
+            name = f"{c}_lag_{i}"
+            exprs.append(F.lag(F.col(c), i).over(w).alias(name))
+            new_names.append(name)
+    out = sharded.select(*exprs).filter(~F.col("_ctx")).drop("_ctx")
+    if dropnan and new_names:
+        out = out.na.drop(subset=new_names)
+    return out
+
+
+def sharded_rolling_stats(
+    df: DataFrame,
+    col: str,
+    window_size: int,
+    *,
+    stats: Sequence[str] = ("mean", "std"),
+    shard_rows: int = 1 << 20,
+    order_col: str = "ts",
+    series_col: str = "series_id",
+    min_periods: bool = True,
+) -> DataFrame:
+    """:func:`rolling_stats` sharded for a single giant series
+    (context = window_size - 1 boundary rows per shard)."""
+    from auto_ts_spark.operators.partitioning import shard_series
+
+    sharded = shard_series(
+        df,
+        context_rows=window_size - 1,
+        shard_rows=shard_rows,
+        order_col=order_col,
+        series_col=series_col,
+    )
+    w = Window.partitionBy(series_col, "_shard").orderBy(
+        F.col(order_col)
+    ).rowsBetween(-(window_size - 1), 0)
+    stat_fns = {
+        "mean": F.avg,
+        "std": F.stddev_samp,
+        "min": F.min,
+        "max": F.max,
+        "sum": F.sum,
+    }
+    exprs = []
+    cnt = F.count(F.col(col)).over(w)
+    for s in stats:
+        e = stat_fns[s](F.col(col)).over(w)
+        if not min_periods:
+            e = F.when(cnt >= window_size, e)
+        exprs.append(e.alias(f"rolling_{s}_{window_size}_{col}"))
+    return (
+        sharded.select(*[F.col(c) for c in df.columns], F.col("_ctx"), *exprs)
+        .filter(~F.col("_ctx"))
+        .drop("_ctx")
+    )
+
+
+def sharded_difference(
+    df: DataFrame,
+    cols: Sequence[str],
+    order: int = 1,
+    *,
+    shard_rows: int = 1 << 20,
+    order_col: str = "ts",
+    series_col: str = "series_id",
+    drop_null: bool = True,
+) -> DataFrame:
+    """:func:`difference` sharded for a single giant series (context =
+    ``order`` boundary rows; the stacked first-differences need at most
+    ``order`` lookback rows)."""
+    from auto_ts_spark.operators.partitioning import shard_series
+
+    sharded = shard_series(
+        df,
+        context_rows=order,
+        shard_rows=shard_rows,
+        order_col=order_col,
+        series_col=series_col,
+    )
+    out = sharded
+    for _ in range(order):
+        w = Window.partitionBy(series_col, "_shard").orderBy(F.col(order_col))
+        out = out.select(
+            *[c for c in out.columns if c not in cols],
+            *[(F.col(c) - F.lag(F.col(c), 1).over(w)).alias(c) for c in cols],
+        )
+    out = out.filter(~F.col("_ctx"))
+    if drop_null:
+        out = out.na.drop(subset=list(cols))
+    return out.select(*df.columns)
 
 
 def drop_zero_variance(df: DataFrame, candidate_cols: Sequence[str]) -> DataFrame:

@@ -15,6 +15,7 @@ compute-bound stage that follows.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
@@ -31,6 +32,102 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def with_global_row_number(
+    df: DataFrame,
+    *,
+    order_col: str = "ts",
+    series_col: str = "series_id",
+    name: str = "_grn",
+) -> DataFrame:
+    """Per-series global row number WITHOUT a per-series single-task
+    window — the enabler for sharding one giant series across cores.
+
+    Two-pass distributed sort-rank (same shape as
+    encoders.distributed_rank): range-repartition on (series, ts) so
+    each task holds a contiguous time slice, rank locally, collect one
+    (partition, series) count row per slice, prefix-sum on the driver,
+    broadcast the offsets back. Driver state is O(partitions × giant
+    series) — this path is for a handful of huge series; millions of
+    small series should use the ordinary per-series window, which
+    already distributes.
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    n_part = max(int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 1)
+    parted = df.repartitionByRange(
+        n_part, F.col(series_col), F.col(order_col)
+    ).withColumn("_pid", F.spark_partition_id())
+    # cache before the counts collect: the offsets and the final join
+    # must see the SAME range-partition assignment (a recompute may
+    # re-sample boundaries under AQE and shift boundary rows)
+    local = parted.withColumn(
+        "_lrank",
+        F.row_number().over(
+            Window.partitionBy("_pid", series_col).orderBy(order_col)
+        ),
+    ).cache()
+    counts = (
+        local.groupBy("_pid", series_col)
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    offsets: dict[tuple, int] = {}
+    acc: dict[str, int] = {}
+    for row in sorted(counts, key=lambda r: (r[series_col], r["_pid"])):
+        sid = row[series_col]
+        offsets[(row["_pid"], sid)] = acc.get(sid, 0)
+        acc[sid] = acc.get(sid, 0) + row["c"]
+    off_df = spark.createDataFrame(
+        [(pid, sid, off) for (pid, sid), off in offsets.items()],
+        f"_pid int, {series_col} string, _off long",
+    )
+    return (
+        local.join(F.broadcast(off_df), ["_pid", series_col])
+        .withColumn(name, F.col("_off") + F.col("_lrank"))
+        .drop("_pid", "_lrank", "_off")
+    )
+
+
+def shard_series(
+    df: DataFrame,
+    *,
+    context_rows: int,
+    shard_rows: int = 1 << 20,
+    order_col: str = "ts",
+    series_col: str = "series_id",
+) -> DataFrame:
+    """Split each series into ``shard_rows``-row time shards, and
+    duplicate each shard's last ``context_rows`` rows into the NEXT
+    shard as context (flag ``_ctx``) — so any trailing window of up to
+    ``context_rows`` lookback computed per (series, _shard) equals the
+    global per-series result. Callers compute their windows over
+    ``partitionBy(series_col, "_shard")`` and then drop ``_ctx`` rows.
+
+    This is the time-bucket shard + boundary splice promised in
+    lags.py's scale notes: one giant series becomes
+    ceil(n / shard_rows) independent tasks instead of one.
+    """
+    if context_rows >= shard_rows:
+        raise ValueError("shard_rows must exceed context_rows")
+    out = with_global_row_number(
+        df, order_col=order_col, series_col=series_col, name="_grn"
+    )
+    idx = F.col("_grn") - 1
+    own = out.withColumn("_shard", (idx / shard_rows).cast("int")).withColumn(
+        "_ctx", F.lit(False)
+    )
+    carried = (
+        out.filter(
+            ((idx / shard_rows).cast("int"))
+            != (((idx + context_rows) / shard_rows).cast("int"))
+        )
+        .withColumn("_shard", ((idx / shard_rows).cast("int") + 1))
+        .withColumn("_ctx", F.lit(True))
+    )
+    return own.unionByName(carried).drop("_grn")
 
 
 def salted_join(

@@ -1,0 +1,119 @@
+"""Prophet configuration surface on the fourier worker (reference
+build_prophet.py:70-80, 587-649): growth, seasonality_mode, holidays,
+multi-seasonality — each must measurably change/improve the fit on a
+series constructed to need it."""
+
+import numpy as np
+import pandas as pd
+
+from auto_ts_spark.models.base import expanding_fold_bounds
+from auto_ts_spark.models.fourier import forecast_fourier, seasonality_blocks
+
+
+def _cv_rmse(pred_df, pdf):
+    merged = pred_df[pred_df["fold"] >= 0].merge(pdf, on="ts")
+    return float(np.sqrt(((merged["y"] - merged["yhat"]) ** 2).mean()))
+
+
+def test_multiplicative_mode_wins_on_multiplicative_series():
+    rng = np.random.RandomState(2)
+    n = 120
+    t = np.arange(n, dtype=float)
+    trend = 10 * np.exp(0.02 * t)
+    seasonal = 1 + 0.4 * np.sin(2 * np.pi * t / 12)
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.date_range("2010-01-31", periods=n, freq="ME"),
+            "y": trend * seasonal * np.exp(rng.randn(n) * 0.01),
+        }
+    )
+    folds = expanding_fold_bounds(n, 3, 8)
+    add = forecast_fourier(pdf, folds, 8, seasonal_period=12)
+    mult = forecast_fourier(
+        pdf, folds, 8, seasonal_period=12, seasonality_mode="multiplicative"
+    )
+    assert _cv_rmse(mult, pdf) < _cv_rmse(add, pdf) * 0.5
+
+
+def test_logistic_growth_respects_cap():
+    rng = np.random.RandomState(4)
+    n = 150
+    t = np.arange(n, dtype=float)
+    cap = 100.0
+    y = cap / (1 + np.exp(-(t - 60) / 12)) + rng.randn(n) * 0.5
+    y = np.clip(y, 1.0, cap - 1.0)
+    pdf = pd.DataFrame(
+        {"ts": pd.date_range("2015-01-01", periods=n, freq="D"), "y": y}
+    )
+    folds = expanding_fold_bounds(n, 2, 10)
+    out = forecast_fourier(
+        pdf, folds, 30, seasonal_period=0, growth="logistic", cap=cap
+    )
+    fut = out[out["fold"] == -1]["yhat"].to_numpy()
+    assert (fut <= cap).all()  # saturating, never overshoots
+    assert fut[-1] > 90  # approaches the plateau
+
+
+def test_holiday_regressor_captures_spikes():
+    rng = np.random.RandomState(6)
+    n = 200
+    ts = pd.date_range("2019-01-01", periods=n, freq="D")
+    y = 50 + rng.randn(n) * 0.5
+    holidays = [str(ts[i].date()) for i in (30, 90, 150, 180)]
+    for h in holidays:
+        y[ts.get_loc(pd.Timestamp(h))] += 40
+    pdf = pd.DataFrame({"ts": ts, "y": y})
+    folds = expanding_fold_bounds(n, 2, 30)
+    plain = forecast_fourier(pdf, folds, 5, seasonal_period=7)
+    with_hol = forecast_fourier(
+        pdf, folds, 5, seasonal_period=7, holidays=holidays
+    )
+    # fold windows include holidays 150 and 180 — the regressor must
+    # explain the spikes the plain model can't
+    assert _cv_rmse(with_hol, pdf) < _cv_rmse(plain, pdf) * 0.5
+
+
+def test_extra_seasonality_blocks():
+    rng = np.random.RandomState(8)
+    n = 400
+    t = np.arange(n, dtype=float)
+    # daily data with weekly AND ~monthly structure
+    y = (
+        10
+        + 5 * np.sin(2 * np.pi * t / 7)
+        + 3 * np.sin(2 * np.pi * t / 30)
+        + rng.randn(n) * 0.3
+    )
+    pdf = pd.DataFrame(
+        {"ts": pd.date_range("2018-01-01", periods=n, freq="D"), "y": y}
+    )
+    folds = expanding_fold_bounds(n, 2, 20)
+    weekly_only = forecast_fourier(pdf, folds, 5, seasonal_period=7)
+    both = forecast_fourier(
+        pdf, folds, 5, seasonal_period=7, seasonal_periods=[(30.0, 3)]
+    )
+    assert _cv_rmse(both, pdf) < _cv_rmse(weekly_only, pdf) * 0.7
+
+
+def test_seasonality_blocks_map():
+    assert seasonality_blocks(3600.0) == [(24.0, 3), (168.0, 3)]  # hourly
+    day = 86400.0
+    assert seasonality_blocks(day) == [(7.0, 3), (365.25, 5)]  # daily
+    assert seasonality_blocks(7 * day) == [(365.25 / 7, 5)]  # weekly
+    assert seasonality_blocks(30 * day) == []  # monthly+: base only
+
+
+def test_default_config_unchanged():
+    """The plain additive/linear path must be byte-identical to the
+    pre-config worker (oracle stability for automl_forecast)."""
+    rng = np.random.RandomState(1)
+    n = 96
+    t = np.arange(n, dtype=float)
+    y = 10 + 0.5 * t + 8 * np.sin(2 * np.pi * t / 12) + rng.randn(n) * 0.5
+    pdf = pd.DataFrame(
+        {"ts": pd.date_range("2015-01-31", periods=n, freq="ME"), "y": y}
+    )
+    folds = expanding_fold_bounds(n, 3, 8)
+    a = forecast_fourier(pdf, folds, 8, seasonal_period=12)
+    b = forecast_fourier(pdf, folds, 8, seasonal_period=12)
+    assert np.array_equal(a["yhat"].to_numpy(), b["yhat"].to_numpy())

@@ -28,7 +28,16 @@ SF = "/root/testdata/sf0.001"
 #   is a literal and constant-folding erases the join key; with real
 #   multi-series keys it plans as a hash join (covered by the
 #   multi-series leakage test)
-CROSS_OK = {"embedding_topk", "class_weights", "seasonal_decompose"}
+# - lsh_ann_recall / ivf_ann_recall: contain the brute-force exact
+#   reference (same broadcast crossJoin as embedding_topk) plus a
+#   1-row × 1-row scalar-aggregate crossJoin for the recall ratio
+CROSS_OK = {
+    "embedding_topk",
+    "class_weights",
+    "seasonal_decompose",
+    "lsh_ann_recall",
+    "ivf_ann_recall",
+}
 
 
 def _plan(spark, name: str) -> str:

@@ -1,0 +1,110 @@
+"""Giant-series sharding (round-2 verdict scale-weak #2): the
+sharded W-family must return bit-identical results to the global
+per-series window while actually splitting one series across tasks."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from auto_ts_spark.operators import lags as LAGS
+from auto_ts_spark.operators.partitioning import shard_series, with_global_row_number
+
+
+@pytest.fixture(scope="module")
+def giant(spark):
+    rng = np.random.RandomState(21)
+    n = 10_000
+    pdf = pd.DataFrame(
+        {
+            "series_id": "0",
+            "ts": pd.date_range("2020-01-01", periods=n, freq="min"),
+            "y": rng.randn(n).cumsum(),
+            "x": rng.randn(n),
+        }
+    )
+    return spark.createDataFrame(pdf).cache()
+
+
+def _sorted(pdf):
+    return pdf.sort_values(["series_id", "ts"]).reset_index(drop=True)
+
+
+def test_global_row_number_matches_window(spark, giant):
+    got = _sorted(with_global_row_number(giant).toPandas())
+    assert list(got["_grn"]) == list(range(1, len(got) + 1))
+
+
+def test_shard_series_shapes(spark, giant):
+    sharded = shard_series(giant, context_rows=3, shard_rows=1000)
+    own = sharded.filter(~F.col("_ctx"))
+    ctx = sharded.filter(F.col("_ctx"))
+    assert own.count() == 10_000
+    n_shards = own.select("_shard").distinct().count()
+    assert n_shards == 10  # the whole point: >1 task for one series
+    # every shard except the first received exactly 3 context rows
+    assert ctx.filter(F.col("_shard") <= 9).count() == 3 * 9
+    with pytest.raises(ValueError):
+        shard_series(giant, context_rows=10, shard_rows=10)
+
+
+def test_sharded_lag_matrix_parity(spark, giant):
+    base = _sorted(
+        LAGS.supervised_lag_matrix(giant, ["y", "x"], n_in=3).toPandas()
+    )
+    sh = _sorted(
+        LAGS.sharded_lag_matrix(giant, ["y", "x"], n_in=3, shard_rows=1000).toPandas()
+    )
+    assert list(base.columns) == list(sh.columns)
+    for c in base.columns:
+        if base[c].dtype == object or str(base[c].dtype).startswith("datetime"):
+            assert (base[c] == sh[c]).all(), c
+        else:
+            assert np.allclose(base[c], sh[c], equal_nan=True), c
+
+
+def test_sharded_rolling_stats_parity(spark, giant):
+    base = _sorted(
+        LAGS.rolling_stats(giant, "y", 7, stats=("mean", "std", "sum")).toPandas()
+    )
+    sh = _sorted(
+        LAGS.sharded_rolling_stats(
+            giant, "y", 7, stats=("mean", "std", "sum"), shard_rows=1000
+        ).toPandas()
+    )
+    for c in base.columns:
+        if c.startswith("rolling_"):
+            assert np.allclose(base[c], sh[c], equal_nan=True), c
+
+
+def test_sharded_difference_parity(spark, giant):
+    for order in (1, 2):
+        base = _sorted(LAGS.difference(giant, ["y"], order=order).toPandas())
+        sh = _sorted(
+            LAGS.sharded_difference(giant, ["y"], order=order, shard_rows=1000).toPandas()
+        )
+        assert len(base) == len(sh)
+        assert np.allclose(base["y"], sh["y"], equal_nan=True)
+
+
+def test_sharded_multi_series(spark):
+    """Sharding composes with multiple series (each gets its own
+    shard sequence)."""
+    rng = np.random.RandomState(5)
+    parts = []
+    for sid, n in (("a", 2500), ("b", 400)):
+        parts.append(
+            pd.DataFrame(
+                {
+                    "series_id": sid,
+                    "ts": pd.date_range("2021-01-01", periods=n, freq="h"),
+                    "y": rng.randn(n),
+                }
+            )
+        )
+    sdf = spark.createDataFrame(pd.concat(parts))
+    base = _sorted(LAGS.supervised_lag_matrix(sdf, ["y"], n_in=2).toPandas())
+    sh = _sorted(LAGS.sharded_lag_matrix(sdf, ["y"], n_in=2, shard_rows=1000).toPandas())
+    assert len(base) == len(sh)
+    for c in ("y_lag_1", "y_lag_2"):
+        assert np.allclose(base[c], sh[c], equal_nan=True)
