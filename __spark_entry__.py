@@ -2170,6 +2170,90 @@ FROM embeddings WHERE vec_id < 5
 """
 
 
+def q_automl_leaderboard_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkable contract row for the worker-model leaderboard (its
+    fits aren't SQL-expressible, but the leaderboard's structure is a
+    fixed claim): 3 models × 2 folds each, ranks a permutation of
+    1..3, mean_rmse nondecreasing in rank, all scores finite-positive.
+    Any regression in the fit/score/rank pipeline flips a boolean and
+    fails the value hash."""
+    from pyspark.sql import Window
+
+    from auto_ts_spark.models.registry import (
+        leaderboard,
+        run_all_models,
+        score_predictions,
+    )
+
+    series = _daily_series(spark, sf_dir)
+    preds = run_all_models(
+        series,
+        n_splits=2,
+        horizon=5,
+        seasonal_period=7,
+        models=["fourier", "seasonal_ar", "var"],
+    )
+    board = leaderboard(score_predictions(preds, series))
+    w = Window.orderBy("rank")
+    checked = board.select(
+        "model",
+        "rank",
+        "n_folds",
+        (F.col("mean_rmse") > 0).alias("_pos"),
+        (
+            F.col("mean_rmse") >= F.coalesce(F.lag("mean_rmse").over(w), F.lit(0.0))
+        ).alias("_mono"),
+    )
+    return checked.agg(
+        F.count(F.lit(1)).alias("n_models"),
+        F.sum("n_folds").alias("n_folds_total"),
+        (F.array_sort(F.collect_list("rank")) == F.array(*[F.lit(i) for i in (1, 2, 3)]))
+        .alias("ranks_ok"),
+        F.min(F.col("_pos").cast("int")).cast("boolean").alias("scores_positive"),
+        F.min(F.col("_mono").cast("int")).cast("boolean").alias("rmse_monotone"),
+    )
+
+
+_SQL_AUTOML_LEADERBOARD_CONTRACT = """
+SELECT cast(3 AS BIGINT) AS n_models,
+       cast(6 AS BIGINT) AS n_folds_total,
+       true AS ranks_ok,
+       true AS scores_positive,
+       true AS rmse_monotone
+"""
+
+
+def q_feature_importance_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkable contract for O3 (tree-ensemble internals aren't
+    SQL-expressible, their normalization is): the 8-feature lag+
+    calendar GBT emits one row per feature, ranks 1..n, importances
+    nonnegative and summing to 1 (Spark normalizes impurity gains)."""
+    from auto_ts_spark.models import ml as ML
+
+    series = _daily_series(spark, sf_dir)
+    feat, feature_cols = ML.build_features(series)
+    _, model = ML.fit_gbt(feat, feature_cols, max_iter=10)
+    imp = ML.feature_importances(model, feature_cols)
+    n = len(feature_cols)
+    return spark.createDataFrame(imp).agg(
+        F.count(F.lit(1)).alias("n_features"),
+        (F.min("importance") >= 0).alias("nonneg"),
+        (F.abs(F.sum("importance") - 1.0) < 1e-6).alias("sums_to_one"),
+        (
+            F.array_sort(F.collect_list("rank"))
+            == F.array(*[F.lit(i) for i in range(1, n + 1)])
+        ).alias("ranks_ok"),
+    )
+
+
+_SQL_FEATURE_IMPORTANCE_CONTRACT = """
+SELECT cast(8 AS BIGINT) AS n_features,
+       true AS nonneg,
+       true AS sums_to_one,
+       true AS ranks_ok
+"""
+
+
 # The multimodal decode stub is a declared deterministic fake
 # (operators/multimodal.py:67-73: numpy RandomState seeded from the
 # content bytes) — so its features are platform-stable constants and
@@ -2278,6 +2362,8 @@ _ORACLE: dict[str, str] = {
     "lsh_ann_recall": _SQL_LSH_RECALL,
     "ivf_ann_recall": _SQL_IVF_RECALL,
     "multimodal_features": _SQL_MULTIMODAL,
+    "automl_leaderboard_contract": _SQL_AUTOML_LEADERBOARD_CONTRACT,
+    "feature_importance_contract": _SQL_FEATURE_IMPORTANCE_CONTRACT,
 }
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2337,6 +2423,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lsh_ann_recall": q_lsh_ann_recall,
     "ivf_ann_recall": q_ivf_ann_recall,
     "multimodal_features": q_multimodal_features,
+    "automl_leaderboard_contract": q_automl_leaderboard_contract,
+    "feature_importance_contract": q_feature_importance_contract,
     # non-SQL-expressible (rows-only checks)
     "adf_stationarity": q_adf_stationarity,
     "automl_leaderboard": q_automl_leaderboard,

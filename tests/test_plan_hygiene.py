@@ -31,12 +31,18 @@ SF = "/root/testdata/sf0.001"
 # - lsh_ann_recall / ivf_ann_recall: contain the brute-force exact
 #   reference (same broadcast crossJoin as embedding_topk) plus a
 #   1-row × 1-row scalar-aggregate crossJoin for the recall ratio
+# - snaive_forecast_intervals: like seasonal_decompose, the joins to
+#   the 1-row last-ts and residual-quantile aggregates degenerate to
+#   broadcast NLJs on the single-series fixture (series_id literal is
+#   constant-folded out of the key); both sides are single-row
+#   broadcast aggregates, constant cost at any scale
 CROSS_OK = {
     "embedding_topk",
     "class_weights",
     "seasonal_decompose",
     "lsh_ann_recall",
     "ivf_ann_recall",
+    "snaive_forecast_intervals",
 }
 
 
