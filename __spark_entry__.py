@@ -631,7 +631,9 @@ def q_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
-    w = Window.orderBy(F.col("mean_rmse").asc(), F.col("model"))
+    # constant partition key: bounded 2-row board; silences the
+    # WindowExec no-partition warning without changing the plan's cost
+    w = Window.partitionBy(F.lit(1)).orderBy(F.col("mean_rmse").asc(), F.col("model"))
     return board.withColumn("rank", F.row_number().over(w)).withColumn(
         "is_best", (F.col("rank") == 1).cast("int")
     )
@@ -1414,7 +1416,9 @@ def q_residual_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
-    w = Window.orderBy("ts")
+    # constant partition key on the bounded daily series (≤ a few
+    # thousand rows): silences the WindowExec no-partition warning
+    w = Window.partitionBy(F.lit(1)).orderBy("ts")
     e = daily.select(
         "ts", (F.col("y") - F.lag("y", 1).over(w)).alias("e")
     ).na.drop()
@@ -2170,6 +2174,34 @@ FROM embeddings WHERE vec_id < 5
 """
 
 
+def q_seasonal_period_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7 (auto_ts/__init__.py:489-510): the freq→seasonal-period
+    table, emitted from the engine's own map with the frequency
+    actually inferred (W6) for the daily events series flagged — the
+    oracle pins the reference's table, so map drift or a broken
+    inference fails the value hash."""
+    from auto_ts_spark.operators.future import (
+        SEASONAL_PERIODS,
+        infer_frequency,
+        seasonal_period,
+    )
+
+    inferred = infer_frequency(_daily_series(spark, sf_dir))
+    rows = [
+        (f, seasonal_period(f), f == inferred) for f in sorted(SEASONAL_PERIODS)
+    ]
+    return spark.createDataFrame(rows, "freq string, m int, inferred boolean")
+
+
+_SQL_SEASONAL_PERIOD_MAP = """
+SELECT freq, cast(m AS int) AS m, freq = 'days' AS inferred
+FROM (VALUES
+  ('days', 30), ('hours', 24), ('minutes', 60), ('months', 12),
+  ('quarters', 4), ('seconds', 60), ('semi', 2), ('weeks', 52), ('years', 1)
+) AS t(freq, m)
+"""
+
+
 def q_automl_leaderboard_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Checkable contract row for the worker-model leaderboard (its
     fits aren't SQL-expressible, but the leaderboard's structure is a
@@ -2194,7 +2226,7 @@ def q_automl_leaderboard_contract(spark: SparkSession, sf_dir: str) -> DataFrame
         models=["fourier", "seasonal_ar", "var"],
     )
     board = leaderboard(score_predictions(preds, series))
-    w = Window.orderBy("rank")
+    w = Window.partitionBy(F.lit(1)).orderBy("rank")  # 3-row frame
     checked = board.select(
         "model",
         "rank",
@@ -2364,6 +2396,7 @@ _ORACLE: dict[str, str] = {
     "multimodal_features": _SQL_MULTIMODAL,
     "automl_leaderboard_contract": _SQL_AUTOML_LEADERBOARD_CONTRACT,
     "feature_importance_contract": _SQL_FEATURE_IMPORTANCE_CONTRACT,
+    "seasonal_period_map": _SQL_SEASONAL_PERIOD_MAP,
 }
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2425,6 +2458,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_features": q_multimodal_features,
     "automl_leaderboard_contract": q_automl_leaderboard_contract,
     "feature_importance_contract": q_feature_importance_contract,
+    "seasonal_period_map": q_seasonal_period_map,
     # non-SQL-expressible (rows-only checks)
     "adf_stationarity": q_adf_stationarity,
     "automl_leaderboard": q_automl_leaderboard,

@@ -159,7 +159,12 @@ def leaderboard(scores: DataFrame, *, metric: str = "rmse") -> DataFrame:
     elif metric != "rmse":
         raise ValueError("scores frame has no nrmse column for normalized_rmse ranking")
     board = scores.groupBy("model").agg(*aggs)
-    w = Window.orderBy(F.col(rank_col).asc_nulls_last(), F.col("model"))
+    # constant partition key: same single-partition execution on this
+    # bounded (≤ #models rows) frame, but no "No Partition Defined"
+    # WindowExec warning drowning real ones in logs
+    w = Window.partitionBy(F.lit(1)).orderBy(
+        F.col(rank_col).asc_nulls_last(), F.col("model")
+    )
     board = board.withColumn("rank", F.row_number().over(w))
     return board.select("model", "mean_rmse", "mean_mae", "n_folds", "rank")
 
