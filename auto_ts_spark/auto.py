@@ -96,6 +96,7 @@ class AutoTimeSeries:
         self.series_id_col_: str | None = None
         self.problem_type_: str = "Regression"
         self.ml_fitted_: tuple | None = None  # (assembler, model, feature_cols)
+        self.label_encoder_ = None  # classification target codec
         self._intervals_: DataFrame | None = None
 
     # ------------------------------------------------------------ fit
@@ -146,7 +147,12 @@ class AutoTimeSeries:
         df = df.withColumnRenamed(target, "y")
         self.target_ = target
         self.ts_column_ = ts_column
-        self.series_id_col_ = series_id
+        # record what load_ts actually grouped on: an explicit arg, or
+        # the auto-adopted canonical column — predict() must re-coerce
+        # unseen frames with the same choice
+        self.series_id_col_ = series_id or (
+            "series_id" if "series_id" in raw.columns else None
+        )
         self.exog_cols_ = [
             c
             for c, t in df.dtypes
@@ -159,6 +165,24 @@ class AutoTimeSeries:
         self.problem_type_ = detect_problem_type(df, "y")
 
         if self.problem_type_ != "Regression":
+            # Label-encode the target FIRST (the reference's classifier
+            # path label-encodes before modeling, ml_models.py:463-568):
+            # string/boolean targets cannot feed VectorAssembler, and
+            # Spark classifiers need dense 0..k-1 labels. Codes flow
+            # through lag features and the recursive splice; predict()
+            # decodes back via the stored mapping.
+            from auto_ts_spark.operators.encoders import LabelEncoder
+
+            enc = LabelEncoder("y", out_col="_y_code")
+            enc.fit(df)
+            df = (
+                enc.transform(df)
+                .withColumn("y", F.col("_y_code").cast("double"))
+                .drop("_y_code")
+            )
+            self.label_encoder_ = enc
+            self.train_df_.unpersist()
+            self.train_df_ = df.cache()
             return self._fit_classification(spark, df)
 
         names = self._model_names()
@@ -183,13 +207,14 @@ class AutoTimeSeries:
                     exog_cols=self.exog_cols_,
                     holdout=self.forecast_period,
                 )
-            self.ml_cv_ = ML.cv_scores_ml(
+            self.ml_cv_, ml_fold_preds = ML.cv_scores_ml(
                 df,
                 lags=self.lags,
                 n_splits=self.n_splits,
                 horizon=self.forecast_period,
                 exog_cols=self.exog_cols_,
                 max_iter=self.ml_max_iter_,
+                return_preds=True,
             )
             feat, feature_cols = ML.build_features(
                 df, "y", lags=self.lags, exog_cols=self.exog_cols_
@@ -209,25 +234,23 @@ class AutoTimeSeries:
                 ml_future[["series_id", "ts", "fold", "yhat"]]
             ).withColumn("model", F.lit("ml_gbt"))
             preds_parts.append(ml_preds)
+            if ml_fold_preds is not None:
+                # out-of-fold rows give ml_gbt real per-series scores
+                # AND the residual spread its prediction intervals need
+                # (previously only fold=-1 rows existed -> NULL se)
+                preds_parts.append(
+                    ml_fold_preds.withColumn("model", F.lit("ml_gbt"))
+                )
 
         all_preds = preds_parts[0]
         for p in preds_parts[1:]:
             all_preds = all_preds.unionByName(p)
         self.predictions_ = all_preds.cache()
 
-        scores = REG.score_predictions(self.predictions_, df)
-        if self.ml_cv_ is not None and len(self.ml_cv_):
-            ml_scores = spark.createDataFrame(self.ml_cv_).select(
-                "model",
-                F.lit(df.select("series_id").first()[0]).alias("series_id"),
-                "fold",
-                F.col("rmse"),
-                F.lit(None).cast("double").alias("mae"),
-                F.col("n_test").cast("long"),
-                F.col("nrmse").cast("double"),
-            )
-            scores = scores.unionByName(ml_scores)
-        self.scores_ = scores.cache()
+        # every family (workers + ml_gbt) is scored from its fold rows
+        # by the same oracle-checked join+agg — no separate ml union,
+        # so nothing is double-counted
+        self.scores_ = REG.score_predictions(self.predictions_, df).cache()
         self.leaderboard_ = (
             REG.leaderboard(self.scores_, metric=self.score_type)
             .orderBy("rank")
@@ -251,6 +274,13 @@ class AutoTimeSeries:
         concatenated under a ``target`` column."""
         import copy as _copy
 
+        if not isinstance(traindata, DataFrame):
+            # load path inputs ONCE so sibling targets are dropped
+            # uniformly below — otherwise a CSV/parquet path would leak
+            # the other labels into each sub-model's exog features
+            from auto_ts_spark.session import get_spark
+
+            traindata = read_input(get_spark("auto_ts"), traindata, sep=sep)
         self.multi_ = {}
         boards = []
         for t in targets:
@@ -265,7 +295,7 @@ class AutoTimeSeries:
                 ml_tune=self.ml_tune,
             )
             other = [o for o in targets if o != t]
-            data = traindata.drop(*other) if isinstance(traindata, DataFrame) else traindata
+            data = traindata.drop(*other)
             sub.fit(data, ts_column, t, sep=sep, series_id=series_id)
             self.multi_[t] = sub
             board = sub.get_leaderboard().copy()
@@ -290,13 +320,20 @@ class AutoTimeSeries:
             horizon=self.forecast_period,
             exog_cols=self.exog_cols_,
         )
+        from auto_ts_spark.operators.profile import class_weights
+
         counts = df.groupBy("y").count()
         n_classes = counts.count()
         feat, feature_cols = ML.build_features(
             df, "y", lags=self.lags, exog_cols=self.exog_cols_
         )
+        # the deployed model gets the SAME balanced weights the CV
+        # models scored with — otherwise an imbalanced target serves an
+        # unweighted majority-class model behind a weighted leaderboard
+        wmap = class_weights(feat, "y").select("y", F.col("weight").alias("_w"))
+        feat = feat.join(F.broadcast(wmap), "y", "left")
         assembler, model = ML.fit_classifier(
-            feat, feature_cols, "y", n_classes=n_classes
+            feat, feature_cols, "y", n_classes=n_classes, weight_col="_w"
         )
         self.ml_fitted_ = (assembler, model, feature_cols)
         sid = df.select("series_id").first()[0]
@@ -395,7 +432,9 @@ class AutoTimeSeries:
         - ``testdata=DataFrame|path``: unseen rows; the ts column is
           re-parsed with the stored format. ML predicts row-by-row
           with known exog (build_ml.py:531-683); worker families
-          forecast len(test) steps and align to the test timestamps.
+          forecast onto the test timestamps, with fourier/var
+          conditioning on the known future exog values
+          (build_prophet.py:513-521).
         """
         if self.train_df_ is None:
             raise RuntimeError("call fit first")
@@ -472,36 +511,74 @@ class AutoTimeSeries:
             exog_cols=self.exog_cols_,
             fitted=self.ml_fitted_,
         )
-        return spark.createDataFrame(out[["series_id", "ts", "yhat"]]).orderBy(
-            "series_id", "ts"
-        )
+        sdf = spark.createDataFrame(out[["series_id", "ts", "yhat"]])
+        if self.label_encoder_ is not None:
+            # decode class codes back to the original labels
+            sdf = self.label_encoder_.inverse_transform(
+                sdf.withColumn("_code", F.round("yhat").cast("int")), "_code"
+            ).select(
+                "series_id", "ts", "yhat", F.col("_code_value").alias("yhat_label")
+            )
+        return sdf.orderBy("series_id", "ts")
 
     def _predict_worker_testdata(
         self, name: str, test_df: DataFrame, simple: bool
     ) -> DataFrame:
-        """Worker families on unseen rows: forecast as many steps as
-        the longest test series, then align positionally to each
-        series' own test timestamps (the reference indexes the result
-        frame by the test index, build_arima_base.py:310-369)."""
-        from pyspark.sql import Window
-
+        """Worker families on unseen rows: the test rows ride into the
+        per-series worker as a ``_future``-flagged frame — same shuffle
+        as the train rows, no extra stage — so forecasts land exactly
+        on the test timestamps and the exog-aware families (fourier,
+        var) condition on the KNOWN future exog values (reference
+        build_prophet.py:513-521 future-regressor frame; VARX-style
+        conditioning for var)."""
+        exog_in_test = set(test_df.columns) & set(self.exog_cols_)
+        train = self.train_df_.select(
+            "series_id",
+            "ts",
+            F.col("y").cast("double").alias("y"),
+            *[F.col(c).cast("double").alias(c) for c in self.exog_cols_],
+            F.lit(0).alias("_future"),
+        )
+        test = test_df.select(
+            "series_id",
+            "ts",
+            F.lit(None).cast("double").alias("y"),
+            *[
+                (
+                    F.col(c).cast("double")
+                    if c in exog_in_test
+                    else F.lit(None).cast("double")
+                ).alias(c)
+                for c in self.exog_cols_
+            ],
+            F.lit(1).alias("_future"),
+        )
         h = (
             test_df.groupBy("series_id")
             .count()
             .agg(F.max("count"))
             .collect()[0][0]
         )
-        fc = self._forecast_horizon(name, int(h), simple)
-        wf = Window.partitionBy("series_id").orderBy("ts")
-        fc_rn = fc.withColumn("_rn", F.row_number().over(wf)).drop("ts")
-        test_rn = test_df.select("series_id", "ts").withColumn(
-            "_rn", F.row_number().over(wf)
+        preds = REG.run_all_models(
+            train.unionByName(test),
+            n_splits=self.n_splits,
+            horizon=int(h),
+            seasonal_period=self.m_,
+            exog_cols=self.exog_cols_,
+            models=[name],
+            fourier_config=self.model_config,
         )
         cols = ["series_id", "ts", "yhat"] + (
             [] if simple else ["mean_se", "yhat_lower", "yhat_upper"]
         )
+        if simple:
+            return (
+                preds.filter(F.col("fold") == -1)
+                .select(*cols)
+                .orderBy("series_id", "ts")
+            )
         return (
-            test_rn.join(fc_rn, ["series_id", "_rn"])
+            REG.with_prediction_intervals(preds, self.train_df_)
             .select(*cols)
             .orderBy("series_id", "ts")
         )

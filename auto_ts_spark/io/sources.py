@@ -195,6 +195,11 @@ def load_ts(
 
     if ts_column not in df.columns:
         raise ValueError(f"ts_column {ts_column!r} not in {df.columns}")
+    if series_id is None and "series_id" in df.columns and ts_column != "series_id":
+        # a column already named like the canonical grouping column is
+        # the grouping column — emitting lit("0") beside it would
+        # produce a duplicate-name frame (ambiguous downstream)
+        series_id = "series_id"
 
     ts_col = F.col(ts_column)
     dtype = dict(df.dtypes)[ts_column]

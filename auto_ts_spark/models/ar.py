@@ -114,6 +114,7 @@ def forecast_seasonal_ar(
     max_d: int = 1,
     max_q: int = 1,
     max_P: int = 1,
+    future_pdf: pd.DataFrame | None = None,
 ) -> pd.DataFrame:
     """Per-series worker: AIC grid over (p,d,q,P), per-fold h-step
     forecasts from the fold-local best model, final forecast fold=-1."""
@@ -143,20 +144,21 @@ def forecast_seasonal_ar(
         out.append(
             pd.DataFrame({"ts": pdf["ts"].iloc[train_end:test_end].to_numpy(), "fold": fold, "yhat": yhat})
         )
+    if future_pdf is not None and len(future_pdf):
+        # univariate family: the unseen frame only supplies the
+        # forecast timestamps (no exog channel, like the reference's
+        # ARIMA predict-on-index, build_arima_base.py:310-369)
+        future_pdf = future_pdf.sort_values("ts")
+        horizon = len(future_pdf)
+        future_ts = pd.DatetimeIndex(future_pdf["ts"]).to_numpy()
+    else:
+        freq_s = (
+            (pdf["ts"].iloc[-1] - pdf["ts"].iloc[0]).total_seconds() / max(n - 1, 1)
+            if n > 1
+            else 86400.0
+        )
+        future_ts = future_timestamps(pdf["ts"].iloc[-1], horizon, freq_s).to_numpy()
     model = best_fit(y_all)
     yhat = _forecast_fitted(model, horizon) if model else np.full(horizon, y_all.mean())
-    freq_s = (
-        (pdf["ts"].iloc[-1] - pdf["ts"].iloc[0]).total_seconds() / max(n - 1, 1)
-        if n > 1
-        else 86400.0
-    )
-    out.append(
-        pd.DataFrame(
-            {
-                "ts": future_timestamps(pdf["ts"].iloc[-1], horizon, freq_s).to_numpy(),
-                "fold": -1,
-                "yhat": yhat,
-            }
-        )
-    )
+    out.append(pd.DataFrame({"ts": future_ts, "fold": -1, "yhat": yhat}))
     return pd.concat(out, ignore_index=True)

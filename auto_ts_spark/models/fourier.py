@@ -91,11 +91,14 @@ def forecast_fourier(
     seasonality_mode: str = "additive",
     holidays: list | None = None,
     seasonal_periods: list[tuple[float, int]] | None = None,
+    future_pdf: pd.DataFrame | None = None,
 ) -> pd.DataFrame:
     """Per-series worker: CV test predictions per fold + final forecast
-    (fold = -1). Exog future values are persisted (last observed) when
-    the future frame has none — same policy as the reference's
-    univariate future frame."""
+    (fold = -1). ``future_pdf`` (ts + known exog rows, the reference's
+    make_future_dataframe-with-regressors shape, build_prophet.py:
+    513-521) supplies the forecast timestamps and exog values; without
+    it, exog future values are persisted (last observed) — the
+    reference's univariate future-frame policy."""
     pdf = pdf.sort_values("ts").reset_index(drop=True)
     y_raw = pdf["y"].to_numpy(dtype=float)
     n = len(pdf)
@@ -146,7 +149,12 @@ def forecast_fourier(
     hol_all = holiday_matrix(pdf["ts"])
     out_rows: list[pd.DataFrame] = []
 
-    def fit_predict(train_n: int, idx_pred: np.ndarray, ts_pred: pd.Series) -> np.ndarray:
+    def fit_predict(
+        train_n: int,
+        idx_pred: np.ndarray,
+        ts_pred: pd.Series,
+        ex_future: np.ndarray | None = None,
+    ) -> np.ndarray:
         Xtr = _design(
             t_all[:train_n],
             periods,
@@ -159,6 +167,11 @@ def forecast_fourier(
             ex_pred = exog[np.clip(idx_pred, 0, n - 1)]
             if (idx_pred >= n).any():  # persist last row for future steps
                 ex_pred[idx_pred >= n] = exog[train_n - 1]
+                if ex_future is not None:  # overlay known future values
+                    known = ~np.isnan(ex_future)
+                    fut_rows = ex_pred[idx_pred >= n]
+                    fut_rows[known] = ex_future[known]
+                    ex_pred[idx_pred >= n] = fut_rows
         Xp = _design(
             idx_pred.astype(float), periods, ex_pred, holiday_matrix(ts_pred)
         )
@@ -172,9 +185,24 @@ def forecast_fourier(
             pd.DataFrame({"ts": ts_pred.to_numpy(), "fold": fold, "yhat": yhat})
         )
 
+    ex_future = None
+    if future_pdf is not None and len(future_pdf):
+        future_pdf = future_pdf.sort_values("ts").reset_index(drop=True)
+        horizon = len(future_pdf)
+        future_ts = pd.Series(pd.DatetimeIndex(future_pdf["ts"]))
+        if exog_cols:
+            ex_future = np.column_stack(
+                [
+                    future_pdf[c].to_numpy(dtype=float)
+                    if c in future_pdf.columns
+                    else np.full(horizon, np.nan)
+                    for c in exog_cols
+                ]
+            )
+    else:
+        future_ts = pd.Series(future_timestamps(pdf["ts"].iloc[-1], horizon, freq_s))
     future_idx = np.arange(n, n + horizon)
-    future_ts = future_timestamps(pdf["ts"].iloc[-1], horizon, freq_s)
-    yhat_future = fit_predict(n, future_idx, pd.Series(future_ts))
+    yhat_future = fit_predict(n, future_idx, future_ts, ex_future)
     out_rows.append(
         pd.DataFrame({"ts": future_ts.to_numpy(), "fold": -1, "yhat": yhat_future})
     )

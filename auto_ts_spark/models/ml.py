@@ -138,10 +138,18 @@ def tune_gbt_max_iter(
     small and sequential like the reference's early-stopping sweep.
     """
     feat, feature_cols = build_features(df, target, lags=lags, exog_cols=exog_cols)
-    feat = _per_series_cutoff(feat, 1, holdout).cache()
+    feat = _per_series_cutoff(feat).cache()
+    # same minimum-train gate as cv_scores_ml: series shorter than the
+    # holdout + a usable prefix contribute to NEITHER side (otherwise a
+    # short series lands entirely in validation, scored by a model that
+    # never saw it — or an all-short dataset fits on zero rows)
+    min_train = max(10, len(feature_cols))
     cut = F.col("_n") - holdout
-    train = feat.filter(F.col("rn") <= cut)
-    val = feat.filter(F.col("rn") > cut)
+    train = feat.filter((F.col("rn") <= cut) & (cut >= min_train))
+    val = feat.filter((F.col("rn") > cut) & (cut >= min_train))
+    if train.limit(1).count() == 0 or val.limit(1).count() == 0:
+        feat.unpersist()
+        return 40, pd.DataFrame(columns=["max_iter", "rmse"])
     rows = []
     for m in candidates:
         _, model = fit_gbt(train, feature_cols, target, max_iter=m)
@@ -175,7 +183,7 @@ def feature_importances(model, feature_cols: list[str]) -> pd.DataFrame:
     return out.reset_index(drop=True)
 
 
-def _per_series_cutoff(feat: DataFrame, n_splits: int, horizon: int) -> DataFrame:
+def _per_series_cutoff(feat: DataFrame) -> DataFrame:
     """Attach per-series row number and count so expanding-fold
     cutoffs are evaluated per series (a global count would interleave
     series — the round-2 verdict's misattribution class)."""
@@ -193,16 +201,21 @@ def cv_scores_ml(
     horizon: int = 8,
     exog_cols: list[str] | None = None,
     max_iter: int = 40,
-) -> pd.DataFrame:
+    return_preds: bool = False,
+) -> pd.DataFrame | tuple[pd.DataFrame, DataFrame | None]:
     """Expanding-window CV: per fold, train on every series' prefix,
     score the next ``horizon`` rows of each series (one-step-ahead
     features). Fold cutoffs are per-series (series of different lengths
     each contribute their own tail window). Returns a small pandas
-    frame (model, fold, rmse, n_test)."""
+    frame (model, fold, rmse, n_test); with ``return_preds=True`` also
+    the per-row out-of-fold predictions (series_id, ts, fold, yhat) —
+    the residual source for the ML family's prediction intervals
+    (reference build_ml.py:674-680)."""
     feat, feature_cols = build_features(df, target, lags=lags, exog_cols=exog_cols)
-    feat = _per_series_cutoff(feat, n_splits, horizon).cache()
+    feat = _per_series_cutoff(feat).cache()
     min_train = max(10, len(feature_cols))
     rows = []
+    pred_parts: list[DataFrame] = []
     for fold in range(n_splits):
         cut = F.col("_n") - (n_splits - fold) * horizon
         train = feat.filter((F.col("rn") <= cut) & (cut >= min_train))
@@ -221,8 +234,25 @@ def cv_scores_ml(
         sd = float(agg["sd"]) if agg["sd"] else None
         nrmse = float(agg["rmse"]) / sd if sd else None
         rows.append(("ml_gbt", fold, float(agg["rmse"]), int(agg["n"]), nrmse))
+        if return_preds:
+            pred_parts.append(
+                pred.select(
+                    "series_id",
+                    "ts",
+                    F.lit(fold).cast("int").alias("fold"),
+                    F.col("prediction").alias("yhat"),
+                )
+            )
     feat.unpersist()
-    return pd.DataFrame(rows, columns=["model", "fold", "rmse", "n_test", "nrmse"])
+    summary = pd.DataFrame(rows, columns=["model", "fold", "rmse", "n_test", "nrmse"])
+    if not return_preds:
+        return summary
+    fold_preds = None
+    if pred_parts:
+        fold_preds = pred_parts[0]
+        for p in pred_parts[1:]:
+            fold_preds = fold_preds.unionByName(p)
+    return summary, fold_preds
 
 
 def cv_scores_ml_classifier(
@@ -238,16 +268,14 @@ def cv_scores_ml_classifier(
     expanding folds, class-weighted classifier, scored by error rate
     (1 - accuracy) so the ascending leaderboard contract (O1) holds
     unchanged — the 'rmse' column carries the loss."""
+    from auto_ts_spark.operators.profile import class_weights
+
     feat, feature_cols = build_features(df, target, lags=lags, exog_cols=exog_cols)
-    feat = _per_series_cutoff(feat, n_splits, horizon)
-    # balanced class weights n/(k·count) (ml_models.py:390-457)
-    counts = feat.groupBy(target).agg(F.count(F.lit(1)).alias("_cnt"))
-    totals = counts.agg(F.sum("_cnt").alias("_tot"), F.count(F.lit(1)).alias("_k"))
-    wmap = counts.crossJoin(F.broadcast(totals)).select(
-        target, (F.col("_tot") / (F.col("_k") * F.col("_cnt"))).alias("_w")
-    )
+    feat = _per_series_cutoff(feat)
+    # balanced class weights n/(k·count) — the A12 operator (profile.py)
+    wmap = class_weights(feat, target).select(target, F.col("weight").alias("_w"))
     feat = feat.join(F.broadcast(wmap), target, "left").cache()
-    n_classes = counts.count()
+    n_classes = wmap.count()
     min_train = max(10, len(feature_cols))
     rows = []
     for fold in range(n_splits):

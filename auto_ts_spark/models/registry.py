@@ -69,16 +69,36 @@ def run_model(
     horizon: int,
     target: str = "y",
 ) -> DataFrame:
-    """One applyInPandas pass: (series_id, ts, fold, yhat) rows."""
+    """One applyInPandas pass: (series_id, ts, fold, yhat) rows.
+
+    Rows flagged ``_future = 1`` (predict-on-unseen: future timestamps
+    + known exog, y unused) are split out of the group and handed to
+    the worker as its future frame — they travel WITH the series
+    through the same shuffle, so unseen-data scoring costs no extra
+    join or stage."""
 
     def apply_fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.rename(columns={target: "y"}).sort_values("ts")
+        pdf, fut = _split_future(pdf.rename(columns={target: "y"}))
+        if not len(pdf):
+            return pd.DataFrame(columns=["series_id", "ts", "fold", "yhat"])
         folds = expanding_fold_bounds(len(pdf), n_splits, horizon)
-        out = worker(pdf, folds, horizon)
+        out = worker(pdf, folds, horizon) if fut is None else worker(
+            pdf, folds, horizon, future_pdf=fut
+        )
         out.insert(0, "series_id", pdf["series_id"].iloc[0])
         return out[["series_id", "ts", "fold", "yhat"]]
 
     return df.groupBy("series_id").applyInPandas(apply_fn, PRED_SCHEMA)
+
+
+def _split_future(pdf: pd.DataFrame) -> tuple[pd.DataFrame, pd.DataFrame | None]:
+    """Split a grouped frame into (observed, future-or-None) on the
+    optional ``_future`` flag column."""
+    if "_future" not in pdf.columns:
+        return pdf.sort_values("ts"), None
+    fut = pdf[pdf["_future"] == 1].sort_values("ts")
+    obs = pdf[pdf["_future"] != 1].sort_values("ts")
+    return obs, (fut if len(fut) else None)
 
 
 def run_all_models(
@@ -111,9 +131,13 @@ def run_all_models(
     def apply_fn(key, pdf):  # no hints: (key, pdf) form is inferred by arity
         series_id, name = key
         worker = reg[name]
-        pdf = pdf.rename(columns={target: "y"}).sort_values("ts")
+        pdf, fut = _split_future(pdf.rename(columns={target: "y"}))
+        if not len(pdf):
+            return pd.DataFrame(columns=["series_id", "ts", "fold", "yhat", "model"])
         folds = expanding_fold_bounds(len(pdf), n_splits, horizon)
-        out = worker(pdf, folds, horizon)
+        out = worker(pdf, folds, horizon) if fut is None else worker(
+            pdf, folds, horizon, future_pdf=fut
+        )
         out.insert(0, "series_id", series_id)
         out["model"] = name
         return out[["series_id", "ts", "fold", "yhat", "model"]]

@@ -35,15 +35,22 @@ def _fit_var(Y: np.ndarray, p: int):
     return B, score
 
 
-def _forecast_var(Y: np.ndarray, B: np.ndarray, p: int, h: int) -> np.ndarray:
-    k = Y.shape[1]
+def _forecast_var(
+    Y: np.ndarray, B: np.ndarray, p: int, h: int, exog_future: np.ndarray | None = None
+) -> np.ndarray:
+    """Recursion; ``exog_future`` (h × (k-1), NaN = unknown) conditions
+    the companion equations on known future values — the VARX-style
+    overlay used by predict-on-unseen."""
     hist = Y.tolist()
     preds = []
-    for _ in range(h):
+    for step in range(h):
         x = [1.0]
         for i in range(1, p + 1):
             x.extend(hist[-i])
         yhat = np.asarray(x) @ B
+        if exog_future is not None and step < len(exog_future):
+            known = ~np.isnan(exog_future[step])
+            yhat[1:][known] = exog_future[step][known]
         preds.append(yhat)
         hist.append(yhat.tolist())
     return np.array(preds)
@@ -57,6 +64,7 @@ def forecast_var(
     exog_cols: list[str] | None = None,
     max_p: int = 3,
     max_rows: int = 1000,
+    future_pdf: pd.DataFrame | None = None,
 ) -> pd.DataFrame:
     """Per-series worker. Searches (candidate column × p) by AIC like
     the reference's pairwise scan; keeps the reference's >1000-row skip
@@ -71,7 +79,9 @@ def forecast_var(
         else 86400.0
     )
 
-    def best_forecast(train_n: int, h: int) -> np.ndarray:
+    def best_forecast(
+        train_n: int, h: int, future_exog: dict[str, np.ndarray] | None = None
+    ) -> np.ndarray:
         ytr = y[:train_n]
         if train_n > max_rows or not exog_cols:
             candidates = [None]
@@ -90,11 +100,14 @@ def forecast_var(
                         continue
                     B, score = res
                     if best is None or score < best[0]:
-                        best = (score, B, p, Y)
+                        best = (score, B, p, Y, cand)
         if best is None:
             return np.full(h, ytr.mean() if train_n else 0.0)
-        _, B, p, Y = best
-        return _forecast_var(Y, B, p, h)[:, 0]
+        _, B, p, Y, cand = best
+        ex_fut = None
+        if future_exog and cand is not None and cand in future_exog:
+            ex_fut = future_exog[cand][:, None]
+        return _forecast_var(Y, B, p, h, ex_fut)[:, 0]
 
     out = []
     for fold, (train_end, test_end) in enumerate(folds):
@@ -103,14 +116,18 @@ def forecast_var(
         out.append(
             pd.DataFrame({"ts": pdf["ts"].iloc[train_end:test_end].to_numpy(), "fold": fold, "yhat": yhat})
         )
-    yhat = best_forecast(n, horizon)
-    out.append(
-        pd.DataFrame(
-            {
-                "ts": future_timestamps(pdf["ts"].iloc[-1], horizon, freq_s).to_numpy(),
-                "fold": -1,
-                "yhat": yhat,
-            }
-        )
-    )
+    if future_pdf is not None and len(future_pdf):
+        future_pdf = future_pdf.sort_values("ts").reset_index(drop=True)
+        horizon = len(future_pdf)
+        future_ts = pd.DatetimeIndex(future_pdf["ts"]).to_numpy()
+        future_exog = {
+            c: future_pdf[c].to_numpy(dtype=float)
+            for c in exog_cols
+            if c in future_pdf.columns
+        }
+    else:
+        future_ts = future_timestamps(pdf["ts"].iloc[-1], horizon, freq_s).to_numpy()
+        future_exog = None
+    yhat = best_forecast(n, horizon, future_exog)
+    out.append(pd.DataFrame({"ts": future_ts, "fold": -1, "yhat": yhat}))
     return pd.concat(out, ignore_index=True)

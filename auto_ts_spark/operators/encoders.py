@@ -75,6 +75,12 @@ def distributed_rank(
     out_df = local.join(F.broadcast(off_df), "_pid").select(
         F.col(col), (F.col("_off") + F.col("_lrank") - 1).cast("int").alias(out)
     )
+    # materialize the (small, #distinct-row) mapping, then release the
+    # full-size ranked intermediate — it must stay cached only until
+    # the mapping exists (recompute would re-sample range boundaries)
+    out_df = out_df.cache()
+    out_df.count()
+    local.unpersist()
     return out_df
 
 

@@ -84,11 +84,18 @@ def with_global_row_number(
         [(pid, sid, off) for (pid, sid), off in offsets.items()],
         f"_pid int, {series_col} string, _off long",
     )
-    return (
+    out = (
         local.join(F.broadcast(off_df), ["_pid", series_col])
         .withColumn(name, F.col("_off") + F.col("_lrank"))
         .drop("_pid", "_lrank", "_off")
     )
+    # pin the RESULT (which downstream reuses) instead of leaving the
+    # ranked intermediate cached forever; callers may .unpersist() the
+    # returned frame when done
+    out = out.cache()
+    out.count()
+    local.unpersist()
+    return out
 
 
 def shard_series(

@@ -103,9 +103,12 @@ def test_seasonality_blocks_map():
     assert seasonality_blocks(30 * day) == []  # monthly+: base only
 
 
-def test_default_config_unchanged():
-    """The plain additive/linear path must be byte-identical to the
-    pre-config worker (oracle stability for automl_forecast)."""
+def test_default_config_matches_independent_lstsq():
+    """Pin the default additive/linear semantics against an
+    INDEPENDENT re-derivation (ridge-stabilized normal equations on
+    intercept + trend + K=3 Fourier pairs) — guards the
+    automl_forecast oracle against silent regressions of the default
+    path, which a self-vs-self determinism check cannot."""
     rng = np.random.RandomState(1)
     n = 96
     t = np.arange(n, dtype=float)
@@ -114,6 +117,26 @@ def test_default_config_unchanged():
         {"ts": pd.date_range("2015-01-31", periods=n, freq="ME"), "y": y}
     )
     folds = expanding_fold_bounds(n, 3, 8)
-    a = forecast_fourier(pdf, folds, 8, seasonal_period=12)
-    b = forecast_fourier(pdf, folds, 8, seasonal_period=12)
-    assert np.array_equal(a["yhat"].to_numpy(), b["yhat"].to_numpy())
+    got = forecast_fourier(pdf, folds, 8, seasonal_period=12)
+
+    def design(tv):
+        cols = [np.ones_like(tv), tv]
+        for k in range(1, 4):
+            ang = 2 * np.pi * k * tv / 12.0
+            cols += [np.sin(ang), np.cos(ang)]
+        return np.column_stack(cols)
+
+    def fit_predict(train_n, idx):
+        X = design(t[:train_n])
+        beta = np.linalg.solve(
+            X.T @ X + 1e-8 * np.eye(X.shape[1]), X.T @ y[:train_n]
+        )
+        return design(idx.astype(float)) @ beta
+
+    for fold, (tr, te) in enumerate(folds):
+        want = fit_predict(tr, np.arange(tr, te))
+        have = got[got["fold"] == fold].sort_values("ts")["yhat"].to_numpy()
+        assert np.allclose(have, want, atol=1e-8), f"fold {fold}"
+    want_fut = fit_predict(n, np.arange(n, n + 8))
+    have_fut = got[got["fold"] == -1].sort_values("ts")["yhat"].to_numpy()
+    assert np.allclose(have_fut, want_fut, atol=1e-8)

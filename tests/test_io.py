@@ -73,3 +73,23 @@ def test_load_ts_epoch_and_date_columns(spark):
     df = load_ts(spark, spark.createDataFrame(pdf), "d", target="y")
     assert dict(df.dtypes)["ts"] == "timestamp"
     assert df.count() == 3
+
+
+def test_load_ts_adopts_existing_series_id(spark):
+    """An input column already named ``series_id`` IS the grouping
+    column when no explicit arg is given — not a duplicate beside the
+    constant-"0" alias (which made every downstream reference
+    ambiguous)."""
+    pdf = pd.DataFrame(
+        {
+            "series_id": ["a", "a", "b", "b"],
+            "d": list(pd.date_range("2024-01-01", periods=2)) * 2,
+            "y": [1.0, 2.0, 3.0, 4.0],
+        }
+    )
+    df = load_ts(spark, spark.createDataFrame(pdf), "d", target="y")
+    assert df.columns == ["series_id", "ts", "y"]
+    assert {r["series_id"] for r in df.select("series_id").distinct().collect()} == {
+        "a",
+        "b",
+    }

@@ -48,6 +48,34 @@ def test_ml_tune_wired_into_facade(spark):
     assert ats.ml_max_iter_ in set(ats.ml_trials_["max_iter"])
 
 
+def test_tune_short_series_falls_back(spark):
+    """Series shorter than holdout + min-train must not crash or fit
+    on zero rows — the tuner returns the default (round-3 review
+    finding: previously all rows landed in validation)."""
+    sdf = spark.createDataFrame(_series(n=10).drop(columns=["y2"]))
+    best, trials = ML.tune_gbt_max_iter(sdf, candidates=(5, 40), holdout=8)
+    assert best == 40
+    assert len(trials) == 0
+
+
+@pytest.mark.slow
+def test_multi_label_path_input_drops_siblings(spark, tmp_path):
+    """A parquet path input must behave exactly like a DataFrame
+    input: sibling targets dropped, never leaked into exog features
+    (round-3 review finding)."""
+    from auto_ts_spark.auto import AutoTimeSeries
+
+    pdf = _series().drop(columns=["series_id"])
+    p = str(tmp_path / "multi.parquet")
+    spark.createDataFrame(pdf).repartition(1).write.parquet(p, mode="overwrite")
+    ats = AutoTimeSeries(forecast_period=4, n_splits=2, model_type="prophet")
+    ats.fit(p + "/", "ts", ["y", "y2"])
+    for t, sub in ats.multi_.items():
+        sibling = "y2" if t == "y" else "y"
+        assert sibling not in sub.exog_cols_, (t, sub.exog_cols_)
+        assert sub.exog_cols_ == []
+
+
 @pytest.mark.slow
 def test_multi_label_fit_predict(spark):
     from auto_ts_spark.auto import AutoTimeSeries
