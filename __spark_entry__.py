@@ -920,6 +920,39 @@ SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.4
 """
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster assignment over the MinHash+LSH pair graph:
+    distributed min-label propagation (auto_ts_spark/operators/
+    dedup.py::connected_components) vs a DuckDB recursive-CTE
+    reachability closure — converged labels are the min doc id per
+    component in both engines, so the comparison is exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    return DD.dedup_clusters(docs, num_hashes=16, bands=8, threshold=0.4)
+
+
+_SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE pr AS (
+  SELECT id_a, id_b FROM ({_SQL_MINHASH_LSH}) t
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pr
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pr
+), nodes AS (
+  SELECT DISTINCT src AS id FROM edges
+), reach(id, root) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.id
+), lab AS (
+  SELECT id AS doc_id, min(root) AS cluster_id FROM reach GROUP BY id
+)
+SELECT doc_id, cluster_id,
+       cast(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+       doc_id = cluster_id AS is_keep
+FROM lab
+"""
+
+
 def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash fingerprints for doc_id < 100 (bit-exact in
     DuckDB via the shared md5 hash family)."""
@@ -2376,6 +2409,7 @@ _ORACLE: dict[str, str] = {
     "exact_dedup_stats": _SQL_EXACT_DEDUP,
     "ngram_jaccard_pairs": _SQL_NGRAM_JACCARD,
     "minhash_lsh_pairs": _SQL_MINHASH_LSH,
+    "dedup_clusters": _SQL_DEDUP_CLUSTERS,
     "simhash_fingerprints": _SQL_SIMHASH,
     "embedding_topk": _SQL_EMBEDDING_TOPK,
     "embedding_near_dup": _SQL_EMBEDDING_NEAR_DUP,
@@ -2427,6 +2461,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exact_dedup_stats": q_exact_dedup_stats,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "dedup_clusters": q_dedup_clusters,
     "simhash_fingerprints": q_simhash_fingerprints,
     "embedding_topk": q_embedding_topk,
     "embedding_near_dup": q_embedding_near_dup,

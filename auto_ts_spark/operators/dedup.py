@@ -198,6 +198,109 @@ def minhash_lsh_pairs(
     return scored.dropDuplicates(["id_a", "id_b"])
 
 
+def connected_components(
+    pairs: DataFrame,
+    *,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Component labels for an undirected pair graph: iterative
+    min-label propagation (converged label = min node id reachable,
+    so labels are deterministic — oracle-reproducible via a recursive
+    CTE).
+
+    Scale shape: every round is one hash-shuffle (edges ⋈ labels →
+    groupBy-min) — fully distributed, no driver-side graph. Rounds =
+    graph diameter; near-dup components from LSH candidate generation
+    are quasi-cliques (every member shares a band bucket with most
+    others), so convergence is 2-4 rounds in practice, with a hard cap
+    for pathological chains (the large-star/small-star variant would
+    bound rounds at O(log² n) if such graphs ever dominate).
+    ``localCheckpoint`` truncates lineage each round so the plan stays
+    flat; the loop exits on the first round with zero label changes.
+    """
+    half = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    edges = half.unionByName(
+        half.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).cache()
+    labels = (
+        edges.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(
+                labels.select(F.col("id").alias("a"), F.col("label").alias("al")),
+                "a",
+            )
+            .groupBy(F.col("b").alias("id"))
+            .agg(F.min("al").alias("nbr"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("nbr", F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.select("id", F.col("label").alias("new"))
+            .join(labels, "id")
+            .filter(F.col("new") != F.col("label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("id", F.col("label").alias("cluster_id"))
+
+
+def dedup_clusters(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup cluster assignment — the step a production dedup
+    pipeline runs after pair generation: pairs alone can't drive
+    document retention (a∼b, b∼c must keep ONE of {a,b,c}, not two).
+
+    MinHash+LSH pairs → connected components → per-doc
+    ``(doc_id, cluster_id, cluster_size, is_keep)`` where cluster_id
+    is the min doc id in the component and ``is_keep`` marks the
+    canonical member. Only documents that appear in at least one pair
+    are returned (everything else is trivially kept).
+    """
+    pairs = minhash_lsh_pairs(
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_n=shingle_n,
+        threshold=threshold,
+    )
+    cc = connected_components(pairs)
+    w = Window.partitionBy("cluster_id")
+    return (
+        cc.select(F.col("id").alias(id_col), "cluster_id")
+        .withColumn("cluster_size", F.count(F.lit(1)).over(w).cast("bigint"))
+        .withColumn("is_keep", F.col(id_col) == F.col("cluster_id"))
+    )
+
+
 def simhash_pairs(
     df: DataFrame,
     *,

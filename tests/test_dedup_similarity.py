@@ -57,6 +57,27 @@ def test_simhash_exact_dup_distance_zero(planted_docs):
     assert d[(0, 1)] == 0
 
 
+def test_connected_components_chain_converges(spark):
+    """A path graph (diameter 3) forces label propagation past one
+    round; a disjoint pair must keep its own min label."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    lab = {r["id"]: r["cluster_id"] for r in dedup.connected_components(pairs).collect()}
+    assert lab == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_dedup_clusters_keep_one_per_component(planted_docs):
+    """0∼1, 0∼2 (and maybe 1∼2): all three land in ONE cluster with a
+    single canonical keeper — pairwise output alone would keep two."""
+    out = dedup.dedup_clusters(planted_docs, threshold=0.5).collect()
+    rows = {r["doc_id"]: r for r in out}
+    assert set(rows) == {0, 1, 2}
+    assert all(r["cluster_id"] == 0 for r in out)
+    assert all(r["cluster_size"] == 3 for r in out)
+    assert [d for d, r in rows.items() if r["is_keep"]] == [0]
+
+
 @pytest.fixture(scope="module")
 def planted_vectors(spark):
     rng = np.random.RandomState(3)
