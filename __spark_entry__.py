@@ -1066,6 +1066,38 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W19 streaming operator, value-checked: drain the events parquet
+    through the SAME ``tumbling_agg`` plan as a bounded availableNow
+    stream (incremental state, micro-batches) into a memory sink; the
+    oracle recomputes the rollup as one batch SQL scan. Decimal sum
+    accumulation makes the result independent of micro-batching, so
+    stream ≡ batch is checked exactly, not approximately."""
+    import tempfile
+    import uuid
+
+    from auto_ts_spark.streaming import ops as ST
+
+    ev = ST.read_event_stream_nanos(spark, f"{sf_dir}/events.parquet")
+    agg = ST.tumbling_agg(ev, window="1 hour", exact=True)
+    sink = f"stream_rollup_{uuid.uuid4().hex[:8]}"
+    ST.run_to_completion(
+        agg, sink_table=sink, checkpoint_dir=tempfile.mkdtemp(prefix="ckpt_")
+    )
+    return spark.table(sink)
+
+
+_SQL_STREAMING_HOURLY_ROLLUP = """
+SELECT date_trunc('hour', ts) AS win_start,
+       date_trunc('hour', ts) + INTERVAL 1 HOUR AS win_end,
+       event_type,
+       count(*) AS n_events,
+       round(cast(sum(cast(value as decimal(28,6))) as double), 6) AS sum_value,
+       round(cast(sum(cast(value as decimal(28,6))) as double) / count(*), 6) AS avg_value
+FROM events GROUP BY 1, 2, 3
+"""
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization (gap 30 min) per-user session stats."""
     ev = load_table(spark, sf_dir, "events")
@@ -2414,6 +2446,7 @@ _ORACLE: dict[str, str] = {
     "embedding_topk": _SQL_EMBEDDING_TOPK,
     "embedding_near_dup": _SQL_EMBEDDING_NEAR_DUP,
     "hourly_rollup": _SQL_HOURLY_ROLLUP,
+    "streaming_hourly_rollup": _SQL_STREAMING_HOURLY_ROLLUP,
     "sessionize": _SQL_SESSIONIZE,
     "fillna_ffill": _SQL_FILLNA_FFILL,
     "json_props_extract": _SQL_JSON_PROPS,
@@ -2466,6 +2499,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_topk": q_embedding_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "hourly_rollup": q_hourly_rollup,
+    "streaming_hourly_rollup": q_streaming_hourly_rollup,
     "sessionize": q_sessionize,
     "fillna_ffill": q_fillna_ffill,
     "json_props_extract": q_json_props_extract,

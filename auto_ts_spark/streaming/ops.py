@@ -70,26 +70,74 @@ def read_event_stream(
     return reader.parquet(path)
 
 
+def read_event_stream_nanos(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream over TIMESTAMP(NANOS) event parquet (the
+    driver testdata layout): read ts as the raw nano count and convert
+    with the same integer-div truncation as the batch reader
+    (io/sources.py::read_parquet), so stream and batch agree to the
+    microsecond."""
+    import os
+    import tempfile
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if os.path.isfile(path):
+        # the file stream source only accepts directories; a symlink
+        # inside a temp dir exposes a lone parquet file as one
+        d = tempfile.mkdtemp(prefix="stream_src_")
+        os.symlink(os.path.abspath(path), os.path.join(d, os.path.basename(path)))
+        path = d
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", LongType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+    return (
+        spark.readStream.schema(schema)
+        .parquet(path)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+
+
 def tumbling_agg(
     events: DataFrame,
     *,
     window: str = "1 hour",
     watermark: str = "2 hours",
     keys: Iterable[str] = ("event_type",),
+    exact: bool = False,
 ) -> DataFrame:
     """Tumbling-window count/sum/avg per key with late-data watermark.
 
     Streaming form of the batch hourly rollup (date_trunc groupBy):
     identical grouping shuffle, incremental state per (window, key).
+
+    ``exact=True`` accumulates the sum as decimal(28,6): decimal
+    addition is associative, so the result is bit-identical no matter
+    how the stream is micro-batched — the mode the cross-engine oracle
+    check runs in (float sums would drift with accumulation order).
     """
-    return (
-        events.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", window).alias("win"), *keys)
-        .agg(
+    if exact:
+        dec = F.sum(F.col("value").cast("decimal(28,6)"))
+        aggs = [
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(dec.cast("double"), 6).alias("sum_value"),
+            F.round(dec.cast("double") / F.count(F.lit(1)), 6).alias("avg_value"),
+        ]
+    else:
+        aggs = [
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum("value"), 6).alias("sum_value"),
             F.round(F.avg("value"), 6).alias("avg_value"),
-        )
+        ]
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), *keys)
+        .agg(*aggs)
         .select(
             F.col("win.start").alias("win_start"),
             F.col("win.end").alias("win_end"),
