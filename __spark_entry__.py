@@ -31,6 +31,7 @@ from auto_ts_spark.io.sources import load_table
 from auto_ts_spark.operators import dedup as DD
 from auto_ts_spark.operators import folds as FOLDS
 from auto_ts_spark.operators import lags as LAGS
+from auto_ts_spark.operators import sampling as SAMP
 from auto_ts_spark.operators import sessions as SESS
 from auto_ts_spark.operators import similarity as SIM
 from auto_ts_spark.operators import textops as TOPS
@@ -778,6 +779,51 @@ SELECT doc_id, n_chars, n_tokens, n_bpe_tokens,
        round((least(n_tokens / 100.0, 1.0) + least(sw_ratio * 5.0, 1.0)
             + greatest(1.0 - punct_ratio * 4.0, 0.0) + greatest(1.0 - digit_ratio * 4.0, 0.0)) / 4.0, 6) AS quality
 FROM s
+"""
+
+
+def q_corpus_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary with tf/df/idf (min_df=2) — the
+    vocabulary-building stage of a training-data pipeline
+    (auto_ts_spark/operators/textops.py::corpus_vocabulary): one
+    explode + one term-shuffle, N broadcast as a scalar."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TOPS.corpus_vocabulary(docs, min_df=2)
+
+
+_SQL_CORPUS_VOCAB = f"""
+WITH t AS (
+  SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents
+), f AS (
+  SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df
+  FROM t WHERE term <> '' GROUP BY term
+), n AS (
+  SELECT count(*) AS nd FROM documents
+)
+SELECT term, tf, df, round(ln((nd + 1) / (df + 1)) + 1, 6) AS idf
+FROM f, n WHERE df >= 2
+"""
+
+
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 split assignment by md5 id hash
+    (operators/sampling.py::hash_split): content-addressed,
+    partition-independent, bit-reproduced by the oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return SAMP.hash_split(docs, seed=42).select("doc_id", "split")
+
+
+_SQL_DATASET_SPLIT = f"""
+WITH h AS (
+  SELECT doc_id,
+         {_sql_hash60("concat(cast(doc_id as varchar), ':42')")} % 1000000 AS b
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN b < 800000 THEN 'train'
+            WHEN b < 900000 THEN 'val'
+            ELSE 'test' END AS split
+FROM h
 """
 
 
@@ -2437,6 +2483,8 @@ _ORACLE: dict[str, str] = {
     "top_correlations": _SQL_TOP_CORR,
     "minmax_profile": _SQL_MINMAX,
     "text_profile": _SQL_TEXT_PROFILE,
+    "corpus_vocabulary": _SQL_CORPUS_VOCAB,
+    "dataset_split": _SQL_DATASET_SPLIT,
     "language_id": _SQL_LANGUAGE_ID,
     "exact_dedup_stats": _SQL_EXACT_DEDUP,
     "ngram_jaccard_pairs": _SQL_NGRAM_JACCARD,
@@ -2490,6 +2538,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_correlations": q_top_correlations,
     "minmax_profile": q_minmax_profile,
     "text_profile": q_text_profile,
+    "corpus_vocabulary": q_corpus_vocabulary,
+    "dataset_split": q_dataset_split,
     "language_id": q_language_id,
     "exact_dedup_stats": q_exact_dedup_stats,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,

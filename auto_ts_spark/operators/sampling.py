@@ -1,0 +1,65 @@
+"""Deterministic sampling and dataset-split assignment.
+
+Training-data pipelines need splits that are (a) reproducible across
+runs, engines, and cluster sizes, (b) stable under re-partitioning,
+and (c) content-addressed — a document keeps its split when the corpus
+around it changes. Spark's ``randomSplit`` gives none of these (it is
+partition-order dependent). These operators derive the assignment from
+an md5 hash of the row id + seed, so the split is a pure projection:
+no shuffle, no state, bit-reproducible in any engine with md5
+(the DuckDB oracle re-derives it exactly).
+
+Thresholds are integer hash buckets (ppm of the 60-bit hash), never
+accumulated floats — ``0.8 + 0.1 != 0.9`` in IEEE doubles, and a
+boundary row must land in the same split in every engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from auto_ts_spark.functions import text as TX
+
+_DENOM = 1_000_000
+
+
+def _bucket(id_col: Column, seed: int) -> Column:
+    """Integer bucket in [0, 1e6) from the md5-60-bit hash of id:seed."""
+    h = TX.hash60(F.concat(id_col.cast("string"), F.lit(f":{seed}")))
+    return h % _DENOM
+
+
+def deterministic_sample(
+    df: DataFrame, fraction: float, *, id_col: str = "doc_id", seed: int = 42
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, chosen by id hash — same rows every
+    run, on any partitioning, in any engine."""
+    return df.filter(_bucket(F.col(id_col), seed) < int(round(fraction * _DENOM)))
+
+
+def hash_split(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+    seed: int = 42,
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign every row to a named split by cumulative hash bucket:
+    the first split whose cumulative ppm threshold exceeds the row's
+    bucket. Weights are normalized; assignment is a single projection
+    (no shuffle) and content-addressed by ``id_col``."""
+    weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
+    total = sum(weights.values())
+    b = _bucket(F.col(id_col), seed)
+    expr: Column | None = None
+    cum = 0.0
+    items = list(weights.items())
+    for name, w in items[:-1]:
+        cum += w / total
+        cond = b < int(round(cum * _DENOM))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return df.withColumn(out_col, expr)

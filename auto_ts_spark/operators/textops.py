@@ -79,6 +79,43 @@ def language_id(
     )
 
 
+def corpus_vocabulary(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 1,
+) -> DataFrame:
+    """Corpus term statistics — the vocabulary-building step of a
+    training-data pipeline: per term, total occurrences (``tf``),
+    document frequency (``df``), and smoothed
+    ``idf = ln((N+1)/(df+1)) + 1`` (the sklearn TfidfVectorizer
+    convention).
+
+    Scale shape: one explode + ONE shuffle on term (count and
+    count-distinct-doc both partial-aggregate map-side); the corpus
+    size N is a scalar broadcast into the projection. ``min_df``
+    prunes the hapax tail before it is ever shuffled onward.
+    """
+    n_docs = df.count()
+    toks = df.select(
+        F.col(id_col).alias("_doc"),
+        F.explode(TX.tokens(F.col(text_col))).alias("term"),
+    ).filter(F.col("term") != "")
+    stats = toks.groupBy("term").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.countDistinct("_doc").alias("df"),
+    )
+    return stats.filter(F.col("df") >= min_df).select(
+        "term",
+        "tf",
+        "df",
+        F.round(F.log(F.lit(float(n_docs + 1)) / (F.col("df") + 1)) + 1, 6).alias(
+            "idf"
+        ),
+    )
+
+
 def add_fingerprints(
     df: DataFrame,
     text_col: str = "text",

@@ -1,0 +1,70 @@
+"""Deterministic sampling / split assignment and corpus vocabulary."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from auto_ts_spark.operators import sampling as SAMP
+from auto_ts_spark.operators import textops as TOPS
+
+
+@pytest.fixture(scope="module")
+def ids(spark):
+    return spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+
+
+def test_hash_split_proportions_and_determinism(spark, ids):
+    out = SAMP.hash_split(ids, seed=42)
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] / 2000 - 0.8) < 0.05
+    assert abs(counts["val"] / 2000 - 0.1) < 0.03
+    # same assignment on a different partitioning (content-addressed)
+    again = SAMP.hash_split(ids.repartition(13), seed=42)
+    diff = (
+        out.select("doc_id", F.col("split").alias("a"))
+        .join(again.select("doc_id", F.col("split").alias("b")), "doc_id")
+        .filter(F.col("a") != F.col("b"))
+        .count()
+    )
+    assert diff == 0
+
+
+def test_hash_split_seed_changes_assignment(spark, ids):
+    a = SAMP.hash_split(ids, seed=1).select("doc_id", "split")
+    b = SAMP.hash_split(ids, seed=2).select("doc_id", F.col("split").alias("split2"))
+    moved = a.join(b, "doc_id").filter(F.col("split") != F.col("split2")).count()
+    assert moved > 100  # a new seed reshuffles a meaningful share
+
+
+def test_deterministic_sample_is_subset_stable(spark, ids):
+    s1 = {r["doc_id"] for r in SAMP.deterministic_sample(ids, 0.3, seed=7).collect()}
+    s2 = {r["doc_id"] for r in SAMP.deterministic_sample(ids.repartition(5), 0.3, seed=7).collect()}
+    assert s1 == s2
+    assert abs(len(s1) / 2000 - 0.3) < 0.05
+    # a larger fraction strictly extends the sample (nested property)
+    s_half = {r["doc_id"] for r in SAMP.deterministic_sample(ids, 0.5, seed=7).collect()}
+    assert s1 <= s_half
+
+
+def test_corpus_vocabulary_counts(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "the cat sat"),
+            (1, "the cat ran"),
+            (2, "a dog ran far"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["term"]: r for r in TOPS.corpus_vocabulary(docs).collect()}
+    assert out["the"]["tf"] == 2 and out["the"]["df"] == 2
+    assert out["cat"]["df"] == 2
+    assert out["ran"]["tf"] == 2 and out["ran"]["df"] == 2
+    assert out["dog"]["df"] == 1
+    # smoothed idf, sklearn convention: ln((N+1)/(df+1)) + 1
+    assert out["dog"]["idf"] == pytest.approx(math.log(4 / 2) + 1, abs=1e-6)
+    assert out["the"]["idf"] == pytest.approx(math.log(4 / 3) + 1, abs=1e-6)
+    # min_df prunes the hapax tail
+    pruned = {r["term"] for r in TOPS.corpus_vocabulary(docs, min_df=2).collect()}
+    assert pruned == {"the", "cat", "ran"}
