@@ -353,10 +353,13 @@ class AutoTimeSeries:
 
     # ------------------------------------------------------ accessors
 
-    def get_leaderboard(self) -> pd.DataFrame:
+    def get_leaderboard(self, ascending: bool = True) -> pd.DataFrame:
+        """Leaderboard sorted by rank; ``ascending=False`` reverses it
+        (reference get_leaderboard(ascending), __init__.py:1010-1048)."""
         if self.leaderboard_ is None:
             raise RuntimeError("call fit first")
-        return self.leaderboard_
+        board = self.leaderboard_
+        return board if ascending else board.iloc[::-1].reset_index(drop=True)
 
     def get_best_model_name(self) -> str:
         return str(self.get_leaderboard().iloc[0]["model"])
@@ -365,6 +368,58 @@ class AutoTimeSeries:
         if self.scores_ is None:
             raise RuntimeError("call fit first")
         return self.scores_
+
+    def get_model(self, model_name: str) -> dict:
+        """Per-model artifacts (reference get_model/get_model_build,
+        __init__.py:878-902 — returns the fitted build): the CV score
+        rows, the stored forecast, and for the ML family the fitted
+        Spark ML stages."""
+        name = _ALIAS.get(model_name.lower(), model_name.lower())
+        if self.scores_ is None:
+            raise RuntimeError("call fit first")
+        known = {r["model"] for r in self.scores_.select("model").distinct().collect()}
+        if name not in known:
+            raise KeyError(f"{model_name!r} not fitted; have {sorted(known)}")
+        out = {
+            "name": name,
+            "cv_scores": self.scores_.filter(F.col("model") == name),
+            "forecast": self._stored_forecast(name, simple=True)
+            if self.predictions_ is not None
+            else None,
+        }
+        if name == "ml_gbt" and self.ml_fitted_ is not None:
+            assembler, model, feature_cols = self.ml_fitted_
+            out["spark_ml"] = {
+                "assembler": assembler,
+                "model": model,
+                "feature_cols": feature_cols,
+            }
+        return out
+
+    def get_best_model(self) -> dict:
+        """The winning model's artifacts (reference get_best_model /
+        get_best_model_build, __init__.py:872-892)."""
+        return self.get_model(self.get_best_model_name())
+
+    def get_ml_dict(self) -> dict:
+        """{model: artifacts} for every fitted family (reference
+        get_ml_dict, __init__.py:904-908)."""
+        if self.scores_ is None:
+            raise RuntimeError("call fit first")
+        names = [r["model"] for r in self.scores_.select("model").distinct().collect()]
+        return {n: self.get_model(n) for n in sorted(names)}
+
+    def plot_cv_scores(self) -> pd.DataFrame:
+        """The tidy (model, fold, score) frame the reference boxplots
+        (plot_cv_scores, __init__.py:1050-1057). The engine core has no
+        renderer by design — callers plot this frame."""
+        metric = "nrmse" if self.score_type == "normalized_rmse" else "rmse"
+        return (
+            self.get_cv_scores()
+            .select("model", "fold", F.col(metric).alias("score"))
+            .orderBy("model", "fold")
+            .toPandas()
+        )
 
     def stationarity_report(self) -> DataFrame:
         if self.train_df_ is None:

@@ -190,6 +190,37 @@ def test_auto_score_type_validation():
 # ------------------------------------------------------- classification
 
 
+def test_accessor_surface(spark, fitted_ats):
+    """Reference getter parity: get_model / get_best_model /
+    get_ml_dict / get_leaderboard(ascending) / plot_cv_scores frame
+    (__init__.py:846-908, 1010-1057)."""
+    ats, _, _ = fitted_ats
+    board = ats.get_leaderboard()
+    rev = ats.get_leaderboard(ascending=False)
+    assert list(rev["model"]) == list(board["model"])[::-1]
+
+    m = ats.get_model("prophet")
+    assert m["name"] == "fourier"
+    assert m["cv_scores"].count() > 0
+    assert m["forecast"].count() == 4
+
+    best = ats.get_best_model()
+    assert best["name"] == ats.get_best_model_name()
+
+    ml = ats.get_model("ml")
+    assert "spark_ml" in ml and ml["spark_ml"]["model"] is not None
+
+    d = ats.get_ml_dict()
+    assert set(d) == {"fourier", "ml_gbt"}
+
+    tidy = ats.plot_cv_scores()
+    assert list(tidy.columns) == ["model", "fold", "score"]
+    assert tidy["score"].notna().all()
+
+    with pytest.raises(KeyError):
+        ats.get_model("var")
+
+
 def test_ml_intervals_not_null(spark, fitted_ats):
     """ml_gbt predictions must carry REAL interval columns: the CV
     fold rows are unioned into predictions_, so the residual aggregate
