@@ -1824,6 +1824,144 @@ def q_automl_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _exact_daily_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily series with a decimal-exact sum so both engines feed the
+    model fit bit-identical inputs (float sums differ in the last ulp
+    across engines and would leak through the regression)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("day", "ts").alias("ts"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("y")
+        )
+        .withColumn("series_id", F.lit("0"))
+    )
+
+
+def q_ar1_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1-M3 value check: the seasonal-AR worker (models/ar.py, the
+    engine's SARIMAX analogue — reference build_sarimax.py:230-296)
+    with its AIC grid pinned to the single candidate AR(1)+intercept,
+    so the fold=-1 forecast is deterministically one OLS fit plus the
+    h-step recursion. The oracle recomputes the same fit closed-form
+    (regr_slope/regr_intercept over the lag-aligned sample) and
+    replays the recursion in a recursive CTE — the worker's actual
+    fit→forecast path gets a value-checked CORRECTNESS row."""
+    from functools import partial
+
+    from auto_ts_spark.models import ar as ARM
+    from auto_ts_spark.models.registry import run_model
+
+    series = _exact_daily_series(spark, sf_dir)
+    worker = partial(
+        ARM.forecast_seasonal_ar,
+        seasonal_period=0,
+        max_p=1,
+        max_d=0,
+        max_q=0,
+        max_P=0,
+    )
+    preds = run_model(series, worker, n_splits=1, horizon=7)
+    return (
+        preds.filter(F.col("fold") == -1)
+        .select("ts", F.round("yhat", 4).alias("yhat"))
+        .orderBy("ts")
+    )
+
+
+_SQL_AR1_FORECAST = """
+WITH RECURSIVE s AS (
+  SELECT date_trunc('day', ts) AS ts,
+         cast(sum(cast(value AS decimal(28,6))) AS double) AS y
+  FROM events GROUP BY 1
+), l AS (
+  SELECT y, lag(y) OVER (ORDER BY ts) AS x FROM s
+), fit AS (
+  SELECT regr_slope(y, x) AS phi, regr_intercept(y, x) AS c FROM l
+), lastv AS (
+  SELECT y AS y0, ts AS ts0 FROM s ORDER BY ts DESC LIMIT 1
+), rec(k, yhat) AS (
+  SELECT 1, c + phi * y0 FROM fit, lastv
+  UNION ALL
+  SELECT k + 1, c + phi * yhat FROM rec, fit WHERE k < 7
+)
+SELECT ts0 + k * INTERVAL 1 DAY AS ts, round(yhat, 4) AS yhat
+FROM rec, lastv ORDER BY ts
+"""
+
+
+def q_var1_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 value check: the VAR worker (models/var_model.py, reference
+    build_var.py:53-160) pinned to one candidate — VAR(1) on
+    (daily sum, daily count) — so the fold=-1 forecast is one
+    per-equation OLS fit plus the 2-state recursion. Oracle: the two
+    3-coefficient equations in closed form (demeaned 2x2 normal
+    equations over the lag-aligned sample) and a 2-state recursive
+    CTE."""
+    from functools import partial
+
+    from auto_ts_spark.models import var_model as VARM
+    from auto_ts_spark.models.registry import run_model
+
+    ev = load_table(spark, sf_dir, "events")
+    series = (
+        ev.groupBy(F.date_trunc("day", "ts").alias("ts"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("y"),
+            F.count(F.lit(1)).cast("double").alias("x"),
+        )
+        .withColumn("series_id", F.lit("0"))
+    )
+    worker = partial(VARM.forecast_var, exog_cols=["x"], max_p=1)
+    preds = run_model(series, worker, n_splits=1, horizon=5)
+    return (
+        preds.filter(F.col("fold") == -1)
+        .select("ts", F.round("yhat", 4).alias("yhat"))
+        .orderBy("ts")
+    )
+
+
+_SQL_VAR1_FORECAST = """
+WITH RECURSIVE s AS (
+  SELECT date_trunc('day', ts) AS ts,
+         cast(sum(cast(value AS decimal(28,6))) AS double) AS y,
+         cast(count(*) AS double) AS x
+  FROM events GROUP BY 1
+), l AS (
+  SELECT y, x,
+         lag(y) OVER (ORDER BY ts) AS yl,
+         lag(x) OVER (ORDER BY ts) AS xl
+  FROM s
+), m AS (  -- population co-moments over the lag-aligned sample
+  SELECT var_pop(yl) AS v1, var_pop(xl) AS v2, covar_pop(yl, xl) AS c12,
+         covar_pop(y, yl) AS cy1, covar_pop(y, xl) AS cy2,
+         covar_pop(x, yl) AS cx1, covar_pop(x, xl) AS cx2,
+         avg(y) AS my, avg(x) AS mx, avg(yl) AS m1, avg(xl) AS m2
+  FROM l WHERE yl IS NOT NULL
+), fit AS (  -- per-equation OLS via the demeaned 2x2 normal equations
+  SELECT (cy1 * v2 - cy2 * c12) / (v1 * v2 - c12 * c12) AS ayy,
+         (cy2 * v1 - cy1 * c12) / (v1 * v2 - c12 * c12) AS ayx,
+         (cx1 * v2 - cx2 * c12) / (v1 * v2 - c12 * c12) AS axy,
+         (cx2 * v1 - cx1 * c12) / (v1 * v2 - c12 * c12) AS axx,
+         my - (cy1 * v2 - cy2 * c12) / (v1 * v2 - c12 * c12) * m1
+            - (cy2 * v1 - cy1 * c12) / (v1 * v2 - c12 * c12) * m2 AS cy,
+         mx - (cx1 * v2 - cx2 * c12) / (v1 * v2 - c12 * c12) * m1
+            - (cx2 * v1 - cx1 * c12) / (v1 * v2 - c12 * c12) * m2 AS cx
+  FROM m
+), lastv AS (
+  SELECT y AS y0, x AS x0, ts AS ts0 FROM s ORDER BY ts DESC LIMIT 1
+), rec(k, yy, xx) AS (
+  SELECT 1, cy + ayy * y0 + ayx * x0, cx + axy * y0 + axx * x0
+  FROM fit, lastv
+  UNION ALL
+  SELECT k + 1, cy + ayy * yy + ayx * xx, cx + axy * yy + axx * xx
+  FROM rec, fit WHERE k < 5
+)
+SELECT ts0 + k * INTERVAL 1 DAY AS ts, round(yy, 4) AS yhat
+FROM rec, lastv ORDER BY ts
+"""
+
+
 def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN scale path: random-hyperplane LSH top-3 (numpy-seeded
     planes; approximate by design → rows-only check)."""
@@ -2512,6 +2650,8 @@ _ORACLE: dict[str, str] = {
     "automl_leaderboard_contract": _SQL_AUTOML_LEADERBOARD_CONTRACT,
     "feature_importance_contract": _SQL_FEATURE_IMPORTANCE_CONTRACT,
     "seasonal_period_map": _SQL_SEASONAL_PERIOD_MAP,
+    "ar1_forecast": _SQL_AR1_FORECAST,
+    "var1_forecast": _SQL_VAR1_FORECAST,
 }
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2582,6 +2722,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "adf_stationarity": q_adf_stationarity,
     "automl_leaderboard": q_automl_leaderboard,
     "automl_forecast": q_automl_forecast,
+    "ar1_forecast": q_ar1_forecast,
+    "var1_forecast": q_var1_forecast,
     "lsh_ann_topk": q_lsh_ann_topk,
     "ivf_ann_topk": q_ivf_ann_topk,
     "feature_importance": q_feature_importance,
