@@ -31,6 +31,7 @@ from auto_ts_spark.io.sources import load_table
 from auto_ts_spark.operators import dedup as DD
 from auto_ts_spark.operators import folds as FOLDS
 from auto_ts_spark.operators import lags as LAGS
+from auto_ts_spark.operators import partitioning as PART
 from auto_ts_spark.operators import sampling as SAMP
 from auto_ts_spark.operators import sessions as SESS
 from auto_ts_spark.operators import similarity as SIM
@@ -61,8 +62,14 @@ def _events_series(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_tpch_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped pricing summary (S1+P1+A1-A9 composite;
-    flagship agg). Sums routed through DECIMAL for exactness."""
-    li = load_table(spark, sf_dir, "lineitem")
+    flagship agg). Sums routed through DECIMAL for exactness.
+
+    The testdata parquet is single-row-group, so the scan feeds ONE
+    task; the decimal agg over 600k rows is CPU-bound enough that the
+    round-robin fan-out pays for its shuffle (A/B: 3.1 s -> 1.4 s
+    first-run at sf0.1). On a properly written multi-split source the
+    helper is a no-op."""
+    li = PART.ensure_parallelism(load_table(spark, sf_dir, "lineitem"))
     dec = lambda c: c.cast("decimal(28,6)")  # noqa: E731
     disc_price = dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     charge = dec(
@@ -529,7 +536,11 @@ FROM counts, tot
 
 
 def q_token_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A14 (explode) + A4: top-20 tokens across documents."""
+    """A14 (explode) + A4: top-20 tokens across documents.
+
+    Stays on the scan's own partitioning: A/B at sf0.1 showed the
+    round-robin fan-out costs more in exchange than the tokenizer wins
+    once the JIT is warm (1.8 s serial vs 2.4 s repartitioned)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(F.explode(TX.tokens(F.col("text"))).alias("token"))
     return (
@@ -748,8 +759,9 @@ FROM lineitem
 
 def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text quality metrics per document (token counts, stopword /
-    punct / digit ratios, composite quality score)."""
-    docs = load_table(spark, sf_dir, "documents")
+    punct / digit ratios, composite quality score). Fan the CPU-heavy
+    per-row profile out of the single-row-group scan."""
+    docs = PART.ensure_parallelism(load_table(spark, sf_dir, "documents"))
     return (
         TOPS.text_profile(docs)
         .select(
@@ -1141,6 +1153,84 @@ SELECT date_trunc('hour', ts) AS win_start,
        round(cast(sum(cast(value as decimal(28,6))) as double), 6) AS sum_value,
        round(cast(sum(cast(value as decimal(28,6))) as double) / count(*), 6) AS avg_value
 FROM events GROUP BY 1, 2, 3
+"""
+
+
+def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W19 stateful-session streaming, value-checked: drain events as a
+    bounded availableNow stream through ``session_agg`` (session_window
+    state merging, 30-min gap) into a memory sink; the oracle rebuilds
+    the same sessions batch-side with the gaps-and-islands pattern.
+    Session boundary mirrors Spark exactly: a window spans
+    [first_ts, last_ts + gap), so a new session starts when the gap to
+    the previous event is >= 30 min (full-precision epoch, not
+    floored)."""
+    import tempfile
+    import uuid
+
+    from auto_ts_spark.streaming import ops as ST
+
+    ev = ST.read_event_stream_nanos(spark, f"{sf_dir}/events.parquet")
+    agg = ST.session_agg(ev, gap="30 minutes", key="user_id", exact=True)
+    sink = f"stream_sessions_{uuid.uuid4().hex[:8]}"
+    ST.run_to_completion(
+        agg, sink_table=sink, checkpoint_dir=tempfile.mkdtemp(prefix="ckpt_")
+    )
+    return spark.table(sink)
+
+
+_SQL_STREAMING_SESSIONIZE = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER win IS NULL THEN 1
+              WHEN epoch(ts) - epoch(lag(ts) OVER win) >= 1800.0 THEN 1
+              ELSE 0 END AS new_s
+  FROM events
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT user_id, ts, value,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       user_id,
+       count(*) AS n_events,
+       round(cast(sum(cast(value AS decimal(28,6))) AS double), 6) AS sum_value
+FROM sess GROUP BY user_id, sid
+"""
+
+
+def q_dedup_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 value check: duplicate-named column drop (keep-FIRST,
+    case-insensitive — reference etl.py de-dup of repeated columns).
+    The duplicate columns carry different content (value*2, a literal)
+    so keeping the wrong occurrence changes the aggregate, not just
+    the shape."""
+    from auto_ts_spark.io import sources as SRC
+
+    ev = load_table(spark, sf_dir, "events")
+    dup = ev.select(
+        F.col("value").alias("v"),
+        F.col("event_type"),
+        (F.col("value") * 2).alias("v"),  # same name, different content
+        F.lit("XXX").alias("EVENT_TYPE"),  # case-insensitive duplicate
+    )
+    kept = SRC.dedup_columns(dup)
+    return kept.groupBy("event_type").agg(
+        F.round(
+            F.sum(F.col("v").cast("decimal(28,6)")).cast("double"), 6
+        ).alias("sum_v"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+_SQL_DEDUP_COLUMNS = """
+SELECT event_type,
+       round(cast(sum(cast(value AS decimal(28,6))) AS double), 6) AS sum_v,
+       count(*) AS n
+FROM events GROUP BY event_type
 """
 
 
@@ -1758,7 +1848,11 @@ FROM grid g LEFT JOIN obs o ON g.event_type = o.event_type AND g.gts = o.gts
 
 
 def _daily_series(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events → one daily-aggregated series (the AutoML input shape)."""
+    """events → one daily-aggregated series (the AutoML input shape).
+
+    No fan-out before the rollup: the float day-agg is scan-light, and
+    map-side combine on the single-row-group scan shuffles ~365 rows —
+    repartitioning first would shuffle the full table (A/B: slower)."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.date_trunc("day", "ts").alias("ts"))
@@ -1828,7 +1922,7 @@ def _exact_daily_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily series with a decimal-exact sum so both engines feed the
     model fit bit-identical inputs (float sums differ in the last ulp
     across engines and would leak through the regression)."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = PART.ensure_parallelism(load_table(spark, sf_dir, "events"))
     return (
         ev.groupBy(F.date_trunc("day", "ts").alias("ts"))
         .agg(
@@ -1903,7 +1997,7 @@ def q_var1_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     from auto_ts_spark.models import var_model as VARM
     from auto_ts_spark.models.registry import run_model
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = PART.ensure_parallelism(load_table(spark, sf_dir, "events"))
     series = (
         ev.groupBy(F.date_trunc("day", "ts").alias("ts"))
         .agg(
@@ -2652,6 +2746,8 @@ _ORACLE: dict[str, str] = {
     "seasonal_period_map": _SQL_SEASONAL_PERIOD_MAP,
     "ar1_forecast": _SQL_AR1_FORECAST,
     "var1_forecast": _SQL_VAR1_FORECAST,
+    "streaming_sessionize": _SQL_STREAMING_SESSIONIZE,
+    "dedup_columns": _SQL_DEDUP_COLUMNS,
 }
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2724,6 +2820,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "automl_forecast": q_automl_forecast,
     "ar1_forecast": q_ar1_forecast,
     "var1_forecast": q_var1_forecast,
+    "streaming_sessionize": q_streaming_sessionize,
+    "dedup_columns": q_dedup_columns,
     "lsh_ann_topk": q_lsh_ann_topk,
     "ivf_ann_topk": q_ivf_ann_topk,
     "feature_importance": q_feature_importance,

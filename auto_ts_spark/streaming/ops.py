@@ -183,17 +183,28 @@ def session_agg(
     gap: str = "30 minutes",
     watermark: str = "2 hours",
     key: str = "user_id",
+    exact: bool = False,
 ) -> DataFrame:
     """Session windows per user: a session closes after ``gap`` of
     inactivity (streaming form of the batch sessionize operator —
     merging variable-length windows the state store handles natively).
+
+    ``exact=True`` routes the sum through decimal(28,6) (associative →
+    micro-batch-order independent), the mode the cross-engine value
+    check runs in.
     """
+    if exact:
+        sum_col = F.round(
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double"), 6
+        ).alias("sum_value")
+    else:
+        sum_col = F.round(F.sum("value"), 6).alias("sum_value")
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", gap).alias("win"), key)
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 6).alias("sum_value"),
+            sum_col,
         )
         .select(
             F.col("win.start").alias("session_start"),
