@@ -1202,6 +1202,81 @@ FROM sess GROUP BY user_id, sid
 """
 
 
+def q_streaming_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W19 sliding-window streaming, value-checked: 1-hour windows
+    sliding every 15 min (each event lands in exactly 4 windows),
+    drained availableNow. Oracle: explode k=0..3 bucket offsets from
+    the 15-min floor — integer-microsecond arithmetic, same epoch
+    alignment as Spark's window()."""
+    import tempfile
+    import uuid
+
+    from auto_ts_spark.streaming import ops as ST
+
+    ev = ST.read_event_stream_nanos(spark, f"{sf_dir}/events.parquet")
+    agg = ST.sliding_agg(ev, window="1 hour", slide="15 minutes", exact=True)
+    sink = f"stream_sliding_{uuid.uuid4().hex[:8]}"
+    ST.run_to_completion(
+        agg, sink_table=sink, checkpoint_dir=tempfile.mkdtemp(prefix="ckpt_")
+    )
+    return spark.table(sink)
+
+
+_SQL_STREAMING_SLIDING_ROLLUP = """
+WITH exploded AS (
+  SELECT make_timestamp((epoch_us(ts) // 900000000) * 900000000
+                        - k * 900000000) AS win_start,
+         event_type, value
+  FROM events, (SELECT unnest(generate_series(0, 3)) AS k)
+)
+SELECT win_start,
+       win_start + INTERVAL 1 HOUR AS win_end,
+       event_type,
+       count(*) AS n_events,
+       round(cast(sum(cast(value AS decimal(28,6))) AS double), 6) AS sum_value,
+       round(cast(sum(cast(value AS decimal(28,6))) AS double) / count(*), 6)
+         AS avg_value
+FROM exploded GROUP BY 1, 2, 3
+"""
+
+
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W19 streaming exact-dedup, value-checked: deliver every event
+    TWICE (union of two readers of the same file) through
+    dropDuplicatesWithinWatermark, then aggregate the sink. If the
+    state store failed to drop re-deliveries the count doubles; the
+    oracle is the plain batch scan (each event once)."""
+    import tempfile
+    import uuid
+
+    from auto_ts_spark.streaming import ops as ST
+
+    path = f"{sf_dir}/events.parquet"
+    doubled = ST.read_event_stream_nanos(spark, path).union(
+        ST.read_event_stream_nanos(spark, path)
+    )
+    deduped = ST.dedup_stream(doubled, key_cols=["event_id"])
+    sink = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    ST.run_to_completion(
+        deduped, sink_table=sink, checkpoint_dir=tempfile.mkdtemp(prefix="ckpt_")
+    )
+    return spark.table(sink).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("event_id").alias("n_keys"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double"), 6
+        ).alias("sum_value"),
+    )
+
+
+_SQL_STREAMING_DEDUP = """
+SELECT count(*) AS n_rows,
+       count(DISTINCT event_id) AS n_keys,
+       round(cast(sum(cast(value AS decimal(28,6))) AS double), 6) AS sum_value
+FROM events
+"""
+
+
 def q_dedup_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3 value check: duplicate-named column drop (keep-FIRST,
     case-insensitive — reference etl.py de-dup of repeated columns).
@@ -2748,6 +2823,8 @@ _ORACLE: dict[str, str] = {
     "var1_forecast": _SQL_VAR1_FORECAST,
     "streaming_sessionize": _SQL_STREAMING_SESSIONIZE,
     "dedup_columns": _SQL_DEDUP_COLUMNS,
+    "streaming_sliding_rollup": _SQL_STREAMING_SLIDING_ROLLUP,
+    "streaming_dedup": _SQL_STREAMING_DEDUP,
 }
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2822,6 +2899,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "var1_forecast": q_var1_forecast,
     "streaming_sessionize": q_streaming_sessionize,
     "dedup_columns": q_dedup_columns,
+    "streaming_sliding_rollup": q_streaming_sliding_rollup,
+    "streaming_dedup": q_streaming_dedup,
     "lsh_ann_topk": q_lsh_ann_topk,
     "ivf_ann_topk": q_ivf_ann_topk,
     "feature_importance": q_feature_importance,

@@ -156,23 +156,37 @@ def sliding_agg(
     slide: str = "15 minutes",
     watermark: str = "2 hours",
     keys: Iterable[str] = ("event_type",),
+    exact: bool = False,
 ) -> DataFrame:
-    """Sliding-window aggregation (streaming rolling stats, W5)."""
-    return (
-        events.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", window, slide).alias("win"), *keys)
-        .agg(
+    """Sliding-window aggregation (streaming rolling stats, W5).
+
+    ``exact=True`` swaps the float avg/std pair for decimal-sum
+    n/sum/avg (associative → micro-batch-order independent), the mode
+    the cross-engine value check runs in."""
+    if exact:
+        dec = F.sum(F.col("value").cast("decimal(28,6)"))
+        aggs = [
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(dec.cast("double"), 6).alias("sum_value"),
+            F.round(dec.cast("double") / F.count(F.lit(1)), 6).alias("avg_value"),
+        ]
+        out_cols = ["n_events", "sum_value", "avg_value"]
+    else:
+        aggs = [
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.avg("value"), 6).alias("avg_value"),
             F.round(F.stddev_samp("value"), 6).alias("std_value"),
-        )
+        ]
+        out_cols = ["n_events", "avg_value", "std_value"]
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("win"), *keys)
+        .agg(*aggs)
         .select(
             F.col("win.start").alias("win_start"),
             F.col("win.end").alias("win_end"),
             *keys,
-            "n_events",
-            "avg_value",
-            "std_value",
+            *out_cols,
         )
     )
 
