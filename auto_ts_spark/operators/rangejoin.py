@@ -45,15 +45,21 @@ def range_join(
     calling. Intervals with ``end <= start`` are empty and dropped.
     """
     bw = int(bin_seconds) * 1_000_000  # micros; integer div keeps precision
-    pb = points.withColumn(_BIN, F.expr(f"unix_micros(`{point_ts}`) div {bw}"))
+    # cast() tolerates both TIMESTAMP and TIMESTAMP_NTZ sources (parquet
+    # readers may infer either); both sides use the same cast, so bin
+    # assignment stays consistent regardless of session timezone.
+    def _micros(c: str) -> str:
+        return f"unix_micros(cast(`{c}` as timestamp))"
+
+    pb = points.withColumn(_BIN, F.expr(f"{_micros(point_ts)} div {bw}"))
     ib = intervals.filter(F.col(end) > F.col(start)).withColumn(
         _BIN,
         F.explode(
             F.sequence(
-                F.expr(f"unix_micros(`{start}`) div {bw}"),
+                F.expr(f"{_micros(start)} div {bw}"),
                 # end is exclusive: the last candidate bin is the one
                 # containing end - 1 micro
-                F.expr(f"(unix_micros(`{end}`) - 1) div {bw}"),
+                F.expr(f"({_micros(end)} - 1) div {bw}"),
             )
         ),
     )

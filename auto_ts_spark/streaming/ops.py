@@ -71,36 +71,50 @@ def read_event_stream(
 
 
 def read_event_stream_nanos(spark: SparkSession, path: str) -> DataFrame:
-    """File-source stream over TIMESTAMP(NANOS) event parquet (the
-    driver testdata layout): read ts as the raw nano count and convert
+    """File-source stream over the driver's event parquet, tolerant of
+    the ts column's physical type. TIMESTAMP(NANOS) (which Spark can't
+    read as a timestamp) is read as the raw nano count and converted
     with the same integer-div truncation as the batch reader
-    (io/sources.py::read_parquet), so stream and batch agree to the
+    (io/sources.py::read_parquet); micro/millisecond timestamps are
+    read natively — either way stream and batch agree to the
     microsecond."""
     import os
     import tempfile
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ts_is_nanos = False
+    try:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        f = pq.read_schema(path).field("ts")
+        ts_is_nanos = pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+    except Exception:
+        pass
     if os.path.isfile(path):
         # the file stream source only accepts directories; a symlink
         # inside a temp dir exposes a lone parquet file as one
         d = tempfile.mkdtemp(prefix="stream_src_")
         os.symlink(os.path.abspath(path), os.path.join(d, os.path.basename(path)))
         path = d
+    ts_field = StructField("ts", LongType() if ts_is_nanos else TimestampType())
     schema = StructType(
         [
             StructField("event_id", LongType()),
-            StructField("ts", LongType()),
+            ts_field,
             StructField("user_id", LongType()),
             StructField("event_type", StringType()),
             StructField("value", DoubleType()),
             StructField("props", StringType()),
         ]
     )
-    return (
-        spark.readStream.schema(schema)
-        .parquet(path)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    )
+    if ts_is_nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return (
+            spark.readStream.schema(schema)
+            .parquet(path)
+            .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        )
+    return spark.readStream.schema(schema).parquet(path)
 
 
 def tumbling_agg(
