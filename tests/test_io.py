@@ -62,9 +62,12 @@ def test_dedup_columns_keeps_first(spark):
 
 
 def test_nano_parquet_tolerated(spark):
-    # driver testdata stores TIMESTAMP(NANOS); plain reads would throw
+    # driver testdata has stored ts as TIMESTAMP(NANOS) (r1-r2: plain
+    # reads throw, the reader converts via nanosAsLong) and as
+    # timestamp[us] (r3: inferred TIMESTAMP_NTZ) — both must land on a
+    # usable timestamp flavor with no nulls
     df = load_table(spark, "/root/testdata/sf0.001", "events")
-    assert dict(df.dtypes)["ts"] == "timestamp"
+    assert dict(df.dtypes)["ts"] in ("timestamp", "timestamp_ntz")
     assert df.filter(F.col("ts").isNull()).count() == 0
 
 
