@@ -10,9 +10,11 @@ recursive forecast.
 
 The recursion (M13/W15) is inherently sequential in TIME — exactly
 like the reference's one-row-at-a-time loop (build_ml.py:594-660) —
-but NOT in series: every step batches all series into ONE model
-.transform job, so S series × h steps costs h Spark jobs, not h·S.
-Each series keeps its own tail window (per-series groupBy collect), so
+but NOT in series. The fitted ensemble is exported once to a plain-data
+predictor (tree_export.py), so the h-step loop runs with ZERO Spark
+jobs on the driver (small S), or as ONE applyInPandas job where every
+series walks its own tail in parallel (``forecast_ml_grouped``, the
+million-series path). Each series keeps its own tail window, so
 multi-series forecasts are attributed to the right series_id.
 
 predict-on-unseen (auto_ts/models/build_ml.py:531-683): the stored
@@ -351,11 +353,42 @@ def _feature_row(
 def _batch_predict(
     spark, assembler, model, rows: list[dict], feature_cols: list[str]
 ) -> dict[str, float]:
-    """One model.transform over all series' next-step rows."""
+    """One model.transform over all series' next-step rows (Spark-job
+    fallback for models whose trees can't be exported)."""
     pdf = pd.DataFrame(rows)
     sdf = spark.createDataFrame(pdf[["series_id"] + feature_cols])
     pred = model.transform(assembler.transform(sdf)).select("series_id", "prediction")
     return {r["series_id"]: float(r["prediction"]) for r in pred.collect()}
+
+
+def _local_predictor(model):
+    """Export the fitted ensemble to a driver-local predictor (see
+    tree_export.py): the h-step recursion then runs with ZERO Spark
+    jobs instead of one scheduler round-trip per step. Returns None
+    for anything but GBT regression (the weighted-sum walk is exactly
+    GBT regression's blended prediction; classifiers threshold/vote on
+    top of it) — then the transform fallback runs."""
+    from pyspark.ml.regression import GBTRegressionModel
+
+    if not isinstance(model, GBTRegressionModel):
+        return None
+    try:
+        from auto_ts_spark.models.tree_export import export_ensemble
+
+        return export_ensemble(model)
+    except Exception:
+        return None
+
+
+def _predict_step(
+    spark, assembler, model, ensemble, rows: list[dict], feature_cols: list[str]
+) -> dict[str, float]:
+    if ensemble is not None:
+        from auto_ts_spark.models.tree_export import predict_rows
+
+        preds = predict_rows(ensemble, rows, feature_cols)
+        return {r["series_id"]: p for r, p in zip(rows, preds)}
+    return _batch_predict(spark, assembler, model, rows, feature_cols)
 
 
 def _series_freq(window: pd.DataFrame) -> pd.Timedelta:
@@ -389,6 +422,7 @@ def recursive_forecast_ml(
     else:
         assembler, model, feature_cols = fitted
     spark = df.sparkSession
+    ensemble = _local_predictor(model)
     tails = collect_series_tails(df, lags=lags, target=target, exog_cols=exog_cols)
     freqs = {sid: _series_freq(w) for sid, w in tails.items()}
 
@@ -405,7 +439,7 @@ def recursive_forecast_ml(
             row["series_id"] = sid
             rows.append(row)
             next_info[sid] = (next_ts, exog_vals)
-        preds = _batch_predict(spark, assembler, model, rows, feature_cols)
+        preds = _predict_step(spark, assembler, model, ensemble, rows, feature_cols)
         for sid, (next_ts, exog_vals) in next_info.items():
             yhat = preds.get(sid, float(tails[sid][target].iloc[-1]))
             out.append(
@@ -416,6 +450,77 @@ def recursive_forecast_ml(
                 [tails[sid], pd.DataFrame([new_row])], ignore_index=True
             ).iloc[1:]
     return pd.DataFrame(out)[["series_id", "ts", "fold", "yhat"]]
+
+
+def forecast_ml_grouped(
+    df: DataFrame,
+    horizon: int,
+    *,
+    target: str = "y",
+    lags: int = 3,
+    exog_cols: list[str] | None = None,
+    fitted: tuple | None = None,
+) -> DataFrame:
+    """Million-series form of :func:`recursive_forecast_ml`: the WHOLE
+    h-step recursion is ONE grouped-map job. The exported ensemble
+    (plain tuples, picklable) ships to every worker; each series group
+    walks its own ``lags+1`` tail for h steps locally. No driver
+    collect, no per-step jobs — wall-clock is one shuffle on series_id
+    plus h tree walks per series, regardless of series count.
+
+    Falls back to the driver-loop implementation when the model's
+    trees can't be exported.
+    """
+    exog_cols = list(exog_cols or [])
+    if fitted is None:
+        feat, feature_cols = build_features(df, target, lags=lags, exog_cols=exog_cols)
+        assembler, model = fit_gbt(feat, feature_cols, target)
+    else:
+        assembler, model, feature_cols = fitted
+    ensemble = _local_predictor(model)
+    if ensemble is None:
+        pdf = recursive_forecast_ml(
+            df, horizon, target=target, lags=lags, exog_cols=exog_cols,
+            fitted=(assembler, model, feature_cols),
+        )
+        return df.sparkSession.createDataFrame(pdf)
+
+    cols = ["series_id", "ts", target] + exog_cols
+    w = Window.partitionBy("series_id").orderBy(F.col("ts").desc())
+    tails = (
+        df.select(*cols)
+        .withColumn("_rd", F.row_number().over(w))
+        .filter(F.col("_rd") <= lags + 1)
+        .drop("_rd")
+    )
+    h, tgt, lg, ex, fc = int(horizon), target, int(lags), exog_cols, feature_cols
+
+    def walk(pdf: pd.DataFrame) -> pd.DataFrame:
+        from auto_ts_spark.models.tree_export import predict_row
+
+        window = pdf.sort_values("ts").reset_index(drop=True)
+        sid = window["series_id"].iloc[0]
+        freq = _series_freq(window)
+        out = []
+        for _ in range(h):
+            next_ts = window["ts"].iloc[-1] + freq
+            exog_vals = {c: float(window[c].iloc[-1]) for c in ex}
+            row = _feature_row(
+                window, next_ts, exog_vals, target=tgt, lags=lg, exog_cols=ex
+            )
+            yhat = predict_row(ensemble, [float(row[c]) for c in fc])
+            out.append(
+                {"series_id": sid, "ts": next_ts, "fold": -1, "yhat": yhat}
+            )
+            new_row = {"series_id": sid, "ts": next_ts, tgt: yhat, **exog_vals}
+            window = pd.concat(
+                [window, pd.DataFrame([new_row])], ignore_index=True
+            ).iloc[1:]
+        return pd.DataFrame(out, columns=["series_id", "ts", "fold", "yhat"])
+
+    return tails.groupBy("series_id").applyInPandas(
+        walk, schema="series_id string, ts timestamp, fold int, yhat double"
+    )
 
 
 def forecast_ml_on_testdata(
@@ -446,6 +551,7 @@ def forecast_ml_on_testdata(
     else:
         assembler, model, feature_cols = fitted
     spark = train_df.sparkSession
+    ensemble = _local_predictor(model)
     tails = collect_series_tails(
         train_df, lags=lags, target=target, exog_cols=exog_cols
     )
@@ -473,7 +579,7 @@ def forecast_ml_on_testdata(
             next_info[sid] = (next_ts, exog_vals)
         if not rows:
             break
-        preds = _batch_predict(spark, assembler, model, rows, feature_cols)
+        preds = _predict_step(spark, assembler, model, ensemble, rows, feature_cols)
         for sid, (next_ts, exog_vals) in next_info.items():
             yhat = preds.get(sid, float(tails[sid][target].iloc[-1]))
             out.append({"series_id": sid, "ts": next_ts, "yhat": yhat})
