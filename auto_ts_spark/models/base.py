@@ -39,11 +39,23 @@ def expanding_fold_bounds(n: int, n_splits: int, test_size: int) -> list[tuple[i
 
 
 def future_timestamps(last_ts: pd.Timestamp, h: int, freq_seconds: float) -> pd.Series:
-    """h evenly spaced future timestamps (numpy-side twin of W11).
+    """h future timestamps (numpy-side twin of W11).
 
-    Floored to microseconds — Spark timestamps are µs precision and
-    Arrow's safe cast rejects sub-µs remainders from a fractional step.
+    Monthly-and-coarser cadences (median gap >= 28 days) step by
+    calendar month offsets computed FROM the anchor, so month-end stays
+    on month-end (08-31 -> 09-30 -> 10-31) — the reference shifts the
+    DatetimeIndex by periods at freq (build_ml.py:585-593); a fixed
+    ~30.4-day delta would drift off the calendar. Sub-monthly cadences
+    keep the exact fixed step. Floored to microseconds — Spark
+    timestamps are µs precision and Arrow's safe cast rejects sub-µs
+    remainders from a fractional step.
     """
+    d = freq_seconds / 86400.0
+    if d >= 28:
+        months = 1 if d < 63 else 3 if d < 135 else 6 if d < 360 else 12
+        return pd.Series(
+            [last_ts + pd.DateOffset(months=months * (i + 1)) for i in range(h)]
+        ).dt.floor("us")
     step = pd.Timedelta(seconds=freq_seconds)
     return pd.Series([last_ts + step * (i + 1) for i in range(h)]).dt.floor("us")
 

@@ -398,6 +398,37 @@ def _series_freq(window: pd.DataFrame) -> pd.Timedelta:
     return pd.Timedelta(days=1)
 
 
+def _series_step(window: pd.DataFrame) -> tuple:
+    """Classify the series cadence for future-timestamp stepping, with
+    the same day-threshold bands as infer_frequency (reference
+    auto_ts/__init__.py:399-453). Sub-monthly cadences step by the
+    exact median delta; monthly and coarser step by calendar month
+    offsets so month-end anchors stay on month-end (the reference
+    shifts the DatetimeIndex by periods at freq, build_ml.py:585-593 —
+    a fixed ~30.4-day delta would drift off the calendar)."""
+    delta = _series_freq(window)
+    d = delta.total_seconds() / 86400.0
+    if d < 28:
+        return ("delta", delta)
+    if d < 63:
+        return ("months", 1)
+    if d < 135:
+        return ("months", 3)
+    if d < 360:
+        return ("months", 6)
+    return ("months", 12)
+
+
+def _advance(anchor: pd.Timestamp, step: tuple, k: int) -> pd.Timestamp:
+    """k-th future timestamp past ``anchor`` — always computed FROM the
+    anchor (anchor + k·step), never iteratively, so month-end clamping
+    doesn't compound (08-31 → 09-30 → 10-31, not 10-30)."""
+    kind, v = step
+    if kind == "delta":
+        return anchor + k * v
+    return anchor + pd.DateOffset(months=v * k)
+
+
 def recursive_forecast_ml(
     df: DataFrame,
     horizon: int,
@@ -424,14 +455,15 @@ def recursive_forecast_ml(
     spark = df.sparkSession
     ensemble = _local_predictor(model)
     tails = collect_series_tails(df, lags=lags, target=target, exog_cols=exog_cols)
-    freqs = {sid: _series_freq(w) for sid, w in tails.items()}
+    steps = {sid: _series_step(w) for sid, w in tails.items()}
+    anchors = {sid: w["ts"].iloc[-1] for sid, w in tails.items()}
 
     out = []
     for _step in range(horizon):
         rows = []
         next_info: dict[str, tuple] = {}
         for sid, window in tails.items():
-            next_ts = window["ts"].iloc[-1] + freqs[sid]
+            next_ts = _advance(anchors[sid], steps[sid], _step + 1)
             exog_vals = {c: float(window[c].iloc[-1]) for c in exog_cols}
             row = _feature_row(
                 window, next_ts, exog_vals, target=target, lags=lags, exog_cols=exog_cols
@@ -500,10 +532,11 @@ def forecast_ml_grouped(
 
         window = pdf.sort_values("ts").reset_index(drop=True)
         sid = window["series_id"].iloc[0]
-        freq = _series_freq(window)
+        step = _series_step(window)
+        anchor = window["ts"].iloc[-1]
         out = []
-        for _ in range(h):
-            next_ts = window["ts"].iloc[-1] + freq
+        for k in range(h):
+            next_ts = _advance(anchor, step, k + 1)
             exog_vals = {c: float(window[c].iloc[-1]) for c in ex}
             row = _feature_row(
                 window, next_ts, exog_vals, target=tgt, lags=lg, exog_cols=ex
