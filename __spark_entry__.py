@@ -558,6 +558,47 @@ GROUP BY token ORDER BY cnt DESC, token LIMIT 20
 """
 
 
+def q_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style intra-document repetition metrics: top-unigram /
+    top-bigram mass fraction and duplicate-trigram fraction per doc
+    (operators/textops.py::repetition_profile)."""
+    from auto_ts_spark.operators.textops import repetition_profile
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_profile(docs).orderBy("doc_id")
+
+
+_SQL_REPETITION_PROFILE = f"""
+WITH lists AS (
+  SELECT doc_id, {_SQL_TOKS} AS l FROM documents
+), toks AS (
+  SELECT doc_id, generate_subscripts(l, 1) AS i, unnest(l) AS tok FROM lists
+), grams AS (
+  SELECT doc_id, tok AS g1,
+         tok || ' ' || lead(tok) OVER w AS g2,
+         tok || ' ' || lead(tok) OVER w || ' ' || lead(tok, 2) OVER w AS g3
+  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+), s1 AS (
+  SELECT doc_id, cast(sum(c) AS BIGINT) AS total1, max(c) AS max1
+  FROM (SELECT doc_id, g1, count(*) AS c FROM grams GROUP BY 1, 2) GROUP BY 1
+), s2 AS (
+  SELECT doc_id, sum(c) AS total2, max(c) AS max2
+  FROM (SELECT doc_id, g2, count(*) AS c FROM grams WHERE g2 IS NOT NULL
+        GROUP BY 1, 2) GROUP BY 1
+), s3 AS (
+  SELECT doc_id, sum(c) AS total3, count(*) AS distinct3
+  FROM (SELECT doc_id, g3, count(*) AS c FROM grams WHERE g3 IS NOT NULL
+        GROUP BY 1, 2) GROUP BY 1
+)
+SELECT s1.doc_id, total1 AS n_tokens,
+       coalesce(round(max1 / total1, 6), 0.0) AS top_unigram_frac,
+       coalesce(round(max2 / total2, 6), 0.0) AS top_bigram_frac,
+       coalesce(round(1 - distinct3 / total3, 6), 0.0) AS dup_trigram_frac
+FROM s1 LEFT JOIN s2 USING (doc_id) LEFT JOIN s3 USING (doc_id)
+ORDER BY s1.doc_id
+"""
+
+
 def q_actual_vs_predicted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1/J2: daily actuals joined (full outer) with a previous-day
     persistence forecast."""
@@ -2790,6 +2831,7 @@ _ORACLE: dict[str, str] = {
     "top_correlations": _SQL_TOP_CORR,
     "minmax_profile": _SQL_MINMAX,
     "text_profile": _SQL_TEXT_PROFILE,
+    "repetition_profile": _SQL_REPETITION_PROFILE,
     "corpus_vocabulary": _SQL_CORPUS_VOCAB,
     "dataset_split": _SQL_DATASET_SPLIT,
     "language_id": _SQL_LANGUAGE_ID,
@@ -2851,6 +2893,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_correlations": q_top_correlations,
     "minmax_profile": q_minmax_profile,
     "text_profile": q_text_profile,
+    "repetition_profile": q_repetition_profile,
     "corpus_vocabulary": q_corpus_vocabulary,
     "dataset_split": q_dataset_split,
     "language_id": q_language_id,

@@ -116,6 +116,61 @@ def corpus_vocabulary(
     )
 
 
+def repetition_profile(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Intra-document repetition metrics (the Gopher/C4 quality-filter
+    family): per document, the fraction of mass taken by the most
+    frequent unigram and bigram, and the fraction of trigrams that are
+    duplicates. High values flag boilerplate/spam for a training-data
+    pipeline; the reference has no text surface (extension operator).
+
+    Scale: n-grams are built with array slices + zip_with (one
+    projection), then explode → count keyed by (doc, gram) →
+    re-aggregate per doc — two shuffles per n-gram order, both keyed by
+    high-cardinality composite keys, no per-doc quadratic work.
+    """
+    toks = TX.tokens(F.col(text_col))
+    base = df.select(F.col(id_col).alias("_doc"), toks.alias("_toks"))
+    n = F.size(F.col("_toks"))
+
+    def ngrams(nn: int):
+        if nn == 1:
+            return F.col("_toks")
+        ln = F.greatest(n - (nn - 1), F.lit(0))
+        parts = [F.slice(F.col("_toks"), i + 1, ln) for i in range(nn)]
+        out = parts[0]
+        for p in parts[1:]:
+            out = F.zip_with(out, p, lambda a, b: F.concat(a, F.lit(" "), b))
+        return out
+
+    def stats(nn: int, prefix: str):
+        g = base.select("_doc", F.explode(ngrams(nn)).alias("_g"))
+        c = g.groupBy("_doc", "_g").agg(F.count(F.lit(1)).alias("_c"))
+        return c.groupBy("_doc").agg(
+            F.sum("_c").alias(f"{prefix}_total"),
+            F.max("_c").alias(f"{prefix}_max"),
+            F.count(F.lit(1)).alias(f"{prefix}_distinct"),
+        )
+
+    s1, s2, s3 = stats(1, "uni"), stats(2, "bi"), stats(3, "tri")
+    joined = (
+        s1.join(s2, "_doc", "left").join(s3, "_doc", "left")
+    )
+    frac = lambda num, den: F.coalesce(  # noqa: E731
+        F.round(num / den, 6), F.lit(0.0)
+    )
+    return joined.select(
+        F.col("_doc").alias(id_col),
+        F.col("uni_total").alias("n_tokens"),
+        frac(F.col("uni_max"), F.col("uni_total")).alias("top_unigram_frac"),
+        frac(F.col("bi_max"), F.col("bi_total")).alias("top_bigram_frac"),
+        F.coalesce(
+            F.round(1 - F.col("tri_distinct") / F.col("tri_total"), 6), F.lit(0.0)
+        ).alias("dup_trigram_frac"),
+    )
+
+
 def add_fingerprints(
     df: DataFrame,
     text_col: str = "text",
