@@ -109,6 +109,63 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped shipping priority: 3-way join
+    customer ⋈ orders ⋈ lineitem with selective date predicates.
+
+    Plan shape for scale: the filtered customer segment (~1/5 of a
+    dimension table) broadcasts into orders — no shuffle on the
+    dimension side; the orders⋈lineitem equi-join shuffles on orderkey
+    with both date filters pushed to the scans; revenue sums routed
+    through DECIMAL so the top-k is exact."""
+    cutoff = "1998-06-01"
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < F.lit(cutoff))
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > F.lit(cutoff))
+        .select(
+            "l_orderkey",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .cast("decimal(28,6)")
+            .alias("_rev"),
+        )
+    )
+    j = li.join(
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey),
+        li.l_orderkey == orders.o_orderkey,
+    )
+    return (
+        j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum("_rev").cast("double"), 6).alias("revenue"))
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+_SQL_SHIPPING_PRIORITY = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       round(cast(sum(cast(l_extendedprice * (1 - l_discount)
+                           as decimal(28,6))) as double), 6) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+"""
+
+
 def q_lag_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1/W2/W10: per-user lag(1,2,3) + lead(1) supervised matrix."""
     ev = load_table(spark, sf_dir, "events")
@@ -2809,6 +2866,7 @@ _ORACLE: dict[str, str] = {
     "zero_variance": _SQL_ZERO_VARIANCE,
     "problem_type": _SQL_PROBLEM_TYPE,
     "tpch_pricing_summary": _SQL_TPCH_Q1,
+    "shipping_priority": _SQL_SHIPPING_PRIORITY,
     "lag_matrix": _SQL_LAG_MATRIX,
     "difference": _SQL_DIFFERENCE,
     "cumsum": _SQL_CUMSUM,
@@ -2871,6 +2929,7 @@ _ORACLE: dict[str, str] = {
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_pricing_summary": q_tpch_pricing_summary,
+    "shipping_priority": q_shipping_priority,
     "lag_matrix": q_lag_matrix,
     "difference": q_difference,
     "cumsum": q_cumsum,
