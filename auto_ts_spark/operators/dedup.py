@@ -362,3 +362,85 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprints (the MOSS local-minimum scheme): hash
+    every word ``k``-gram, then keep the minimum hash of each sliding
+    window of ``window`` consecutive k-gram hashes. Guarantees any
+    shared run of ``k + window - 1`` tokens between two documents
+    yields at least one shared fingerprint — substring-granularity
+    near-dup detection that whole-document MinHash misses.
+
+    All per-document work is one array projection (shingles →
+    transform(md5) → windowed array_min → distinct) — no explode until
+    the (doc, fp) output rows, so the only shuffle is whatever the
+    caller does with them. Tail windows shorter than ``window`` are
+    kept (deterministic, mirrored by the oracle); docs shorter than
+    ``k`` tokens fall back to one whole-text shingle like
+    functions.text.shingles.
+
+    Returns ``(id_col, fp)`` — one row per distinct selected
+    fingerprint per document.
+    """
+    sh = TX.shingles(F.col(text_col), k)
+    hashes = F.transform(
+        sh, lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
+    )
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(hashes)),
+            lambda i: F.array_min(F.slice(hashes, i, window)),
+        )
+    )
+    return ensure_parallelism(df).select(
+        F.col(id_col), F.explode(fps).alias("fp")
+    )
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    window: int = 4,
+    min_shared: int = 2,
+    max_df: int = 20,
+) -> DataFrame:
+    """Document pairs sharing ≥ ``min_shared`` winnowing fingerprints.
+
+    Candidate generation is an equi-join on fingerprint — shuffle
+    volume proportional to matching pairs, never n². Fingerprints in
+    more than ``max_df`` documents are dropped first (boilerplate
+    phrases otherwise create hot join keys — the same stop-key
+    mitigation every inverted-index join uses).
+
+    Returns ``(id_a, id_b, n_shared)`` with id_a < id_b.
+    """
+    fps = winnow_fingerprints(
+        df, text_col=text_col, id_col=id_col, k=k, window=window
+    )
+    rare = (
+        fps.groupBy("fp")
+        .agg(F.countDistinct(id_col).alias("_df"))
+        .filter(F.col("_df") <= max_df)
+        .select("fp")
+    )
+    pruned = fps.join(rare, "fp")
+    a = pruned.select(F.col("fp"), F.col(id_col).alias("id_a"))
+    b = pruned.select(F.col("fp"), F.col(id_col).alias("id_b"))
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.countDistinct("fp").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
