@@ -2107,19 +2107,30 @@ def _exact_daily_series(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ar1_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M1-M3 value check: the seasonal-AR worker (models/ar.py, the
-    engine's SARIMAX analogue — reference build_sarimax.py:230-296)
-    with its AIC grid pinned to the single candidate AR(1)+intercept,
-    so the fold=-1 forecast is deterministically one OLS fit plus the
-    h-step recursion. The oracle recomputes the same fit closed-form
-    (regr_slope/regr_intercept over the lag-aligned sample) and
-    replays the recursion in a recursive CTE — the worker's actual
-    fit→forecast path gets a value-checked CORRECTNESS row."""
+    engine's SARIMAX analogue — reference build_sarimax.py:230-296 and
+    the exog channel of build_arima_base.py:310-369) with its AIC grid
+    pinned to the single candidate AR(1)+intercept+1 exogenous
+    regressor (daily event count), so the fold=-1 forecast is
+    deterministically one 3-parameter OLS fit plus the h-step
+    recursion with the exog persisted at its last observed value. The
+    oracle recomputes the same fit closed-form (demeaned 2×2 normal
+    equations over the lag-aligned sample) and replays the recursion
+    in a recursive CTE — the worker's actual exog fit→forecast path
+    gets a value-checked CORRECTNESS row."""
     from functools import partial
 
     from auto_ts_spark.models import ar as ARM
     from auto_ts_spark.models.registry import run_model
 
-    series = _exact_daily_series(spark, sf_dir)
+    ev = PART.ensure_parallelism(load_table(spark, sf_dir, "events"))
+    series = (
+        ev.groupBy(F.date_trunc("day", "ts").alias("ts"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("y"),
+            F.count(F.lit(1)).cast("double").alias("x"),
+        )
+        .withColumn("series_id", F.lit("0"))
+    )
     worker = partial(
         ARM.forecast_seasonal_ar,
         seasonal_period=0,
@@ -2127,6 +2138,7 @@ def q_ar1_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_d=0,
         max_q=0,
         max_P=0,
+        exog_cols=["x"],
     )
     preds = run_model(series, worker, n_splits=1, horizon=7)
     return (
@@ -2139,18 +2151,28 @@ def q_ar1_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_AR1_FORECAST = """
 WITH RECURSIVE s AS (
   SELECT date_trunc('day', ts) AS ts,
-         cast(sum(cast(value AS decimal(28,6))) AS double) AS y
+         cast(sum(cast(value AS decimal(28,6))) AS double) AS y,
+         cast(count(*) AS double) AS x
   FROM events GROUP BY 1
 ), l AS (
-  SELECT y, lag(y) OVER (ORDER BY ts) AS x FROM s
-), fit AS (
-  SELECT regr_slope(y, x) AS phi, regr_intercept(y, x) AS c FROM l
+  SELECT y, x, lag(y) OVER (ORDER BY ts) AS yl FROM s
+), m AS (  -- population co-moments over the lag-aligned sample
+  SELECT var_pop(yl) AS v1, var_pop(x) AS v2, covar_pop(yl, x) AS c12,
+         covar_pop(y, yl) AS cy1, covar_pop(y, x) AS cy2,
+         avg(y) AS my, avg(yl) AS m1, avg(x) AS m2
+  FROM l WHERE yl IS NOT NULL
+), fit AS (  -- 3-parameter OLS via the demeaned 2x2 normal equations
+  SELECT (cy1 * v2 - cy2 * c12) / (v1 * v2 - c12 * c12) AS phi,
+         (cy2 * v1 - cy1 * c12) / (v1 * v2 - c12 * c12) AS b,
+         my - (cy1 * v2 - cy2 * c12) / (v1 * v2 - c12 * c12) * m1
+            - (cy2 * v1 - cy1 * c12) / (v1 * v2 - c12 * c12) * m2 AS c
+  FROM m
 ), lastv AS (
-  SELECT y AS y0, ts AS ts0 FROM s ORDER BY ts DESC LIMIT 1
+  SELECT y AS y0, x AS x0, ts AS ts0 FROM s ORDER BY ts DESC LIMIT 1
 ), rec(k, yhat) AS (
-  SELECT 1, c + phi * y0 FROM fit, lastv
+  SELECT 1, c + phi * y0 + b * x0 FROM fit, lastv
   UNION ALL
-  SELECT k + 1, c + phi * yhat FROM rec, fit WHERE k < 7
+  SELECT k + 1, c + phi * yhat + b * x0 FROM rec, fit, lastv WHERE k < 7
 )
 SELECT ts0 + k * INTERVAL 1 DAY AS ts, round(yhat, 4) AS yhat
 FROM rec, lastv ORDER BY ts

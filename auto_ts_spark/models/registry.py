@@ -55,7 +55,9 @@ def model_registry(
             **(fourier_config or {}),
         ),
         "seasonal_ar": partial(
-            AR.forecast_seasonal_ar, seasonal_period=seasonal_period
+            AR.forecast_seasonal_ar,
+            seasonal_period=seasonal_period,
+            exog_cols=exog_cols,
         ),
         "var": partial(VARM.forecast_var, exog_cols=exog_cols),
     }

@@ -79,6 +79,61 @@ def test_seasonal_ar_undo_differencing_tracks_trend():
     assert abs(final[0] - (10 + 0.5 * len(pdf))) < 5
 
 
+def test_seasonal_ar_exog_beats_no_exog():
+    """SARIMAX exog channel (reference build_arima_base.py:310-369,
+    test_auto_ts.py:693): a series driven mostly by an external
+    regressor must forecast materially better when the worker sees it."""
+    rng = np.random.RandomState(3)
+    n = 180
+    x = rng.randn(n) * 2.0  # strong i.i.d. external driver
+    y = np.zeros(n)
+    for t in range(1, n):
+        y[t] = 0.3 * y[t - 1] + 3.0 * x[t] + rng.randn() * 0.2
+    pdf = pd.DataFrame(
+        {"ts": pd.date_range("2015-01-01", periods=n, freq="D"), "y": y, "x": x}
+    )
+    folds = expanding_fold_bounds(n, 3, 5)
+    with_x = forecast_seasonal_ar(
+        pdf, folds, 5, seasonal_period=0, exog_cols=["x"]
+    )
+    without_x = forecast_seasonal_ar(pdf, folds, 5, seasonal_period=0)
+    rmse_x = _cv_rmse(with_x, pdf, folds)
+    rmse_no = _cv_rmse(without_x, pdf, folds)
+    # fold-test exog values are observed, so the exog fit should track
+    # y almost exactly (noise 0.2) while the blind AR cannot
+    assert rmse_x < 0.5 * rmse_no
+    assert rmse_x < 1.0
+
+
+def test_seasonal_ar_exog_future_frame_and_persist():
+    """Final forecast: exog comes from the future frame when supplied,
+    else persists the last observed value — the two reference predict
+    modes (testdata=X_exogen vs index-only)."""
+    rng = np.random.RandomState(9)
+    n = 120
+    x = np.sin(np.arange(n) / 5.0) * 4.0
+    y = 2.0 * x + rng.randn(n) * 0.1
+    pdf = pd.DataFrame(
+        {"ts": pd.date_range("2015-01-01", periods=n, freq="D"), "y": y, "x": x}
+    )
+    folds = expanding_fold_bounds(n, 2, 5)
+    h = 6
+    x_fut = np.sin(np.arange(n, n + h) / 5.0) * 4.0
+    fut = pd.DataFrame(
+        {"ts": pd.date_range(pdf["ts"].iloc[-1] + pd.Timedelta(days=1), periods=h, freq="D"), "x": x_fut}
+    )
+    out = forecast_seasonal_ar(
+        pdf, folds, h, seasonal_period=0, exog_cols=["x"], future_pdf=fut
+    )
+    final = out[out["fold"] == -1]
+    assert len(final) == h
+    # with the true future exog the forecast must track 2*x_fut closely
+    assert float(np.abs(final["yhat"].to_numpy() - 2.0 * x_fut).mean()) < 1.0
+    # persist mode still runs and returns finite values
+    out_p = forecast_seasonal_ar(pdf, folds, h, seasonal_period=0, exog_cols=["x"])
+    assert np.isfinite(out_p[out_p["fold"] == -1]["yhat"].to_numpy()).all()
+
+
 def test_var_bivariate_coupling():
     rng = np.random.RandomState(11)
     n = 150
