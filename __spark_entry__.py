@@ -54,7 +54,7 @@ def _sql_hash60(expr: str) -> str:
 
 
 def _events_series(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "events").withColumn("series_id", F.lit("0"))
+    return load_table(spark, sf_dir, "events").withColumn("series_id", PART.opaque_lit("0"))
 
 
 # ---------------------------------------------------------------- queries
@@ -300,7 +300,7 @@ def q_frequency_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     first_two = (
         FOLDS.with_row_number(
-            ev.withColumn("series_id", F.lit("0")), order_col="ts"
+            ev.withColumn("series_id", PART.opaque_lit("0")), order_col="ts"
         )
         .filter(F.col("rn") <= 2)
         .agg(
@@ -741,9 +741,12 @@ def q_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
-    # constant partition key: bounded 2-row board; silences the
-    # WindowExec no-partition warning without changing the plan's cost
-    w = Window.partitionBy(F.lit(1)).orderBy(F.col("mean_rmse").asc(), F.col("model"))
+    # declared single-partition rank on the bounded 2-row board (a
+    # lit(1) key gets constant-folded out and the warning survives —
+    # see operators.partitioning.bounded_window_key)
+    w = Window.partitionBy(PART.bounded_window_key("model")).orderBy(
+        F.col("mean_rmse").asc(), F.col("model")
+    )
     return board.withColumn("rank", F.row_number().over(w)).withColumn(
         "is_best", (F.col("rank") == 1).cast("int")
     )
@@ -1503,7 +1506,7 @@ def q_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "events")
         .groupBy(F.date_trunc("day", "ts").alias("ts"))
         .agg(F.sum(F.col("value").cast("decimal(20,2)")).cast("double").alias("y"))
-        .withColumn("series_id", F.lit("0"))
+        .withColumn("series_id", PART.opaque_lit("0"))
     )
     return LAGS.acf(series, "y", 7).select(
         "lag", F.round("acf", 6).alias("acf")
@@ -1722,7 +1725,7 @@ def q_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "events")
         .groupBy(F.date_trunc("day", "ts").alias("ts"))
         .agg(F.sum(F.col("value").cast("decimal(20,2)")).cast("double").alias("y"))
-        .withColumn("series_id", F.lit("0"))
+        .withColumn("series_id", PART.opaque_lit("0"))
     )
     return pacf(series, "y", PACF_MAX_LAG)
 
@@ -1790,9 +1793,10 @@ def q_residual_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
-    # constant partition key on the bounded daily series (≤ a few
-    # thousand rows): silences the WindowExec no-partition warning
-    w = Window.partitionBy(F.lit(1)).orderBy("ts")
+    # declared single-partition window on the bounded daily series
+    # (≤ a few thousand rows) — bounded_window_key keeps the spec
+    # non-empty where lit(1) would be folded away
+    w = Window.partitionBy(PART.bounded_window_key("ts")).orderBy("ts")
     e = daily.select(
         "ts", (F.col("y") - F.lag("y", 1).over(w)).alias("e")
     ).na.drop()
@@ -1883,7 +1887,7 @@ def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "events")
         .groupBy(F.date_trunc("day", "ts").alias("ts"))
         .agg(F.sum(F.col("value").cast("decimal(20,2)")).cast("double").alias("y"))
-        .withColumn("series_id", F.lit("0"))
+        .withColumn("series_id", PART.opaque_lit("0"))
     )
     out = seasonal_decompose(series, "y", 7)
     return out.select(
@@ -2030,7 +2034,7 @@ def _daily_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.groupBy(F.date_trunc("day", "ts").alias("ts"))
         .agg(F.sum("value").alias("y"))
-        .withColumn("series_id", F.lit("0"))
+        .withColumn("series_id", PART.opaque_lit("0"))
     )
 
 
@@ -2101,7 +2105,7 @@ def _exact_daily_series(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("y")
         )
-        .withColumn("series_id", F.lit("0"))
+        .withColumn("series_id", PART.opaque_lit("0"))
     )
 
 
@@ -2129,7 +2133,7 @@ def q_ar1_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("y"),
             F.count(F.lit(1)).cast("double").alias("x"),
         )
-        .withColumn("series_id", F.lit("0"))
+        .withColumn("series_id", PART.opaque_lit("0"))
     )
     worker = partial(
         ARM.forecast_seasonal_ar,
@@ -2199,7 +2203,7 @@ def q_var1_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("y"),
             F.count(F.lit(1)).cast("double").alias("x"),
         )
-        .withColumn("series_id", F.lit("0"))
+        .withColumn("series_id", PART.opaque_lit("0"))
     )
     worker = partial(VARM.forecast_var, exog_cols=["x"], max_p=1)
     preds = run_model(series, worker, n_splits=1, horizon=5)
@@ -2764,7 +2768,7 @@ def q_automl_leaderboard_contract(spark: SparkSession, sf_dir: str) -> DataFrame
         models=["fourier", "seasonal_ar", "var"],
     )
     board = leaderboard(score_predictions(preds, series))
-    w = Window.partitionBy(F.lit(1)).orderBy("rank")  # 3-row frame
+    w = Window.partitionBy(PART.bounded_window_key("model")).orderBy("rank")  # 3-row frame
     checked = board.select(
         "model",
         "rank",

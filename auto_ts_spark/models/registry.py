@@ -184,11 +184,12 @@ def leaderboard(scores: DataFrame, *, metric: str = "rmse") -> DataFrame:
         aggs.append(F.avg("nrmse").alias("mean_nrmse"))
     elif metric != "rmse":
         raise ValueError("scores frame has no nrmse column for normalized_rmse ranking")
+    from auto_ts_spark.operators.partitioning import bounded_window_key
+
     board = scores.groupBy("model").agg(*aggs)
-    # constant partition key: same single-partition execution on this
-    # bounded (≤ #models rows) frame, but no "No Partition Defined"
-    # WindowExec warning drowning real ones in logs
-    w = Window.partitionBy(F.lit(1)).orderBy(
+    # declared single-partition rank over this bounded (≤ #models
+    # rows) frame — see bounded_window_key for why lit(1) is not enough
+    w = Window.partitionBy(bounded_window_key("model")).orderBy(
         F.col(rank_col).asc_nulls_last(), F.col("model")
     )
     board = board.withColumn("rank", F.row_number().over(w))

@@ -34,6 +34,41 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     return df
 
 
+def bounded_window_key(col: str):
+    """A constant-per-frame, data-dependent partition key for windows
+    over frames that genuinely need ONE global ordering (leaderboard
+    rank over ≤ #models rows, a 3-row viz frame).
+
+    ``Window.partitionBy(F.lit(1))`` does NOT silence Spark's
+    "No Partition Defined" WindowExec warning: the optimizer
+    constant-folds the foldable key out of the partitionSpec, leaving
+    an empty spec at runtime. This expression —
+    ``substring(coalesce(col, ''), 1, 0)`` — evaluates to ``''`` for
+    every row (including NULLs, which the coalesce pins so a NULL key
+    can't split the frame in two) but references a real column, so the
+    optimizer keeps it and WindowExec sees a non-empty spec. The
+    execution is the same single partition the bounded frame requires;
+    the point is that the single-task sort is now *declared*, visible
+    in the plan, and lintable, instead of a warning that drowns real
+    unpartitioned-window regressions.
+    """
+    return F.substring(F.coalesce(F.col(col).cast("string"), F.lit("")), 1, 0)
+
+
+def opaque_lit(value: str, col: str = "ts"):
+    """A string literal the optimizer cannot constant-fold:
+    ``concat(value, bounded_window_key(col))`` ≡ ``value`` for every
+    row. Single-series fixtures tag rows with
+    ``withColumn("series_id", lit("0"))``; every downstream
+    ``Window.partitionBy("series_id")`` then loses its key to constant
+    folding and runs as an undeclared whole-data single task (the
+    WindowExec no-partition warning). With the opaque literal the
+    fixture keeps the exact same values AND the same plan shape real
+    multi-series data gets — the partitionSpec survives, so the local
+    plan is honest about what the 100 TB plan does."""
+    return F.concat(F.lit(value), bounded_window_key(col))
+
+
 def with_global_row_number(
     df: DataFrame,
     *,

@@ -62,6 +62,65 @@ def test_no_accidental_cartesian(spark, name):
     )
 
 
+def _window_lines(plan: str) -> list[str]:
+    return [
+        ln
+        for ln in plan.splitlines()
+        if re.search(r"(?:^|\s|\+\- )Window(?:Exec)? \[", ln)
+    ]
+
+
+def _window_groups(line: str) -> list[str]:
+    """Top-level ``[...]`` groups on a plan node line. A Window node
+    prints ``Window [funcs], [partitionSpec], [orderSpec]``; either
+    spec is omitted entirely when empty, so an unpartitioned-but-
+    ordered window (the runtime-warning case) shows 2 groups whose
+    LAST group is an order spec (``ASC``/``DESC`` tokens), while a
+    partitioned-unordered window shows 2 groups without them."""
+    rest = line.split("Window ", 1)[1]
+    groups, depth, buf = [], 0, []
+    for ch in rest:
+        if ch == "[":
+            if depth == 0:
+                buf = []
+            depth += 1
+            if depth == 1:
+                continue
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append("".join(buf))
+                continue
+        if depth >= 1:
+            buf.append(ch)
+    return groups
+
+
+def _has_empty_partition_spec(line: str) -> bool:
+    groups = _window_groups(line)
+    if len(groups) >= 3:
+        return False
+    if len(groups) < 2:
+        return True  # funcs only — no partition, no order
+    last = groups[-1]
+    return " ASC" in last or " DESC" in last
+
+
+@pytest.mark.parametrize("name", sorted(E.queries()))
+def test_no_unpartitioned_window(spark, name):
+    """Every ordered WindowExec must carry a non-empty partitionSpec —
+    the 'No Partition Defined … single partition' warning must never
+    fire. Bounded frames that genuinely need one global ordering
+    declare it via operators.partitioning.bounded_window_key (a
+    non-foldable constant key the optimizer keeps), so any empty spec
+    here is an accidental whole-data single-task sort."""
+    plan = _plan(spark, name)
+    for ln in _window_lines(plan):
+        assert not _has_empty_partition_spec(ln), (
+            f"{name}: Window with empty partitionSpec: {ln.strip()[:200]}"
+        )
+
+
 def test_lineitem_scans_prune_columns(spark):
     full_width = len(E.load_table(spark, SF, "lineitem").columns)
     for name in ("tpch_pricing_summary", "topk_suppliers"):
