@@ -40,8 +40,21 @@ def _design(
     periods: list[tuple[float, int]],
     exog: np.ndarray | None,
     holiday_ind: np.ndarray | None = None,
-) -> np.ndarray:
+    changepoints: np.ndarray | None = None,
+) -> tuple[np.ndarray, int]:
+    """Returns (X, n_cp) — the design matrix and how many of its
+    columns (right after the [1, t] trend pair) are changepoint
+    hinges, so the fitter can regularize them separately."""
     cols = [np.ones_like(t), t]
+    n_cp = 0
+    if changepoints is not None and changepoints.size:
+        # piecewise-linear trend via hinge basis max(0, t - s_j):
+        # Prophet's changepoint trend (reference build_prophet.py
+        # default n_changepoints=25). Future steps extrapolate with
+        # the final slope (base + all active hinge slopes) for free.
+        for s in changepoints:
+            cols.append(np.maximum(0.0, t - s))
+        n_cp = len(changepoints)
     for period, k_fourier in periods:
         for k in range(1, k_fourier + 1):
             ang = 2.0 * np.pi * k * t / period
@@ -52,13 +65,31 @@ def _design(
         X = np.column_stack([X, holiday_ind])
     if exog is not None and exog.size:
         X = np.column_stack([X, exog])
-    return X
+    return X, n_cp
 
 
-def _fit_beta(X: np.ndarray, y: np.ndarray, ridge: float = 1e-8) -> np.ndarray:
-    # ridge-stabilized normal equations: deterministic, rank-safe
-    XtX = X.T @ X + ridge * np.eye(X.shape[1])
+def _fit_beta(
+    X: np.ndarray, y: np.ndarray, ridge: float | np.ndarray = 1e-8
+) -> np.ndarray:
+    # ridge-stabilized normal equations: deterministic, rank-safe;
+    # a per-column ridge vector lets changepoint hinges carry a
+    # stronger penalty (the L2 analogue of Prophet's sparse Laplace
+    # changepoint prior) than the structural columns
+    r = np.full(X.shape[1], ridge) if np.isscalar(ridge) else ridge
+    XtX = X.T @ X + np.diag(r)
     return np.linalg.solve(XtX, X.T @ y)
+
+
+def _changepoint_grid(train_n: int, n_changepoints: int, changepoint_range: float) -> np.ndarray | None:
+    """Prophet's potential-changepoint placement: ``n_changepoints``
+    evenly spaced interior knots over the first ``changepoint_range``
+    fraction of the training window (build_prophet.py / Prophet
+    defaults n_changepoints=25, changepoint_range=0.8)."""
+    if not n_changepoints or train_n < 4:
+        return None
+    hi = changepoint_range * (train_n - 1)
+    n_cp = min(int(n_changepoints), max(train_n - 2, 1))
+    return np.linspace(0.0, hi, n_cp + 2)[1:-1]
 
 
 def seasonality_blocks(freq_seconds: float) -> list[tuple[float, int]]:
@@ -91,6 +122,9 @@ def forecast_fourier(
     seasonality_mode: str = "additive",
     holidays: list | None = None,
     seasonal_periods: list[tuple[float, int]] | None = None,
+    n_changepoints: int = 0,
+    changepoint_range: float = 0.8,
+    changepoint_prior_scale: float = 0.05,
     future_pdf: pd.DataFrame | None = None,
 ) -> pd.DataFrame:
     """Per-series worker: CV test predictions per fold + final forecast
@@ -98,7 +132,16 @@ def forecast_fourier(
     make_future_dataframe-with-regressors shape, build_prophet.py:
     513-521) supplies the forecast timestamps and exog values; without
     it, exog future values are persisted (last observed) — the
-    reference's univariate future-frame policy."""
+    reference's univariate future-frame policy.
+
+    ``n_changepoints`` > 0 turns on the piecewise-linear trend
+    (Prophet's changepoint model, default 25 in the reference's
+    build_prophet.py): hinge regressors at evenly spaced knots over
+    the first ``changepoint_range`` of each training window, with a
+    stronger ridge penalty ``~1/changepoint_prior_scale`` on the
+    hinge slopes (L2 analogue of Prophet's Laplace prior). Off by
+    default so pinned oracles stay bit-stable; forward it via
+    ``AutoTimeSeries(model_config={'n_changepoints': 25})``."""
     pdf = pdf.sort_values("ts").reset_index(drop=True)
     y_raw = pdf["y"].to_numpy(dtype=float)
     n = len(pdf)
@@ -155,13 +198,21 @@ def forecast_fourier(
         ts_pred: pd.Series,
         ex_future: np.ndarray | None = None,
     ) -> np.ndarray:
-        Xtr = _design(
+        cps = _changepoint_grid(train_n, n_changepoints, changepoint_range)
+        Xtr, n_cp = _design(
             t_all[:train_n],
             periods,
             exog[:train_n] if exog is not None else None,
             hol_all[:train_n] if hol_all is not None else None,
+            cps,
         )
-        beta = _fit_beta(Xtr, y[:train_n])
+        ridge = np.full(Xtr.shape[1], 1e-8)
+        if n_cp:
+            # hinge slopes carry the changepoint prior; scale by the
+            # training target's variance so the penalty is unitless
+            y_scale = float(np.var(y[:train_n])) or 1.0
+            ridge[2 : 2 + n_cp] = y_scale * 1e-3 / max(changepoint_prior_scale, 1e-9)
+        beta = _fit_beta(Xtr, y[:train_n], ridge)
         ex_pred = None
         if exog is not None:
             ex_pred = exog[np.clip(idx_pred, 0, n - 1)]
@@ -172,8 +223,8 @@ def forecast_fourier(
                     fut_rows = ex_pred[idx_pred >= n]
                     fut_rows[known] = ex_future[known]
                     ex_pred[idx_pred >= n] = fut_rows
-        Xp = _design(
-            idx_pred.astype(float), periods, ex_pred, holiday_matrix(ts_pred)
+        Xp, _ = _design(
+            idx_pred.astype(float), periods, ex_pred, holiday_matrix(ts_pred), cps
         )
         return inv(Xp @ beta)
 

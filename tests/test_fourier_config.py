@@ -140,3 +140,62 @@ def test_default_config_matches_independent_lstsq():
     want_fut = fit_predict(n, np.arange(n, n + 8))
     have_fut = got[got["fold"] == -1].sort_values("ts")["yhat"].to_numpy()
     assert np.allclose(have_fut, want_fut, atol=1e-8)
+
+
+def test_changepoints_capture_trend_break():
+    """Piecewise-linear trend (Prophet changepoints, reference
+    build_prophet.py default n_changepoints=25): a series whose slope
+    flips sign mid-history must forecast materially better with
+    changepoints on than with the single global trend."""
+    rng = np.random.RandomState(6)
+    n = 160
+    t = np.arange(n, dtype=float)
+    brk = 100
+    trend = np.where(t < brk, 5 + 0.8 * t, 5 + 0.8 * brk - 0.6 * (t - brk))
+    y = trend + 3 * np.sin(2 * np.pi * t / 12) + rng.randn(n) * 0.5
+    pdf = pd.DataFrame(
+        {"ts": pd.date_range("2010-01-31", periods=n, freq="ME"), "y": y}
+    )
+    folds = expanding_fold_bounds(n, 3, 10)
+    flat = forecast_fourier(pdf, folds, 10, seasonal_period=12)
+    cp = forecast_fourier(
+        pdf, folds, 10, seasonal_period=12, n_changepoints=25
+    )
+    rmse_flat, rmse_cp = _cv_rmse(flat, pdf), _cv_rmse(cp, pdf)
+    assert rmse_cp < 0.5 * rmse_flat, (rmse_cp, rmse_flat)
+    # future forecast must continue the POST-break slope (downhill),
+    # not the global average slope
+    fut = cp[cp["fold"] == -1].sort_values("ts")["yhat"].to_numpy()
+    assert fut[-1] < fut[0]
+
+
+def test_changepoints_off_is_bit_stable():
+    """Default n_changepoints=0 must reproduce the exact pre-feature
+    fit — pinned oracles depend on it."""
+    rng = np.random.RandomState(2)
+    n = 96
+    t = np.arange(n, dtype=float)
+    y = 10 + 0.5 * t + 8 * np.sin(2 * np.pi * t / 12) + rng.randn(n) * 0.5
+    pdf = pd.DataFrame(
+        {"ts": pd.date_range("2015-01-31", periods=n, freq="ME"), "y": y}
+    )
+    folds = expanding_fold_bounds(n, 2, 8)
+    a = forecast_fourier(pdf, folds, 8, seasonal_period=12)
+    b = forecast_fourier(
+        pdf, folds, 8, seasonal_period=12, n_changepoints=0
+    )
+    assert np.array_equal(a["yhat"].to_numpy(), b["yhat"].to_numpy())
+
+
+def test_changepoints_forward_through_auto_config():
+    """AutoTimeSeries(model_config={'n_changepoints': ...}) reaches the
+    fourier worker (the reference's Prophet defaults travel through
+    setup_prophet_model the same way)."""
+    import inspect
+
+    from auto_ts_spark.models.registry import model_registry
+
+    reg = model_registry(fourier_config={"n_changepoints": 25})
+    fn = reg["fourier"]
+    assert fn.keywords.get("n_changepoints") == 25
+    assert "n_changepoints" in inspect.signature(forecast_fourier).parameters
