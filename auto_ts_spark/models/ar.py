@@ -1,12 +1,17 @@
 """Seasonal-AR forecaster — the engine's (auto-)SARIMAX-family analogue.
 
-The reference grid-searches SARIMAX orders by AIC/BIC
+The reference searches SARIMAX orders two ways: a legacy AIC/BIC grid
 (auto_ts/models/ar_based/param_finder.py:41-143,
-build_sarimax.py:230-296). This re-expression keeps the same search
-shape — grid over (p, d, P) scored by AIC, best refit, h-step
-recursive forecast — with the model fitted by OLS on lagged values
-(AR + seasonal-AR + drift). MA terms are approximated by a second
-Hannan-Rissanen stage on lagged residuals when ``q > 0``.
+build_sarimax.py:230-296) and pmdarima's stepwise auto-ARIMA with a
+large-dataset reduced budget (build_autoarimax.py:35-49). This
+re-expression carries both: ``search='stepwise'`` (default) picks d
+by the unit-root cascade, D by seasonal strength (forced to 1 above
+the 1000-row budget threshold), then walks (p, q, P) greedily under a
+hard fit budget (10 fits large / 50 small, Hyndman-Khandakar shape);
+``search='grid'`` is the exhaustive AIC grid. Either way the model is
+fitted by OLS on lagged values (AR + seasonal-AR + drift); MA terms
+are approximated by a second Hannan-Rissanen stage on lagged
+residuals when ``q > 0``.
 
 Deterministic, no optimizer iterations; one candidate fit is a single
 lstsq, so the whole grid for one series costs microseconds — the grid
@@ -60,13 +65,25 @@ def _fit_ar(
     m: int,
     P: int,
     exog: np.ndarray | None = None,
+    D: int = 0,
 ):
-    """Fit one candidate; returns (params dict, aic) or None."""
+    """Fit one candidate; returns (params dict, aic) or None.
+
+    ``D`` applies seasonal differencing (lag m, pmdarima's seasonal-
+    first order) before the ``d`` regular differences; both are undone
+    in reverse by the forecaster."""
     yd = y.copy()
     exd = exog.copy() if exog is not None else None
-    tails = []
+    inv_ops: list[tuple[str, np.ndarray | float]] = []
+    for _ in range(int(D) if m > 1 else 0):
+        if len(yd) <= m:
+            return None
+        inv_ops.append(("seasonal", yd[-m:].copy()))
+        yd = yd[m:] - yd[:-m]
+        if exd is not None:
+            exd = exd[m:] - exd[:-m]
     for _ in range(d):
-        tails.append(yd[-1])
+        inv_ops.append(("regular", yd[-1]))
         yd = np.diff(yd)
         if exd is not None:
             # simple-differencing ARIMAX: the exog channel is
@@ -91,18 +108,23 @@ def _fit_ar(
     beta, *_ = np.linalg.lstsq(X, target, rcond=None)
     rss = float(np.sum((target - X @ beta) ** 2))
     score = aic(rss, len(target), X.shape[1] + 1)
+    n_diff_rows = d + (m * int(D) if m > 1 else 0)
     return {
         "beta": beta,
         "p": p,
         "d": d,
         "q": q,
+        "P": P,
+        "D": int(D) if m > 1 else 0,
         "season_lags": season_lags,
         "yd": yd,
         "resid": resid,
-        "tails": tails,
+        "inv_ops": inv_ops,
         "max_lag": max_lag,
         "n_exog": 0 if exd is None else exd.shape[1],
-        "exog_levels_tail": None if exog is None else exog[-(d + 1):].copy(),
+        "exog_levels_tail": None if exog is None else exog[-(n_diff_rows + 1):].copy(),
+        "n_diff_rows": n_diff_rows,
+        "m": m,
     }, score
 
 
@@ -118,8 +140,7 @@ def _future_exog_diffed(
     k = model["n_exog"]
     if not k:
         return None
-    d = model["d"]
-    tail = model["exog_levels_tail"]  # last d+1 observed level rows
+    tail = model["exog_levels_tail"]  # last n_diff_rows+1 observed level rows
     last_level = tail[-1]
     if exog_future is None:
         levels = np.tile(last_level, (h, 1))
@@ -131,10 +152,13 @@ def _future_exog_diffed(
             levels[nan_mask] = np.tile(last_level, (len(levels), 1))[nan_mask]
         if len(levels) < h:
             levels = np.vstack([levels, np.tile(last_level, (h - len(levels), 1))])
-    if d == 0:
+    ndr = model["n_diff_rows"]
+    if ndr == 0:
         return levels
-    full = np.vstack([tail[-d:], levels])
-    for _ in range(d):
+    full = np.vstack([tail[-ndr:], levels])
+    for _ in range(model["D"]):
+        full = full[model["m"]:] - full[:-model["m"]]
+    for _ in range(model["d"]):
         full = np.diff(full, axis=0)
     return full
 
@@ -164,11 +188,173 @@ def _forecast_fitted(
         yd.append(yhat)
         if resid is not None:
             resid.append(0.0)  # expected future shocks are zero
-    # undo differencing (W4 cumsum, per tail level)
+    # undo differencing in reverse application order: regular diffs
+    # invert as cumsum from the tail level (W4), seasonal diffs invert
+    # as x_t = z_t + x_{t-m} seeded with the last m pre-forecast levels
     preds = np.array(preds_d, dtype=float)
-    for tail in reversed(model["tails"]):
-        preds = tail + np.cumsum(preds)
+    for kind, val in reversed(model["inv_ops"]):
+        if kind == "regular":
+            preds = val + np.cumsum(preds)
+        else:
+            buf = list(val)
+            out = []
+            for j, z in enumerate(preds):
+                x = float(z) + buf[j]
+                buf.append(x)
+                out.append(x)
+            preds = np.array(out, dtype=float)
     return preds
+
+
+def search_budget(n: int, *, seasonal: bool, threshold: int = 1000) -> dict | None:
+    """The reference's large-dataset search policy
+    (auto_ts/models/ar_based/build_autoarimax.py:35-49): above
+    ``threshold`` rows, the order search shrinks to max p,q,P ≤ 2 with
+    a 10-fit stepwise budget and seasonal differencing D forced to 1
+    when a seasonal period is in play; at or below it, the caller's
+    bounds stand with a 50-fit budget. Returns the reduced-budget dict
+    or None for the full budget."""
+    if n > threshold:
+        return {
+            "max_p": 2,
+            "max_q": 2,
+            "max_P": 2,
+            "n_fits": 10,
+            "force_D": 1 if seasonal else 0,
+        }
+    return None
+
+
+def _seasonal_strength_wants_D(y: np.ndarray, m: int, d: int) -> bool:
+    """Cheap OCSB-style stand-in: difference ``d`` times, then measure
+    the lag-``m`` autocorrelation; strong positive seasonal
+    persistence (> 0.5) calls for one seasonal difference."""
+    yd = y.copy()
+    for _ in range(d):
+        yd = np.diff(yd)
+    if len(yd) < 2 * m + 2:
+        return False
+    a = yd[m:] - yd[m:].mean()
+    b = yd[:-m] - yd[:-m].mean()
+    denom = float(np.sqrt((a * a).sum() * (b * b).sum()))
+    return denom > 0 and float((a * b).sum()) / denom > 0.5
+
+
+def select_model(
+    y: np.ndarray,
+    *,
+    m: int,
+    max_p: int,
+    max_d: int,
+    max_q: int,
+    max_P: int,
+    max_D: int = 1,
+    exog: np.ndarray | None = None,
+    search: str = "stepwise",
+    n_fits: int = 50,
+    large_series_threshold: int = 1000,
+) -> dict | None:
+    """Order search for one series. ``search='stepwise'`` is the
+    pmdarima-parity path (build_autoarimax.py): d from the unit-root
+    cascade (models/stats.py ADF), D from seasonal strength (forced to
+    1 by the large-series budget), then a Hyndman-Khandakar-style
+    greedy walk over (p, q, P) scored by AIC under a hard fit budget.
+    ``search='grid'`` keeps the legacy exhaustive AIC grid. The chosen
+    model dict records ``search_meta`` (fits used, whether the reduced
+    budget triggered) for tests and diagnostics."""
+    from auto_ts_spark.models.stats import auto_diff_order
+
+    seasonal = m > 1
+    budget = search_budget(len(y), seasonal=seasonal, threshold=large_series_threshold)
+    force_D: int | None = None
+    if budget is not None:
+        max_p = min(max_p, budget["max_p"])
+        max_q = min(max_q, budget["max_q"])
+        max_P = min(max_P, budget["max_P"])
+        n_fits = budget["n_fits"]
+        if seasonal:
+            force_D = budget["force_D"]
+
+    if search == "grid":
+        best = None
+        for D in (range(max_D + 1) if (seasonal and max_D) else [0]):
+            for d in range(max_d + 1):
+                for p in range(max_p + 1):
+                    for q in range(max_q + 1):
+                        for P in range(max_P + 1) if seasonal else [0]:
+                            if p == 0 and q == 0 and P == 0:
+                                continue
+                            res = _fit_ar(y, p, d, q, m, P, exog, D)
+                            if res and (best is None or res[1] < best[1]):
+                                best = res
+        if best:
+            best[0]["search_meta"] = {"n_fits_used": -1, "budget_reduced": budget is not None}
+            return best[0]
+        return None
+
+    d = min(auto_diff_order(y), max_d)
+    if force_D is not None:
+        D = force_D
+    elif seasonal and max_D:
+        D = 1 if _seasonal_strength_wants_D(y, m, d) else 0
+    else:
+        D = 0
+
+    fits = 0
+    cache: dict[tuple[int, int, int], tuple | None] = {}
+
+    def try_fit(p: int, q: int, P: int):
+        nonlocal fits
+        key = (p, q, P)
+        if key in cache:
+            return cache[key]
+        if (
+            p < 0 or q < 0 or P < 0
+            or p > max_p or q > max_q or P > max_P
+            or (p == 0 and q == 0 and P == 0)
+            or fits >= n_fits
+        ):
+            return None
+        fits += 1
+        res = _fit_ar(y, p, d, q, m, P, exog, D)
+        cache[key] = res
+        return res
+
+    # pmdarima's start set, clipped to the bounds
+    starts = sorted(
+        {
+            (min(2, max_p), min(2, max_q), min(1, max_P) if seasonal else 0),
+            (min(1, max_p), 0, min(1, max_P) if seasonal else 0),
+            (0, min(1, max_q), 0),
+            (min(1, max_p), 0, 0),
+        }
+    )
+    best = None
+    best_order = None
+    for cand in starts:
+        res = try_fit(*cand)
+        if res and (best is None or res[1] < best[1]):
+            best, best_order = res, cand
+    improved = True
+    while improved and best is not None and fits < n_fits:
+        improved = False
+        p0, q0, P0 = best_order
+        for dp, dq, dP in (
+            (1, 0, 0), (-1, 0, 0), (0, 1, 0), (0, -1, 0),
+            (0, 0, 1), (0, 0, -1), (1, 1, 0), (-1, -1, 0),
+        ):
+            res = try_fit(p0 + dp, q0 + dq, P0 + dP)
+            if res and res[1] < best[1] - 1e-12:
+                best, best_order = res, (p0 + dp, q0 + dq, P0 + dP)
+                improved = True
+                break
+    if best is None:
+        return None
+    best[0]["search_meta"] = {
+        "n_fits_used": fits,
+        "budget_reduced": budget is not None,
+    }
+    return best[0]
 
 
 def forecast_seasonal_ar(
@@ -181,6 +367,9 @@ def forecast_seasonal_ar(
     max_d: int = 1,
     max_q: int = 1,
     max_P: int = 1,
+    max_D: int = 1,
+    search: str = "stepwise",
+    large_series_threshold: int = 1000,
     exog_cols: list[str] | None = None,
     future_pdf: pd.DataFrame | None = None,
 ) -> pd.DataFrame:
@@ -202,17 +391,18 @@ def forecast_seasonal_ar(
     exog_all = pdf[exog_cols].to_numpy(dtype=float) if exog_cols else None
 
     def best_fit(y: np.ndarray, exog: np.ndarray | None):
-        best = None
-        for d in range(max_d + 1):
-            for p in range(max_p + 1):
-                for q in range(max_q + 1):
-                    for P in range(max_P + 1) if m else [0]:
-                        if p == 0 and q == 0 and P == 0:
-                            continue
-                        res = _fit_ar(y, p, d, q, m, P, exog)
-                        if res and (best is None or res[1] < best[1]):
-                            best = res
-        return best[0] if best else None
+        return select_model(
+            y,
+            m=m,
+            max_p=max_p,
+            max_d=max_d,
+            max_q=max_q,
+            max_P=max_P,
+            max_D=max_D,
+            exog=exog,
+            search=search,
+            large_series_threshold=large_series_threshold,
+        )
 
     out = []
     for fold, (train_end, test_end) in enumerate(folds):
