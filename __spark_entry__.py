@@ -1139,6 +1139,56 @@ FROM h
 """
 
 
+def q_winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS local-minimum fingerprint) overlap pairs —
+    substring-granularity near-dup detection: word 4-gram hashes,
+    window-4 minimum selection, pairs sharing >= 2 fingerprints via an
+    equi-join on fingerprint with a document-frequency stop-key filter.
+    The oracle replays the identical shingle → md5-hash → windowed
+    list_min → distinct → df-filter → pair-join pipeline in DuckDB, so
+    the fingerprint SELECTION (not just the pair counts) is
+    value-checked."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        DD.winnow_overlap_pairs(
+            docs, text_col="text", id_col="doc_id", k=4, window=4,
+            min_shared=2, max_df=20,
+        )
+        .select("id_a", "id_b", F.col("n_shared").cast("bigint").alias("n_shared"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+_SQL_WINNOW_OVERLAP = f"""
+WITH base AS (
+  SELECT doc_id AS id, {_SQL_TOKS} AS toks FROM documents
+), sh AS (
+  SELECT id,
+         CASE WHEN len(toks) < 4 THEN [array_to_string(toks, ' ')]
+              ELSE list_filter(
+                list_transform(list_zip(toks, toks[2:], toks[3:], toks[4:]),
+                  x -> CASE WHEN x[4] IS NOT NULL
+                            THEN concat(x[1], ' ', x[2], ' ', x[3], ' ', x[4]) END),
+                s -> s IS NOT NULL) END AS sh
+  FROM base
+), hashed AS (
+  SELECT id, list_transform(sh, s -> {_sql_hash60("s")}) AS hs FROM sh
+), fps AS (
+  SELECT id, unnest(list_distinct(list_transform(
+           generate_series(1, len(hs)), i -> list_min(hs[i : i + 3])))) AS fp
+  FROM hashed
+), rare AS (
+  SELECT fp FROM fps GROUP BY fp HAVING count(DISTINCT id) <= 20
+), pruned AS (
+  SELECT fps.id, fps.fp FROM fps JOIN rare USING (fp)
+)
+SELECT a.id AS id_a, b.id AS id_b, cast(count(DISTINCT a.fp) AS bigint) AS n_shared
+FROM pruned a JOIN pruned b ON a.fp = b.fp AND a.id < b.id
+GROUP BY 1, 2 HAVING count(DISTINCT a.fp) >= 2
+ORDER BY id_a, id_b
+"""
+
+
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 neighbors for query vectors vec_id<10
     (broadcast queries; corpus scanned once)."""
@@ -2924,6 +2974,7 @@ _ORACLE: dict[str, str] = {
     "minhash_lsh_pairs": _SQL_MINHASH_LSH,
     "dedup_clusters": _SQL_DEDUP_CLUSTERS,
     "simhash_fingerprints": _SQL_SIMHASH,
+    "winnow_overlap_pairs": _SQL_WINNOW_OVERLAP,
     "embedding_topk": _SQL_EMBEDDING_TOPK,
     "embedding_near_dup": _SQL_EMBEDDING_NEAR_DUP,
     "hourly_rollup": _SQL_HOURLY_ROLLUP,
@@ -2987,6 +3038,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "dedup_clusters": q_dedup_clusters,
     "simhash_fingerprints": q_simhash_fingerprints,
+    "winnow_overlap_pairs": q_winnow_overlap_pairs,
     "embedding_topk": q_embedding_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "hourly_rollup": q_hourly_rollup,

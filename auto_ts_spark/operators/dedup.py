@@ -383,8 +383,9 @@ def winnow_fingerprints(
     transform(md5) → windowed array_min → distinct) — no explode until
     the (doc, fp) output rows, so the only shuffle is whatever the
     caller does with them. Tail windows shorter than ``window`` are
-    kept (deterministic, mirrored by the oracle); docs shorter than
-    ``k`` tokens fall back to one whole-text shingle like
+    kept (deterministic; the ``winnow_overlap_pairs`` DuckDB oracle in
+    ``__spark_entry__`` replays the same truncating slice); docs
+    shorter than ``k`` tokens fall back to one whole-text shingle like
     functions.text.shingles.
 
     Returns ``(id_col, fp)`` — one row per distinct selected

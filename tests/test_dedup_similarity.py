@@ -174,3 +174,24 @@ def test_audio_features_shape(spark):
         out.sort_values("media_id").reset_index(drop=True),
         out2.sort_values("media_id").reset_index(drop=True),
     )
+
+
+def test_winnow_guarantee_on_planted_overlap(spark):
+    """Winnowing's contract: any shared token run of length
+    k + window - 1 (= 7 here) yields at least one shared fingerprint;
+    disjoint-vocabulary docs share none."""
+    from auto_ts_spark.operators import dedup as DD
+
+    shared = "alpha beta gamma delta epsilon zeta eta"  # 7 tokens
+    rows = [
+        (1, f"one two three {shared} four five six"),
+        (2, f"seven eight nine ten {shared} eleven twelve"),
+        (3, "completely different vocabulary with no overlap here at all"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = DD.winnow_overlap_pairs(
+        docs, k=4, window=4, min_shared=1, max_df=20
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in got
+    assert all(3 not in p for p in got)
