@@ -242,13 +242,13 @@ def adf_table(df: DataFrame, *, target: str = "y") -> DataFrame:
 
     def apply_fn(pdf: pd.DataFrame) -> pd.DataFrame:
         y = pdf.sort_values("ts")[target].to_numpy(dtype=float)
-        stat = STATS.adf_statistic(y)
+        res = STATS.adf_test(y)
         return pd.DataFrame(
             {
                 "series_id": [pdf["series_id"].iloc[0]],
-                "adf_stat": [round(stat, 6)],
-                "crit_5pct": [STATS.ADF_CRIT["5%"]],
-                "stationary": [bool(stat < STATS.ADF_CRIT["5%"])],
+                "adf_stat": [round(res["stat"], 6)],
+                "crit_5pct": [round(res["crit_5pct"], 6)],
+                "stationary": [res["stationary"]],
                 "diff_order": [STATS.auto_diff_order(y)],
             }
         )

@@ -290,3 +290,58 @@ def test_stepwise_matches_pinned_grid_on_single_candidate():
     a = forecast_seasonal_ar(pdf, folds, 5, search="stepwise", **kw)
     b = forecast_seasonal_ar(pdf, folds, 5, search="grid", **kw)
     assert np.array_equal(a["yhat"].to_numpy(), b["yhat"].to_numpy())
+
+
+def test_adf_autolag_selects_aic_argmin():
+    """autolag must pick exactly the AIC-argmin lag over the shared
+    maxlag-aligned sample (statsmodels adfuller autolag contract),
+    verified against an independent brute-force replica."""
+    rng = np.random.RandomState(13)
+    n = 250
+    # AR(2) so the right augmentation lag is > 0
+    y = np.zeros(n)
+    for t in range(2, n):
+        y[t] = 0.5 * y[t - 1] + 0.3 * y[t - 2] + rng.randn()
+    res = stats.adf_test(y)
+    max_lag = min(int(np.ceil(12.0 * (n / 100.0) ** 0.25)), n // 2 - 3)
+    dy = np.diff(y)
+    rows = np.arange(max_lag, len(dy))
+    aics = []
+    for k in range(max_lag + 1):
+        X = np.column_stack(
+            [np.ones(len(rows)), y[rows]] + [dy[rows - j] for j in range(1, k + 1)]
+        )
+        b, *_ = np.linalg.lstsq(X, dy[rows], rcond=None)
+        rss = float(np.sum((dy[rows] - X @ b) ** 2))
+        aics.append(len(rows) * np.log(rss / len(rows)) + 2.0 * (k + 2))
+    assert res["usedlag"] == int(np.argmin(aics))
+    # an AR(2) needs at least one augmentation term
+    assert res["usedlag"] >= 1
+    # refit is on the usedlag-aligned (larger) sample
+    assert res["nobs"] == len(dy) - res["usedlag"]
+
+
+def test_adf_finite_sample_criticals():
+    """MacKinnon (2010) response surface: finite-sample 5% critical
+    values are below the asymptotic -2.86 and approach it as n grows."""
+    assert stats.adf_crit(50) < stats.adf_crit(500) < stats.adf_crit(100000)
+    assert abs(stats.adf_crit(100000) - (-2.86154)) < 1e-3
+    assert abs(stats.adf_crit(100) - (-2.86154 - 2.8903 / 100 - 4.234 / 1e4 - 40.040 / 1e6)) < 1e-12
+
+
+def test_adf_decisions_with_autolag():
+    """Decision parity on canonical fixtures: white noise and a
+    stationary AR reject; a random walk and trend do not."""
+    rng = np.random.RandomState(17)
+    white = rng.randn(300)
+    ar = np.zeros(300)
+    for t in range(1, 300):
+        ar[t] = 0.5 * ar[t - 1] + rng.randn()
+    walk = np.cumsum(rng.randn(300))
+    trend = 0.5 * np.arange(300) + rng.randn(300)
+    assert stats.adf_test(white)["stationary"]
+    assert stats.adf_test(ar)["stationary"]
+    assert not stats.adf_test(walk)["stationary"]
+    assert stats.auto_diff_order(white) == 0
+    assert stats.auto_diff_order(walk) >= 1
+    assert stats.auto_diff_order(trend) >= 1
