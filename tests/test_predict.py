@@ -327,3 +327,53 @@ def test_classification_end_to_end(spark):
     out = ats.predict(spark.createDataFrame(test.drop(columns=["label"]))).toPandas()
     assert len(out) == 10
     assert set(out["yhat"].unique()) <= {0.0, 1.0}
+
+
+def test_interval_empirical_coverage(spark):
+    """with_prediction_intervals' z=1.96 band must actually cover
+    ~95% of held-out future actuals when the residuals are Gaussian:
+    50 independent series x 8 future steps = 400 coverage trials,
+    accept [0.85, 0.99] (binomial 95% band around 0.95 is ~±0.02;
+    the wider gate absorbs fold-residual sigma estimation error)."""
+    from auto_ts_spark.models.fourier import forecast_fourier
+    from auto_ts_spark.models.registry import run_model, with_prediction_intervals
+    from pyspark.sql import functions as F
+
+    n, h, n_series = 120, 8, 50
+    rng = np.random.RandomState(42)
+    t = np.arange(n + h, dtype=float)
+    frames = []
+    for s in range(n_series):
+        y = 20 + 0.3 * t + 6 * np.sin(2 * np.pi * t / 12) + rng.randn(n + h)
+        frames.append(
+            pd.DataFrame(
+                {
+                    "series_id": str(s),
+                    "ts": pd.date_range("2014-01-31", periods=n + h, freq="ME"),
+                    "y": y,
+                    "_future": [0] * n + [1] * h,
+                }
+            )
+        )
+    full = pd.concat(frames, ignore_index=True)
+    train = full[full["_future"] == 0][["series_id", "ts", "y"]]
+    future_actuals = full[full["_future"] == 1][["series_id", "ts", "y"]].rename(
+        columns={"y": "y_true"}
+    )
+    # the _future=1 rows ride along as the unseen forecast frame (y unused)
+    sdf = spark.createDataFrame(full)
+    preds = run_model(
+        sdf,
+        lambda pdf, folds, horizon, future_pdf=None: forecast_fourier(
+            pdf, folds, horizon, seasonal_period=12, future_pdf=future_pdf
+        ),
+        n_splits=3,
+        horizon=h,
+    ).withColumn("model", F.lit("fourier"))
+    ints = with_prediction_intervals(preds, spark.createDataFrame(train))
+    out = ints.toPandas().merge(future_actuals, on=["series_id", "ts"])
+    assert len(out) == n_series * h
+    covered = (
+        (out["y_true"] >= out["yhat_lower"]) & (out["y_true"] <= out["yhat_upper"])
+    ).mean()
+    assert 0.85 <= covered <= 0.99, covered
