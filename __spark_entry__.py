@@ -315,8 +315,8 @@ def q_frequency_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("delta_s") < 86400, "hours")
         .when(F.col("delta_s") < 7 * 86400, "days")
         .when(F.col("delta_s") < 28 * 86400, "weeks")
-        .when(F.col("delta_s") < 63 * 86400, "months")
-        .when(F.col("delta_s") < 135 * 86400, "quarters")
+        .when(F.col("delta_s") < 89 * 86400, "months")
+        .when(F.col("delta_s") < 178 * 86400, "quarters")
         .when(F.col("delta_s") < 360 * 86400, "semi")
         .otherwise("years")
     )
@@ -347,8 +347,8 @@ WITH t2 AS (
               WHEN delta_s < 86400 THEN 'hours'
               WHEN delta_s < 604800 THEN 'days'
               WHEN delta_s < 2419200 THEN 'weeks'
-              WHEN delta_s < 5443200 THEN 'months'
-              WHEN delta_s < 11664000 THEN 'quarters'
+              WHEN delta_s < 7689600 THEN 'months'
+              WHEN delta_s < 15379200 THEN 'quarters'
               WHEN delta_s < 31104000 THEN 'semi'
               ELSE 'years' END AS freq
   FROM d

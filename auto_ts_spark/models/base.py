@@ -52,7 +52,7 @@ def future_timestamps(last_ts: pd.Timestamp, h: int, freq_seconds: float) -> pd.
     """
     d = freq_seconds / 86400.0
     if d >= 28:
-        months = 1 if d < 63 else 3 if d < 135 else 6 if d < 360 else 12
+        months = 1 if d < 89 else 3 if d < 178 else 6 if d < 360 else 12
         return pd.Series(
             [last_ts + pd.DateOffset(months=months * (i + 1)) for i in range(h)]
         ).dt.floor("us")

@@ -410,9 +410,9 @@ def _series_step(window: pd.DataFrame) -> tuple:
     d = delta.total_seconds() / 86400.0
     if d < 28:
         return ("delta", delta)
-    if d < 63:
+    if d < 89:
         return ("months", 1)
-    if d < 135:
+    if d < 178:
         return ("months", 3)
     if d < 360:
         return ("months", 6)

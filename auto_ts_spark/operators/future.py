@@ -46,7 +46,8 @@ def infer_frequency(df: DataFrame, ts_col: str = "ts", series_col: str = "series
     timestamps (the reference's rule, auto_ts/__init__.py:399-453).
 
     Thresholds (delta in days): <1/24 by seconds/minutes; <1 hours;
-    1 days; 7 weeks; 28-31 months; ~90 quarters; ~180 semi; >=360 years.
+    1 days; 7 weeks; 28-89 months; 89-178 quarters; 178-360 semi;
+    >=360 years (the reference's exact bands, auto_ts/__init__.py:420-426).
     """
     w = Window.partitionBy(series_col).orderBy(F.col(ts_col))
     first_two = (
@@ -75,9 +76,9 @@ def infer_frequency(df: DataFrame, ts_col: str = "ts", series_col: str = "series
         return "days"
     if d < 28:
         return "weeks"
-    if d < 63:
+    if d < 89:
         return "months"
-    if d < 135:
+    if d < 178:
         return "quarters"
     if d < 360:
         return "semi"

@@ -83,10 +83,22 @@ def read_event_stream_nanos(spark: SparkSession, path: str) -> DataFrame:
 
     ts_is_nanos = False
     try:
+        import glob
+
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        f = pq.read_schema(path).field("ts")
+        # pq.read_schema rejects directories; a directory source is
+        # probed through its first parquet file (any file's schema is
+        # representative — a mixed-unit directory wouldn't stream as
+        # one source anyway)
+        probe = path
+        if os.path.isdir(path):
+            inside = sorted(glob.glob(os.path.join(path, "*.parquet")))
+            if not inside:
+                raise FileNotFoundError(f"no parquet files in {path}")
+            probe = inside[0]
+        f = pq.read_schema(probe).field("ts")
         ts_is_nanos = pa.types.is_timestamp(f.type) and f.type.unit == "ns"
     except Exception:
         pass

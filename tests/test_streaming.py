@@ -117,3 +117,40 @@ def test_dedup_stream_drops_redeliveries(spark, event_dir, tmp_path):
     n_unique = spark.read.parquet(event_dir).select("event_id").distinct().count()
     assert got.count() == n_unique
     assert got.select("event_id").distinct().count() == n_unique
+
+
+def test_nanos_directory_source(spark, tmp_path):
+    """A DIRECTORY of TIMESTAMP(NANOS) parquet must stream correctly:
+    the schema probe has to look inside the directory (pq.read_schema
+    rejects directory paths), else the nano column is misread and the
+    stream fails with PARQUET_TYPE_ILLEGAL."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from auto_ts_spark.streaming.ops import read_event_stream_nanos
+
+    src = tmp_path / "nanos_dir"
+    src.mkdir()
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    for i in range(2):
+        pdf = pd.DataFrame(
+            {
+                "event_id": [i * 2, i * 2 + 1],
+                "ts": [base + pd.Timedelta(minutes=i * 2), base + pd.Timedelta(minutes=i * 2 + 1)],
+                "user_id": [1, 2],
+                "event_type": ["a", "b"],
+                "value": [1.0, 2.0],
+                "props": ["{}", "{}"],
+            }
+        )
+        table = pa.Table.from_pandas(pdf).set_column(
+            1, "ts", pa.Array.from_pandas(pdf["ts"]).cast(pa.timestamp("ns"))
+        )
+        pq.write_table(table, src / f"part-{i}.parquet", use_deprecated_int96_timestamps=False,
+                       coerce_timestamps=None)
+    stream = read_event_stream_nanos(spark, str(src))
+    got = _drain(spark, stream.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"),
+                 F.max("ts").alias("max_ts")), "t_nanos_dir", tmp_path)
+    pdf = got.toPandas().sort_values("event_type").reset_index(drop=True)
+    assert list(pdf["n"]) == [2, 2]
+    assert pdf["max_ts"].max() == base + pd.Timedelta(minutes=3)
