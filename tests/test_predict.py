@@ -377,3 +377,38 @@ def test_interval_empirical_coverage(spark):
         (out["y_true"] >= out["yhat_lower"]) & (out["y_true"] <= out["yhat_upper"])
     ).mean()
     assert 0.85 <= covered <= 0.99, covered
+
+
+def test_auto_ts_multivar_sarimax_e2e(spark):
+    """The reference's multivariate SARIMAX surface end to end
+    (test_auto_ts.py:693 test_auto_ts_multivar_ns_sarimax): fit with
+    an exogenous predictor column, predict on a testdata frame
+    carrying (ts + exog), and the exog channel must reach the
+    seasonal-AR worker — on an exog-driven series the SARIMAX family
+    must track the exog-implied future, not the unconditional mean."""
+    from auto_ts_spark.auto import AutoTimeSeries
+
+    rng = np.random.RandomState(31)
+    n, h = 150, 8
+    t = np.arange(n + h, dtype=float)
+    x = np.sin(t / 6.0) * 5.0 + 0.02 * t
+    y = 3.0 * x + rng.randn(n + h) * 0.3
+    full = pd.DataFrame(
+        {
+            "Time Period": pd.date_range("2013-01-31", periods=n + h, freq="ME"),
+            "Sales": y,
+            "Marketing": x,
+        }
+    )
+    train, test = full.iloc[:n], full.iloc[n:]
+    ats = AutoTimeSeries(model_type="sarimax", n_splits=2, forecast_period=h)
+    ats.fit(spark.createDataFrame(train), "Time Period", "Sales")
+    assert ats.exog_cols_ == ["Marketing"]
+    fc = (
+        ats.predict(spark.createDataFrame(test[["Time Period", "Marketing"]]))
+        .toPandas()
+        .sort_values("ts")
+    )
+    assert len(fc) == h
+    mae = float(np.abs(fc["yhat"].to_numpy() - 3.0 * x[n:]).mean())
+    assert mae < 1.5, mae  # blind mean-reversion would miss by >> this
