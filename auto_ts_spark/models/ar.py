@@ -35,8 +35,10 @@ def _lagged_design(
     q_resid: np.ndarray | None,
     q: int,
     exog: np.ndarray | None = None,
+    ma_season_lags: list[int] | None = None,
 ):
-    max_lag = max([p] + season_lags + [q]) if (p or season_lags or q) else 1
+    all_lags = [p] + season_lags + [q] + list(ma_season_lags or [])
+    max_lag = max(all_lags) if any(all_lags) else 1
     n = len(y)
     if n <= max_lag + 1:
         return None, None, max_lag
@@ -49,6 +51,11 @@ def _lagged_design(
     if q and q_resid is not None:
         for j in range(1, q + 1):
             cols.append(q_resid[rows - j])
+    if ma_season_lags and q_resid is not None:
+        # seasonal-MA terms: residuals at seasonal lags (the Q axis of
+        # pmdarima's (P,D,Q,m) seasonal order, build_autoarimax.py)
+        for ml in ma_season_lags:
+            cols.append(q_resid[rows - ml])
     if exog is not None and exog.size:
         # contemporaneous exogenous regressors, aligned at time t —
         # the reference SARIMAX exog channel
@@ -66,12 +73,14 @@ def _fit_ar(
     P: int,
     exog: np.ndarray | None = None,
     D: int = 0,
+    Q: int = 0,
 ):
     """Fit one candidate; returns (params dict, aic) or None.
 
     ``D`` applies seasonal differencing (lag m, pmdarima's seasonal-
     first order) before the ``d`` regular differences; both are undone
-    in reverse by the forecaster."""
+    in reverse by the forecaster. ``Q`` adds seasonal-MA terms
+    (Hannan-Rissanen residuals at lags m, 2m, …)."""
     yd = y.copy()
     exd = exog.copy() if exog is not None else None
     inv_ops: list[tuple[str, np.ndarray | float]] = []
@@ -92,17 +101,25 @@ def _fit_ar(
             # simple_differencing=True semantics)
             exd = np.diff(exd, axis=0)
     season_lags = [m * s for s in range(1, P + 1)] if m > 1 else []
+    Q = int(Q) if m > 1 else 0
+    ma_season_lags = [m * s for s in range(1, Q + 1)]
     resid = None
-    if q > 0:
-        # Hannan-Rissanen stage 1: long-AR residuals
-        X1, t1, _ = _lagged_design(yd, max(p, 2) + q, [], None, 0)
+    if q > 0 or Q > 0:
+        # Hannan-Rissanen stage 1: long-AR residuals; the long AR
+        # includes the seasonal-AR lags so seasonal structure doesn't
+        # leak into the residual proxy
+        X1, t1, _ = _lagged_design(
+            yd, max(p, 2) + q, [m * s for s in range(1, Q + 1)], None, 0
+        )
         if X1 is None:
             return None
         b1, *_ = np.linalg.lstsq(X1, t1, rcond=None)
         fitted = X1 @ b1
         resid = np.zeros_like(yd)
         resid[len(yd) - len(fitted):] = t1 - fitted
-    X, target, max_lag = _lagged_design(yd, p, season_lags, resid, q, exd)
+    X, target, max_lag = _lagged_design(
+        yd, p, season_lags, resid, q, exd, ma_season_lags
+    )
     if X is None or len(target) <= X.shape[1] + 1:
         return None
     beta, *_ = np.linalg.lstsq(X, target, rcond=None)
@@ -116,6 +133,8 @@ def _fit_ar(
         "q": q,
         "P": P,
         "D": int(D) if m > 1 else 0,
+        "Q": Q,
+        "ma_season_lags": ma_season_lags,
         "season_lags": season_lags,
         "yd": yd,
         "resid": resid,
@@ -181,6 +200,9 @@ def _forecast_fitted(
         if q and resid is not None:
             for j in range(1, q + 1):
                 x.append(resid[-j] if len(resid) >= j else 0.0)
+        if resid is not None:
+            for ml in model.get("ma_season_lags", []):
+                x.append(resid[-ml] if len(resid) >= ml else 0.0)
         if exf is not None:
             x.extend(exf[step])
         yhat = float(np.dot(beta, x))
@@ -219,6 +241,7 @@ def search_budget(n: int, *, seasonal: bool, threshold: int = 1000) -> dict | No
             "max_p": 2,
             "max_q": 2,
             "max_P": 2,
+            "max_Q": 2,
             "n_fits": 10,
             "force_D": 1 if seasonal else 0,
         }
@@ -249,6 +272,7 @@ def select_model(
     max_q: int,
     max_P: int,
     max_D: int = 1,
+    max_Q: int | None = None,
     exog: np.ndarray | None = None,
     search: str = "stepwise",
     n_fits: int = 50,
@@ -258,19 +282,24 @@ def select_model(
     pmdarima-parity path (build_autoarimax.py): d from the unit-root
     cascade (models/stats.py ADF), D from seasonal strength (forced to
     1 by the large-series budget), then a Hyndman-Khandakar-style
-    greedy walk over (p, q, P) scored by AIC under a hard fit budget.
-    ``search='grid'`` keeps the legacy exhaustive AIC grid. The chosen
-    model dict records ``search_meta`` (fits used, whether the reduced
-    budget triggered) for tests and diagnostics."""
+    greedy walk over (p, q, P, Q) scored by AIC under a hard fit
+    budget. ``search='grid'`` keeps the legacy exhaustive AIC grid.
+    ``max_Q`` defaults to ``max_q`` (the reference maps its q bound
+    onto the seasonal Q bound the same way). The chosen model dict
+    records ``search_meta`` (fits used, whether the reduced budget
+    triggered) for tests and diagnostics."""
     from auto_ts_spark.models.stats import auto_diff_order
 
     seasonal = m > 1
+    if max_Q is None:
+        max_Q = max_q
     budget = search_budget(len(y), seasonal=seasonal, threshold=large_series_threshold)
     force_D: int | None = None
     if budget is not None:
         max_p = min(max_p, budget["max_p"])
         max_q = min(max_q, budget["max_q"])
         max_P = min(max_P, budget["max_P"])
+        max_Q = min(max_Q, budget["max_Q"])
         n_fits = budget["n_fits"]
         if seasonal:
             force_D = budget["force_D"]
@@ -282,11 +311,12 @@ def select_model(
                 for p in range(max_p + 1):
                     for q in range(max_q + 1):
                         for P in range(max_P + 1) if seasonal else [0]:
-                            if p == 0 and q == 0 and P == 0:
-                                continue
-                            res = _fit_ar(y, p, d, q, m, P, exog, D)
-                            if res and (best is None or res[1] < best[1]):
-                                best = res
+                            for Q in range(max_Q + 1) if seasonal else [0]:
+                                if p == 0 and q == 0 and P == 0 and Q == 0:
+                                    continue
+                                res = _fit_ar(y, p, d, q, m, P, exog, D, Q)
+                                if res and (best is None or res[1] < best[1]):
+                                    best = res
         if best:
             best[0]["search_meta"] = {"n_fits_used": -1, "budget_reduced": budget is not None}
             return best[0]
@@ -301,32 +331,34 @@ def select_model(
         D = 0
 
     fits = 0
-    cache: dict[tuple[int, int, int], tuple | None] = {}
+    cache: dict[tuple[int, int, int, int], tuple | None] = {}
 
-    def try_fit(p: int, q: int, P: int):
+    def try_fit(p: int, q: int, P: int, Q: int):
         nonlocal fits
-        key = (p, q, P)
+        key = (p, q, P, Q)
         if key in cache:
             return cache[key]
         if (
-            p < 0 or q < 0 or P < 0
-            or p > max_p or q > max_q or P > max_P
-            or (p == 0 and q == 0 and P == 0)
+            p < 0 or q < 0 or P < 0 or Q < 0
+            or p > max_p or q > max_q or P > max_P or Q > max_Q
+            or (p == 0 and q == 0 and P == 0 and Q == 0)
             or fits >= n_fits
         ):
             return None
         fits += 1
-        res = _fit_ar(y, p, d, q, m, P, exog, D)
+        res = _fit_ar(y, p, d, q, m, P, exog, D, Q)
         cache[key] = res
         return res
 
     # pmdarima's start set, clipped to the bounds
+    s_P = min(1, max_P) if seasonal else 0
+    s_Q = min(1, max_Q) if seasonal else 0
     starts = sorted(
         {
-            (min(2, max_p), min(2, max_q), min(1, max_P) if seasonal else 0),
-            (min(1, max_p), 0, min(1, max_P) if seasonal else 0),
-            (0, min(1, max_q), 0),
-            (min(1, max_p), 0, 0),
+            (min(2, max_p), min(2, max_q), s_P, s_Q),
+            (min(1, max_p), 0, s_P, 0),
+            (0, min(1, max_q), 0, s_Q),
+            (min(1, max_p), 0, 0, 0),
         }
     )
     best = None
@@ -338,14 +370,15 @@ def select_model(
     improved = True
     while improved and best is not None and fits < n_fits:
         improved = False
-        p0, q0, P0 = best_order
-        for dp, dq, dP in (
-            (1, 0, 0), (-1, 0, 0), (0, 1, 0), (0, -1, 0),
-            (0, 0, 1), (0, 0, -1), (1, 1, 0), (-1, -1, 0),
+        p0, q0, P0, Q0 = best_order
+        for dp, dq, dP, dQ in (
+            (1, 0, 0, 0), (-1, 0, 0, 0), (0, 1, 0, 0), (0, -1, 0, 0),
+            (0, 0, 1, 0), (0, 0, -1, 0), (0, 0, 0, 1), (0, 0, 0, -1),
+            (1, 1, 0, 0), (-1, -1, 0, 0), (0, 0, 1, 1), (0, 0, -1, -1),
         ):
-            res = try_fit(p0 + dp, q0 + dq, P0 + dP)
+            res = try_fit(p0 + dp, q0 + dq, P0 + dP, Q0 + dQ)
             if res and res[1] < best[1] - 1e-12:
-                best, best_order = res, (p0 + dp, q0 + dq, P0 + dP)
+                best, best_order = res, (p0 + dp, q0 + dq, P0 + dP, Q0 + dQ)
                 improved = True
                 break
     if best is None:
@@ -368,6 +401,7 @@ def forecast_seasonal_ar(
     max_q: int = 1,
     max_P: int = 1,
     max_D: int = 1,
+    max_Q: int | None = None,
     search: str = "stepwise",
     large_series_threshold: int = 1000,
     exog_cols: list[str] | None = None,
@@ -399,6 +433,7 @@ def forecast_seasonal_ar(
             max_q=max_q,
             max_P=max_P,
             max_D=max_D,
+            max_Q=max_Q,
             exog=exog,
             search=search,
             large_series_threshold=large_series_threshold,

@@ -229,7 +229,9 @@ def test_search_budget_threshold():
 
     assert search_budget(1000, seasonal=True) is None
     small = search_budget(1001, seasonal=True)
-    assert small == {"max_p": 2, "max_q": 2, "max_P": 2, "n_fits": 10, "force_D": 1}
+    assert small == {
+        "max_p": 2, "max_q": 2, "max_P": 2, "max_Q": 2, "n_fits": 10, "force_D": 1,
+    }
     assert search_budget(1001, seasonal=False)["force_D"] == 0
     assert search_budget(500, seasonal=True, threshold=400) is not None
 
@@ -345,3 +347,22 @@ def test_adf_decisions_with_autolag():
     assert stats.auto_diff_order(white) == 0
     assert stats.auto_diff_order(walk) >= 1
     assert stats.auto_diff_order(trend) >= 1
+
+
+def test_seasonal_ma_q_improves_sma_process():
+    """The Q axis (seasonal MA, pmdarima's full (P,D,Q,m) order space):
+    on a pure seasonal-MA(1) process the Q=1 candidate must carry a
+    lower AIC than the best Q=0 candidate, and the stepwise search
+    must be able to reach it."""
+    from auto_ts_spark.models.ar import _fit_ar, select_model
+
+    rng = np.random.RandomState(23)
+    n, m = 360, 12
+    eps = rng.randn(n + m)
+    y = eps[m:] + 0.8 * eps[:-m]  # SMA(1)_12: y_t = e_t + 0.8 e_{t-12}
+    fit_q0 = _fit_ar(y, p=0, d=0, q=0, m=m, P=1, Q=0)
+    fit_q1 = _fit_ar(y, p=0, d=0, q=0, m=m, P=0, Q=1)
+    assert fit_q1 is not None and fit_q0 is not None
+    assert fit_q1[1] < fit_q0[1]  # AIC prefers the seasonal-MA shape
+    model = select_model(y, m=m, max_p=2, max_d=1, max_q=1, max_P=1)
+    assert model is not None and model["search_meta"]["n_fits_used"] <= 50
