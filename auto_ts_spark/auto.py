@@ -72,7 +72,9 @@ class AutoTimeSeries:
         if score_type not in ("rmse", "normalized_rmse"):
             raise ValueError("score_type must be 'rmse' or 'normalized_rmse'")
         self.forecast_period = max(forecast_period, 1)
-        self.n_splits = n_splits
+        # reference fold rule (build_base.py:83-91 get_num_folds_from_cv):
+        # cv=None and the cv=0 "skip CV" switch both score on 2 folds
+        self.n_splits = n_splits if n_splits and n_splits > 0 else 2
         self.model_type = model_type
         self.seasonal_period_override = seasonal_period
         self.lags = lags

@@ -412,3 +412,24 @@ def test_auto_ts_multivar_sarimax_e2e(spark):
     assert len(fc) == h
     mae = float(np.abs(fc["yhat"].to_numpy() - 3.0 * x[n:]).mean())
     assert mae < 1.5, mae  # blind mean-reversion would miss by >> this
+
+
+def test_cv_zero_defaults_to_two_folds(spark):
+    """The reference's cv=0 'skip CV' switch and cv=None both resolve
+    to 2 scoring folds (build_base.py:83-91 get_num_folds_from_cv) —
+    n_splits=0 must fit and predict, not crash."""
+    from auto_ts_spark.auto import AutoTimeSeries
+
+    pdf = pd.DataFrame(
+        {
+            "Time Period": pd.date_range("2015-01-31", periods=60, freq="ME"),
+            "Sales": np.arange(60, dtype=float)
+            + np.random.RandomState(0).randn(60),
+        }
+    )
+    ats = AutoTimeSeries(n_splits=0, forecast_period=4, model_type="prophet")
+    assert ats.n_splits == 2
+    ats.fit(spark.createDataFrame(pdf), "Time Period", "Sales")
+    board = ats.get_leaderboard()
+    assert (board["n_folds"] > 0).all()
+    assert ats.predict().count() == 4
