@@ -37,11 +37,14 @@ def mape(y: Column, yhat: Column) -> Column:
 
 
 def rmse_normalized_by_std(y: Column, yhat: Column) -> Column:
-    return rmse(y, yhat) / F.stddev_samp(y)
+    # try_divide: a constant fold (std = 0) yields NULL instead of an
+    # ANSI DIVIDE_BY_ZERO error; leaderboard ranking is nulls-last, so
+    # degenerate folds lose without killing the job
+    return F.try_divide(rmse(y, yhat), F.stddev_samp(y))
 
 
 def rmse_normalized_by_range(y: Column, yhat: Column) -> Column:
-    return rmse(y, yhat) / (F.max(y) - F.min(y))
+    return F.try_divide(rmse(y, yhat), F.max(y) - F.min(y))
 
 
 METRIC_EXPRS = {

@@ -29,12 +29,23 @@ ForecastFn = Callable[[pd.DataFrame, list[tuple[int, int]], int], pd.DataFrame]
 def expanding_fold_bounds(n: int, n_splits: int, test_size: int) -> list[tuple[int, int]]:
     """sklearn TimeSeriesSplit-parity fold bounds (1-based row counts):
     fold i trains rows [1 .. n-(n_splits-i)*test_size], tests next
-    ``test_size`` rows. Degenerate folds (empty train) are dropped."""
+    ``test_size`` rows. Degenerate folds (empty train) are dropped.
+
+    When ``test_size`` is so large relative to ``n`` that NO fold has
+    a non-empty train slice (e.g. a 6-row series scored at horizon 8),
+    the fold size falls back to sklearn's default ``n // (n_splits+1)``
+    so short series still get scored instead of crashing downstream
+    with an empty leaderboard — the final forecast keeps the caller's
+    full horizon either way."""
     out = []
     for i in range(n_splits):
         train_end = n - (n_splits - i) * test_size
         if train_end >= 1:
             out.append((train_end, min(train_end + test_size, n)))
+    if not out and n_splits > 0 and n > n_splits:
+        shrunk = max(1, n // (n_splits + 1))
+        if shrunk < test_size:
+            return expanding_fold_bounds(n, n_splits, shrunk)
     return out
 
 

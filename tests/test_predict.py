@@ -433,3 +433,47 @@ def test_cv_zero_defaults_to_two_folds(spark):
     board = ats.get_leaderboard()
     assert (board["n_folds"] > 0).all()
     assert ats.predict().count() == 4
+
+
+def test_tiny_series_and_constant_target_survive(spark):
+    """Degenerate inputs must score and forecast, not crash: a 6-row
+    series at horizon 8 (folds shrink to sklearn's n//(n_splits+1)
+    default), and a constant target under normalized_rmse (try_divide
+    yields NULL nrmse; nulls-last ranking)."""
+    from auto_ts_spark.auto import AutoTimeSeries
+
+    tiny = pd.DataFrame(
+        {
+            "Time Period": pd.date_range("2015-01-31", periods=6, freq="ME"),
+            "Sales": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0],
+        }
+    )
+    a = AutoTimeSeries(forecast_period=8, n_splits=2, model_type="prophet")
+    a.fit(spark.createDataFrame(tiny), "Time Period", "Sales")
+    assert a.predict().count() == 8
+
+    const = pd.DataFrame(
+        {
+            "Time Period": pd.date_range("2015-01-31", periods=48, freq="ME"),
+            "Sales": np.full(48, 5.0),
+        }
+    )
+    b = AutoTimeSeries(
+        forecast_period=4, n_splits=2, model_type="prophet",
+        score_type="normalized_rmse",
+    )
+    b.fit(spark.createDataFrame(const), "Time Period", "Sales")
+    fc = b.predict().toPandas()
+    assert len(fc) == 4 and np.isfinite(fc["yhat"]).all()
+
+
+def test_fold_shrink_only_when_no_fold_fits():
+    """The fallback must not disturb normal fold geometry."""
+    from auto_ts_spark.models.base import expanding_fold_bounds
+
+    # normal case: unchanged sklearn-parity bounds
+    assert expanding_fold_bounds(100, 3, 8) == [(76, 84), (84, 92), (92, 100)]
+    # degenerate: 6 rows, horizon 8 -> shrink to 6//3 = 2-row folds
+    assert expanding_fold_bounds(6, 2, 8) == [(2, 4), (4, 6)]
+    # hopeless (n <= n_splits): still empty
+    assert expanding_fold_bounds(2, 3, 8) == []
