@@ -162,6 +162,10 @@ class AutoTimeSeries:
             and t in ("int", "bigint", "double", "float", "smallint", "tinyint")
         ]
         self.train_df_ = df.cache()
+        if not self.train_df_.head(1):
+            raise ValueError(
+                "fit() got an empty training frame — nothing to model"
+            )
         self.freq_ = infer_frequency(df)
         self.m_ = self.seasonal_period_override or seasonal_period(self.freq_)
         self.problem_type_ = detect_problem_type(df, "y")

@@ -477,3 +477,14 @@ def test_fold_shrink_only_when_no_fold_fits():
     assert expanding_fold_bounds(6, 2, 8) == [(2, 4), (4, 6)]
     # hopeless (n <= n_splits): still empty
     assert expanding_fold_bounds(2, 3, 8) == []
+
+
+def test_empty_fit_raises_cleanly(spark):
+    pdf_schema = "`Time Period` timestamp, Sales double"
+    empty = spark.createDataFrame([], schema=pdf_schema)
+    from auto_ts_spark.auto import AutoTimeSeries
+
+    with pytest.raises(ValueError, match="empty training frame"):
+        AutoTimeSeries(forecast_period=4, n_splits=2, model_type="prophet").fit(
+            empty, "Time Period", "Sales"
+        )
