@@ -40,7 +40,11 @@ def asof_join(
     ``'2 hours'``) — matches older than that become NULL, like pandas
     ``merge_asof(tolerance=...)``.
     """
-    by = list(by)
+    # a bare string is a Sequence[str] too — wrap it so list("series_id")
+    # can't silently explode into single-character column names
+    by = [by] if isinstance(by, str) else list(by)
+    if isinstance(right_cols, str):
+        right_cols = [right_cols]
     right_cols = [c for c in (right_cols or right.columns) if c not in by + [on]]
     left_payload = [c for c in left.columns if c not in by + [on]]
     r_types = dict(right.dtypes)

@@ -39,6 +39,12 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _cols_list(cols: Sequence[str]) -> list[str]:
+    """Normalize a column spec: a bare string becomes a one-element
+    list instead of iterating into per-character column names."""
+    return [cols] if isinstance(cols, str) else list(cols)
+
+
 def series_window(order_col: str = "ts", series_col: str = "series_id"):
     return Window.partitionBy(series_col).orderBy(F.col(order_col))
 
@@ -53,6 +59,7 @@ def shift(
     drop_null: bool = True,
 ) -> DataFrame:
     """Shift columns by ``periods`` (positive = lag, negative = lead)."""
+    cols = _cols_list(cols)
     w = series_window(order_col, series_col)
     fn = (lambda c: F.lag(c, periods).over(w)) if periods >= 0 else (lambda c: F.lead(c, -periods).over(w))
     out = df.select(
@@ -82,6 +89,7 @@ def supervised_lag_matrix(
     One ``select`` → one Window node → one shuffle regardless of lag
     count.
     """
+    value_cols = _cols_list(value_cols)
     w = series_window(order_col, series_col)
     exprs: list[Column] = [F.col(c) for c in df.columns]
     new_names: list[str] = []
@@ -131,6 +139,7 @@ def difference(
     collapses the chained ``col - lag(col,1)`` projections over the same
     window spec, so this stays a single shuffle.
     """
+    cols = _cols_list(cols)
     out = df
     for _ in range(order):
         w = series_window(order_col, series_col)
@@ -153,6 +162,7 @@ def cumulative_sum(
     prefix: str = "cumsum_",
 ) -> DataFrame:
     """Running sum per series — the undo of :func:`difference` (W4)."""
+    cols = _cols_list(cols)
     w = series_window(order_col, series_col).rowsBetween(Window.unboundedPreceding, 0)
     return df.select(
         "*", *[F.sum(F.col(c)).over(w).alias(f"{prefix}{c}") for c in cols]
@@ -206,6 +216,7 @@ def sharded_lag_matrix(
     series: windows run per (series, time-shard) with ``n_in`` boundary
     rows spliced in as context, so the result is identical to the
     global window while using ceil(n/shard_rows) tasks instead of 1."""
+    value_cols = _cols_list(value_cols)
     from auto_ts_spark.operators.partitioning import shard_series
 
     sharded = shard_series(
@@ -288,6 +299,7 @@ def sharded_difference(
     """:func:`difference` sharded for a single giant series (context =
     ``order`` boundary rows; the stacked first-differences need at most
     ``order`` lookback rows)."""
+    cols = _cols_list(cols)
     from auto_ts_spark.operators.partitioning import shard_series
 
     sharded = shard_series(
@@ -312,6 +324,7 @@ def sharded_difference(
 
 def drop_zero_variance(df: DataFrame, candidate_cols: Sequence[str]) -> DataFrame:
     """Drop columns whose sample stddev is 0 (one agg pass, W9)."""
+    candidate_cols = _cols_list(candidate_cols)
     row = df.agg(
         *[F.stddev_samp(F.col(c)).alias(c) for c in candidate_cols]
     ).collect()[0]

@@ -92,3 +92,26 @@ def test_asof_equal_timestamp_included(spark):
     )
     got = asof_join(spark.createDataFrame(left), spark.createDataFrame(right)).toPandas()
     assert got["px"].iloc[0] == 9.5  # ts == ts matches (backward inclusive)
+
+
+def test_asof_string_by_and_empty_right(spark):
+    """A bare-string ``by`` must behave like a one-element list (not
+    explode into per-character columns), and an empty right side must
+    yield all-NULL carried columns, one row per left row."""
+    import pandas as pd
+
+    from auto_ts_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "series_id": ["a"] * 3,
+                "ts": pd.date_range("2024-01-01", periods=3, freq="h"),
+                "v": [1.0, 2.0, 3.0],
+            }
+        )
+    )
+    right = spark.createDataFrame([], schema="series_id string, ts timestamp, q double")
+    out = asof_join(left, right, on="ts", by="series_id").toPandas()
+    assert len(out) == 3
+    assert out["q"].isna().all()
