@@ -38,7 +38,10 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    # try_divide: a zero-norm (all-zero) embedding yields NULL cosine
+    # instead of an ANSI DIVIDE_BY_ZERO crash; desc ranking puts NULLs
+    # last, so zero vectors never rank as neighbors
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
 def brute_force_topk(
@@ -128,6 +131,11 @@ def lsh_topk(
     sharing a full signature with the query in any table (equi-join on
     (table, signature) — shuffle ∝ candidates, not corpus × queries).
     Exact cosine re-scores candidates. Recall grows with n_tables.
+
+    A query whose probed buckets are empty returns NO rows — standard
+    bucketed-ANN semantics. On tiny corpora (≲ 2^n_planes vectors)
+    most buckets are empty, so use ``brute_force_topk`` there; the
+    recall oracle (`lsh_ann_recall`) pins the realistic-size floor.
     """
     from pyspark.sql import Window
 
@@ -224,8 +232,13 @@ def kmeans_centroids(
     vectors: np.ndarray, k: int, *, iters: int = 20, seed: int = 42
 ) -> np.ndarray:
     """Deterministic Lloyd k-means on a driver-side sample (the coarse
-    quantizer is tiny — k·dim floats — and broadcast to executors)."""
+    quantizer is tiny — k·dim floats — and broadcast to executors).
+    ``k`` caps at the sample size: a corpus smaller than the requested
+    cell count just gets one cell per vector."""
     rng = np.random.RandomState(seed)
+    k = min(int(k), len(vectors))
+    if k < 1:
+        raise ValueError("kmeans_centroids needs a non-empty sample")
     cents = vectors[rng.choice(len(vectors), size=k, replace=False)].copy()
     for _ in range(iters):
         d2 = ((vectors[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)

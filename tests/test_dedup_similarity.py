@@ -195,3 +195,16 @@ def test_winnow_guarantee_on_planted_overlap(spark):
     got = {(r["id_a"], r["id_b"]) for r in pairs}
     assert (1, 2) in got
     assert all(3 not in p for p in got)
+
+
+def test_ivf_centroids_cap_at_corpus_size(spark):
+    """n_centroids larger than the corpus must cap (one cell per
+    vector), not crash the driver-side sampler."""
+    from auto_ts_spark.operators.similarity import ivf_topk
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 3), float(i % 5)]) for i in range(6)],
+        "vec_id long, embedding array<float>",
+    )
+    out = ivf_topk(emb, emb.filter("vec_id < 2"), k=2, n_centroids=16, n_probe=16)
+    assert out.count() > 0
