@@ -154,15 +154,22 @@ def repetition_profile(
         )
 
     s1, s2, s3 = stats(1, "uni"), stats(2, "bi"), stats(3, "tri")
+    # anchor on the full document set: a NULL-text doc (tokens = NULL
+    # array → explode drops it from every n-gram frame) must still get
+    # a profile row (n_tokens 0, zero fractions), not silently vanish
+    # from the output a downstream filter joins against
+    all_docs = df.select(F.col(id_col).alias("_doc")).distinct()
     joined = (
-        s1.join(s2, "_doc", "left").join(s3, "_doc", "left")
+        all_docs.join(s1, "_doc", "left")
+        .join(s2, "_doc", "left")
+        .join(s3, "_doc", "left")
     )
     frac = lambda num, den: F.coalesce(  # noqa: E731
         F.round(num / den, 6), F.lit(0.0)
     )
     return joined.select(
         F.col("_doc").alias(id_col),
-        F.col("uni_total").alias("n_tokens"),
+        F.coalesce(F.col("uni_total"), F.lit(0)).alias("n_tokens"),
         frac(F.col("uni_max"), F.col("uni_total")).alias("top_unigram_frac"),
         frac(F.col("bi_max"), F.col("bi_total")).alias("top_bigram_frac"),
         F.coalesce(

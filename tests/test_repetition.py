@@ -37,3 +37,20 @@ def test_repetition_planted(spark):
     assert out[2]["n_tokens"] == 2
     assert out[2]["top_bigram_frac"] == 1.0
     assert out[2]["dup_trigram_frac"] == 0.0
+
+
+def test_repetition_profile_keeps_null_text_docs(spark):
+    """A NULL-text document must appear in the profile with zero
+    metrics, not vanish (the n-gram explode drops its rows; the
+    output anchors on the full document set)."""
+    docs = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "a a a"), (4, "w x y z")],
+        "doc_id long, text string",
+    )
+    from auto_ts_spark.operators.textops import repetition_profile
+
+    out = repetition_profile(docs).toPandas().set_index("doc_id").sort_index()
+    assert list(out.index) == [1, 2, 3, 4]
+    assert out.loc[1, "n_tokens"] == 0
+    assert out.loc[1, "top_unigram_frac"] == 0.0
+    assert abs(out.loc[3, "top_unigram_frac"] - 1.0) < 1e-9
