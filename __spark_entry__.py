@@ -2145,20 +2145,6 @@ def q_automl_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _exact_daily_series(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Daily series with a decimal-exact sum so both engines feed the
-    model fit bit-identical inputs (float sums differ in the last ulp
-    across engines and would leak through the regression)."""
-    ev = PART.ensure_parallelism(load_table(spark, sf_dir, "events"))
-    return (
-        ev.groupBy(F.date_trunc("day", "ts").alias("ts"))
-        .agg(
-            F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("y")
-        )
-        .withColumn("series_id", PART.opaque_lit("0"))
-    )
-
-
 def q_ar1_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M1-M3 value check: the seasonal-AR worker (models/ar.py, the
     engine's SARIMAX analogue — reference build_sarimax.py:230-296 and
@@ -2188,10 +2174,8 @@ def q_ar1_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     worker = partial(
         ARM.forecast_seasonal_ar,
         seasonal_period=0,
-        max_p=1,
-        max_d=0,
-        max_q=0,
-        max_P=0,
+        order=(1, 0, 0),  # explicit pin — the search is bypassed, so
+        # the fit is exactly the oracle's closed-form AR(1)+exog OLS
         exog_cols=["x"],
     )
     preds = run_model(series, worker, n_splits=1, horizon=7)

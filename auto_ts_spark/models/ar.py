@@ -26,6 +26,7 @@ import numpy as np
 import pandas as pd
 
 from auto_ts_spark.models.base import aic, future_timestamps
+from auto_ts_spark.models.stats import auto_diff_order
 
 
 def _lagged_design(
@@ -228,6 +229,14 @@ def _forecast_fitted(
     return preds
 
 
+# Trailing-window cap on the series fed to the ADF differencing
+# cascade: autolag(AIC) fits maxlag+1 OLS designs of n×maxlag, which at
+# n=100k costs tens of seconds — orders of magnitude more than the
+# budgeted candidate fits it gates. The d decision of a long series is
+# carried by its recent window; 5000 rows keeps the scan < 100 ms.
+ADF_SAMPLE_CAP = 5000
+
+
 def search_budget(n: int, *, seasonal: bool, threshold: int = 1000) -> dict | None:
     """The reference's large-dataset search policy
     (auto_ts/models/ar_based/build_autoarimax.py:35-49): above
@@ -277,6 +286,7 @@ def select_model(
     search: str = "stepwise",
     n_fits: int = 50,
     large_series_threshold: int = 1000,
+    d_hint: int | None = None,
 ) -> dict | None:
     """Order search for one series. ``search='stepwise'`` is the
     pmdarima-parity path (build_autoarimax.py): d from the unit-root
@@ -287,9 +297,16 @@ def select_model(
     ``max_Q`` defaults to ``max_q`` (the reference maps its q bound
     onto the seasonal Q bound the same way). The chosen model dict
     records ``search_meta`` (fits used, whether the reduced budget
-    triggered) for tests and diagnostics."""
-    from auto_ts_spark.models.stats import auto_diff_order
+    triggered) for tests and diagnostics.
 
+    ``d_hint`` pins the regular differencing order, skipping the
+    autolag-AIC ADF cascade — callers fitting the same series across
+    CV folds (``forecast_seasonal_ar``) decide d ONCE on the full
+    series and reuse it, because on large series the ADF autolag scan
+    (maxlag+1 lstsq fits of an n×maxlag design) dominates the whole
+    stepwise search, defeating the reduced fit budget. When the
+    cascade does run here, its input is capped to the trailing
+    ``ADF_SAMPLE_CAP`` observations for the same reason."""
     seasonal = m > 1
     if max_Q is None:
         max_Q = max_q
@@ -312,7 +329,13 @@ def select_model(
                     for q in range(max_q + 1):
                         for P in range(max_P + 1) if seasonal else [0]:
                             for Q in range(max_Q + 1) if seasonal else [0]:
-                                if p == 0 and q == 0 and P == 0 and Q == 0:
+                                if (
+                                    p == 0 and q == 0 and P == 0 and Q == 0
+                                    and exog is None
+                                ):
+                                    # all-zero order is empty WITHOUT exog;
+                                    # with exog it's a plain regression on
+                                    # the predictors — a legal SARIMAX(0,d,0)
                                     continue
                                 res = _fit_ar(y, p, d, q, m, P, exog, D, Q)
                                 if res and (best is None or res[1] < best[1]):
@@ -322,7 +345,10 @@ def select_model(
             return best[0]
         return None
 
-    d = min(auto_diff_order(y), max_d)
+    if d_hint is not None:
+        d = min(int(d_hint), max_d)
+    else:
+        d = min(auto_diff_order(y[-ADF_SAMPLE_CAP:]), max_d)
     if force_D is not None:
         D = force_D
     elif seasonal and max_D:
@@ -341,7 +367,7 @@ def select_model(
         if (
             p < 0 or q < 0 or P < 0 or Q < 0
             or p > max_p or q > max_q or P > max_P or Q > max_Q
-            or (p == 0 and q == 0 and P == 0 and Q == 0)
+            or (p == 0 and q == 0 and P == 0 and Q == 0 and exog is None)
             or fits >= n_fits
         ):
             return None
@@ -406,9 +432,16 @@ def forecast_seasonal_ar(
     large_series_threshold: int = 1000,
     exog_cols: list[str] | None = None,
     future_pdf: pd.DataFrame | None = None,
+    order: tuple[int, int, int] | None = None,
+    seasonal_order: tuple[int, int, int] | None = None,
 ) -> pd.DataFrame:
     """Per-series worker: AIC grid over (p,d,q,P), per-fold h-step
     forecasts from the fold-local best model, final forecast fold=-1.
+
+    ``order=(p, d, q)`` / ``seasonal_order=(P, D, Q)`` pin the model
+    to one explicitly chosen candidate (statsmodels
+    ``SARIMAX(order=...)`` semantics), bypassing the search entirely —
+    the deterministic path the pinned oracle queries use.
 
     ``exog_cols`` adds contemporaneous exogenous regressors to every
     candidate design — the reference's multivariate SARIMAX surface
@@ -422,9 +455,34 @@ def forecast_seasonal_ar(
     n = len(pdf)
     m = seasonal_period if n >= 2 * seasonal_period + 4 else 0
     exog_cols = [c for c in (exog_cols or []) if c in pdf.columns]
-    exog_all = pdf[exog_cols].to_numpy(dtype=float) if exog_cols else None
+    exog_all = None
+    if exog_cols:
+        # NULL cells must not reach lstsq (SVD does not converge on
+        # NaN): forward-fill, back-fill, then 0 for all-null columns —
+        # the same persistence policy _future_exog_diffed applies to
+        # future rows
+        exog_all = (
+            pdf[exog_cols].ffill().bfill().fillna(0.0).to_numpy(dtype=float)
+        )
+
+    # decide the regular differencing order ONCE per series (reference
+    # also tests stationarity up front, eda.py:276-314); per-fold ADF
+    # re-runs dominate stepwise search cost on long series
+    d_pin = (
+        min(auto_diff_order(y_all[~np.isnan(y_all)][-ADF_SAMPLE_CAP:]), max_d)
+        if search == "stepwise" and order is None
+        else None
+    )
 
     def best_fit(y: np.ndarray, exog: np.ndarray | None):
+        if order is not None:
+            p, d, q = order
+            P, D, Q = seasonal_order or (0, 0, 0)
+            res = _fit_ar(y, p, d, q, m, P, exog, D, Q)
+            if res is None:
+                return None
+            res[0]["search_meta"] = {"n_fits_used": 1, "budget_reduced": False}
+            return res[0]
         return select_model(
             y,
             m=m,
@@ -437,6 +495,7 @@ def forecast_seasonal_ar(
             exog=exog,
             search=search,
             large_series_threshold=large_series_threshold,
+            d_hint=d_pin,
         )
 
     out = []
@@ -462,8 +521,15 @@ def forecast_seasonal_ar(
         future_pdf = future_pdf.sort_values("ts")
         horizon = len(future_pdf)
         future_ts = pd.DatetimeIndex(future_pdf["ts"]).to_numpy()
-        if exog_cols and all(c in future_pdf.columns for c in exog_cols):
-            fut_exog = future_pdf[exog_cols].to_numpy(dtype=float)
+        if exog_cols and any(c in future_pdf.columns for c in exog_cols):
+            # per-column overlay (same policy as the fourier worker):
+            # columns the future frame supplies are taken as known
+            # future values; missing columns stay NaN and
+            # _future_exog_diffed persists their last observed level
+            fut_exog = np.full((len(future_pdf), len(exog_cols)), np.nan)
+            for j, c in enumerate(exog_cols):
+                if c in future_pdf.columns:
+                    fut_exog[:, j] = future_pdf[c].to_numpy(dtype=float)
     else:
         freq_s = (
             (pdf["ts"].iloc[-1] - pdf["ts"].iloc[0]).total_seconds() / max(n - 1, 1)

@@ -23,6 +23,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from auto_ts_spark.operators.lags import cols_list
+
 
 def asof_join(
     left: DataFrame,
@@ -42,9 +44,9 @@ def asof_join(
     """
     # a bare string is a Sequence[str] too — wrap it so list("series_id")
     # can't silently explode into single-character column names
-    by = [by] if isinstance(by, str) else list(by)
-    if isinstance(right_cols, str):
-        right_cols = [right_cols]
+    by = cols_list(by)
+    if right_cols is not None:
+        right_cols = cols_list(right_cols)
     right_cols = [c for c in (right_cols or right.columns) if c not in by + [on]]
     left_payload = [c for c in left.columns if c not in by + [on]]
     r_types = dict(right.dtypes)

@@ -39,10 +39,16 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _cols_list(cols: Sequence[str]) -> list[str]:
+def cols_list(cols: Sequence[str]) -> list[str]:
     """Normalize a column spec: a bare string becomes a one-element
-    list instead of iterating into per-character column names."""
+    list instead of iterating into per-character column names.
+
+    Shared by every operator that accepts ``Sequence[str]`` column
+    specs (window ops here, ``asof.asof_join``, …)."""
     return [cols] if isinstance(cols, str) else list(cols)
+
+
+_cols_list = cols_list
 
 
 def series_window(order_col: str = "ts", series_col: str = "series_id"):

@@ -70,6 +70,36 @@ def read_event_stream(
     return reader.parquet(path)
 
 
+def ts_field_is_nanos(path: str, field: str = "ts") -> bool:
+    """True when the parquet source at ``path`` stores ``field`` as
+    TIMESTAMP(NANOS). pq.read_schema rejects directories, so a
+    directory source is probed through its first parquet file found
+    RECURSIVELY — partitioned datasets keep their files under
+    key=val/ subdirectories with no top-level *.parquet. Any file's
+    schema is representative: a mixed-unit directory wouldn't stream
+    as one source anyway. Unreadable/absent sources probe False (the
+    native-timestamp path)."""
+    import glob
+    import os
+
+    try:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        probe = path
+        if os.path.isdir(path):
+            inside = sorted(
+                glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+            )
+            if not inside:
+                return False
+            probe = inside[0]
+        f = pq.read_schema(probe).field(field)
+        return bool(pa.types.is_timestamp(f.type) and f.type.unit == "ns")
+    except Exception:
+        return False
+
+
 def read_event_stream_nanos(spark: SparkSession, path: str) -> DataFrame:
     """File-source stream over the driver's event parquet, tolerant of
     the ts column's physical type. TIMESTAMP(NANOS) (which Spark can't
@@ -81,27 +111,7 @@ def read_event_stream_nanos(spark: SparkSession, path: str) -> DataFrame:
     import os
     import tempfile
 
-    ts_is_nanos = False
-    try:
-        import glob
-
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
-        # pq.read_schema rejects directories; a directory source is
-        # probed through its first parquet file (any file's schema is
-        # representative — a mixed-unit directory wouldn't stream as
-        # one source anyway)
-        probe = path
-        if os.path.isdir(path):
-            inside = sorted(glob.glob(os.path.join(path, "*.parquet")))
-            if not inside:
-                raise FileNotFoundError(f"no parquet files in {path}")
-            probe = inside[0]
-        f = pq.read_schema(probe).field("ts")
-        ts_is_nanos = pa.types.is_timestamp(f.type) and f.type.unit == "ns"
-    except Exception:
-        pass
+    ts_is_nanos = ts_field_is_nanos(path)
     if os.path.isfile(path):
         # the file stream source only accepts directories; a symlink
         # inside a temp dir exposes a lone parquet file as one

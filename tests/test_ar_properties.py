@@ -32,28 +32,19 @@ def test_difference_inverse_is_exact_on_zero_forecast(seed, d, D, m, h):
     model["beta"] = np.zeros_like(model["beta"])
     got = _forecast_fitted(model, h)
 
-    # independent replay: apply the same diffs, append h zeros, invert
-    z = y.copy()
-    stages = []
+    # independent check via the FORWARD transform only: seasonal-then-
+    # regular differencing of [history ++ forecast] must put exactly
+    # zeros where the forecast rows land — no shared inverse-loop code,
+    # so a bug in _forecast_fitted's inversion cannot self-confirm
+    full = np.concatenate([y, got])
     for _ in range(D if m > 1 else 0):
-        stages.append(("seasonal", z[-m:].copy()))
-        z = z[m:] - z[:-m]
+        full = full[m:] - full[:-m]
     for _ in range(d):
-        stages.append(("regular", z[-1]))
-        z = np.diff(z)
-    preds = np.zeros(h)
-    for kind, val in reversed(stages):
-        if kind == "regular":
-            preds = val + np.cumsum(preds)
-        else:
-            buf = list(val)
-            out = []
-            for j, v in enumerate(preds):
-                x = v + buf[j]
-                buf.append(x)
-                out.append(x)
-            preds = np.array(out)
-    assert np.allclose(got, preds, atol=1e-9)
+        full = np.diff(full)
+    assert np.allclose(full[-h:], 0.0, atol=1e-9)
+    # and the inverse must actually extend the level series (finite,
+    # correct length) rather than degenerate
+    assert got.shape == (h,) and np.isfinite(got).all()
 
 
 @settings(max_examples=25, deadline=None)

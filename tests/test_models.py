@@ -141,6 +141,88 @@ def test_seasonal_ar_exog_future_frame_and_persist():
     assert np.isfinite(out_p[out_p["fold"] == -1]["yhat"].to_numpy()).all()
 
 
+def test_seasonal_ar_exog_nan_cells_do_not_crash():
+    """A NULL cell in a training exog column must not reach lstsq
+    (SVD does not converge on NaN) — the worker forward/back-fills,
+    matching the persistence policy of the future-exog path. Inside
+    applyInPandas an unguarded NaN would fail the whole fit() job."""
+    rng = np.random.RandomState(5)
+    n = 100
+    x = rng.randn(n)
+    y = 2.0 * x + rng.randn(n) * 0.1
+    x[50] = np.nan
+    x[0] = np.nan  # leading NaN exercises the bfill leg
+    pdf = pd.DataFrame(
+        {"ts": pd.date_range("2015-01-01", periods=n, freq="D"), "y": y, "x": x}
+    )
+    folds = expanding_fold_bounds(n, 2, 5)
+    out = forecast_seasonal_ar(pdf, folds, 5, seasonal_period=0, exog_cols=["x"])
+    assert np.isfinite(out["yhat"].to_numpy()).all()
+
+
+def test_seasonal_ar_pure_exog_regression():
+    """With exog present, the all-zero order (0,d,0)(0,D,0) is a legal
+    SARIMAX — a plain regression on the predictors. Pinning every
+    order bound to 0 must fit that regression, not fall back to the
+    training mean."""
+    rng = np.random.RandomState(7)
+    n = 90
+    x = rng.randn(n)
+    y = 3.0 * x + 1.0  # exactly linear in the regressor, no AR part
+    pdf = pd.DataFrame(
+        {"ts": pd.date_range("2015-01-01", periods=n, freq="D"), "y": y, "x": x}
+    )
+    folds = expanding_fold_bounds(n, 2, 5)
+    out = forecast_seasonal_ar(
+        pdf, folds, 5, seasonal_period=0,
+        max_p=0, max_d=0, max_q=0, max_P=0, max_D=0, max_Q=0,
+        exog_cols=["x"],
+    )
+    for fold, (train_end, test_end) in enumerate(folds):
+        got = out[out["fold"] == fold]["yhat"].to_numpy()
+        want = 3.0 * x[train_end:test_end] + 1.0
+        assert np.allclose(got, want, atol=1e-6), (fold, got, want)
+
+
+def test_seasonal_ar_partial_future_exog_overlay():
+    """A future frame carrying only SOME exog columns: supplied
+    columns are used as known future values, missing ones persist the
+    last observed level (per-column overlay, same policy as the
+    fourier worker — not all-or-nothing)."""
+    rng = np.random.RandomState(13)
+    n = 120
+    a = np.sin(np.arange(n) / 4.0) * 3.0
+    b = np.full(n, 2.0)  # constant → persisting it is exact
+    y = 2.0 * a + 1.5 * b + rng.randn(n) * 0.05
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.date_range("2015-01-01", periods=n, freq="D"),
+            "y": y,
+            "a": a,
+            "b": b,
+        }
+    )
+    folds = expanding_fold_bounds(n, 2, 5)
+    h = 6
+    a_fut = np.sin(np.arange(n, n + h) / 4.0) * 3.0
+    fut = pd.DataFrame(
+        {
+            "ts": pd.date_range(
+                pdf["ts"].iloc[-1] + pd.Timedelta(days=1), periods=h, freq="D"
+            ),
+            "a": a_fut,  # 'b' intentionally missing
+        }
+    )
+    out = forecast_seasonal_ar(
+        pdf, folds, h, seasonal_period=0, exog_cols=["a", "b"], future_pdf=fut
+    )
+    final = out[out["fold"] == -1]["yhat"].to_numpy()
+    want = 2.0 * a_fut + 1.5 * 2.0
+    # if the supplied 'a' were discarded (old all-or-nothing), the
+    # forecast would persist a's last value and miss the sine swing
+    assert float(np.abs(final - want).mean()) < 0.5
+
+
 def test_var_bivariate_coupling():
     rng = np.random.RandomState(11)
     n = 150

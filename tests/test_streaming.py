@@ -148,6 +148,19 @@ def test_nanos_directory_source(spark, tmp_path):
         )
         pq.write_table(table, src / f"part-{i}.parquet", use_deprecated_int96_timestamps=False,
                        coerce_timestamps=None)
+    # a PARTITIONED layout (files only under key=val/ subdirs, no
+    # top-level *.parquet) must also probe as nanos — the glob is
+    # recursive; a shallow glob would silently fall back to the
+    # native-timestamp path and the stream would fail
+    from auto_ts_spark.streaming.ops import ts_field_is_nanos
+
+    part = tmp_path / "nanos_part" / "day=0"
+    part.mkdir(parents=True)
+    (part / "part-0.parquet").write_bytes((src / "part-0.parquet").read_bytes())
+    assert ts_field_is_nanos(str(tmp_path / "nanos_part")) is True
+    assert ts_field_is_nanos(str(src)) is True
+    assert ts_field_is_nanos(str(tmp_path / "does_not_exist")) is False
+
     stream = read_event_stream_nanos(spark, str(src))
     got = _drain(spark, stream.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"),
                  F.max("ts").alias("max_ts")), "t_nanos_dir", tmp_path)
