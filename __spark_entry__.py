@@ -1189,6 +1189,68 @@ ORDER BY id_a, id_b
 """
 
 
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (operators/pii.py) — the C4/Dolma-style corpus-
+    preparation step: per-document counts of emails / credit cards /
+    SSNs / phones / IPv4s plus the redacted text. The synthetic
+    documents table carries no digits, so a deterministic PII-bearing
+    corpus is constructed from ``customer`` IDENTICALLY in both
+    engines (ints and names only — no float formatting) and the whole
+    detect→redact cascade is value-checked, including the redacted
+    strings themselves. Plan: one WholeStageCodegen projection, no
+    shuffle — linear at any corpus size."""
+    from auto_ts_spark.operators import pii as PII
+
+    cust = PART.ensure_parallelism(load_table(spark, sf_dir, "customer"))
+    c = F.col("c_custkey")
+    txt = F.concat(
+        F.lit("Reach "), F.col("c_name"),
+        F.lit(" at user"), c.cast("string"),
+        F.lit("@example.com, call 555-"),
+        F.lpad((c % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((c % 10000).cast("string"), 4, "0"),
+        F.lit(" or ping 10."), (c % 200).cast("string"),
+        F.lit("."), (F.col("c_nationkey") % 250).cast("string"),
+        F.lit("."), ((c * 7) % 250).cast("string"),
+        F.when(c % 3 == 0, F.lit(" SSN 123-45-6789 on file.")).otherwise(F.lit("")),
+        F.when(c % 5 == 0, F.lit(" Card 4242 4242 4242 4242 expired.")).otherwise(
+            F.lit("")
+        ),
+    )
+    corpus = cust.select(c.alias("custkey"), txt.alias("text"))
+    return (
+        PII.pii_profile(corpus, text_col="text", id_col="custkey")
+        .orderBy("custkey")
+    )
+
+
+def _sql_pii_redaction() -> str:
+    from auto_ts_spark.operators.pii import pii_oracle_sql_exprs
+
+    count_cols, redacted = pii_oracle_sql_exprs()
+    return f"""
+WITH corpus AS (
+  SELECT c_custkey AS custkey,
+    'Reach ' || c_name || ' at user' || c_custkey::varchar ||
+    '@example.com, call 555-' ||
+    lpad((c_custkey % 1000)::varchar, 3, '0') || '-' ||
+    lpad((c_custkey % 10000)::varchar, 4, '0') ||
+    ' or ping 10.' || (c_custkey % 200)::varchar || '.' ||
+    (c_nationkey % 250)::varchar || '.' || ((c_custkey * 7) % 250)::varchar ||
+    CASE WHEN c_custkey % 3 = 0 THEN ' SSN 123-45-6789 on file.' ELSE '' END ||
+    CASE WHEN c_custkey % 5 = 0 THEN ' Card 4242 4242 4242 4242 expired.'
+         ELSE '' END AS txt
+  FROM customer
+)
+SELECT custkey, {count_cols}, {redacted} AS redacted
+FROM corpus ORDER BY custkey
+"""
+
+
+_SQL_PII_REDACTION = _sql_pii_redaction()
+
+
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 neighbors for query vectors vec_id<10
     (broadcast queries; corpus scanned once)."""
@@ -2959,6 +3021,7 @@ _ORACLE: dict[str, str] = {
     "dedup_clusters": _SQL_DEDUP_CLUSTERS,
     "simhash_fingerprints": _SQL_SIMHASH,
     "winnow_overlap_pairs": _SQL_WINNOW_OVERLAP,
+    "pii_redaction": _SQL_PII_REDACTION,
     "embedding_topk": _SQL_EMBEDDING_TOPK,
     "embedding_near_dup": _SQL_EMBEDDING_NEAR_DUP,
     "hourly_rollup": _SQL_HOURLY_ROLLUP,
@@ -3023,6 +3086,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters": q_dedup_clusters,
     "simhash_fingerprints": q_simhash_fingerprints,
     "winnow_overlap_pairs": q_winnow_overlap_pairs,
+    "pii_redaction": q_pii_redaction,
     "embedding_topk": q_embedding_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "hourly_rollup": q_hourly_rollup,
