@@ -1189,6 +1189,50 @@ ORDER BY id_a, id_b
 """
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/decontam.py): documents
+    sharing any word 4-gram with the held-out 'benchmark' slice
+    (doc_id % 53 == 0 — a deterministic stand-in for an eval suite)
+    are reported with their distinct-hit count and an evidence gram.
+    The planted near-duplicate pairs in the testdata guarantee
+    non-trivial overlap. Benchmark grams broadcast; the corpus side
+    shuffles once on doc_id."""
+    from auto_ts_spark.operators.decontam import contamination_hits
+
+    docs = PART.ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    bench = docs.filter(F.col("doc_id") % 53 == 0)
+    corpus = docs.filter(F.col("doc_id") % 53 != 0)
+    return contamination_hits(corpus, bench, n=4).orderBy("doc_id")
+
+
+_SQL_DECONTAMINATE = f"""
+WITH base AS (
+  SELECT doc_id AS id, {_SQL_TOKS} AS toks FROM documents
+), sh AS (
+  SELECT id,
+         CASE WHEN len(toks) < 4 THEN [array_to_string(toks, ' ')]
+              ELSE list_filter(
+                list_transform(
+                  list_zip(toks, toks[2:], toks[3:], toks[4:]),
+                  x -> CASE WHEN x[4] IS NOT NULL
+                            THEN concat(x[1], ' ', x[2], ' ', x[3], ' ',
+                                        x[4]) END),
+                s -> s IS NOT NULL) END AS sh
+  FROM base
+), grams AS (
+  SELECT id, unnest(list_distinct(sh)) AS gram FROM sh
+), bench AS (
+  SELECT DISTINCT gram FROM grams WHERE id % 53 = 0
+), corp AS (
+  SELECT id, gram FROM grams WHERE id % 53 <> 0
+)
+SELECT corp.id AS doc_id, cast(count(*) AS bigint) AS n_hits,
+       min(corp.gram) AS first_gram
+FROM corp JOIN bench USING (gram)
+GROUP BY 1 ORDER BY doc_id
+"""
+
+
 def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub (operators/pii.py) — the C4/Dolma-style corpus-
     preparation step: per-document counts of emails / credit cards /
@@ -3022,6 +3066,7 @@ _ORACLE: dict[str, str] = {
     "simhash_fingerprints": _SQL_SIMHASH,
     "winnow_overlap_pairs": _SQL_WINNOW_OVERLAP,
     "pii_redaction": _SQL_PII_REDACTION,
+    "decontaminate": _SQL_DECONTAMINATE,
     "embedding_topk": _SQL_EMBEDDING_TOPK,
     "embedding_near_dup": _SQL_EMBEDDING_NEAR_DUP,
     "hourly_rollup": _SQL_HOURLY_ROLLUP,
@@ -3087,6 +3132,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_fingerprints": q_simhash_fingerprints,
     "winnow_overlap_pairs": q_winnow_overlap_pairs,
     "pii_redaction": q_pii_redaction,
+    "decontaminate": q_decontaminate,
     "embedding_topk": q_embedding_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "hourly_rollup": q_hourly_rollup,
