@@ -114,6 +114,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-duplicate pairs — the 100 TB dedup path.
 
@@ -135,7 +136,15 @@ def minhash_lsh_pairs(
     at that point the documents are all mutual near-dups and a
     production pipeline should exact-dedup (``dedup_exact``) first —
     documented trade-off vs. the join-based plan AQE could skew-split.
-    """
+
+    ``max_bucket_size`` is the hard guard for that skew mode: buckets
+    with more members are DROPPED before any member list is
+    materialized (a count-only pre-pass filters the bucket keys, so
+    the executor never builds the giant array). Members of an
+    over-cap bucket are, by construction, massively duplicated text —
+    the exact-dedup pass handles them at hash-groupBy cost. This is
+    the standard production policy (SlimPajama/BigCode-style dedup
+    caps LSH bucket size the same way); None keeps every bucket."""
     rows_per_band = num_hashes // bands
     # staged projections so Catalyst computes tokenize→shingle→md5
     # exactly once per document, then 16 cheap permutations over it;
@@ -175,6 +184,18 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("id", "sh", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    if max_bucket_size is not None:
+        # count-only pre-pass (map-side partial combine, carries two
+        # ints per bucket) → keep keys with 1 < n <= cap → equi-join
+        # back; the collect_list below then never sees an over-cap
+        # bucket, bounding per-task memory regardless of skew
+        ok = (
+            banded.groupBy("band", "bh")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter((F.col("_n") > 1) & (F.col("_n") <= max_bucket_size))
+            .select("band", "bh")
+        )
+        banded = banded.join(ok, ["band", "bh"])
     buckets = (
         banded.groupBy("band", "bh")
         .agg(F.collect_list(F.struct("id", "sh")).alias("ms"))

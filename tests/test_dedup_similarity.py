@@ -51,6 +51,29 @@ def test_minhash_lsh_finds_near_dup(planted_docs):
     assert (0, 1) in got and (0, 2) in got
 
 
+def test_minhash_bucket_cap_drops_flood_keeps_true_pairs(spark):
+    """max_bucket_size: a flood of identical documents (one giant LSH
+    bucket, the documented hot-bucket skew mode) is dropped before its
+    member list materializes, while a genuine near-dup pair in a small
+    bucket is still found. Uncapped, the flood yields O(k²) pairs."""
+    base = "the quick brown fox jumps over the lazy dog every single day"
+    near = "the quick brown fox jumps over the lazy cat every single day"
+    flood = "spam spam spam identical boilerplate footer text repeated everywhere"
+    rows = [(0, base), (1, near)] + [(10 + i, flood) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = dedup.minhash_lsh_pairs(df, threshold=0.5, max_bucket_size=5).collect()
+    got = {(r["id_a"], r["id_b"]) for r in capped}
+    assert (0, 1) in got
+    assert not any(a >= 10 or b >= 10 for a, b in got)
+
+    uncapped = dedup.minhash_lsh_pairs(df, threshold=0.5).collect()
+    flood_pairs = {
+        (r["id_a"], r["id_b"]) for r in uncapped if r["id_a"] >= 10
+    }
+    assert len(flood_pairs) == 20 * 19 // 2  # the quadratic blow-up the cap avoids
+
+
 def test_simhash_exact_dup_distance_zero(planted_docs):
     pairs = dedup.simhash_pairs(planted_docs, max_hamming=3).collect()
     d = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
