@@ -1295,6 +1295,64 @@ FROM corpus ORDER BY custkey
 _SQL_PII_REDACTION = _sql_pii_redaction()
 
 
+def q_domain_doc_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL/domain curation (operators/urls.py): per-domain document
+    counts over a deterministic URL-bearing corpus built from ``part``
+    identically in both engines (the synthetic documents carry no
+    URLs). Value-checks the whole extract→domain→distinct-per-doc→
+    aggregate pipeline."""
+    from auto_ts_spark.operators.urls import domain_doc_counts
+
+    part = PART.ensure_parallelism(load_table(spark, sf_dir, "part"))
+    k = F.col("p_partkey")
+    txt = F.concat(
+        F.lit("Buy "), F.col("p_name"),
+        F.lit(" at https://shop"), (k % 7).cast("string"),
+        F.lit(".example"),
+        F.when(k % 2 == 0, F.lit(".com")).otherwise(F.lit(".org")),
+        F.lit("/item/"), k.cast("string"),
+        F.lit(" or https://cdn.assets"), (k % 3).cast("string"),
+        F.lit(".example.com/img/"), k.cast("string"),
+        F.lit(".png today"),
+    )
+    corpus = part.select(k.alias("doc_id"), txt.alias("text"))
+    return domain_doc_counts(corpus).orderBy("domain")
+
+
+_SQL_DOMAIN_DOC_COUNTS = """
+WITH corpus AS (
+  SELECT
+    'Buy ' || p_name || ' at https://shop' || (p_partkey % 7)::varchar ||
+    '.example' || CASE WHEN p_partkey % 2 = 0 THEN '.com' ELSE '.org' END ||
+    '/item/' || p_partkey::varchar ||
+    ' or https://cdn.assets' || (p_partkey % 3)::varchar ||
+    '.example.com/img/' || p_partkey::varchar || '.png today' AS txt
+  FROM part
+), doms AS (
+  SELECT unnest(list_distinct(list_transform(
+           regexp_extract_all(txt, '{url_pat}'),
+           u -> lower(regexp_extract(u, 'https?://([A-Za-z0-9.-]+)', 1))
+         ))) AS domain
+  FROM corpus
+)
+SELECT domain, cast(count(*) AS bigint) AS n_docs
+FROM doms GROUP BY domain ORDER BY domain
+"""
+
+
+def _sql_domain_doc_counts() -> str:
+    from auto_ts_spark.operators.urls import URL_PATTERN
+
+    # single quotes inside the pattern's character class must be
+    # doubled inside a SQL string literal
+    return _SQL_DOMAIN_DOC_COUNTS.replace(
+        "{url_pat}", URL_PATTERN.replace("'", "''")
+    )
+
+
+_SQL_DOMAIN_DOC_COUNTS = _sql_domain_doc_counts()
+
+
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 neighbors for query vectors vec_id<10
     (broadcast queries; corpus scanned once)."""
@@ -3067,6 +3125,7 @@ _ORACLE: dict[str, str] = {
     "winnow_overlap_pairs": _SQL_WINNOW_OVERLAP,
     "pii_redaction": _SQL_PII_REDACTION,
     "decontaminate": _SQL_DECONTAMINATE,
+    "domain_doc_counts": _SQL_DOMAIN_DOC_COUNTS,
     "embedding_topk": _SQL_EMBEDDING_TOPK,
     "embedding_near_dup": _SQL_EMBEDDING_NEAR_DUP,
     "hourly_rollup": _SQL_HOURLY_ROLLUP,
@@ -3133,6 +3192,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winnow_overlap_pairs": q_winnow_overlap_pairs,
     "pii_redaction": q_pii_redaction,
     "decontaminate": q_decontaminate,
+    "domain_doc_counts": q_domain_doc_counts,
     "embedding_topk": q_embedding_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "hourly_rollup": q_hourly_rollup,
