@@ -1008,12 +1008,27 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Mirrors auto_ts_spark.functions.text.shingles(): docs with fewer than
-# n tokens fall back to ONE whole-text shingle on BOTH engines.
-_SQL_SHINGLES = """CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-    ELSE list_distinct(list_filter(
-    list_transform(list_zip(toks, toks[2:], toks[3:]),
-                   x -> CASE WHEN x[3] IS NOT NULL THEN concat(x[1], ' ', x[2], ' ', x[3]) END),
-    s -> s IS NOT NULL)) END"""
+# n tokens fall back to ONE whole-text shingle on BOTH engines. ONE
+# generator serves every oracle that shingles (Jaccard, minhash,
+# winnow, decontaminate) so a tokenizer/shingle convention change
+# cannot silently diverge across them.
+def _sql_shingles(n: int, distinct: bool = True) -> str:
+    zips = ", ".join(["toks"] + [f"toks[{i}:]" for i in range(2, n + 1)])
+    cat = ", ' ', ".join(f"x[{i}]" for i in range(1, n + 1))
+    inner = (
+        f"list_filter(list_transform(list_zip({zips}),\n"
+        f"      x -> CASE WHEN x[{n}] IS NOT NULL THEN concat({cat}) END),\n"
+        f"      s -> s IS NOT NULL)"
+    )
+    if distinct:
+        inner = f"list_distinct({inner})"
+    return (
+        f"CASE WHEN len(toks) < {n} THEN [array_to_string(toks, ' ')]\n"
+        f"    ELSE {inner} END"
+    )
+
+
+_SQL_SHINGLES = _sql_shingles(3)
 
 _SQL_NGRAM_JACCARD = f"""
 WITH base AS (
@@ -1049,10 +1064,7 @@ WITH base AS (
   SELECT doc_id AS id, {_SQL_TOKS} AS toks FROM documents
 ), sh AS (
   SELECT id, {_SQL_SHINGLES} AS sh,
-         CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-              ELSE list_filter(list_transform(list_zip(toks, toks[2:], toks[3:]),
-                   x -> CASE WHEN x[3] IS NOT NULL THEN concat(x[1], ' ', x[2], ' ', x[3]) END),
-                   s -> s IS NOT NULL) END AS sh_all
+         {_sql_shingles(3, distinct=False)} AS sh_all
   FROM base
 ), based AS (
   SELECT id, sh, list_transform(sh_all, s -> {_sql_hash60("s")}) AS base FROM sh
@@ -1163,13 +1175,7 @@ _SQL_WINNOW_OVERLAP = f"""
 WITH base AS (
   SELECT doc_id AS id, {_SQL_TOKS} AS toks FROM documents
 ), sh AS (
-  SELECT id,
-         CASE WHEN len(toks) < 4 THEN [array_to_string(toks, ' ')]
-              ELSE list_filter(
-                list_transform(list_zip(toks, toks[2:], toks[3:], toks[4:]),
-                  x -> CASE WHEN x[4] IS NOT NULL
-                            THEN concat(x[1], ' ', x[2], ' ', x[3], ' ', x[4]) END),
-                s -> s IS NOT NULL) END AS sh
+  SELECT id, {_sql_shingles(4, distinct=False)} AS sh
   FROM base
 ), hashed AS (
   SELECT id, list_transform(sh, s -> {_sql_hash60("s")}) AS hs FROM sh
@@ -1209,18 +1215,13 @@ _SQL_DECONTAMINATE = f"""
 WITH base AS (
   SELECT doc_id AS id, {_SQL_TOKS} AS toks FROM documents
 ), sh AS (
-  SELECT id,
-         CASE WHEN len(toks) < 4 THEN [array_to_string(toks, ' ')]
-              ELSE list_filter(
-                list_transform(
-                  list_zip(toks, toks[2:], toks[3:], toks[4:]),
-                  x -> CASE WHEN x[4] IS NOT NULL
-                            THEN concat(x[1], ' ', x[2], ' ', x[3], ' ',
-                                        x[4]) END),
-                s -> s IS NOT NULL) END AS sh
+  SELECT id, {_sql_shingles(4, distinct=False)} AS sh
   FROM base
 ), grams AS (
-  SELECT id, unnest(list_distinct(sh)) AS gram FROM sh
+  -- empty grams dropped (operators/decontam.py::_doc_ngrams)
+  SELECT id, gram
+  FROM (SELECT id, unnest(list_distinct(sh)) AS gram FROM sh)
+  WHERE gram <> ''
 ), bench AS (
   SELECT DISTINCT gram FROM grams WHERE id % 53 = 0
 ), corp AS (
@@ -1331,7 +1332,7 @@ WITH corpus AS (
 ), doms AS (
   SELECT unnest(list_distinct(list_transform(
            regexp_extract_all(txt, '{url_pat}'),
-           u -> lower(regexp_extract(u, 'https?://([A-Za-z0-9.-]+)', 1))
+           u -> lower(regexp_extract(u, '{host_pat}', 1))
          ))) AS domain
   FROM corpus
 )
@@ -1341,13 +1342,14 @@ FROM doms GROUP BY domain ORDER BY domain
 
 
 def _sql_domain_doc_counts() -> str:
-    from auto_ts_spark.operators.urls import URL_PATTERN
+    from auto_ts_spark.operators.urls import HOST_PATTERN, URL_PATTERN
 
     # single quotes inside the pattern's character class must be
-    # doubled inside a SQL string literal
+    # doubled inside a SQL string literal; both patterns come from the
+    # operator's own constants so the engines cannot drift
     return _SQL_DOMAIN_DOC_COUNTS.replace(
         "{url_pat}", URL_PATTERN.replace("'", "''")
-    )
+    ).replace("{host_pat}", HOST_PATTERN.replace("'", "''"))
 
 
 _SQL_DOMAIN_DOC_COUNTS = _sql_domain_doc_counts()

@@ -24,10 +24,18 @@ from auto_ts_spark.functions import text as TX
 def _doc_ngrams(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
     """(id, gram) — distinct word n-grams per document; documents
     shorter than n words contribute their whole text as one gram
-    (TX.shingles' short-document convention)."""
-    return df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(TX.shingles(F.col(text_col), n))).alias("gram"),
+    (TX.shingles' short-document convention). Empty grams are dropped:
+    an empty/punctuation-only document normalizes to the gram '', and
+    without the filter ONE empty benchmark document would mark every
+    empty corpus document contaminated despite zero real overlap."""
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.array_distinct(TX.shingles(F.col(text_col), n))
+            ).alias("gram"),
+        )
+        .filter(F.col("gram") != "")
     )
 
 

@@ -139,7 +139,8 @@ def minhash_lsh_pairs(
 
     ``max_bucket_size`` is the hard guard for that skew mode: buckets
     with more members are DROPPED before any member list is
-    materialized (a count-only pre-pass filters the bucket keys, so
+    materialized (a window count over the same shuffle key filters
+    the rows in place — the signature pipeline still runs once and
     the executor never builds the giant array). Members of an
     over-cap bucket are, by construction, massively duplicated text —
     the exact-dedup pass handles them at hash-groupBy cost. This is
@@ -185,17 +186,20 @@ def minhash_lsh_pairs(
         ).alias("bb"),
     ).select("id", "sh", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
     if max_bucket_size is not None:
-        # count-only pre-pass (map-side partial combine, carries two
-        # ints per bucket) → keep keys with 1 < n <= cap → equi-join
-        # back; the collect_list below then never sees an over-cap
-        # bucket, bounding per-task memory regardless of skew
-        ok = (
-            banded.groupBy("band", "bh")
-            .agg(F.count(F.lit(1)).alias("_n"))
+        # bucket-size guard as a WINDOW count over the same (band, bh)
+        # key the aggregate below shuffles on — one extra pass over the
+        # shuffled rows, NO second execution of the shingle/md5
+        # pipeline (a count-prepass + self-join would re-run the whole
+        # signature computation for the join's build side). The
+        # collect_list below then never sees an over-cap bucket,
+        # bounding per-task memory regardless of skew; the window and
+        # the groupBy share hash partitioning, so no added shuffle.
+        w = Window.partitionBy("band", "bh")
+        banded = (
+            banded.withColumn("_n", F.count(F.lit(1)).over(w))
             .filter((F.col("_n") > 1) & (F.col("_n") <= max_bucket_size))
-            .select("band", "bh")
+            .drop("_n")
         )
-        banded = banded.join(ok, ["band", "bh"])
     buckets = (
         banded.groupBy("band", "bh")
         .agg(F.collect_list(F.struct("id", "sh")).alias("ms"))
@@ -293,6 +297,7 @@ def dedup_clusters(
     bands: int = 8,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup cluster assignment — the step a production dedup
     pipeline runs after pair generation: pairs alone can't drive
@@ -312,6 +317,7 @@ def dedup_clusters(
         bands=bands,
         shingle_n=shingle_n,
         threshold=threshold,
+        max_bucket_size=max_bucket_size,
     )
     cc = connected_components(pairs)
     w = Window.partitionBy("cluster_id")

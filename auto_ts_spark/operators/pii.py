@@ -28,9 +28,24 @@ from pyspark.sql import functions as F
 # credit-card before phone so a 16-digit group isn't half-eaten).
 PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
-    ("credit_card", r"\b\d{4}[ -]\d{4}[ -]\d{4}[ -]\d{4}\b", "<CREDIT_CARD>"),
+    # separated (4x4 groups) OR contiguous 16-digit card numbers —
+    # the contiguous form is the most common real-world leak
+    (
+        "credit_card",
+        r"\b\d{4}[ -]\d{4}[ -]\d{4}[ -]\d{4}\b|\b\d{16}\b",
+        "<CREDIT_CARD>",
+    ),
     ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
-    ("phone", r"(\(\d{3}\) ?|\b\d{3}[- ])\d{3}[- ]\d{4}\b", "<PHONE>"),
+    # (555) 123-4567 | 555-123-4567 | 555.123.4567 | 555 123 4567 |
+    # contiguous 5551234567 — the 10-digit-run alternate deliberately
+    # over-matches (any 10-digit id redacts); that is the standard
+    # aggressive scrub trade-off and the reason CC (16 digits) runs
+    # first
+    (
+        "phone",
+        r"(\(\d{3}\) ?|\b\d{3}[-. ])\d{3}[-. ]\d{4}\b|\b\d{10}\b",
+        "<PHONE>",
+    ),
     ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
 )
 
@@ -57,8 +72,12 @@ def pii_profile(
     """Per-document PII counts + redacted text.
 
     Output: ``(id_col, <name>_count per category, pii_total,
-    redacted)``. Counts are computed on the ORIGINAL text (order-
-    independent); redaction applies the ordered cascade."""
+    redacted)``. Counts are computed on the ORIGINAL text — each
+    category is an independent scan (grep-per-category semantics), so
+    a span matching two categories (an email whose local part is a
+    phone number) counts in both and ``pii_total`` can exceed the
+    number of tokens in ``redacted``, where the ordered cascade
+    redacts each span exactly once."""
     t = F.col(text_col)
     counts = {name: pii_count(t, pattern) for name, pattern, _ in PII_PATTERNS}
     total = None

@@ -17,12 +17,20 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# scheme + host + optional path; stops at whitespace or closing
-# punctuation that commonly trails prose-embedded links
-URL_PATTERN = r"https?://[A-Za-z0-9.-]+(:\d+)?(/[^\s\"'<>)\]]*)?"
+# host label run that cannot START or END with '.' or '-', so a
+# sentence-ending period after a prose URL is not swallowed into the
+# host ('https://example.org.' -> host 'example.org')
+_HOST = r"[A-Za-z0-9]([A-Za-z0-9.-]*[A-Za-z0-9])?"
 
-# host part alone (group 1) — used to reduce a URL to its domain
-HOST_PATTERN = r"https?://([A-Za-z0-9.-]+)"
+# scheme (case-insensitive via explicit classes — Java and RE2 both
+# lack a portable inline flag prefix we can share) + host + optional
+# port/path; the path stops at whitespace or closing punctuation that
+# commonly trails prose-embedded links
+_SCHEME = r"[Hh][Tt][Tt][Pp][Ss]?://"
+URL_PATTERN = _SCHEME + _HOST + r"(:\d+)?(/[^\s\"'<>)\]]*)?"
+
+# host part alone (first group) — used to reduce a URL to its domain
+HOST_PATTERN = _SCHEME + "(" + _HOST + ")"
 
 
 def extract_urls(col: Column) -> Column:

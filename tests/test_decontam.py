@@ -63,6 +63,22 @@ def test_decontaminate_drop_policy(spark):
     assert sorted(r.doc_id for r in kept2.select("doc_id").collect()) == [2, 3, 4]
 
 
+def test_empty_documents_do_not_cross_contaminate(spark):
+    """An empty/punctuation-only document normalizes to the gram '';
+    one such benchmark doc must NOT flag every empty corpus doc as
+    contaminated (zero real n-gram overlap)."""
+    corpus = spark.createDataFrame(
+        [(0, ""), (1, "!!! ???"), (2, "real words about spark plans here")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, ""), (101, "totally different benchmark prose")],
+        "doc_id long, text string",
+    )
+    hits = contamination_hits(corpus, bench, n=4).collect()
+    assert hits == []
+
+
 def test_benchmark_side_broadcasts(spark):
     corpus, bench = _dfs(spark)
     plan = (

@@ -73,6 +73,20 @@ def test_minhash_bucket_cap_drops_flood_keeps_true_pairs(spark):
     }
     assert len(flood_pairs) == 20 * 19 // 2  # the quadratic blow-up the cap avoids
 
+    # the guard is a window over the shuffle key, NOT a self-join —
+    # the shingle/md5 signature pipeline must still run exactly once
+    # (one source scan, one md5 chain in the plan)
+    plan = (
+        dedup.minhash_lsh_pairs(df, threshold=0.5, max_bucket_size=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for join_op in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"):
+        assert join_op not in plan
+    n_scans = plan.count("Scan ExistingRDD") + plan.count("LocalTableScan")
+    assert n_scans == 1, plan
+
 
 def test_simhash_exact_dup_distance_zero(planted_docs):
     pairs = dedup.simhash_pairs(planted_docs, max_hamming=3).collect()

@@ -16,6 +16,9 @@ DOCS = [
     (5, "clean text with numbers 123456789 and date 2024-01-02"),
     (6, None),
     (7, "a@b.io pinged 8.8.8.8; reach 555-111-2222, SSN 999-88-7777"),
+    # the most common real-world leak forms: contiguous card digits,
+    # dot-separated and contiguous phone numbers
+    (8, "card 4242424242424242 phone 555.123.4567 cell 5551234567"),
 ]
 
 
@@ -43,6 +46,13 @@ def test_category_counts(profiled):
         row7["ssn_count"],
     ) == (1, 1, 1, 1)
     assert row7["pii_total"] == 4
+    row8 = profiled.loc[8]
+    assert row8["credit_card_count"] == 1
+    assert row8["phone_count"] == 2
+    assert (
+        profiled.loc[8, "redacted"]
+        == "card <CREDIT_CARD> phone <PHONE> cell <PHONE>"
+    )
 
 
 def test_clean_text_untouched(profiled):

@@ -16,6 +16,9 @@ DOCS = [
     (3, None),
     (4, "bad actor https://ads.tracker.net/pixel and https://cdn.safe.io/a.js"),
     (5, "dupe links https://a.io/x https://a.io/y https://a.io/x"),
+    # prose URL: the sentence-ending period must NOT join the host,
+    # and an uppercase scheme must still be detected
+    (6, "Visit https://example.org. Then see HTTPS://blocked.example.net today"),
 ]
 
 
@@ -38,6 +41,9 @@ def test_url_profile(spark):
     # three URLs but one distinct domain
     assert prof.loc[5, "url_count"] == 3
     assert list(prof.loc[5, "domains"]) == ["a.io"]
+    # trailing sentence period excluded from the host; uppercase
+    # scheme still extracted (host lower-cased)
+    assert list(prof.loc[6, "domains"]) == ["blocked.example.net", "example.org"]
 
 
 def test_domain_doc_counts(spark):
@@ -54,7 +60,15 @@ def test_blocklist_filters_by_host_and_registrable_domain(spark):
     df = _df(spark)
     # exact-host entry
     kept = filter_blocklisted_domains(df, ["ads.tracker.net"])
-    assert sorted(r.doc_id for r in kept.select("doc_id").collect()) == [0, 1, 2, 3, 5]
+    assert sorted(r.doc_id for r in kept.select("doc_id").collect()) == [
+        0, 1, 2, 3, 5, 6,
+    ]
+    # prose URL with trailing period and uppercase scheme still hits
+    # the blocklist
+    kept_prose = filter_blocklisted_domains(df, ["example.org"])
+    assert 6 not in {r.doc_id for r in kept_prose.select("doc_id").collect()}
+    kept_upper = filter_blocklisted_domains(df, ["example.net"])
+    assert 6 not in {r.doc_id for r in kept_upper.select("doc_id").collect()}
     # registrable-domain entry catches the subdomain
     kept2 = filter_blocklisted_domains(df, ["tracker.net"])
     assert 4 not in {r.doc_id for r in kept2.select("doc_id").collect()}
