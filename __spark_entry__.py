@@ -940,6 +940,47 @@ FROM h
 """
 
 
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mixture sampling (operators/sampling.py::mixture_sample,
+    the Pile/Dolma per-source epoch-weight step): src0 upsampled 2.5x,
+    src1 downsampled to 25%, src2 kept whole, everything else dropped.
+    Value check = per-source emitted-row and distinct-doc counts — the
+    deterministic hash makes both engines agree exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    mixed = SAMP.mixture_sample(
+        docs, {"src0": 2.5, "src1": 0.25, "src2": 1.0}, seed=42
+    )
+    return (
+        mixed.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        )
+        .orderBy("source")
+    )
+
+
+_SQL_MIXTURE_SAMPLE = f"""
+WITH h AS (
+  SELECT doc_id, source,
+         {_sql_hash60("concat(cast(doc_id as varchar), ':42')")} % 1000000 AS b,
+         CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 0.25
+                     WHEN 'src2' THEN 1.0 ELSE 0.0 END AS r
+  FROM documents
+), copies AS (
+  SELECT doc_id, source,
+         cast(floor(r) AS int)
+         + CASE WHEN b < round((r - floor(r)) * 1000000) THEN 1 ELSE 0 END
+           AS n_copies
+  FROM h
+)
+SELECT source, cast(sum(n_copies) AS bigint) AS n_rows,
+       cast(count(*) AS bigint) AS n_docs
+FROM copies WHERE n_copies > 0
+GROUP BY source ORDER BY source
+"""
+
+
 def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID prediction summary: docs + total profile hits per
     predicted language."""
@@ -3128,6 +3169,7 @@ _ORACLE: dict[str, str] = {
     "pii_redaction": _SQL_PII_REDACTION,
     "decontaminate": _SQL_DECONTAMINATE,
     "domain_doc_counts": _SQL_DOMAIN_DOC_COUNTS,
+    "mixture_sample": _SQL_MIXTURE_SAMPLE,
     "embedding_topk": _SQL_EMBEDDING_TOPK,
     "embedding_near_dup": _SQL_EMBEDDING_NEAR_DUP,
     "hourly_rollup": _SQL_HOURLY_ROLLUP,
@@ -3195,6 +3237,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_redaction": q_pii_redaction,
     "decontaminate": q_decontaminate,
     "domain_doc_counts": q_domain_doc_counts,
+    "mixture_sample": q_mixture_sample,
     "embedding_topk": q_embedding_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "hourly_rollup": q_hourly_rollup,

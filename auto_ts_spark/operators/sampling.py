@@ -63,3 +63,46 @@ def hash_split(
     last = items[-1][0]
     expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
     return df.withColumn(out_col, expr)
+
+
+def mixture_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    *,
+    key_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 42,
+    default_rate: float = 0.0,
+    copy_col: str = "copy_n",
+) -> DataFrame:
+    """Domain/source mixture sampling — the corpus-mixing step
+    training pipelines run to hit a target source distribution (the
+    Pile/Dolma-style per-source epoch weights): each source is down-
+    OR up-sampled by its rate.
+
+    Rate r for a row's ``key_col`` value means: ``floor(r)``
+    guaranteed copies plus one more iff the row's content-addressed
+    hash bucket falls under ``frac(r)`` — so r=0.25 keeps a
+    deterministic quarter of the source, r=2.5 emits 2 copies of every
+    document and a third for a quarter of them. Copies are numbered in
+    ``copy_col`` (1..k) so downstream shuffles can still distinguish
+    rows. Like every operator here this is a pure projection + explode
+    (no shuffle, no state), content-addressed by ``id_col`` — the same
+    document gets the same fate on any cluster, any partitioning, any
+    engine. Keys absent from ``rates`` fall back to ``default_rate``
+    (0 = an explicit mixture drops unlisted sources)."""
+    b = _bucket(F.col(id_col), seed)
+    rate_expr: Column = F.lit(float(default_rate))
+    for key, r in rates.items():
+        rate_expr = (
+            F.when(F.col(key_col) == key, F.lit(float(r))).otherwise(rate_expr)
+        )
+    whole = F.floor(rate_expr).cast("int")
+    frac_ppm = F.round((rate_expr - F.floor(rate_expr)) * _DENOM).cast("long")
+    n_copies = whole + (b < frac_ppm).cast("int")
+    return (
+        df.withColumn("_n_copies", n_copies)
+        .filter(F.col("_n_copies") > 0)
+        .withColumn(copy_col, F.explode(F.sequence(F.lit(1), F.col("_n_copies"))))
+        .drop("_n_copies")
+    )

@@ -48,6 +48,42 @@ def test_deterministic_sample_is_subset_stable(spark, ids):
     assert s1 <= s_half
 
 
+def test_mixture_sample_rates_and_determinism(spark, ids):
+    """Per-source epoch weights: r=2.5 emits 2 or 3 copies per doc
+    (~2.5x rows), r=0.25 keeps ~25%, unlisted sources drop; the whole
+    assignment is content-addressed (identical across runs)."""
+    df = ids.withColumn(
+        "source",
+        F.concat(F.lit("src"), (F.col("doc_id") % 4).cast("string")),
+    )
+    mixed = SAMP.mixture_sample(df, {"src0": 2.5, "src1": 0.25, "src2": 1.0})
+    agg = {
+        r["source"]: (r["n_rows"], r["n_docs"])
+        for r in mixed.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .collect()
+    }
+    assert "src3" not in agg  # unlisted -> dropped (default_rate 0)
+    n0 = 500  # docs per source
+    rows0, docs0 = agg["src0"]
+    assert docs0 == n0  # upsampling keeps every doc
+    assert 2 * n0 < rows0 < 3 * n0 and abs(rows0 - 2.5 * n0) < 0.1 * n0
+    rows1, docs1 = agg["src1"]
+    assert rows1 == docs1 and abs(docs1 - 0.25 * n0) < 0.1 * n0
+    assert agg["src2"] == (n0, n0)
+    # copies are numbered 1..k
+    copies = mixed.filter(F.col("source") == "src0").groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("copy_n")).alias("cs")
+    )
+    assert all(r["cs"] in ([1, 2], [1, 2, 3]) for r in copies.collect())
+    # deterministic: re-running yields the identical multiset
+    again = SAMP.mixture_sample(df, {"src0": 2.5, "src1": 0.25, "src2": 1.0})
+    assert again.exceptAll(mixed).count() == 0 and mixed.exceptAll(again).count() == 0
+
+
 def test_corpus_vocabulary_counts(spark):
     docs = spark.createDataFrame(
         [
