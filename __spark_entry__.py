@@ -981,6 +981,38 @@ GROUP BY source ORDER BY source
 """
 
 
+def q_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus selection (operators/budget.py): per-source
+    500-token budgets, documents ranked by n_chars desc (doc_id
+    tie-break), kept while the running whitespace-token total fits.
+    The oracle replays rank + windowed cumsum + greedy-prefix cut, so
+    the SELECTED SET (not just counts) is value-checked."""
+    from auto_ts_spark.operators.budget import budget_select
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        budget_select(docs, 500, by="source", priority_col="n_chars")
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+_SQL_BUDGET_SELECT = f"""
+WITH t AS (
+  SELECT doc_id, source, n_chars,
+         coalesce(len({_SQL_TOKS}), 0) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, source,
+         sum(n_tokens) OVER (PARTITION BY source
+                             ORDER BY n_chars DESC, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+)
+SELECT doc_id, source FROM c WHERE cum <= 500 ORDER BY doc_id
+"""
+
+
 def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID prediction summary: docs + total profile hits per
     predicted language."""
@@ -3170,6 +3202,7 @@ _ORACLE: dict[str, str] = {
     "decontaminate": _SQL_DECONTAMINATE,
     "domain_doc_counts": _SQL_DOMAIN_DOC_COUNTS,
     "mixture_sample": _SQL_MIXTURE_SAMPLE,
+    "budget_select": _SQL_BUDGET_SELECT,
     "embedding_topk": _SQL_EMBEDDING_TOPK,
     "embedding_near_dup": _SQL_EMBEDDING_NEAR_DUP,
     "hourly_rollup": _SQL_HOURLY_ROLLUP,
@@ -3238,6 +3271,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate": q_decontaminate,
     "domain_doc_counts": q_domain_doc_counts,
     "mixture_sample": q_mixture_sample,
+    "budget_select": q_budget_select,
     "embedding_topk": q_embedding_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "hourly_rollup": q_hourly_rollup,

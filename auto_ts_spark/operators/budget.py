@@ -1,0 +1,119 @@
+"""Token-budget corpus selection — "take the best documents until the
+budget is spent", the step that turns a scored corpus into a training
+set of a target size (every published data recipe ends with one:
+N tokens per source at some mixing ratio).
+
+Selection is deterministic: documents are ranked by a priority column
+(quality score, length, …) with the document id as the tie-break, and
+kept while the running token total stays within the budget. Two
+execution shapes:
+
+- ``by=<key>`` (per-source budgets): an ordinary partitioned window
+  cumsum — fully distributed, one shuffle on the key.
+- ``by=None`` (one global budget): a global ordered cumsum. A naive
+  ``Window.orderBy`` with no partition is a single-task sort (the
+  exact anti-pattern ``tests/test_plan_hygiene.py`` lints against), so
+  the global path uses the two-pass distributed shape from
+  ``partitioning.with_global_row_number``: range-partition on the
+  priority order, cumsum locally per slice, collect ONE scalar per
+  slice, prefix-sum those on the driver, broadcast the offsets back.
+  Driver state is O(partitions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from auto_ts_spark.functions import text as TX
+
+
+def _ordered_cumsum_global(
+    df: DataFrame, value_col: str, order: list[Column], name: str
+) -> DataFrame:
+    """Global ordered prefix sum without a single-task sort."""
+    spark = df.sparkSession
+    n_part = max(int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 1)
+    parted = df.repartitionByRange(n_part, *order).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    # cache before the per-slice totals collect: offsets and the final
+    # projection must see the same range-partition assignment
+    local = parted.withColumn(
+        "_lcum",
+        F.sum(value_col).over(
+            Window.partitionBy("_pid")
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    ).cache()
+    totals = {
+        r["_pid"]: r["t"]
+        for r in local.groupBy("_pid").agg(F.sum(value_col).alias("t")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid]
+    off_df = spark.createDataFrame(
+        [(int(p), int(o)) for p, o in offsets.items()], "_pid int, _off long"
+    )
+    return (
+        local.join(F.broadcast(off_df), "_pid")
+        .withColumn(name, F.col("_lcum") + F.col("_off"))
+        .drop("_pid", "_lcum", "_off")
+    )
+
+
+def budget_select(
+    df: DataFrame,
+    token_budget: int,
+    *,
+    by: str | None = None,
+    priority_col: str | None = None,
+    token_col: str | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_cum_col: str | None = None,
+) -> DataFrame:
+    """Keep the highest-priority documents whose running token total
+    stays within ``token_budget`` (per ``by`` key, or globally when
+    ``by`` is None). A document that would push the total past the
+    budget is dropped, as is everything ranked after it that doesn't
+    fit — the greedy prefix rule every budgeted-corpus recipe uses.
+
+    ``priority_col`` orders descending (ties broken by ascending
+    ``id_col``); None ranks by id alone. ``token_col`` supplies
+    pre-computed counts; None derives whitespace-token counts from
+    ``text_col``. ``keep_cum_col`` optionally exposes the running
+    total in the output."""
+    work = df
+    if token_col is None:
+        token_col = "_n_tokens"
+        work = work.withColumn(
+            token_col,
+            F.coalesce(TX.token_count(F.col(text_col)), F.lit(0)).cast("long"),
+        )
+    order = (
+        [F.col(priority_col).desc(), F.col(id_col).asc()]
+        if priority_col
+        else [F.col(id_col).asc()]
+    )
+    cum = "_cum_tokens"
+    if by is not None:
+        w = (
+            Window.partitionBy(by)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        work = work.withColumn(cum, F.sum(token_col).over(w))
+    else:
+        work = _ordered_cumsum_global(work, token_col, order, cum)
+    out = work.filter(F.col(cum) <= token_budget)
+    if keep_cum_col:
+        out = out.withColumnRenamed(cum, keep_cum_col)
+    else:
+        out = out.drop(cum)
+    if token_col == "_n_tokens":
+        out = out.drop("_n_tokens")
+    return out

@@ -1,0 +1,106 @@
+"""Token-budget corpus selection (operators/budget.py)."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from auto_ts_spark.operators.budget import budget_select
+
+DOCS = [
+    # (doc_id, source, text) — whitespace token counts in comments
+    (0, "a", "one two three four five"),        # 5
+    (1, "a", "one two three"),                  # 3
+    (2, "a", "one two three four five six"),    # 6
+    (3, "a", "one"),                            # 1
+    (4, "b", "x " * 9 + "x"),                   # 10
+    (5, "b", "y"),                              # 1
+    (6, "b", None),                             # 0 tokens
+]
+
+
+def _df(spark):
+    return spark.createDataFrame(
+        pd.DataFrame(DOCS, columns=["doc_id", "source", "text"]).astype(
+            {"doc_id": "int64"}
+        )
+    )
+
+
+def test_per_key_budget_greedy_prefix(spark):
+    """Priority None -> rank by doc_id; the doc that would cross the
+    budget is dropped and so is everything ranked after it."""
+    kept = budget_select(_df(spark), 9, by="source")
+    ids = sorted(r.doc_id for r in kept.select("doc_id").collect())
+    # source a by id: 0(5) 1(3) -> cum 8; 2(6) crosses -> dropped, and
+    # 3 after it (cum would be 15 under the prefix rule) also dropped
+    # source b: 4(10) crosses immediately; 5,6 dropped with it
+    assert ids == [0, 1]
+
+
+def test_priority_column_reorders_selection(spark):
+    """Ranking by token-richness first changes WHICH docs fit."""
+    df = _df(spark).withColumn(
+        "n_tok", F.size(F.split(F.coalesce("text", F.lit("")), " "))
+    )
+    kept = budget_select(df, 9, by="source", priority_col="n_tok")
+    ids = sorted(r.doc_id for r in kept.select("doc_id").collect())
+    # source a by n_tok desc: 2(6) cum 6, 0(5) crosses -> stop => {2}
+    # source b by n_tok desc: 4(10) crosses -> {}
+    assert ids == [2]
+
+
+def test_global_two_pass_equals_naive(spark):
+    """The distributed global cumsum must select exactly the rows a
+    driver-side replay of the same greedy rule selects."""
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    pdf = pd.DataFrame(
+        {
+            "doc_id": pd.array(range(300), dtype="int64"),
+            "source": ["s"] * 300,
+            "text": [" ".join(["w"] * int(k)) for k in rng.randint(1, 30, 300)],
+            "prio": rng.randint(0, 1000, 300).astype("int64"),
+        }
+    )
+    df = spark.createDataFrame(pdf).repartition(8)
+    budget = 900
+    kept = budget_select(df, budget, by=None, priority_col="prio")
+    got = sorted(r.doc_id for r in kept.select("doc_id").collect())
+
+    toks = pdf["text"].str.split(" ").str.len()
+    order = pdf.assign(t=toks).sort_values(
+        ["prio", "doc_id"], ascending=[False, True]
+    )
+    cum, want = 0, []
+    for _, row in order.iterrows():
+        cum += row["t"]
+        if cum > budget:
+            break
+        want.append(row["doc_id"])
+    assert got == sorted(want)
+
+
+def test_global_path_has_no_unpartitioned_window(spark):
+    """The global budget must NOT fall back to a single-task
+    Window.orderBy: its windows all carry a real partition key."""
+    df = _df(spark)
+    plan = (
+        budget_select(df, 9, by=None)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re
+
+    for m in re.finditer(r"Window \[(.*?)\]", plan):
+        assert "windowspecdefinition(" not in m.group(1) or "_pid" in m.group(1)
+
+
+def test_null_text_counts_zero_and_survives(spark):
+    """NULL text = 0 tokens — it costs nothing, so under an id-ranked
+    per-key budget it is kept whenever it is reached."""
+    df = spark.createDataFrame(
+        [(0, "a", None), (1, "a", "one two")], "doc_id long, source string, text string"
+    )
+    kept = budget_select(df, 2, by="source")
+    assert sorted(r.doc_id for r in kept.select("doc_id").collect()) == [0, 1]
