@@ -895,6 +895,69 @@ FROM s
 """
 
 
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite Gopher-rule quality gate
+    (operators/textops.py::quality_filter): keep/drop decision plus
+    the sorted list of violated rules per document, thresholds taken
+    from the shared QUALITY_RULES table on BOTH engines. Arrays join
+    to a comma string so the value hash covers the reasons."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        TOPS.quality_filter(docs)
+        .select(
+            "doc_id",
+            F.col("keep"),
+            F.array_join("fail_reasons", ",").alias("reasons"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _sql_quality_filter() -> str:
+    from auto_ts_spark.operators.textops import QUALITY_RULES
+
+    cases = []
+    for name, lo, hi in QUALITY_RULES:
+        conds = []
+        if lo is not None:
+            conds.append(f"{name} < {lo}")
+        if hi is not None:
+            conds.append(f"{name} > {hi}")
+        cases.append(f"CASE WHEN {' OR '.join(conds)} THEN '{name}' END")
+    case_list = ", ".join(cases)
+    return f"""
+WITH t AS (
+  SELECT doc_id, text, length(text) AS n_chars, {_SQL_TOKS} AS toks FROM documents
+), m AS (
+  SELECT doc_id, n_chars,
+         cast(len(toks) as bigint) AS n_tokens,
+         round(list_sum(list_transform(toks, x -> cast(length(x) as double)))
+               / greatest(len(toks), 1), 6) AS mean_word_len,
+         round(len(list_filter(toks, x -> list_contains(['the','and','of','to','a','in','is','that','for','it'], x)))
+               / greatest(len(toks), 1), 6) AS stopword_ratio,
+         round(length(regexp_replace(text, '[^!-/:-@\\[-`{{|}}~]', '', 'g'))
+               / greatest(length(text), 1), 6) AS punct_ratio,
+         round(length(regexp_replace(text, '[^0-9]', '', 'g'))
+               / greatest(length(text), 1), 6) AS digit_ratio
+  FROM t
+), r AS (
+  SELECT doc_id, n_chars,
+         CASE WHEN n_chars IS NULL THEN ['null_text']
+              ELSE list_sort(list_filter([{case_list}], x -> x IS NOT NULL))
+         END AS fr
+  FROM m
+)
+SELECT doc_id, len(fr) = 0 AS keep,
+       -- DuckDB's array_to_string returns NULL for an empty list
+       -- (Spark's array_join returns ''): coalesce to match
+       coalesce(array_to_string(fr, ','), '') AS reasons
+FROM r ORDER BY doc_id
+"""
+
+
+_SQL_QUALITY_FILTER = _sql_quality_filter()
+
+
 def q_corpus_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary with tf/df/idf (min_df=2) — the
     vocabulary-building stage of a training-data pipeline
@@ -3203,6 +3266,7 @@ _ORACLE: dict[str, str] = {
     "domain_doc_counts": _SQL_DOMAIN_DOC_COUNTS,
     "mixture_sample": _SQL_MIXTURE_SAMPLE,
     "budget_select": _SQL_BUDGET_SELECT,
+    "quality_filter": _SQL_QUALITY_FILTER,
     "embedding_topk": _SQL_EMBEDDING_TOPK,
     "embedding_near_dup": _SQL_EMBEDDING_NEAR_DUP,
     "hourly_rollup": _SQL_HOURLY_ROLLUP,
@@ -3272,6 +3336,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "domain_doc_counts": q_domain_doc_counts,
     "mixture_sample": q_mixture_sample,
     "budget_select": q_budget_select,
+    "quality_filter": q_quality_filter,
     "embedding_topk": q_embedding_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "hourly_rollup": q_hourly_rollup,

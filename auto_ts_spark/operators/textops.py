@@ -34,6 +34,55 @@ def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     )
 
 
+# Gopher-rule default thresholds (Rae et al. 2021 §A1.1, the public
+# numbers the Gopher/MassiveText cleaning pipeline applies; C4 uses
+# close variants). Each rule: (name, min, max) over a profile column.
+QUALITY_RULES: tuple[tuple[str, float | None, float | None], ...] = (
+    ("n_tokens", 50, 100_000),
+    ("mean_word_len", 3.0, 10.0),
+    ("stopword_ratio", 0.02, None),
+    ("punct_ratio", None, 0.20),
+    ("digit_ratio", None, 0.30),
+)
+
+
+def quality_filter(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rules: tuple[tuple[str, float | None, float | None], ...] = QUALITY_RULES,
+) -> DataFrame:
+    """Composite Gopher-style quality gate: every profile metric must
+    fall inside its [min, max] band. Output adds ``keep`` and
+    ``fail_reasons`` (sorted array of the rules violated — empty when
+    kept) to the ``text_profile`` columns, so a pipeline can filter on
+    ``keep`` while auditors see WHY a document was dropped. One
+    projection over the profile, no shuffle."""
+    prof = text_profile(df, text_col=text_col, id_col=id_col)
+    reasons = []
+    for name, lo, hi in rules:
+        c = F.col(name)
+        bad = F.lit(False)
+        if lo is not None:
+            bad = bad | (c < lo)
+        if hi is not None:
+            bad = bad | (c > hi)
+        reasons.append(F.when(bad, F.lit(name)))
+    arr = F.array_sort(
+        F.filter(F.array(*reasons), lambda x: x.isNotNull())
+    )
+    # NULL text yields NULL metrics, and NULL comparisons are neither
+    # true nor false — without the explicit gate a NULL document would
+    # sail through every rule
+    arr = F.when(F.col("n_chars").isNull(), F.array(F.lit("null_text"))).otherwise(
+        arr
+    )
+    return prof.withColumn("fail_reasons", arr).withColumn(
+        "keep", F.size("fail_reasons") == 0
+    )
+
+
 def language_profile_df(spark: SparkSession) -> DataFrame:
     rows = [
         (lang, word) for lang, words in TX.LANG_PROFILES.items() for word in words
