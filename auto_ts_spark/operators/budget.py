@@ -31,7 +31,15 @@ from auto_ts_spark.functions import text as TX
 def _ordered_cumsum_global(
     df: DataFrame, value_col: str, order: list[Column], name: str
 ) -> DataFrame:
-    """Global ordered prefix sum without a single-task sort."""
+    """Global ordered prefix sum without a single-task sort — the same
+    two-pass shape as ``encoders.distributed_rank`` and
+    ``partitioning.with_global_row_number`` (range-partition on the
+    order, local window per slice, driver prefix over one scalar per
+    slice, broadcast the offsets back), specialized to a sum.
+
+    Totals are carried as doubles (a fractional token-estimate column
+    must not truncate) and NULL slice totals count 0 (a slice whose
+    values are all NULL contributes nothing)."""
     spark = df.sparkSession
     n_part = max(int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 1)
     parted = df.repartitionByRange(n_part, *order).withColumn(
@@ -48,21 +56,29 @@ def _ordered_cumsum_global(
         ),
     ).cache()
     totals = {
-        r["_pid"]: r["t"]
+        r["_pid"]: float(r["t"] if r["t"] is not None else 0.0)
         for r in local.groupBy("_pid").agg(F.sum(value_col).alias("t")).collect()
     }
-    offsets, acc = {}, 0
+    offsets, acc = {}, 0.0
     for pid in sorted(totals):
         offsets[pid] = acc
         acc += totals[pid]
     off_df = spark.createDataFrame(
-        [(int(p), int(o)) for p, o in offsets.items()], "_pid int, _off long"
+        [(int(p), float(o)) for p, o in offsets.items()], "_pid int, _off double"
     )
-    return (
+    out = (
         local.join(F.broadcast(off_df), "_pid")
         .withColumn(name, F.col("_lcum") + F.col("_off"))
         .drop("_pid", "_lcum", "_off")
     )
+    # pin the RESULT instead of leaving the slice-cumsum intermediate
+    # cached for the session lifetime (same policy as the siblings);
+    # a lost cached block recomputing under fresh range boundaries
+    # would silently shift _pid vs the collected offsets
+    out = out.cache()
+    out.count()
+    local.unpersist()
+    return out
 
 
 def budget_select(
@@ -88,8 +104,12 @@ def budget_select(
     ``text_col``. ``keep_cum_col`` optionally exposes the running
     total in the output."""
     work = df
-    if token_col is None:
-        token_col = "_n_tokens"
+    derived_tokens = token_col is None
+    if derived_tokens:
+        # suffix avoids clobbering a caller column of the same name
+        token_col = "_n_tokens_derived"
+        while token_col in df.columns:
+            token_col += "_"
         work = work.withColumn(
             token_col,
             F.coalesce(TX.token_count(F.col(text_col)), F.lit(0)).cast("long"),
@@ -100,6 +120,8 @@ def budget_select(
         else [F.col(id_col).asc()]
     )
     cum = "_cum_tokens"
+    while cum in df.columns:
+        cum += "_"
     if by is not None:
         w = (
             Window.partitionBy(by)
@@ -114,6 +136,6 @@ def budget_select(
         out = out.withColumnRenamed(cum, keep_cum_col)
     else:
         out = out.drop(cum)
-    if token_col == "_n_tokens":
-        out = out.drop("_n_tokens")
+    if derived_tokens:
+        out = out.drop(token_col)
     return out

@@ -18,20 +18,34 @@ from pyspark.sql import functions as F
 from auto_ts_spark.functions import text as TX
 
 
-def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Per-document text-quality metrics (one projection, no shuffle)."""
+def text_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    metrics: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """Per-document text-quality metrics (one projection, no shuffle).
+
+    ``metrics`` selects a subset by output name — callers that only
+    consume a few columns (``quality_filter``) skip the regex work of
+    the rest (n_bpe_tokens is a full-text regexp_extract_all; the
+    composite quality score re-derives four ratios)."""
     t = F.col(text_col)
-    return df.select(
-        F.col(id_col),
-        TX.char_count(t).alias("n_chars"),
-        TX.token_count(t).alias("n_tokens"),
-        TX.bpe_ish_token_count(t).alias("n_bpe_tokens"),
-        F.round(TX.mean_word_length(t), 6).alias("mean_word_len"),
-        F.round(TX.stopword_ratio(t), 6).alias("stopword_ratio"),
-        F.round(TX.punct_ratio(t), 6).alias("punct_ratio"),
-        F.round(TX.digit_ratio(t), 6).alias("digit_ratio"),
-        F.round(TX.quality_score(t), 6).alias("quality"),
-    )
+    exprs = {
+        "n_chars": TX.char_count(t),
+        "n_tokens": TX.token_count(t),
+        "n_bpe_tokens": TX.bpe_ish_token_count(t),
+        "mean_word_len": F.round(TX.mean_word_length(t), 6),
+        "stopword_ratio": F.round(TX.stopword_ratio(t), 6),
+        "punct_ratio": F.round(TX.punct_ratio(t), 6),
+        "digit_ratio": F.round(TX.digit_ratio(t), 6),
+        "quality": F.round(TX.quality_score(t), 6),
+    }
+    names = metrics if metrics is not None else tuple(exprs)
+    unknown = set(names) - set(exprs)
+    if unknown:
+        raise ValueError(f"unknown text_profile metrics: {sorted(unknown)}")
+    return df.select(F.col(id_col), *[exprs[n].alias(n) for n in names])
 
 
 # Gopher-rule default thresholds (Rae et al. 2021 §A1.1, the public
@@ -56,10 +70,14 @@ def quality_filter(
     """Composite Gopher-style quality gate: every profile metric must
     fall inside its [min, max] band. Output adds ``keep`` and
     ``fail_reasons`` (sorted array of the rules violated — empty when
-    kept) to the ``text_profile`` columns, so a pipeline can filter on
+    kept) to the rule-referenced profile columns, so a pipeline can filter on
     ``keep`` while auditors see WHY a document was dropped. One
-    projection over the profile, no shuffle."""
-    prof = text_profile(df, text_col=text_col, id_col=id_col)
+    projection over the profile, no shuffle; only the metrics the
+    rules reference (plus n_chars for the NULL gate) are computed."""
+    needed = tuple(
+        dict.fromkeys(["n_chars", *[name for name, _, _ in rules]])
+    )
+    prof = text_profile(df, text_col=text_col, id_col=id_col, metrics=needed)
     reasons = []
     for name, lo, hi in rules:
         c = F.col(name)

@@ -96,6 +96,40 @@ def test_global_path_has_no_unpartitioned_window(spark):
         assert "windowspecdefinition(" not in m.group(1) or "_pid" in m.group(1)
 
 
+def test_global_path_fractional_and_null_token_columns(spark):
+    """A user token column may be fractional (BPE estimates) or NULL
+    in whole range slices — offsets must not truncate and NULL slice
+    totals count zero."""
+    pdf = pd.DataFrame(
+        {
+            "doc_id": pd.array(range(40), dtype="int64"),
+            "est": [0.5] * 20 + [None] * 20,  # NULLs sort to one end
+        }
+    )
+    df = spark.createDataFrame(pdf).repartition(6)
+    kept = budget_select(df, 5, by=None, token_col="est")
+    ids = sorted(r.doc_id for r in kept.select("doc_id").collect())
+    # by id: docs 0..9 cost 0.5 each -> cum 5.0 at doc 9; doc 10 would
+    # be 5.5 (truncated offsets would wrongly keep it)
+    assert ids == list(range(10))
+
+
+def test_caller_column_name_collision(spark):
+    """A pre-existing _n_tokens (or passing it AS the token column)
+    must survive untouched in the output."""
+    df = spark.createDataFrame(
+        [(0, "a", "one two", 7), (1, "a", "three", 1)],
+        "doc_id long, source string, text string, _n_tokens long",
+    )
+    out = budget_select(df, 3, by="source")  # derived counts: 2 then 1
+    assert "_n_tokens" in out.columns
+    assert {r["_n_tokens"] for r in out.collect()} == {7, 1}
+    # explicit token_col pointing at that name is honored, not dropped
+    out2 = budget_select(df, 7, by="source", token_col="_n_tokens")
+    assert sorted(r.doc_id for r in out2.select("doc_id").collect()) == [0]
+    assert "_n_tokens" in out2.columns
+
+
 def test_null_text_counts_zero_and_survives(spark):
     """NULL text = 0 tokens — it costs nothing, so under an id-ranked
     per-key budget it is kept whenever it is reached."""

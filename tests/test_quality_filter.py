@@ -17,7 +17,7 @@ DOCS = [
     (1, "too few tokens in this one"),  # n_tokens < 50
     (2, "ha " * 60),  # mean_word_len 2.0 < 3.0; no stopwords either
     (3, ("supercalifragilistic " * 60).strip()),  # mean word len > 10, no stopwords
-    (4, GOOD.replace(" and ", " !!! ??? ;;; ")),  # punct-heavy variant
+    (4, GOOD + " " + "!?;:,.!?;:,. " * 30),  # punct_ratio >> 0.20
     (5, GOOD + " " + "1234567890 " * 40),  # digit-heavy
     (6, None),
 ]
@@ -40,14 +40,13 @@ def test_rules_and_reasons(spark):
     r3 = list(out.loc[3, "fail_reasons"])
     assert "mean_word_len" in r3 and "stopword_ratio" in r3
     assert r3 == sorted(r3)  # reasons are sorted for determinism
+    assert "punct_ratio" in list(out.loc[4, "fail_reasons"])
     assert "digit_ratio" in list(out.loc[5, "fail_reasons"])
     assert list(out.loc[6, "fail_reasons"]) == ["null_text"]
     assert not bool(out.loc[6, "keep"])
     # every failing doc is dropped by a keep filter
     kept = quality_filter(df).filter(F.col("keep")).select("doc_id").collect()
-    assert sorted(r.doc_id for r in kept) == [0, 4] or sorted(
-        r.doc_id for r in kept
-    ) == [0]
+    assert sorted(r.doc_id for r in kept) == [0]
 
 
 def test_custom_rules_override(spark):
