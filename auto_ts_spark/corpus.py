@@ -1,0 +1,116 @@
+"""End-to-end corpus curation facade — the canonical order a
+training-data preparation pipeline chains the engine's corpus
+operators in, as one call:
+
+    quality gate → PII scrub → exact dedup → near-dup (MinHash-LSH
+    cluster) retention → benchmark decontamination → source mixture →
+    token budget
+
+Each stage is the already-tested operator; this module only fixes the
+composition order (quality first so later, costlier stages see fewer
+documents; dedup before decontamination so the n-gram join runs on
+unique text; mixture before budget so budgets apply to the mixed
+distribution) and threads the id/text column names through. Every
+stage is optional — pass None/False to skip it.
+
+The whole chain stays lazy: ``curate`` returns a DataFrame; nothing
+executes until the caller acts on it. ``stage_counts=True`` adds an
+eager per-stage row count report (one count() action per enabled
+stage — diagnostic runs only, not the 100 TB hot path).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def curate(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    quality: bool = True,
+    redact: bool = True,
+    dedup_exact: bool = True,
+    near_dedup: bool = True,
+    near_dedup_max_bucket: int | None = 1000,
+    benchmark: DataFrame | None = None,
+    decontam_n: int = 4,
+    mixture: dict[str, float] | None = None,
+    mixture_key: str = "source",
+    token_budget: int | None = None,
+    budget_by: str | None = None,
+    budget_priority: str | None = None,
+    stage_counts: bool = False,
+) -> DataFrame | tuple[DataFrame, dict[str, int]]:
+    """Run the curation chain; see module docstring for the order.
+
+    Returns the curated DataFrame (original schema, plus
+    ``mixture_sample``'s ``copy_n`` counter when a mixture is
+    applied), or ``(df, counts)`` with per-stage surviving-row counts
+    when ``stage_counts`` is set."""
+    from auto_ts_spark.operators import dedup as DD
+    from auto_ts_spark.operators.budget import budget_select
+    from auto_ts_spark.operators.decontam import decontaminate
+    from auto_ts_spark.operators.pii import redact_documents
+    from auto_ts_spark.operators.sampling import mixture_sample
+    from auto_ts_spark.operators.textops import quality_filter
+
+    counts: dict[str, int] = {}
+
+    def tick(name: str, frame: DataFrame) -> DataFrame:
+        if stage_counts:
+            counts[name] = frame.count()
+        return frame
+
+    out = tick("input", df)
+    if quality:
+        keep = quality_filter(df, text_col=text_col, id_col=id_col).filter(
+            F.col("keep")
+        )
+        out = tick("quality", out.join(keep.select(id_col), id_col, "left_semi"))
+    if redact:
+        out = tick("redact", redact_documents(out, text_col=text_col))
+    if dedup_exact:
+        out = tick(
+            "dedup_exact", DD.dedup_exact(out, text_col=text_col, id_col=id_col)
+        )
+    if near_dedup:
+        clusters = DD.dedup_clusters(
+            out,
+            text_col=text_col,
+            id_col=id_col,
+            max_bucket_size=near_dedup_max_bucket,
+        )
+        drop = clusters.filter(~F.col("is_keep")).select(id_col)
+        out = tick("near_dedup", out.join(drop, id_col, "left_anti"))
+    if benchmark is not None:
+        out = tick(
+            "decontaminate",
+            decontaminate(
+                out, benchmark, text_col=text_col, id_col=id_col, n=decontam_n
+            ),
+        )
+    if mixture is not None:
+        out = tick(
+            "mixture",
+            mixture_sample(out, mixture, key_col=mixture_key, id_col=id_col),
+        )
+    if token_budget is not None:
+        out = tick(
+            "budget",
+            budget_select(
+                out,
+                token_budget,
+                by=budget_by,
+                priority_col=budget_priority,
+                text_col=text_col,
+                id_col=id_col,
+            ),
+        )
+    if stage_counts:
+        return out, counts
+    return out
