@@ -13,8 +13,11 @@ unique text; mixture before budget so budgets apply to the mixed
 distribution) and threads the id/text column names through. Every
 stage is optional — pass None/False to skip it.
 
-The whole chain stays lazy: ``curate`` returns a DataFrame; nothing
-executes until the caller acts on it. ``stage_counts=True`` adds an
+The chain is lazy with one documented exception: a GLOBAL token
+budget (``token_budget`` with ``budget_by=None``) uses the two-pass
+distributed cumsum, whose offset collection materializes the upstream
+stages inside the ``curate`` call. Per-key budgets (``budget_by``
+set) and every other stage stay lazy. ``stage_counts=True`` adds an
 eager per-stage row count report (one count() action per enabled
 stage — diagnostic runs only, not the 100 TB hot path).
 """
@@ -109,6 +112,10 @@ def curate(
                 priority_col=budget_priority,
                 text_col=text_col,
                 id_col=id_col,
+                # upsampled copies share the doc id; the copy counter
+                # restores a total order so the budget cut among tied
+                # copies is deterministic
+                extra_tiebreak=("copy_n",) if mixture is not None else (),
             ),
         )
     if stage_counts:

@@ -39,14 +39,22 @@ def _ordered_cumsum_global(
 
     Totals are carried as doubles (a fractional token-estimate column
     must not truncate) and NULL slice totals count 0 (a slice whose
-    values are all NULL contributes nothing)."""
+    values are all NULL contributes nothing).
+
+    The slice-cumsum intermediate is ``localCheckpoint``-ed, not
+    cached: range-boundary sampling and ``spark_partition_id`` are not
+    recompute-stable, so a cached block lost after the offsets were
+    collected could recompute under SHIFTED slice ids and silently
+    corrupt the prefix sums. A checkpoint truncates lineage — a lost
+    block is a loud job failure, never a silent wrong answer — and its
+    storage is released by the ContextCleaner once the result frame is
+    unreferenced, so repeated calls do not pin corpora for the session
+    lifetime the way an explicit never-unpersisted cache would."""
     spark = df.sparkSession
     n_part = max(int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 1)
     parted = df.repartitionByRange(n_part, *order).withColumn(
         "_pid", F.spark_partition_id()
     )
-    # cache before the per-slice totals collect: offsets and the final
-    # projection must see the same range-partition assignment
     local = parted.withColumn(
         "_lcum",
         F.sum(value_col).over(
@@ -54,7 +62,7 @@ def _ordered_cumsum_global(
             .orderBy(*order)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
-    ).cache()
+    ).localCheckpoint(eager=True)
     totals = {
         r["_pid"]: float(r["t"] if r["t"] is not None else 0.0)
         for r in local.groupBy("_pid").agg(F.sum(value_col).alias("t")).collect()
@@ -66,19 +74,11 @@ def _ordered_cumsum_global(
     off_df = spark.createDataFrame(
         [(int(p), float(o)) for p, o in offsets.items()], "_pid int, _off double"
     )
-    out = (
+    return (
         local.join(F.broadcast(off_df), "_pid")
         .withColumn(name, F.col("_lcum") + F.col("_off"))
         .drop("_pid", "_lcum", "_off")
     )
-    # pin the RESULT instead of leaving the slice-cumsum intermediate
-    # cached for the session lifetime (same policy as the siblings);
-    # a lost cached block recomputing under fresh range boundaries
-    # would silently shift _pid vs the collected offsets
-    out = out.cache()
-    out.count()
-    local.unpersist()
-    return out
 
 
 def budget_select(
@@ -91,6 +91,7 @@ def budget_select(
     text_col: str = "text",
     id_col: str = "doc_id",
     keep_cum_col: str | None = None,
+    extra_tiebreak: tuple[str, ...] = (),
 ) -> DataFrame:
     """Keep the highest-priority documents whose running token total
     stays within ``token_budget`` (per ``by`` key, or globally when
@@ -99,10 +100,14 @@ def budget_select(
     fit — the greedy prefix rule every budgeted-corpus recipe uses.
 
     ``priority_col`` orders descending (ties broken by ascending
-    ``id_col``); None ranks by id alone. ``token_col`` supplies
-    pre-computed counts; None derives whitespace-token counts from
-    ``text_col``. ``keep_cum_col`` optionally exposes the running
-    total in the output."""
+    ``id_col``, then ``extra_tiebreak`` columns — pass the mixture
+    copy counter here when budgeting an upsampled corpus, where copies
+    share ``id_col`` and would otherwise tie). ``token_col`` supplies
+    pre-computed counts; NULL values count 0 tokens (whether supplied
+    or derived — a NULL must not poison the running sum for everything
+    ranked after it). ``keep_cum_col`` optionally exposes the running
+    total, always as a double so the two execution shapes agree on
+    schema."""
     work = df
     derived_tokens = token_col is None
     if derived_tokens:
@@ -111,14 +116,15 @@ def budget_select(
         while token_col in df.columns:
             token_col += "_"
         work = work.withColumn(
-            token_col,
-            F.coalesce(TX.token_count(F.col(text_col)), F.lit(0)).cast("long"),
+            token_col, TX.token_count(F.col(text_col)).cast("long")
         )
-    order = (
-        [F.col(priority_col).desc(), F.col(id_col).asc()]
-        if priority_col
-        else [F.col(id_col).asc()]
-    )
+    # normalize once: NULL-token rows cost 0 in BOTH execution shapes
+    tok = "_tok_norm"
+    while tok in df.columns:
+        tok += "_"
+    work = work.withColumn(tok, F.coalesce(F.col(token_col), F.lit(0)))
+    order = [F.col(priority_col).desc()] if priority_col else []
+    order += [F.col(id_col).asc()] + [F.col(c).asc() for c in extra_tiebreak]
     cum = "_cum_tokens"
     while cum in df.columns:
         cum += "_"
@@ -128,14 +134,17 @@ def budget_select(
             .orderBy(*order)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        work = work.withColumn(cum, F.sum(token_col).over(w))
+        work = work.withColumn(cum, F.sum(tok).over(w))
     else:
-        work = _ordered_cumsum_global(work, token_col, order, cum)
-    out = work.filter(F.col(cum) <= token_budget)
+        work = _ordered_cumsum_global(work, tok, order, cum)
+    out = work.withColumn(cum, F.col(cum).cast("double")).filter(
+        F.col(cum) <= token_budget
+    )
     if keep_cum_col:
         out = out.withColumnRenamed(cum, keep_cum_col)
     else:
         out = out.drop(cum)
+    out = out.drop(tok)
     if derived_tokens:
         out = out.drop(token_col)
     return out

@@ -114,6 +114,18 @@ def test_global_path_fractional_and_null_token_columns(spark):
     assert ids == list(range(10))
 
 
+def test_user_token_col_null_costs_zero_consistently(spark):
+    """A NULL in a user-supplied token column counts 0 — including
+    when it ranks FIRST (an unnormalized NULL would make the window
+    sum NULL and silently drop the row)."""
+    df = spark.createDataFrame(
+        [(0, "a", None), (1, "a", 3), (2, "a", 5)],
+        "doc_id long, source string, est long",
+    )
+    kept = budget_select(df, 3, by="source", token_col="est")
+    assert sorted(r.doc_id for r in kept.select("doc_id").collect()) == [0, 1]
+
+
 def test_caller_column_name_collision(spark):
     """A pre-existing _n_tokens (or passing it AS the token column)
     must survive untouched in the output."""
