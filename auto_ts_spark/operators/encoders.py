@@ -58,9 +58,15 @@ def distributed_rank(
     parted = vals.repartitionByRange(n_part, F.col(col)).withColumn(
         "_pid", F.spark_partition_id()
     )
+    # localCheckpoint, not cache: range-boundary sampling and
+    # spark_partition_id are not recompute-stable, so a cached block
+    # lost AFTER the counts were collected could recompute under
+    # shifted _pid assignment and silently join stale offsets; a
+    # checkpoint truncates lineage (lost block = loud failure) and is
+    # freed by the ContextCleaner when unreferenced
     local = parted.withColumn(
         "_lrank", F.row_number().over(Window.partitionBy("_pid").orderBy(col))
-    ).cache()
+    ).localCheckpoint(eager=True)
     counts = {
         r["_pid"]: r["c"]
         for r in local.groupBy("_pid").agg(F.count(F.lit(1)).alias("c")).collect()
@@ -75,12 +81,10 @@ def distributed_rank(
     out_df = local.join(F.broadcast(off_df), "_pid").select(
         F.col(col), (F.col("_off") + F.col("_lrank") - 1).cast("int").alias(out)
     )
-    # materialize the (small, #distinct-row) mapping, then release the
-    # full-size ranked intermediate — it must stay cached only until
-    # the mapping exists (recompute would re-sample range boundaries)
+    # materialize the (small, #distinct-row) mapping so downstream
+    # reuse doesn't re-read the checkpointed intermediate
     out_df = out_df.cache()
     out_df.count()
-    local.unpersist()
     return out_df
 
 

@@ -95,15 +95,19 @@ def with_global_row_number(
     parted = df.repartitionByRange(
         n_part, F.col(series_col), F.col(order_col)
     ).withColumn("_pid", F.spark_partition_id())
-    # cache before the counts collect: the offsets and the final join
-    # must see the SAME range-partition assignment (a recompute may
-    # re-sample boundaries under AQE and shift boundary rows)
+    # localCheckpoint (not cache) before the counts collect: the
+    # offsets and the final join must see the SAME range-partition
+    # assignment, and boundary sampling / spark_partition_id are not
+    # recompute-stable — a cached block lost after the collect could
+    # silently recompute under shifted _pid; the checkpoint truncates
+    # lineage (lost block = loud failure, never a wrong answer) and is
+    # freed by the ContextCleaner once unreferenced
     local = parted.withColumn(
         "_lrank",
         F.row_number().over(
             Window.partitionBy("_pid", series_col).orderBy(order_col)
         ),
-    ).cache()
+    ).localCheckpoint(eager=True)
     counts = (
         local.groupBy("_pid", series_col)
         .agg(F.count(F.lit(1)).alias("c"))
@@ -124,12 +128,11 @@ def with_global_row_number(
         .withColumn(name, F.col("_off") + F.col("_lrank"))
         .drop("_pid", "_lrank", "_off")
     )
-    # pin the RESULT (which downstream reuses) instead of leaving the
-    # ranked intermediate cached forever; callers may .unpersist() the
-    # returned frame when done
+    # pin the RESULT (which downstream reuses); the checkpointed
+    # intermediate frees itself when unreferenced. Callers may
+    # .unpersist() the returned frame when done
     out = out.cache()
     out.count()
-    local.unpersist()
     return out
 
 
