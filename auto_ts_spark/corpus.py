@@ -24,8 +24,6 @@ stage — diagnostic runs only, not the 100 TB hot path).
 
 from __future__ import annotations
 
-from collections.abc import Sequence
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -121,3 +119,52 @@ def curate(
     if stage_counts:
         return out, counts
     return out
+
+
+def curate_stream(
+    stream: DataFrame,
+    *,
+    text_col: str = "text",
+    ts_col: str | None = None,
+    quality: bool = True,
+    redact: bool = True,
+    dedup: bool = True,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming ingestion form of the curation chain — the subset of
+    stages that are per-row stateless (quality gate, PII scrub) plus
+    exactly-once content dedup, applied to a ``readStream`` source so
+    a live feed is cleaned as it lands instead of by nightly batch.
+
+    Dedup keys on the md5 content fingerprint: with ``ts_col`` set it
+    uses ``dropDuplicatesWithinWatermark`` (state per fingerprint
+    expires with the watermark — bounded by arrival rate × horizon);
+    without a time column it falls back to global
+    ``dropDuplicates`` state (unbounded — only for bounded backfills).
+    Corpus-wide stages (near-dup clustering, decontamination, mixture,
+    budget) need the whole corpus and stay batch — run them on the
+    landed output. Same operators as ``curate``, so streaming ≡ batch
+    on identical input (tested)."""
+    from auto_ts_spark.functions import text as TX
+    from auto_ts_spark.operators.pii import redact_documents
+    from auto_ts_spark.operators.textops import quality_keep_expr
+
+    out = stream
+    if quality:
+        # the gate as ONE inline boolean expression — no projection,
+        # no join, so it streams (and batches) as a plain filter with
+        # decisions identical to quality_filter's keep column
+        out = out.filter(quality_keep_expr(text_col))
+    if redact:
+        out = redact_documents(out, text_col=text_col)
+    if dedup:
+        out = out.withColumn("_fp", TX.fingerprint(F.col(text_col)))
+        if ts_col is not None and out.isStreaming:
+            out = out.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+                ["_fp"]
+            )
+        else:
+            out = out.dropDuplicates(["_fp"])
+        out = out.drop("_fp")
+    return out
+

@@ -60,6 +60,54 @@ QUALITY_RULES: tuple[tuple[str, float | None, float | None], ...] = (
 )
 
 
+def _fail_reasons_expr(
+    metric: dict[str, "F.Column"],
+    rules: tuple[tuple[str, float | None, float | None], ...],
+):
+    """Sorted array of violated rule names from metric EXPRESSIONS —
+    shared by the DataFrame gate (metrics as profile columns) and the
+    streaming inline filter (metrics re-derived from the text column,
+    no join needed)."""
+    reasons = []
+    for name, lo, hi in rules:
+        c = metric[name]
+        bad = F.lit(False)
+        if lo is not None:
+            bad = bad | (c < lo)
+        if hi is not None:
+            bad = bad | (c > hi)
+        reasons.append(F.when(bad, F.lit(name)))
+    arr = F.array_sort(F.filter(F.array(*reasons), lambda x: x.isNotNull()))
+    # NULL text yields NULL metrics, and NULL comparisons are neither
+    # true nor false — without the explicit gate a NULL document would
+    # sail through every rule
+    return F.when(
+        metric["n_chars"].isNull(), F.array(F.lit("null_text"))
+    ).otherwise(arr)
+
+
+def quality_keep_expr(
+    text_col: str = "text",
+    rules: tuple[tuple[str, float | None, float | None], ...] = QUALITY_RULES,
+):
+    """The quality gate as ONE boolean expression over the raw text
+    column — usable in a plain ``filter`` with no profile projection
+    or join, which is what a streaming pipeline needs (stream-to-
+    stream joins require watermarks a pure per-row gate shouldn't)."""
+    t = F.col(text_col)
+    metric = {
+        "n_chars": TX.char_count(t),
+        "n_tokens": TX.token_count(t),
+        "mean_word_len": F.round(TX.mean_word_length(t), 6),
+        "stopword_ratio": F.round(TX.stopword_ratio(t), 6),
+        "punct_ratio": F.round(TX.punct_ratio(t), 6),
+        "digit_ratio": F.round(TX.digit_ratio(t), 6),
+        "n_bpe_tokens": TX.bpe_ish_token_count(t),
+        "quality": F.round(TX.quality_score(t), 6),
+    }
+    return F.size(_fail_reasons_expr(metric, rules)) == 0
+
+
 def quality_filter(
     df: DataFrame,
     *,
@@ -78,24 +126,7 @@ def quality_filter(
         dict.fromkeys(["n_chars", *[name for name, _, _ in rules]])
     )
     prof = text_profile(df, text_col=text_col, id_col=id_col, metrics=needed)
-    reasons = []
-    for name, lo, hi in rules:
-        c = F.col(name)
-        bad = F.lit(False)
-        if lo is not None:
-            bad = bad | (c < lo)
-        if hi is not None:
-            bad = bad | (c > hi)
-        reasons.append(F.when(bad, F.lit(name)))
-    arr = F.array_sort(
-        F.filter(F.array(*reasons), lambda x: x.isNotNull())
-    )
-    # NULL text yields NULL metrics, and NULL comparisons are neither
-    # true nor false — without the explicit gate a NULL document would
-    # sail through every rule
-    arr = F.when(F.col("n_chars").isNull(), F.array(F.lit("null_text"))).otherwise(
-        arr
-    )
+    arr = _fail_reasons_expr({n: F.col(n) for n in needed}, rules)
     return prof.withColumn("fail_reasons", arr).withColumn(
         "keep", F.size("fail_reasons") == 0
     )

@@ -43,6 +43,55 @@ def test_curate_full_chain_on_testdata(spark, sf_dir):
     assert again.exceptAll(out).count() == 0
 
 
+def test_curate_stream_equals_batch(spark, tmp_path):
+    """The streaming ingestion chain (inline quality gate → PII scrub
+    → watermarked fingerprint dedup) must produce the same surviving
+    document set as the batch form on identical input."""
+    import pandas as pd
+
+    from auto_ts_spark.corpus import curate_stream
+    from auto_ts_spark.streaming.ops import run_to_completion
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and runs for the hills "
+        "while it keeps a steady pace in the warm morning light of a clear day "
+    ) * 2
+    rows = []
+    base = pd.Timestamp("2024-01-01")
+    for i in range(6):
+        text = {
+            0: good + " contact a@b.io today",
+            1: good + " contact a@b.io today",  # exact dup of 0
+            2: good,
+            3: "too short",  # fails the gate
+            4: good + " call 555-123-4567 now",
+            5: None,  # fails the gate (null_text)
+        }[i]
+        rows.append((i, base + pd.Timedelta(minutes=i), text))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "ts", "text"]).astype(
+        {"doc_id": "int64"}
+    )
+    src = tmp_path / "stream_src"
+    spark.createDataFrame(pdf).write.parquet(str(src))
+
+    stream = spark.readStream.schema("doc_id long, ts timestamp, text string").parquet(
+        str(src)
+    )
+    out = curate_stream(stream, ts_col="ts")
+    run_to_completion(
+        out, sink_table="t_curate_stream", checkpoint_dir=str(tmp_path / "ck")
+    )
+    got = spark.table("t_curate_stream").toPandas()
+    want = curate_stream(spark.read.parquet(str(src))).toPandas()
+    # dedup keeps ONE row per distinct redacted text; compare the
+    # surviving text multisets (kept ids may differ between modes)
+    assert sorted(got["text"]) == sorted(want["text"])
+    assert len(got) == 3  # one of {0,1}, plus 2, plus 4
+    assert any("<EMAIL>" in t for t in got["text"])
+    assert any("<PHONE>" in t for t in got["text"])
+    assert not any("555-123" in t or "a@b.io" in t for t in got["text"])
+
+
 def test_curate_stages_optional(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").limit(50)
     out = curate(
