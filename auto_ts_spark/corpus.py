@@ -50,29 +50,35 @@ def curate(
     """Run the curation chain; see module docstring for the order.
 
     Returns the curated DataFrame (original schema, plus
-    ``mixture_sample``'s ``copy_n`` counter when a mixture is
-    applied), or ``(df, counts)`` with per-stage surviving-row counts
-    when ``stage_counts`` is set."""
+    ``mixture_sample``'s ``copy_n`` counter — suffixed with ``_`` if
+    that name is taken — when a mixture is applied), or
+    ``(df, counts)`` with per-stage surviving-row counts when
+    ``stage_counts`` is set."""
     from auto_ts_spark.operators import dedup as DD
     from auto_ts_spark.operators.budget import budget_select
     from auto_ts_spark.operators.decontam import decontaminate
     from auto_ts_spark.operators.pii import redact_documents
     from auto_ts_spark.operators.sampling import mixture_sample
-    from auto_ts_spark.operators.textops import quality_filter
+    from auto_ts_spark.operators.textops import quality_keep_expr
 
     counts: dict[str, int] = {}
 
     def tick(name: str, frame: DataFrame) -> DataFrame:
         if stage_counts:
+            # checkpoint each counted stage so later ticks don't
+            # recompute the whole upstream chain per count — the
+            # near-dup stage dominates wall-clock and would otherwise
+            # be re-executed for every later stage's count
+            frame = frame.localCheckpoint(eager=True)
             counts[name] = frame.count()
         return frame
 
     out = tick("input", df)
     if quality:
-        keep = quality_filter(df, text_col=text_col, id_col=id_col).filter(
-            F.col("keep")
-        )
-        out = tick("quality", out.join(keep.select(id_col), id_col, "left_semi"))
+        # the gate is one boolean expression over the text column —
+        # a shuffle-free filter, decision-identical to quality_filter
+        # (both build on the same shared metric/rule expressions)
+        out = tick("quality", out.filter(quality_keep_expr(text_col)))
     if redact:
         out = tick("redact", redact_documents(out, text_col=text_col))
     if dedup_exact:
@@ -95,10 +101,16 @@ def curate(
                 out, benchmark, text_col=text_col, id_col=id_col, n=decontam_n
             ),
         )
+    copy_col = "copy_n"
     if mixture is not None:
+        while copy_col in out.columns:  # don't clobber a caller column
+            copy_col += "_"
         out = tick(
             "mixture",
-            mixture_sample(out, mixture, key_col=mixture_key, id_col=id_col),
+            mixture_sample(
+                out, mixture, key_col=mixture_key, id_col=id_col,
+                copy_col=copy_col,
+            ),
         )
     if token_budget is not None:
         out = tick(
@@ -113,7 +125,7 @@ def curate(
                 # upsampled copies share the doc id; the copy counter
                 # restores a total order so the budget cut among tied
                 # copies is deterministic
-                extra_tiebreak=("copy_n",) if mixture is not None else (),
+                extra_tiebreak=(copy_col,) if mixture is not None else (),
             ),
         )
     if stage_counts:
@@ -158,13 +170,16 @@ def curate_stream(
     if redact:
         out = redact_documents(out, text_col=text_col)
     if dedup:
-        out = out.withColumn("_fp", TX.fingerprint(F.col(text_col)))
+        fp = "_fp"
+        while fp in out.columns:  # don't clobber a caller column
+            fp += "_"
+        out = out.withColumn(fp, TX.fingerprint(F.col(text_col)))
         if ts_col is not None and out.isStreaming:
             out = out.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
-                ["_fp"]
+                [fp]
             )
         else:
-            out = out.dropDuplicates(["_fp"])
-        out = out.drop("_fp")
+            out = out.dropDuplicates([fp])
+        out = out.drop(fp)
     return out
 

@@ -137,11 +137,14 @@ def budget_select(
         work = work.withColumn(cum, F.sum(tok).over(w))
     else:
         work = _ordered_cumsum_global(work, tok, order, cum)
-    out = work.withColumn(cum, F.col(cum).cast("double")).filter(
-        F.col(cum) <= token_budget
-    )
+    # filter on the UNCAST cum (exact long comparison on the per-key
+    # path); the double cast applies only to the exposed column so the
+    # two execution shapes agree on output schema
+    out = work.filter(F.col(cum) <= token_budget)
     if keep_cum_col:
-        out = out.withColumnRenamed(cum, keep_cum_col)
+        out = out.withColumn(cum, F.col(cum).cast("double")).withColumnRenamed(
+            cum, keep_cum_col
+        )
     else:
         out = out.drop(cum)
     out = out.drop(tok)

@@ -82,7 +82,10 @@ def distributed_rank(
         F.col(col), (F.col("_off") + F.col("_lrank") - 1).cast("int").alias(out)
     )
     # materialize the (small, #distinct-row) mapping so downstream
-    # reuse doesn't re-read the checkpointed intermediate
+    # reuse doesn't re-read the checkpointed intermediate. NOTE: the
+    # full-size checkpoint stays pinned while this cached mapping's
+    # plan references it — recompute-safety over storage; encoders are
+    # typically fit once and the mapping released with the model
     out_df = out_df.cache()
     out_df.count()
     return out_df

@@ -128,9 +128,12 @@ def with_global_row_number(
         .withColumn(name, F.col("_off") + F.col("_lrank"))
         .drop("_pid", "_lrank", "_off")
     )
-    # pin the RESULT (which downstream reuses); the checkpointed
-    # intermediate frees itself when unreferenced. Callers may
-    # .unpersist() the returned frame when done
+    # pin the RESULT (which downstream reuses). NOTE: the checkpointed
+    # intermediate stays pinned while the cached result's plan
+    # references it — storage cost for recompute-safety (a silently
+    # corrupted rank is worse than held blocks). Callers should
+    # .unpersist() the returned frame when done; the ContextCleaner
+    # then frees the checkpoint too
     out = out.cache()
     out.count()
     return out

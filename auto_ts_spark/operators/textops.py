@@ -18,6 +18,24 @@ from pyspark.sql import functions as F
 from auto_ts_spark.functions import text as TX
 
 
+def profile_metric_exprs(text_col: str = "text") -> dict[str, "F.Column"]:
+    """THE metric expression table — single source for the profile
+    projection (``text_profile``), the DataFrame quality gate
+    (``quality_filter``), and the streaming inline gate
+    (``quality_keep_expr``), so their decisions cannot drift."""
+    t = F.col(text_col)
+    return {
+        "n_chars": TX.char_count(t),
+        "n_tokens": TX.token_count(t),
+        "n_bpe_tokens": TX.bpe_ish_token_count(t),
+        "mean_word_len": F.round(TX.mean_word_length(t), 6),
+        "stopword_ratio": F.round(TX.stopword_ratio(t), 6),
+        "punct_ratio": F.round(TX.punct_ratio(t), 6),
+        "digit_ratio": F.round(TX.digit_ratio(t), 6),
+        "quality": F.round(TX.quality_score(t), 6),
+    }
+
+
 def text_profile(
     df: DataFrame,
     text_col: str = "text",
@@ -30,17 +48,7 @@ def text_profile(
     consume a few columns (``quality_filter``) skip the regex work of
     the rest (n_bpe_tokens is a full-text regexp_extract_all; the
     composite quality score re-derives four ratios)."""
-    t = F.col(text_col)
-    exprs = {
-        "n_chars": TX.char_count(t),
-        "n_tokens": TX.token_count(t),
-        "n_bpe_tokens": TX.bpe_ish_token_count(t),
-        "mean_word_len": F.round(TX.mean_word_length(t), 6),
-        "stopword_ratio": F.round(TX.stopword_ratio(t), 6),
-        "punct_ratio": F.round(TX.punct_ratio(t), 6),
-        "digit_ratio": F.round(TX.digit_ratio(t), 6),
-        "quality": F.round(TX.quality_score(t), 6),
-    }
+    exprs = profile_metric_exprs(text_col)
     names = metrics if metrics is not None else tuple(exprs)
     unknown = set(names) - set(exprs)
     if unknown:
@@ -94,18 +102,7 @@ def quality_keep_expr(
     column — usable in a plain ``filter`` with no profile projection
     or join, which is what a streaming pipeline needs (stream-to-
     stream joins require watermarks a pure per-row gate shouldn't)."""
-    t = F.col(text_col)
-    metric = {
-        "n_chars": TX.char_count(t),
-        "n_tokens": TX.token_count(t),
-        "mean_word_len": F.round(TX.mean_word_length(t), 6),
-        "stopword_ratio": F.round(TX.stopword_ratio(t), 6),
-        "punct_ratio": F.round(TX.punct_ratio(t), 6),
-        "digit_ratio": F.round(TX.digit_ratio(t), 6),
-        "n_bpe_tokens": TX.bpe_ish_token_count(t),
-        "quality": F.round(TX.quality_score(t), 6),
-    }
-    return F.size(_fail_reasons_expr(metric, rules)) == 0
+    return F.size(_fail_reasons_expr(profile_metric_exprs(text_col), rules)) == 0
 
 
 def quality_filter(

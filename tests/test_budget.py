@@ -142,6 +142,29 @@ def test_caller_column_name_collision(spark):
     assert "_n_tokens" in out2.columns
 
 
+def test_extra_tiebreak_makes_upsampled_copies_deterministic(spark):
+    """Upsampled copies share doc_id and priority — without the copy
+    counter in the order the budget cut among tied copies would be
+    arbitrary. With extra_tiebreak the LOWEST copy numbers survive,
+    on both execution paths."""
+    from auto_ts_spark.operators.sampling import mixture_sample
+
+    df = spark.createDataFrame(
+        [(0, "s", "w w w"), (1, "s", "w w w")],  # 3 tokens each
+        "doc_id long, source string, text string",
+    )
+    mixed = mixture_sample(df, {"s": 3.0})  # 3 copies of each doc -> 18 tokens
+    for by in ("source", None):
+        kept = budget_select(
+            mixed, 9, by=by, extra_tiebreak=("copy_n",)
+        )  # budget fits exactly 3 of the 6 copies
+        got = sorted(
+            (r.doc_id, r.copy_n) for r in kept.select("doc_id", "copy_n").collect()
+        )
+        # id asc then copy asc: doc0 copies 1..3 fill the budget
+        assert got == [(0, 1), (0, 2), (0, 3)], (by, got)
+
+
 def test_null_text_counts_zero_and_survives(spark):
     """NULL text = 0 tokens — it costs nothing, so under an id-ranked
     per-key budget it is kept whenever it is reached."""
