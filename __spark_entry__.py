@@ -3297,6 +3297,47 @@ _ORACLE: dict[str, str] = {
 }
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # Registration order is deliberate: the driver correctness check
+    # samples a 50-query prefix of this dict, so queries that have not
+    # yet had a driver-side CORRECTNESS row are front-loaded, followed
+    # by queries last driver-verified in r1-r3, then the r4-green set.
+    # --- never driver-checked (front-loaded for r5) ---
+    "predict_feature_splice": q_predict_feature_splice,
+    "df_test_stationarity": q_df_test_stationarity,
+    "snaive_forecast_intervals": q_snaive_forecast_intervals,
+    "lsh_ann_recall": q_lsh_ann_recall,
+    "ivf_ann_recall": q_ivf_ann_recall,
+    "multimodal_features": q_multimodal_features,
+    "automl_leaderboard_contract": q_automl_leaderboard_contract,
+    "feature_importance_contract": q_feature_importance_contract,
+    "seasonal_period_map": q_seasonal_period_map,
+    "adf_stationarity": q_adf_stationarity,  # rows-only
+    "automl_leaderboard": q_automl_leaderboard,  # rows-only
+    "automl_forecast": q_automl_forecast,  # rows-only
+    "ar1_forecast": q_ar1_forecast,
+    "var1_forecast": q_var1_forecast,
+    "streaming_sessionize": q_streaming_sessionize,
+    "dedup_columns": q_dedup_columns,
+    "streaming_sliding_rollup": q_streaming_sliding_rollup,
+    "streaming_dedup": q_streaming_dedup,
+    "lsh_ann_topk": q_lsh_ann_topk,  # rows-only
+    "ivf_ann_topk": q_ivf_ann_topk,  # rows-only
+    "feature_importance": q_feature_importance,  # rows-only
+    # --- last driver-green in r1-r3 ---
+    "label_encode": q_label_encode,
+    "forecast_viz_join": q_forecast_viz_join,
+    "revenue_rollup": q_revenue_rollup,
+    "residual_diagnostics": q_residual_diagnostics,
+    "seasonal_decompose": q_seasonal_decompose,
+    "quantile_profile": q_quantile_profile,
+    "asof_join": q_asof_join,
+    "resample_ffill": q_resample_ffill,
+    "customer_set_ops": q_customer_set_ops,
+    "datetime_parse": q_datetime_parse,
+    "bucketed_join_revenue": q_bucketed_join_revenue,
+    "range_join_window": q_range_join_window,
+    "pacf": q_pacf,
+    # --- driver-green in r4 ---
     "tpch_pricing_summary": q_tpch_pricing_summary,
     "shipping_priority": q_shipping_priority,
     "lag_matrix": q_lag_matrix,
@@ -3347,41 +3388,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "acf": q_acf,
     "zero_variance": q_zero_variance,
     "problem_type": q_problem_type,
-    "label_encode": q_label_encode,
-    "forecast_viz_join": q_forecast_viz_join,
-    "revenue_rollup": q_revenue_rollup,
-    "residual_diagnostics": q_residual_diagnostics,
-    "seasonal_decompose": q_seasonal_decompose,
-    "quantile_profile": q_quantile_profile,
-    "asof_join": q_asof_join,
-    "resample_ffill": q_resample_ffill,
-    "customer_set_ops": q_customer_set_ops,
-    "datetime_parse": q_datetime_parse,
-    "bucketed_join_revenue": q_bucketed_join_revenue,
-    "range_join_window": q_range_join_window,
-    "pacf": q_pacf,
-    "predict_feature_splice": q_predict_feature_splice,
-    "df_test_stationarity": q_df_test_stationarity,
-    "snaive_forecast_intervals": q_snaive_forecast_intervals,
-    "lsh_ann_recall": q_lsh_ann_recall,
-    "ivf_ann_recall": q_ivf_ann_recall,
-    "multimodal_features": q_multimodal_features,
-    "automl_leaderboard_contract": q_automl_leaderboard_contract,
-    "feature_importance_contract": q_feature_importance_contract,
-    "seasonal_period_map": q_seasonal_period_map,
-    # non-SQL-expressible (rows-only checks)
-    "adf_stationarity": q_adf_stationarity,
-    "automl_leaderboard": q_automl_leaderboard,
-    "automl_forecast": q_automl_forecast,
-    "ar1_forecast": q_ar1_forecast,
-    "var1_forecast": q_var1_forecast,
-    "streaming_sessionize": q_streaming_sessionize,
-    "dedup_columns": q_dedup_columns,
-    "streaming_sliding_rollup": q_streaming_sliding_rollup,
-    "streaming_dedup": q_streaming_dedup,
-    "lsh_ann_topk": q_lsh_ann_topk,
-    "ivf_ann_topk": q_ivf_ann_topk,
-    "feature_importance": q_feature_importance,
 }
 
 
