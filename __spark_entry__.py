@@ -2520,13 +2520,14 @@ FROM rec, lastv ORDER BY ts
 
 
 def q_var1_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M4 value check: the VAR worker (models/var_model.py, reference
+    """M4 value check: the VARMA worker (models/var_model.py, reference
     build_var.py:53-160) pinned to one candidate — VAR(1) on
-    (daily sum, daily count) — so the fold=-1 forecast is one
-    per-equation OLS fit plus the 2-state recursion. Oracle: the two
-    3-coefficient equations in closed form (demeaned 2x2 normal
-    equations over the lag-aligned sample) and a 2-state recursive
-    CTE."""
+    (daily sum, daily count), max_q=0 so the MA axis is off — so the
+    fold=-1 forecast is one per-equation OLS fit plus the 2-state
+    recursion. Oracle: the two 3-coefficient equations in closed form
+    (demeaned 2x2 normal equations over the lag-aligned sample) and a
+    2-state recursive CTE. The q > 0 Hannan-Rissanen axis is
+    value-tested in tests/test_models.py (no closed SQL form)."""
     from functools import partial
 
     from auto_ts_spark.models import var_model as VARM
@@ -2541,7 +2542,7 @@ def q_var1_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("series_id", PART.opaque_lit("0"))
     )
-    worker = partial(VARM.forecast_var, exog_cols=["x"], max_p=1)
+    worker = partial(VARM.forecast_var, exog_cols=["x"], max_p=1, max_q=0)
     preds = run_model(series, worker, n_splits=1, horizon=5)
     return (
         preds.filter(F.col("fold") == -1)

@@ -1,11 +1,17 @@
-"""VAR forecaster — the engine's VARMAX-family analogue.
+"""VARMA forecaster — the engine's VARMAX-family analogue.
 
 The reference searches pairwise (target, candidate-exog) VARMAX models
-by AIC (auto_ts/models/ar_based/build_var.py:53-160). This
-re-expression fits the full VAR(p) system by per-equation OLS (the
-classical estimator), selects lag order p by AIC, and forecasts by
-recursion. Pairwise column search is preserved: each candidate pair is
-one tiny OLS, all evaluated in the same worker.
+over a (p, q) grid by information criterion
+(auto_ts/models/ar_based/build_var.py:53-160, the q axis at
+build_var.py:225-247 via ``itertools.product(range(p_max+1),
+range(q_max+1))`` skipping (0, 0)). This re-expression fits the system
+per-equation by OLS: the AR part is the classical VAR(p) estimator,
+and MA (q) terms enter through the Hannan-Rissanen two-stage device —
+a long-AR fit supplies residual proxies, then each equation regresses
+on [Y lags 1..p, residual lags 1..q] jointly (one ``lstsq`` with a
+matrix target, the same stage ``models/ar.py`` uses univariately).
+Pairwise column search is preserved: each candidate pair is a handful
+of tiny OLS fits, all evaluated in the same worker.
 """
 
 from __future__ import annotations
@@ -16,43 +22,87 @@ import pandas as pd
 from auto_ts_spark.models.base import future_timestamps
 
 
-def _fit_var(Y: np.ndarray, p: int):
-    """OLS VAR(p): returns (intercept c, coefficient mats A[1..p], aic)."""
+def _fit_varma(Y: np.ndarray, p: int, q: int):
+    """Per-equation OLS VARMA(p, q); returns (B, aic, resid) or None.
+
+    ``q == 0`` reduces exactly to the classical OLS VAR(p) estimator.
+    With ``q > 0`` a long VAR(max(p, 2) + q) is fit first and its
+    residuals stand in for the unobserved shocks (Hannan-Rissanen);
+    ``resid`` is the full-length stage-2 residual matrix (zeros before
+    the estimable range) consumed by the forecast recursion."""
     n, k = Y.shape
-    if n <= k * p + k + 2:
+    start = max(p, q, 1)
+    if n - start <= k * (p + q) + k + 2:
         return None
-    rows = np.arange(p, n)
-    X = np.column_stack(
-        [np.ones(len(rows))] + [Y[rows - i] for i in range(1, p + 1)]
-    )  # (n-p, 1 + k*p)
+    E = None
+    if q > 0:
+        p_long = max(p, 2) + q
+        rows_l = np.arange(p_long, n)
+        if len(rows_l) <= 1 + k * p_long + 2:
+            return None
+        Xl = np.column_stack(
+            [np.ones(len(rows_l))] + [Y[rows_l - i] for i in range(1, p_long + 1)]
+        )
+        Bl, *_ = np.linalg.lstsq(Xl, Y[rows_l], rcond=None)
+        E = np.zeros_like(Y)
+        E[rows_l] = Y[rows_l] - Xl @ Bl
+        start = max(start, p_long)
+        if n - start <= k * (p + q) + k + 2:
+            return None
+    rows = np.arange(start, n)
+    cols = [np.ones(len(rows))]
+    cols += [Y[rows - i] for i in range(1, p + 1)]
+    if q > 0:
+        cols += [E[rows - i] for i in range(1, q + 1)]
+    X = np.column_stack(cols)  # (n-start, 1 + k*(p+q))
     T = Y[rows]
-    B, *_ = np.linalg.lstsq(X, T, rcond=None)  # (1+k*p, k)
-    E = T - X @ B
-    sigma = (E.T @ E) / len(rows)
+    B, *_ = np.linalg.lstsq(X, T, rcond=None)  # (1 + k*(p+q), k)
+    R = T - X @ B
+    sigma = (R.T @ R) / len(rows)
     sign, logdet = np.linalg.slogdet(sigma + 1e-12 * np.eye(k))
     n_params = B.size
     score = float(len(rows) * logdet + 2 * n_params)
-    return B, score
+    resid = None
+    if q > 0:
+        # stage-2 residuals are the shock estimates the recursion
+        # conditions on for the first q forecast steps
+        resid = np.zeros_like(Y)
+        resid[rows] = R
+    return B, score, resid
 
 
-def _forecast_var(
-    Y: np.ndarray, B: np.ndarray, p: int, h: int, exog_future: np.ndarray | None = None
+def _forecast_varma(
+    Y: np.ndarray,
+    B: np.ndarray,
+    p: int,
+    q: int,
+    resid: np.ndarray | None,
+    h: int,
+    exog_future: np.ndarray | None = None,
 ) -> np.ndarray:
-    """Recursion; ``exog_future`` (h × (k-1), NaN = unknown) conditions
-    the companion equations on known future values — the VARX-style
-    overlay used by predict-on-unseen."""
+    """Recursion; future shocks are taken at their expectation (zero),
+    so MA terms only shape the first q steps. ``exog_future``
+    (h × (k-1), NaN = unknown) conditions the companion equations on
+    known future values — the VARX-style overlay used by
+    predict-on-unseen."""
     hist = Y.tolist()
+    ehist = resid.tolist() if resid is not None else None
+    k = Y.shape[1]
     preds = []
     for step in range(h):
         x = [1.0]
         for i in range(1, p + 1):
             x.extend(hist[-i])
+        for i in range(1, q + 1):
+            x.extend(ehist[-i])
         yhat = np.asarray(x) @ B
         if exog_future is not None and step < len(exog_future):
             known = ~np.isnan(exog_future[step])
             yhat[1:][known] = exog_future[step][known]
         preds.append(yhat)
         hist.append(yhat.tolist())
+        if ehist is not None:
+            ehist.append([0.0] * k)
     return np.array(preds)
 
 
@@ -63,12 +113,15 @@ def forecast_var(
     *,
     exog_cols: list[str] | None = None,
     max_p: int = 3,
+    max_q: int = 3,
     max_rows: int = 1000,
     future_pdf: pd.DataFrame | None = None,
 ) -> pd.DataFrame:
-    """Per-series worker. Searches (candidate column × p) by AIC like
-    the reference's pairwise scan; keeps the reference's >1000-row skip
-    (falls back to persistence) as an engine policy knob."""
+    """Per-series worker. Searches (candidate column × p × q) by AIC
+    like the reference's pairwise VARMAX scan (build_var.py:225-247,
+    defaults p_max=3, q_max=3, (0, 0) skipped); keeps the reference's
+    >1000-row skip (falls back to persistence) as an engine policy
+    knob. ``max_q=0`` pins the search to pure OLS VAR(p)."""
     pdf = pdf.sort_values("ts").reset_index(drop=True)
     y = pdf["y"].to_numpy(dtype=float)
     n = len(pdf)
@@ -94,20 +147,23 @@ def forecast_var(
             else:
                 Ys = [np.column_stack([ytr, pdf[cand].to_numpy(dtype=float)[:train_n]])]
             for Y in Ys:
-                for p in range(1, max_p + 1):
-                    res = _fit_var(Y, p)
-                    if res is None:
-                        continue
-                    B, score = res
-                    if best is None or score < best[0]:
-                        best = (score, B, p, Y, cand)
+                for p in range(0, max_p + 1):
+                    for q in range(0, max_q + 1):
+                        if p == 0 and q == 0:
+                            continue  # reference skips the empty design
+                        res = _fit_varma(Y, p, q)
+                        if res is None:
+                            continue
+                        B, score, resid = res
+                        if best is None or score < best[0]:
+                            best = (score, B, p, q, resid, Y, cand)
         if best is None:
             return np.full(h, ytr.mean() if train_n else 0.0)
-        _, B, p, Y, cand = best
+        _, B, p, q, resid, Y, cand = best
         ex_fut = None
         if future_exog and cand is not None and cand in future_exog:
             ex_fut = future_exog[cand][:, None]
-        return _forecast_var(Y, B, p, h, ex_fut)[:, 0]
+        return _forecast_varma(Y, B, p, q, resid, h, ex_fut)[:, 0]
 
     out = []
     for fold, (train_end, test_end) in enumerate(folds):

@@ -250,6 +250,53 @@ def test_var_bivariate_coupling():
     assert rmse < persist_rmse
 
 
+def test_varma_q0_is_closed_form_ols_var():
+    # the MA axis off must reduce exactly to the classical OLS VAR(p)
+    # estimator (the pinned var1_forecast oracle depends on this)
+    from auto_ts_spark.models.var_model import _fit_varma
+
+    rng = np.random.RandomState(3)
+    n = 200
+    Y = np.cumsum(rng.randn(n, 2) * 0.1, axis=0) + rng.randn(n, 2)
+    B, _, resid = _fit_varma(Y, 1, 0)
+    rows = np.arange(1, n)
+    X = np.column_stack([np.ones(n - 1), Y[rows - 1]])
+    B_ols, *_ = np.linalg.lstsq(X, Y[rows], rcond=None)
+    assert resid is None
+    assert float(np.abs(B - B_ols).max()) < 1e-10
+
+
+def test_varma_ma_terms_beat_pure_var_on_vma_process():
+    # MA-heavy bivariate series (pure VMA(1), strong theta): the
+    # Hannan-Rissanen q axis (reference build_var.py:225-247 VARMAX
+    # grid) should beat the best pure VAR(p) at one-step-ahead, where
+    # MA structure matters most
+    rng = np.random.RandomState(7)
+    n = 600
+    e1 = rng.randn(n)
+    e2 = rng.randn(n)
+    y = np.zeros(n)
+    x = np.zeros(n)
+    for t in range(1, n):
+        y[t] = e1[t] + 0.9 * e1[t - 1] + 0.5 * e2[t - 1]
+        x[t] = e2[t] + 0.9 * e2[t - 1]
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.date_range("2015-01-01", periods=n, freq="D"),
+            "y": y,
+            "x": x,
+        }
+    )
+    folds = expanding_fold_bounds(n, 30, 1)
+    rmse_varma = _cv_rmse(
+        forecast_var(pdf, folds, 1, exog_cols=["x"], max_q=2), pdf, folds
+    )
+    rmse_var = _cv_rmse(
+        forecast_var(pdf, folds, 1, exog_cols=["x"], max_q=0), pdf, folds
+    )
+    assert rmse_varma < rmse_var * 0.97
+
+
 def test_adf_stationary_vs_random_walk():
     rng = np.random.RandomState(5)
     white = rng.randn(300)
