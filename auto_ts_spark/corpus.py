@@ -57,9 +57,15 @@ def curate(
     from auto_ts_spark.operators import dedup as DD
     from auto_ts_spark.operators.budget import budget_select
     from auto_ts_spark.operators.decontam import decontaminate
+    from auto_ts_spark.operators.partitioning import ensure_parallelism
     from auto_ts_spark.operators.pii import redact_documents
     from auto_ts_spark.operators.sampling import mixture_sample
     from auto_ts_spark.operators.textops import quality_keep_expr
+
+    # every stage is CPU-bound text work; spread an under-partitioned
+    # input (e.g. one small file) across cores once, up front — a
+    # no-op when the scan already has enough partitions
+    df = ensure_parallelism(df)
 
     counts: dict[str, int] = {}
 

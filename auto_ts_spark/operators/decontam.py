@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from auto_ts_spark.functions import text as TX
+from auto_ts_spark.operators.partitioning import ensure_parallelism
 
 
 def _doc_ngrams(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
@@ -61,7 +62,10 @@ def contamination_hits(
     bench_grams = (
         _doc_ngrams(benchmark, text_col, id_col, n).select("gram").distinct()
     )
-    corp = _doc_ngrams(corpus, text_col, id_col, n)
+    # the shingle explode is the CPU-bound stage: spread an
+    # under-partitioned corpus (one small file locally) across cores —
+    # a no-op at scale where the scan already has enough partitions
+    corp = _doc_ngrams(ensure_parallelism(corpus), text_col, id_col, n)
     return (
         corp.join(F.broadcast(bench_grams), "gram")
         .groupBy("id")

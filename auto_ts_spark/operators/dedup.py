@@ -239,23 +239,36 @@ def connected_components(
     groupBy-min) — fully distributed, no driver-side graph. Rounds =
     graph diameter; near-dup components from LSH candidate generation
     are quasi-cliques (every member shares a band bucket with most
-    others), so convergence is 2-4 rounds in practice, with a hard cap
+    others), so convergence is 1-3 rounds in practice, with a hard cap
     for pathological chains (the large-star/small-star variant would
     bound rounds at O(log² n) if such graphs ever dominate).
     ``localCheckpoint`` truncates lineage each round so the plan stays
     flat; the loop exits on the first round with zero label changes.
+
+    Two round-count savers keep the per-round job overhead (the
+    dominant cost when components are small cliques) low: the FIRST
+    propagation needs no join — labels start as ids, so the
+    min-over-neighbors is a plain edge aggregation folded into the
+    initialization — and change detection reads the previous label
+    carried inside the checkpointed round output instead of re-joining
+    the two label generations.
     """
     half = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # cache (not checkpoint): edges are a pure map of the input, so a
+    # lost block recomputes deterministically, and the explicit
+    # unpersist below releases the memory as soon as the loop ends
     edges = half.unionByName(
         half.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).cache()
+    # round 1 folded into init: label = min(id, neighbors) — the
+    # edge list carries both directions so every node appears as "a"
     labels = (
-        edges.select(F.col("a").alias("id"))
-        .distinct()
-        .withColumn("label", F.col("id"))
+        edges.groupBy(F.col("a").alias("id"))
+        .agg(F.min("b").alias("nbr"))
+        .select("id", F.least("id", "nbr").alias("label"))
         .localCheckpoint()
     )
-    for _ in range(max_iter):
+    for _ in range(max_iter - 1):
         nbr_min = (
             edges.join(
                 labels.select(F.col("id").alias("a"), F.col("label").alias("al")),
@@ -268,20 +281,18 @@ def connected_components(
             labels.join(nbr_min, "id", "left")
             .select(
                 "id",
+                F.col("label").alias("prev"),
                 F.least(F.col("label"), F.coalesce("nbr", F.col("label"))).alias(
                     "label"
                 ),
             )
             .localCheckpoint()
         )
+        # change probe scans the just-checkpointed frame — no join job
         changed = (
-            new_labels.select("id", F.col("label").alias("new"))
-            .join(labels, "id")
-            .filter(F.col("new") != F.col("label"))
-            .limit(1)
-            .count()
+            new_labels.filter(F.col("label") != F.col("prev")).limit(1).count()
         )
-        labels = new_labels
+        labels = new_labels.select("id", "label")
         if changed == 0:
             break
     edges.unpersist()
