@@ -92,6 +92,16 @@ def curate(
             "dedup_exact", DD.dedup_exact(out, text_col=text_col, id_col=id_col)
         )
     if near_dedup:
+        # the near-dup stage is eager by nature (iterative connected
+        # components), so the upstream chain is computed inside this
+        # call no matter what — cache it so the final materialization
+        # reuses those rows instead of recomputing quality/redact/
+        # exact-dedup from the source scan a second time. cache (not
+        # checkpoint): the upstream chain is deterministic, so an
+        # evicted/lost block recomputes correctly, and the blocks stay
+        # evictable under memory pressure at scale.
+        if not stage_counts:  # tick() already checkpointed it
+            out = out.cache()
         clusters = DD.dedup_clusters(
             out,
             text_col=text_col,

@@ -6,13 +6,19 @@ Prints ONE JSON line:
 
 Each query is forced through the noop sink (full materialization —
 ``count()`` would let Catalyst prune unreferenced projections and
-under-report).
+under-report). Every query runs ``RUNS`` times and reports the
+per-query MEDIAN: single-run figures proved to swing ±15-30% on
+sub-second queries from run noise alone (r4 flagged two phantom
+"regressions" on untouched code), and the median keeps one slow
+GC/compile outlier from masquerading as a plan change. ``value`` is
+the sum of the per-query medians.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -21,6 +27,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import __spark_entry__ as E
 from pyspark.sql import functions as F
 from auto_ts_spark.session import get_spark
+
+RUNS = 3
 
 HEADLINE = [
     "tpch_pricing_summary",
@@ -40,7 +48,27 @@ HEADLINE = [
     "seasonal_decompose",
     "revenue_rollup",
     "resample_ffill",
+    "curate_chain",
 ]
+
+
+def q_curate_chain(spark, sf_dir: str):
+    """End-to-end corpus curation (the flagship LLM-pipeline call):
+    quality gate → PII scrub → exact dedup → near-dup cluster
+    retention → decontamination → source mixture → per-source token
+    budget, one ``curate()`` call over the documents table."""
+    from auto_ts_spark.corpus import curate
+
+    docs = E.load_table(spark, sf_dir, "documents")
+    bench_docs = docs.filter(F.col("doc_id") % 97 == 0).select("doc_id", "text")
+    mixture = {f"src{i}": (2.0 if i < 3 else 1.0) for i in range(20)}
+    return curate(
+        docs,
+        benchmark=bench_docs,
+        mixture=mixture,
+        token_budget=200_000,
+        budget_by="source",
+    )
 
 
 def main() -> None:
@@ -90,12 +118,16 @@ def main() -> None:
     _DD.minhash_lsh_pairs(_tiny, text_col="text", id_col="doc_id").write.format(
         "noop"
     ).mode("overwrite").save()
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = qs[name]
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(RUNS):
+        for name in HEADLINE:
+            fn = qs.get(name, q_curate_chain if name == "curate_chain" else None)
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples[name].append(time.perf_counter() - t0)
+    timings = {
+        name: round(statistics.median(vals), 3) for name, vals in samples.items()
+    }
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -105,6 +137,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "runs_per_query": RUNS,
+                "aggregation": "median",
             }
         )
     )
