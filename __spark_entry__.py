@@ -2137,7 +2137,13 @@ def q_residual_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M15 (val.py:135-173): residual diagnostics of the naive lag-1
     forecast on the daily series — Durbin-Watson, Jarque-Bera (explicit
     population moments so both engines agree bit-for-bit), Ljung-Box
-    Q(5). All one scan + one agg: no statsmodels needed for these."""
+    Q(5), plus the reference's root validation (val.py:163-167) in its
+    SQL-expressible pinned form: the Yule-Walker AR(1) coefficient of
+    the residuals (phi = Σe·e₁/Σe²) and whether the implied AR root
+    1/phi lies outside the unit circle (⟺ |phi| < 1). The general
+    fitted-model root check (regular+seasonal AR/MA polynomials via
+    np.roots) is models/ar.py model_roots_outside_unit_circle,
+    value-tested in tests/test_models.py."""
     daily = (
         load_table(spark, sf_dir, "events")
         .groupBy(F.date_trunc("day", "ts").alias("ts"))
@@ -2186,11 +2192,14 @@ def q_residual_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.pow(F.col(f"s{k}") / F.col("ss"), 2) / (n - k)) for k in range(1, 6)
         )
     )
+    phi = F.col("s1") / F.col("ss")
     return agg.select(
         F.col("n").alias("n_resid"),
         F.round(F.col("num_dw") / F.col("ss"), 6).alias("durbin_watson"),
         F.round(jb, 6).alias("jarque_bera"),
         F.round(lb, 6).alias("ljung_box_q5"),
+        F.round(phi, 6).alias("ar1_phi"),
+        (F.abs(phi) < 1.0).alias("ar_root_outside_unit_circle"),
     )
 
 
@@ -2223,7 +2232,9 @@ SELECT n AS n_resid,
              + pow((r4 - 4*m1*r3 + 6*pow(m1,2)*r2 - 3*pow(m1,4)) / pow(r2 - pow(m1,2), 2) - 3, 2) / 4.0), 6)
          AS jarque_bera,
        round(n * (n + 2) * (pow(s1/ss,2)/(n-1) + pow(s2/ss,2)/(n-2) + pow(s3/ss,2)/(n-3)
-             + pow(s4/ss,2)/(n-4) + pow(s5/ss,2)/(n-5)), 6) AS ljung_box_q5
+             + pow(s4/ss,2)/(n-4) + pow(s5/ss,2)/(n-5)), 6) AS ljung_box_q5,
+       round(s1 / ss, 6) AS ar1_phi,
+       abs(s1 / ss) < 1.0 AS ar_root_outside_unit_circle
 FROM a
 """
 

@@ -39,7 +39,7 @@ def curate(
     near_dedup: bool = True,
     near_dedup_max_bucket: int | None = 1000,
     benchmark: DataFrame | None = None,
-    decontam_n: int = 4,
+    decontam_n: int = 5,
     mixture: dict[str, float] | None = None,
     mixture_key: str = "source",
     token_budget: int | None = None,

@@ -237,6 +237,47 @@ def _forecast_fitted(
 ADF_SAMPLE_CAP = 5000
 
 
+def model_roots_outside_unit_circle(model: dict) -> tuple[bool, bool]:
+    """Stationarity/invertibility check of a fitted candidate — the
+    reference's ``arroots``/``maroots`` validation
+    (auto_ts/utils/val.py:163-167: all roots must lie OUTSIDE the unit
+    circle; vacuously True when the corresponding order is 0).
+
+    Computed directly from the stored ``beta``: the AR lag polynomial
+    ``1 - Σ φ_l z^l`` collects the regular AND seasonal AR lags (the
+    additive form this estimator actually fits), the MA polynomial
+    ``1 + Σ θ_l z^l`` likewise; roots via ``np.roots``. Returns
+    ``(ar_roots_ok, ma_roots_ok)``."""
+    beta = np.asarray(model["beta"], dtype=float)
+    p, q = int(model["p"]), int(model["q"])
+    season_lags = list(model.get("season_lags") or [])
+    ma_season_lags = list(model.get("ma_season_lags") or [])
+    i = 1  # beta[0] is the intercept
+    ar_coefs: dict[int, float] = {}
+    for lag in list(range(1, p + 1)) + season_lags:
+        ar_coefs[lag] = ar_coefs.get(lag, 0.0) + float(beta[i])
+        i += 1
+    ma_coefs: dict[int, float] = {}
+    for lag in list(range(1, q + 1)) + ma_season_lags:
+        ma_coefs[lag] = ma_coefs.get(lag, 0.0) + float(beta[i])
+        i += 1
+
+    def _ok(coefs: dict[int, float], sign: float) -> bool:
+        if not coefs:
+            return True
+        deg = max(coefs)
+        poly = np.zeros(deg + 1)
+        poly[0] = 1.0
+        for lag, c in coefs.items():
+            poly[lag] = sign * c
+        roots = np.roots(poly[::-1])  # np.roots wants highest power first
+        if not roots.size:
+            return True
+        return bool(np.all(np.abs(roots) > 1.0))
+
+    return _ok(ar_coefs, -1.0), _ok(ma_coefs, +1.0)
+
+
 def search_budget(n: int, *, seasonal: bool, threshold: int = 1000) -> dict | None:
     """The reference's large-dataset search policy
     (auto_ts/models/ar_based/build_autoarimax.py:35-49): above
@@ -465,14 +506,17 @@ def forecast_seasonal_ar(
             pdf[exog_cols].ffill().bfill().fillna(0.0).to_numpy(dtype=float)
         )
 
-    # decide the regular differencing order ONCE per series (reference
-    # also tests stationarity up front, eda.py:276-314); per-fold ADF
-    # re-runs dominate stepwise search cost on long series
-    d_pin = (
-        min(auto_diff_order(y_all[~np.isnan(y_all)][-ADF_SAMPLE_CAP:]), max_d)
-        if search == "stepwise" and order is None
-        else None
-    )
+    # decide the regular differencing order ONCE per fit, from the
+    # fit's own training slice (reference also tests stationarity up
+    # front, eda.py:276-314): one capped ADF per fold keeps the
+    # per-candidate ADF savings of the stepwise search WITHOUT letting
+    # post-train_end observations leak into a fold's differencing
+    # decision (fold metrics stay honest backtests)
+    def d_hint_for(y: np.ndarray) -> int | None:
+        if search != "stepwise" or order is not None:
+            return None
+        y_obs = y[~np.isnan(y)][-ADF_SAMPLE_CAP:]
+        return min(auto_diff_order(y_obs), max_d)
 
     def best_fit(y: np.ndarray, exog: np.ndarray | None):
         if order is not None:
@@ -495,7 +539,7 @@ def forecast_seasonal_ar(
             exog=exog,
             search=search,
             large_series_threshold=large_series_threshold,
-            d_hint=d_pin,
+            d_hint=d_hint_for(y),
         )
 
     out = []

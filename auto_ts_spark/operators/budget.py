@@ -37,9 +37,13 @@ def _ordered_cumsum_global(
     order, local window per slice, driver prefix over one scalar per
     slice, broadcast the offsets back), specialized to a sum.
 
-    Totals are carried as doubles (a fractional token-estimate column
-    must not truncate) and NULL slice totals count 0 (a slice whose
-    values are all NULL contributes nothing).
+    Totals are carried in the value column's own numeric family:
+    integral token columns prefix-sum as longs end to end (Python ints
+    on the driver — cumulative corpus totals past 2^53 would lose
+    exactness as doubles, and the greedy boundary document with it),
+    while fractional token-estimate columns stay doubles (they must
+    not truncate). NULL slice totals count 0 (a slice whose values are
+    all NULL contributes nothing).
 
     The slice-cumsum intermediate is ``localCheckpoint``-ed, not
     cached: range-boundary sampling and ``spark_partition_id`` are not
@@ -50,8 +54,12 @@ def _ordered_cumsum_global(
     storage is released by the ContextCleaner once the result frame is
     unreferenced, so repeated calls do not pin corpora for the session
     lifetime the way an explicit never-unpersisted cache would."""
+    from auto_ts_spark.operators.partitioning import shuffle_partitions
+
     spark = df.sparkSession
-    n_part = max(int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 1)
+    n_part = shuffle_partitions(spark)
+    integral = dict(df.dtypes)[value_col] in ("tinyint", "smallint", "int", "bigint")
+    num = int if integral else float
     parted = df.repartitionByRange(n_part, *order).withColumn(
         "_pid", F.spark_partition_id()
     )
@@ -64,15 +72,16 @@ def _ordered_cumsum_global(
         ),
     ).localCheckpoint(eager=True)
     totals = {
-        r["_pid"]: float(r["t"] if r["t"] is not None else 0.0)
+        r["_pid"]: num(r["t"] if r["t"] is not None else 0)
         for r in local.groupBy("_pid").agg(F.sum(value_col).alias("t")).collect()
     }
-    offsets, acc = {}, 0.0
+    offsets, acc = {}, num(0)
     for pid in sorted(totals):
         offsets[pid] = acc
         acc += totals[pid]
     off_df = spark.createDataFrame(
-        [(int(p), float(o)) for p, o in offsets.items()], "_pid int, _off double"
+        [(int(p), num(o)) for p, o in offsets.items()],
+        f"_pid int, _off {'bigint' if integral else 'double'}",
     )
     return (
         local.join(F.broadcast(off_df), "_pid")

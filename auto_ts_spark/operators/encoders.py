@@ -53,8 +53,10 @@ def distributed_rank(
     partition offset + local rank — identical to the global sorted
     rank, with every heavy stage distributed.
     """
+    from auto_ts_spark.operators.partitioning import shuffle_partitions
+
     spark = vals.sparkSession
-    n_part = max(int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 1)
+    n_part = shuffle_partitions(spark)
     parted = vals.repartitionByRange(n_part, F.col(col)).withColumn(
         "_pid", F.spark_partition_id()
     )
@@ -81,14 +83,12 @@ def distributed_rank(
     out_df = local.join(F.broadcast(off_df), "_pid").select(
         F.col(col), (F.col("_off") + F.col("_lrank") - 1).cast("int").alias(out)
     )
-    # materialize the (small, #distinct-row) mapping so downstream
-    # reuse doesn't re-read the checkpointed intermediate. NOTE: the
-    # full-size checkpoint stays pinned while this cached mapping's
-    # plan references it — recompute-safety over storage; encoders are
-    # typically fit once and the mapping released with the model
-    out_df = out_df.cache()
-    out_df.count()
-    return out_df
+    # materialize the (small, #distinct-row) mapping as its own
+    # checkpoint: this truncates the plan's reference to the FULL-SIZE
+    # intermediate above, so the ContextCleaner can free those blocks
+    # as soon as this function returns instead of pinning
+    # corpus-sized storage for as long as the mapping lives
+    return out_df.localCheckpoint(eager=True)
 
 
 class LabelEncoder:

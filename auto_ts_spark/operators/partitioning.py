@@ -18,6 +18,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def shuffle_partitions(spark) -> int:
+    """``spark.sql.shuffle.partitions`` as an int, tolerating runtimes
+    where the conf is a non-numeric sentinel (e.g. "auto" under
+    auto-optimized shuffle) by falling back to the cluster's default
+    parallelism."""
+    try:
+        n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    except ValueError:
+        n = spark.sparkContext.defaultParallelism or 32
+    return max(n, 1)
+
+
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Round-robin repartition up (never down) to ``min_partitions``
     (default: ``sparkContext.defaultParallelism``).
@@ -91,7 +103,7 @@ def with_global_row_number(
     from pyspark.sql import Window
 
     spark = df.sparkSession
-    n_part = max(int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 1)
+    n_part = shuffle_partitions(spark)
     parted = df.repartitionByRange(
         n_part, F.col(series_col), F.col(order_col)
     ).withColumn("_pid", F.spark_partition_id())

@@ -173,3 +173,22 @@ def test_null_text_counts_zero_and_survives(spark):
     )
     kept = budget_select(df, 2, by="source")
     assert sorted(r.doc_id for r in kept.select("doc_id").collect()) == [0, 1]
+
+
+def test_global_path_integer_exact_past_2_53(spark):
+    """Cumulative totals beyond 2^53 must stay integer-exact on the
+    global path: carried as doubles, consecutive huge totals collapse
+    to the same float and the greedy boundary row would be
+    mis-included/excluded."""
+    big = 2**53  # doubles cannot represent 2**53 + 1
+    df = spark.createDataFrame(
+        [(i, big + 1) for i in range(4)], "doc_id long, n_tok long"
+    )
+    # budget admits exactly 2 rows; as doubles 3*(2^53+1) rounds to
+    # 3*2^53 + 4 > budget either way, but the 2-vs-3 boundary needs
+    # the exact comparison 2*(2^53+1) <= 2*(2^53+1) < 3*(2^53+1)
+    kept = budget_select(df, 2 * (big + 1), token_col="n_tok")
+    assert sorted(r.doc_id for r in kept.select("doc_id").collect()) == [0, 1]
+    # one token less than 2 full rows -> only 1 row fits, exactly
+    kept1 = budget_select(df, 2 * (big + 1) - 1, token_col="n_tok")
+    assert sorted(r.doc_id for r in kept1.select("doc_id").collect()) == [0]

@@ -297,6 +297,41 @@ def test_varma_ma_terms_beat_pure_var_on_vma_process():
     assert rmse_varma < rmse_var * 0.97
 
 
+def test_model_roots_outside_unit_circle():
+    # reference val.py:163-167: fitted AR/MA roots must lie outside
+    # the unit circle for a stationary/invertible model
+    from auto_ts_spark.models.ar import _fit_ar, model_roots_outside_unit_circle
+
+    rng = np.random.RandomState(9)
+    n = 400
+    # stationary AR(1), phi=0.5 -> root at 2, comfortably outside
+    y = np.zeros(n)
+    for t in range(1, n):
+        y[t] = 0.5 * y[t - 1] + rng.randn()
+    model, _ = _fit_ar(y, p=1, d=0, q=0, m=0, P=0)
+    ar_ok, ma_ok = model_roots_outside_unit_circle(model)
+    assert ar_ok and ma_ok  # ma vacuously True at q=0
+    # unit-root-adjacent: a random walk fit WITHOUT differencing puts
+    # phi ~= 1, i.e. the AR root on the unit circle — the check must
+    # flag it (phi estimates straddle 1, so assert on the closed form)
+    walk = np.cumsum(rng.randn(n))
+    model_rw, _ = _fit_ar(walk, p=1, d=0, q=0, m=0, P=0)
+    phi = float(model_rw["beta"][1])
+    ar_rw, _ = model_roots_outside_unit_circle(model_rw)
+    assert abs(phi) > 0.95  # the walk really is unit-root-adjacent
+    assert ar_rw == (abs(1.0 / phi) > 1.0)
+    # explicit non-stationary coefficients are flagged regardless of
+    # estimation noise
+    model_bad = dict(model, beta=np.array([0.0, 1.05]))
+    assert model_roots_outside_unit_circle(model_bad) == (False, True)
+    # invertible MA(1): theta=0.4 -> root at -2.5, outside
+    ma_series = rng.randn(n + 1)
+    yma = ma_series[1:] + 0.4 * ma_series[:-1]
+    model_ma, _ = _fit_ar(yma, p=0, d=0, q=1, m=0, P=0)
+    ar_ok2, ma_ok2 = model_roots_outside_unit_circle(model_ma)
+    assert ar_ok2 and ma_ok2
+
+
 def test_adf_stationary_vs_random_walk():
     rng = np.random.RandomState(5)
     white = rng.randn(300)
