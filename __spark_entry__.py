@@ -3225,6 +3225,105 @@ FROM (VALUES
 """
 
 
+def q_c4_line_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-extension: C4 line-level cleaning (Raffel et al. 2020
+    §2.2) — per-line terminal-punctuation / min-words / javascript
+    rules + page-level lorem-ipsum/brace drops, one shuffle-free
+    projection (operators/textops.py c4_line_clean). The fixture
+    documents are single-line, so the query first synthesizes line
+    structure deterministically (literal replace, identical in both
+    engines); clean text is value-checked via md5."""
+    from auto_ts_spark.operators.textops import c4_line_clean
+
+    docs = load_table(spark, sf_dir, "documents")
+    lined = docs.select(
+        "doc_id", F.expr(r"replace(text, ' table ', '.\n')").alias("text")
+    )
+    out = c4_line_clean(lined, min_words=3, min_lines=2)
+    return out.select(
+        "doc_id",
+        "n_lines_total",
+        "n_lines_kept",
+        "keep",
+        F.md5("clean_text").alias("clean_md5"),
+    )
+
+
+_SQL_C4_LINE_CLEAN = r"""
+WITH lined AS (
+  SELECT doc_id, replace(text, ' table ', '.' || chr(10)) AS text FROM documents
+), s AS (
+  SELECT doc_id, text, string_split(text, chr(10)) AS lines FROM lined
+), k AS (
+  SELECT doc_id, text, lines,
+         list_filter(lines, l ->
+             len(regexp_split_to_array(trim(l), '\s+')) >= 3
+             AND regexp_matches(trim(l), '[.!?"”]$')
+             AND NOT contains(lower(l), 'javascript')) AS keptl
+  FROM s
+)
+SELECT doc_id,
+       len(lines) AS n_lines_total,
+       len(keptl) AS n_lines_kept,
+       (NOT contains(lower(text), 'lorem ipsum')
+        AND NOT contains(text, '{')
+        AND len(keptl) >= 2) AS keep,
+       md5(coalesce(array_to_string(keptl, chr(10)), '')) AS clean_md5
+FROM k
+"""
+
+
+def q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-extension: cross-document boilerplate line removal (the
+    CCNet/RefinedWeb paragraph-hash dedup) — lines appearing in > 2
+    distinct documents are dropped from every document
+    (operators/textops.py drop_boilerplate_lines: posexplode →
+    per-line-hash distinct-doc count → hash-join back → positional
+    reassembly). Line structure synthesized as in c4_line_clean; the
+    oracle reproduces the decision by grouping on the line TEXT (the
+    operator joins on the md5-60bit fingerprint of the same text)."""
+    from auto_ts_spark.operators.textops import drop_boilerplate_lines
+
+    docs = load_table(spark, sf_dir, "documents")
+    lined = docs.select(
+        "doc_id", F.expr(r"replace(text, ' table ', '.\n')").alias("text")
+    )
+    out = drop_boilerplate_lines(lined, max_docs_per_line=2, min_line_chars=10)
+    return out.select(
+        "doc_id",
+        "n_lines_kept",
+        "n_boilerplate_dropped",
+        F.md5("clean_text").alias("clean_md5"),
+    )
+
+
+_SQL_BOILERPLATE_LINES = r"""
+WITH lined AS (
+  SELECT doc_id, replace(text, ' table ', '.' || chr(10)) AS text FROM documents
+), s AS (
+  SELECT doc_id, string_split(text, chr(10)) AS lines FROM lined
+), ex AS (
+  SELECT doc_id, trim(unnest(lines)) AS tline FROM s
+), boiler AS (
+  SELECT tline FROM ex
+  WHERE length(tline) >= 10
+  GROUP BY tline HAVING count(DISTINCT doc_id) > 2
+), b AS (
+  SELECT coalesce(list(tline), []) AS bl FROM boiler
+), f AS (
+  SELECT s.doc_id, s.lines,
+         list_filter(s.lines, l -> NOT (length(trim(l)) >= 10
+                                        AND list_contains(b.bl, trim(l)))) AS keptl
+  FROM s, b
+)
+SELECT doc_id,
+       cast(len(keptl) AS BIGINT) AS n_lines_kept,
+       cast(len(lines) - len(keptl) AS BIGINT) AS n_boilerplate_dropped,
+       md5(coalesce(array_to_string(keptl, chr(10)), '')) AS clean_md5
+FROM f
+"""
+
+
 # ---------------------------------------------------------------- contract
 
 _ORACLE: dict[str, str] = {
@@ -3306,6 +3405,8 @@ _ORACLE: dict[str, str] = {
     "dedup_columns": _SQL_DEDUP_COLUMNS,
     "streaming_sliding_rollup": _SQL_STREAMING_SLIDING_ROLLUP,
     "streaming_dedup": _SQL_STREAMING_DEDUP,
+    "c4_line_clean": _SQL_C4_LINE_CLEAN,
+    "boilerplate_lines": _SQL_BOILERPLATE_LINES,
 }
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3400,6 +3501,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "acf": q_acf,
     "zero_variance": q_zero_variance,
     "problem_type": q_problem_type,
+    # --- new in r5 (appended: the driver checks a 50-query prefix) ---
+    "c4_line_clean": q_c4_line_clean,
+    "boilerplate_lines": q_boilerplate_lines,
 }
 
 

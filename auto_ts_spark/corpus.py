@@ -2,9 +2,14 @@
 training-data preparation pipeline chains the engine's corpus
 operators in, as one call:
 
-    quality gate → PII scrub → exact dedup → near-dup (MinHash-LSH
-    cluster) retention → benchmark decontamination → source mixture →
-    token budget
+    [line-level cleaning] → quality gate → PII scrub → exact dedup →
+    near-dup (MinHash-LSH cluster) retention → benchmark
+    decontamination → source mixture → token budget
+
+The optional line-level head stages (C4 per-line rules, cross-document
+boilerplate removal — both in ``operators.textops``) run FIRST because
+boilerplate lines poison the document-level statistics every later
+stage keys on; they default OFF for backward compatibility.
 
 Each stage is the already-tested operator; this module only fixes the
 composition order (quality first so later, costlier stages see fewer
@@ -33,6 +38,8 @@ def curate(
     *,
     text_col: str = "text",
     id_col: str = "doc_id",
+    line_clean: bool = False,
+    boilerplate_max_docs: int | None = None,
     quality: bool = True,
     redact: bool = True,
     dedup_exact: bool = True,
@@ -60,7 +67,11 @@ def curate(
     from auto_ts_spark.operators.partitioning import ensure_parallelism
     from auto_ts_spark.operators.pii import redact_documents
     from auto_ts_spark.operators.sampling import mixture_sample
-    from auto_ts_spark.operators.textops import quality_keep_expr
+    from auto_ts_spark.operators.textops import (
+        c4_line_clean,
+        drop_boilerplate_lines,
+        quality_keep_expr,
+    )
 
     # every stage is CPU-bound text work; spread an under-partitioned
     # input (e.g. one small file) across cores once, up front — a
@@ -80,6 +91,22 @@ def curate(
         return frame
 
     out = tick("input", df)
+    if line_clean:
+        out = tick(
+            "line_clean",
+            c4_line_clean(out, text_col=text_col, id_col=id_col, mode="apply"),
+        )
+    if boilerplate_max_docs is not None:
+        out = tick(
+            "boilerplate",
+            drop_boilerplate_lines(
+                out,
+                text_col=text_col,
+                id_col=id_col,
+                max_docs_per_line=boilerplate_max_docs,
+                mode="apply",
+            ),
+        )
     if quality:
         # the gate is one boolean expression over the text column —
         # a shuffle-free filter, decision-identical to quality_filter

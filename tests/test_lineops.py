@@ -1,0 +1,135 @@
+"""Line-level corpus operators: C4 per-line cleaning (Raffel et al.
+2020 §2.2) and cross-document boilerplate removal (CCNet/RefinedWeb
+paragraph-hash dedup)."""
+
+from pyspark.sql import functions as F
+
+from auto_ts_spark.operators.textops import c4_line_clean, drop_boilerplate_lines
+
+
+def _rows(df, *cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_c4_line_rules(spark):
+    df = spark.createDataFrame(
+        [
+            # line 2 too short, line 4 mentions javascript, line 3 no
+            # terminal punctuation
+            (0, 'Good long sentence here.\nshort\nno punctuation at all\nEnable javascript now please.\nFine closing line, really!'),
+            (1, "Only one good line survives here.\nnope"),
+            (2, "lorem ipsum dolor sit amet.\nOtherwise a fine line."),
+            (3, "Code block {\nA fine sentence otherwise stands."),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in c4_line_clean(df, min_lines=2).collect()}
+    assert out[0]["n_lines_total"] == 5 and out[0]["n_lines_kept"] == 2
+    assert out[0]["clean_text"] == "Good long sentence here.\nFine closing line, really!"
+    assert out[0]["keep"] is True
+    # min_lines=2 pages with one surviving line drop
+    assert out[1]["n_lines_kept"] == 1 and out[1]["keep"] is False
+    # page-level markers drop the whole page even with clean lines
+    assert out[2]["keep"] is False and out[3]["keep"] is False
+    # NULL text: explicit drop, zero counts, never a NULL verdict
+    assert out[4]["keep"] is False and out[4]["n_lines_kept"] == 0
+
+
+def test_c4_terminal_punctuation_variants(spark):
+    df = spark.createDataFrame(
+        [(0, 'Ends with question mark here?\nEnds with a quote mark, "done."\nEnds with bang now!')],
+        "doc_id long, text string",
+    )
+    out = c4_line_clean(df, min_lines=1).collect()[0]
+    assert out["n_lines_kept"] == 3 and out["keep"] is True
+
+
+def test_boilerplate_lines_cross_doc(spark):
+    banner = "Accept all cookies to continue browsing."
+    df = spark.createDataFrame(
+        [
+            (0, f"{banner}\nUnique content zero."),
+            (1, f"{banner}\nUnique content one."),
+            (2, f"{banner}\nUnique content two."),
+            (3, "No banner here at all, just prose."),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in drop_boilerplate_lines(df, max_docs_per_line=2).collect()
+    }
+    for d in (0, 1, 2):
+        assert out[d]["n_boilerplate_dropped"] == 1
+        assert out[d]["clean_text"].startswith("Unique content")
+    assert out[3]["n_boilerplate_dropped"] == 0
+    # at threshold 3 the banner (3 docs) is NOT boilerplate
+    out3 = {
+        r["doc_id"]: r
+        for r in drop_boilerplate_lines(df, max_docs_per_line=3).collect()
+    }
+    assert all(out3[d]["n_boilerplate_dropped"] == 0 for d in (0, 1, 2))
+
+
+def test_boilerplate_short_lines_exempt(spark):
+    # "yes." appears in every doc but is under min_line_chars — exempt
+    df = spark.createDataFrame(
+        [(i, "yes.\nLonger unique line number %d." % i) for i in range(5)],
+        "doc_id long, text string",
+    )
+    out = drop_boilerplate_lines(df, max_docs_per_line=2, min_line_chars=10)
+    assert all(r["n_boilerplate_dropped"] == 0 for r in out.collect())
+    assert all(r["clean_text"].startswith("yes.\n") for r in out.collect())
+
+
+def test_boilerplate_preserves_line_order(spark):
+    df = spark.createDataFrame(
+        [(0, "Alpha first line stays.\nBeta second line stays.\nGamma third line stays.")],
+        "doc_id long, text string",
+    )
+    out = drop_boilerplate_lines(df).collect()[0]
+    assert out["clean_text"].splitlines() == [
+        "Alpha first line stays.",
+        "Beta second line stays.",
+        "Gamma third line stays.",
+    ]
+
+
+def test_c4_is_shuffle_free(spark):
+    df = spark.createDataFrame([(0, "One fine line here.")], "doc_id long, text string")
+    plan = c4_line_clean(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_apply_modes_and_curate_integration(spark):
+    banner = "Accept all cookies to continue browsing."
+    df = spark.createDataFrame(
+        [
+            (i, "src0", f"{banner}\nUnique sentence number {i} stands here.\nno punct line")
+            for i in range(4)
+        ],
+        "doc_id long, source string, text string",
+    )
+    applied = c4_line_clean(df, mode="apply")
+    assert applied.columns == df.columns  # schema preserved
+    row = applied.filter(F.col("doc_id") == 1).collect()[0]
+    assert row["text"].splitlines() == [banner, "Unique sentence number 1 stands here."]
+    bp = drop_boilerplate_lines(df, max_docs_per_line=2, mode="apply")
+    assert sorted(bp.columns) == sorted(df.columns)
+    assert banner not in bp.filter(F.col("doc_id") == 1).collect()[0]["text"]
+
+    from auto_ts_spark.corpus import curate
+
+    out, counts = curate(
+        df,
+        line_clean=True,
+        boilerplate_max_docs=2,
+        quality=False,  # the tiny fixture would fail the Gopher gate
+        redact=False,
+        near_dedup=False,
+        stage_counts=True,
+    )
+    assert counts["line_clean"] == 4 and counts["boilerplate"] == 4
+    texts = [r["text"] for r in out.collect()]
+    assert all(banner not in t and "no punct line" not in t for t in texts)
