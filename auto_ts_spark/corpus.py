@@ -181,15 +181,17 @@ def curate_stream(
     *,
     text_col: str = "text",
     ts_col: str | None = None,
+    line_clean: bool = False,
     quality: bool = True,
     redact: bool = True,
     dedup: bool = True,
     watermark: str = "2 hours",
 ) -> DataFrame:
     """Streaming ingestion form of the curation chain — the subset of
-    stages that are per-row stateless (quality gate, PII scrub) plus
-    exactly-once content dedup, applied to a ``readStream`` source so
-    a live feed is cleaned as it lands instead of by nightly batch.
+    stages that are per-row stateless (C4 line cleaning, quality gate,
+    PII scrub) plus exactly-once content dedup, applied to a
+    ``readStream`` source so a live feed is cleaned as it lands
+    instead of by nightly batch.
 
     Dedup keys on the md5 content fingerprint: with ``ts_col`` set it
     uses ``dropDuplicatesWithinWatermark`` (state per fingerprint
@@ -202,9 +204,14 @@ def curate_stream(
     on identical input (tested)."""
     from auto_ts_spark.functions import text as TX
     from auto_ts_spark.operators.pii import redact_documents
-    from auto_ts_spark.operators.textops import quality_keep_expr
+    from auto_ts_spark.operators.textops import c4_line_clean, quality_keep_expr
 
     out = stream
+    if line_clean:
+        # one shuffle-free map — streams as a plain filter+project
+        # (cross-document boilerplate removal needs corpus-wide counts
+        # and stays batch, like near-dup/decontam/mixture/budget)
+        out = c4_line_clean(out, text_col=text_col, mode="apply")
     if quality:
         # the gate as ONE inline boolean expression — no projection,
         # no join, so it streams (and batches) as a plain filter with

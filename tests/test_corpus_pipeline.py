@@ -102,3 +102,45 @@ def test_curate_stages_optional(spark, sf_dir):
         near_dedup=False,
     )
     assert out.count() == 50  # no enabled stage -> identity
+
+
+def test_curate_stream_line_clean_equals_batch(spark, tmp_path):
+    """The C4 line-cleaning head stage is a pure per-row map, so the
+    streaming form must match the batch apply mode exactly."""
+    import pandas as pd
+
+    from auto_ts_spark.corpus import curate_stream
+    from auto_ts_spark.operators.textops import c4_line_clean
+    from auto_ts_spark.streaming.ops import run_to_completion
+
+    rows = [
+        (0, pd.Timestamp("2024-01-01"), "A good long first sentence here.\nshort\nAnother keeper line stands now."),
+        (1, pd.Timestamp("2024-01-01"), "no terminal punctuation on this lonely line"),
+        (2, pd.Timestamp("2024-01-01"), "lorem ipsum dolor sit amet today."),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "ts", "text"]).astype(
+        {"doc_id": "int64"}
+    )
+    src = tmp_path / "lc_src"
+    spark.createDataFrame(pdf).write.parquet(str(src))
+    stream = spark.readStream.schema("doc_id long, ts timestamp, text string").parquet(
+        str(src)
+    )
+    out = curate_stream(
+        stream, ts_col="ts", line_clean=True, quality=False, redact=False, dedup=False
+    )
+    run_to_completion(
+        out, sink_table="t_lc_stream", checkpoint_dir=str(tmp_path / "lc_ck")
+    )
+    got = spark.table("t_lc_stream").toPandas().sort_values("doc_id")
+    want = (
+        c4_line_clean(spark.read.parquet(str(src)), mode="apply")
+        .toPandas()
+        .sort_values("doc_id")
+    )
+    assert list(got["doc_id"]) == list(want["doc_id"]) == [0]
+    assert list(got["text"]) == list(want["text"])
+    assert got["text"].iloc[0].splitlines() == [
+        "A good long first sentence here.",
+        "Another keeper line stands now.",
+    ]
