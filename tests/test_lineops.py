@@ -133,3 +133,40 @@ def test_apply_modes_and_curate_integration(spark):
     assert counts["line_clean"] == 4 and counts["boilerplate"] == 4
     texts = [r["text"] for r in out.collect()]
     assert all(banner not in t and "no punct line" not in t for t in texts)
+
+
+def test_c4_apply_is_idempotent(spark):
+    # a cleaned page contains only lines that pass the line rules and
+    # no page markers, so cleaning it again must be the identity
+    df = spark.createDataFrame(
+        [
+            (0, 'Keep this long sentence today.\nmid line drops\nAnd keep this one too, friend!'),
+            (1, "Every single line survives the cleaning pass.\nSo the page stays whole, yes."),
+        ],
+        "doc_id long, text string",
+    )
+    once = c4_line_clean(df, mode="apply")
+    twice = c4_line_clean(once, mode="apply")
+    a = {r["doc_id"]: r["text"] for r in once.collect()}
+    b = {r["doc_id"]: r["text"] for r in twice.collect()}
+    assert a == b
+
+
+def test_boilerplate_output_self_consistent(spark):
+    # after removal, NO long line may still appear in > k distinct docs
+    banner = "This identical banner line appears everywhere."
+    df = spark.createDataFrame(
+        [(i, f"{banner}\nDistinct body sentence {i} here.") for i in range(6)],
+        "doc_id long, text string",
+    )
+    k = 2
+    out = drop_boilerplate_lines(df, max_docs_per_line=k, mode="apply")
+    lines = (
+        out.select("doc_id", F.explode(F.split("text", "\n")).alias("l"))
+        .filter(F.length(F.trim("l")) >= 10)
+        .groupBy(F.trim("l"))
+        .agg(F.count_distinct("doc_id").alias("d"))
+        .agg(F.max("d"))
+        .collect()[0][0]
+    )
+    assert lines is not None and lines <= k
