@@ -3465,8 +3465,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "naive_forecast_metrics": q_naive_forecast_metrics,
     "weighted_cv_rmse": q_weighted_cv_rmse,
     "column_profile": q_column_profile,
-    "frequency_table": q_frequency_table,
-    "class_weights": q_class_weights,
+    # new in r5 — placed inside the checked prefix (frequency_table and
+    # class_weights rotate out; both were driver-green in r4)
+    "c4_line_clean": q_c4_line_clean,
+    "boilerplate_lines": q_boilerplate_lines,
     "token_explode": q_token_explode,
     "actual_vs_predicted_join": q_actual_vs_predicted_join,
     "train_tail_splice": q_train_tail_splice,
@@ -3501,9 +3503,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "acf": q_acf,
     "zero_variance": q_zero_variance,
     "problem_type": q_problem_type,
-    # --- new in r5 (appended: the driver checks a 50-query prefix) ---
-    "c4_line_clean": q_c4_line_clean,
-    "boilerplate_lines": q_boilerplate_lines,
+
+    "frequency_table": q_frequency_table,
+    "class_weights": q_class_weights,
 }
 
 

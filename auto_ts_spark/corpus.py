@@ -97,6 +97,12 @@ def curate(
             c4_line_clean(out, text_col=text_col, id_col=id_col, mode="apply"),
         )
     if boilerplate_max_docs is not None:
+        # apply-mode boilerplate removal reads its input twice (line
+        # counting + the rejoin) — cache so the upstream line-clean
+        # regex work and source scan run once (deterministic, so an
+        # evicted block recomputes correctly)
+        if not stage_counts:  # tick() already checkpointed it
+            out = out.cache()
         out = tick(
             "boilerplate",
             drop_boilerplate_lines(

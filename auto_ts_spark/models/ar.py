@@ -342,8 +342,9 @@ def select_model(
 
     ``d_hint`` pins the regular differencing order, skipping the
     autolag-AIC ADF cascade — callers fitting the same series across
-    CV folds (``forecast_seasonal_ar``) decide d ONCE on the full
-    series and reuse it, because on large series the ADF autolag scan
+    CV folds (``forecast_seasonal_ar``) decide d once per FOLD from
+    that fold's own training slice (leak-free backtests) instead of
+    once per candidate, because on large series the ADF autolag scan
     (maxlag+1 lstsq fits of an n×maxlag design) dominates the whole
     stepwise search, defeating the reduced fit budget. When the
     cascade does run here, its input is capped to the trailing

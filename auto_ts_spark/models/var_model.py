@@ -22,18 +22,25 @@ import pandas as pd
 from auto_ts_spark.models.base import future_timestamps
 
 
-def _fit_varma(Y: np.ndarray, p: int, q: int):
+def _fit_varma(Y: np.ndarray, p: int, q: int, score_start: int | None = None):
     """Per-equation OLS VARMA(p, q); returns (B, aic, resid) or None.
 
     ``q == 0`` reduces exactly to the classical OLS VAR(p) estimator.
     With ``q > 0`` a long VAR(max(p, 2) + q) is fit first and its
     residuals stand in for the unobserved shocks (Hannan-Rissanen);
+    stage 2 starts at ``p_long + q`` so every residual lag in the
+    design is an ESTIMATED shock, never the zero placeholder (rows
+    with fabricated zero proxies would shrink the MA coefficients).
     ``resid`` is the full-length stage-2 residual matrix (zeros before
-    the estimable range) consumed by the forecast recursion."""
+    the estimable range) consumed by the forecast recursion.
+
+    ``score_start`` pins the AIC evaluation sample: the model is
+    ESTIMATED on all its usable rows, but sigma/AIC are computed on
+    rows >= score_start so candidates across a (p, q) grid are scored
+    on the same observations (n·logdet is not comparable across
+    different sample sizes)."""
     n, k = Y.shape
     start = max(p, q, 1)
-    if n - start <= k * (p + q) + k + 2:
-        return None
     E = None
     if q > 0:
         p_long = max(p, 2) + q
@@ -46,9 +53,9 @@ def _fit_varma(Y: np.ndarray, p: int, q: int):
         Bl, *_ = np.linalg.lstsq(Xl, Y[rows_l], rcond=None)
         E = np.zeros_like(Y)
         E[rows_l] = Y[rows_l] - Xl @ Bl
-        start = max(start, p_long)
-        if n - start <= k * (p + q) + k + 2:
-            return None
+        start = max(start, p_long + q)
+    if n - start <= k * (p + q) + k + 2:
+        return None
     rows = np.arange(start, n)
     cols = [np.ones(len(rows))]
     cols += [Y[rows - i] for i in range(1, p + 1)]
@@ -58,10 +65,14 @@ def _fit_varma(Y: np.ndarray, p: int, q: int):
     T = Y[rows]
     B, *_ = np.linalg.lstsq(X, T, rcond=None)  # (1 + k*(p+q), k)
     R = T - X @ B
-    sigma = (R.T @ R) / len(rows)
+    sc = max(start, score_start if score_start is not None else start)
+    Rs = R[sc - start:] if sc > start else R
+    if len(Rs) <= 1:
+        return None
+    sigma = (Rs.T @ Rs) / len(Rs)
     sign, logdet = np.linalg.slogdet(sigma + 1e-12 * np.eye(k))
     n_params = B.size
-    score = float(len(rows) * logdet + 2 * n_params)
+    score = float(len(Rs) * logdet + 2 * n_params)
     resid = None
     if q > 0:
         # stage-2 residuals are the shock estimates the recursion
@@ -141,6 +152,11 @@ def forecast_var(
         else:
             candidates = exog_cols
         best = None
+        # common AIC sample across the whole grid: the latest start any
+        # candidate uses (q>0 candidates start at max(p,2)+2q)
+        score_start = max(
+            max_p, (max(max_p, 2) + 2 * max_q) if max_q > 0 else 0, 1
+        )
         for cand in candidates:
             if cand is None:
                 Ys = [ytr[:, None]]
@@ -151,7 +167,7 @@ def forecast_var(
                     for q in range(0, max_q + 1):
                         if p == 0 and q == 0:
                             continue  # reference skips the empty design
-                        res = _fit_varma(Y, p, q)
+                        res = _fit_varma(Y, p, q, score_start=score_start)
                         if res is None:
                             continue
                         B, score, resid = res

@@ -342,11 +342,15 @@ def c4_line_clean(
         return df.filter(keep).withColumn(text_col, F.array_join(kept, "\n"))
     if mode != "profile":
         raise ValueError(f"unknown c4_line_clean mode: {mode!r}")
+    # explicit NULL gate (not coalesce over size(NULL)): legacy
+    # non-ANSI runtimes return -1 for size(NULL), which a coalesce
+    # would pass through as a negative line count
+    null_text = F.col(text_col).isNull()
     return df.select(
         F.col(id_col),
         F.array_join(kept, "\n").alias("clean_text"),
-        F.coalesce(F.size(lines), F.lit(0)).alias("n_lines_total"),
-        F.coalesce(F.size(kept), F.lit(0)).alias("n_lines_kept"),
+        F.when(null_text, F.lit(0)).otherwise(F.size(lines)).alias("n_lines_total"),
+        F.when(null_text, F.lit(0)).otherwise(F.size(kept)).alias("n_lines_kept"),
         # NULL text is dropped, not passed through as a NULL verdict —
         # same policy as the quality gate's null_text rule
         keep.alias("keep"),
@@ -378,7 +382,10 @@ def drop_boilerplate_lines(
     ``(id, clean_text, n_lines_kept, n_boilerplate_dropped)``;
     ``mode="apply"`` joins the cleaned text back onto the input frame
     (one extra shuffle on the id), replacing ``text_col`` and keeping
-    every other column — the form the curation chain consumes.
+    every other column — the form the curation chain consumes. Apply
+    mode reads the input plan TWICE (count side + join side): persist
+    the input first when it is expensive to recompute (``curate``
+    caches it for you).
     NULL-text documents emit no lines and therefore no output row in
     either mode (the explode's standard NULL policy — pre-filter if
     they must survive)."""

@@ -118,10 +118,14 @@ def main() -> None:
     _DD.minhash_lsh_pairs(_tiny, text_col="text", id_col="doc_id").write.format(
         "noop"
     ).mode("overwrite").save()
+    qs = dict(qs, curate_chain=q_curate_chain)
+    missing = [n for n in HEADLINE if n not in qs]
+    if missing:  # fail loudly BEFORE burning warmup + timed runs
+        raise KeyError(f"headline queries not registered: {missing}")
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
     for _ in range(RUNS):
         for name in HEADLINE:
-            fn = qs.get(name, q_curate_chain if name == "curate_chain" else None)
+            fn = qs[name]
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples[name].append(time.perf_counter() - t0)
