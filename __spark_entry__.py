@@ -3324,6 +3324,48 @@ FROM f
 """
 
 
+def q_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-extension: sequence-packing manifest (the GPT-style
+    concatenate-and-chunk step, operators/packing.py) — every document
+    gets its global token offset via the two-pass distributed cumsum
+    (no single-task sort) and maps to the 64-token training sequences
+    it spans; documents crossing a boundary emit one row per sequence.
+    Oracle replays offset → span-intersection arithmetic with the
+    shared tokenizer SQL and a windowed cumsum."""
+    from auto_ts_spark.operators.packing import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_sequences(docs, 64).orderBy("seq_id", "doc_id")
+
+
+_SQL_PACK_MANIFEST = f"""
+WITH t AS (
+  SELECT doc_id, coalesce(len({_SQL_TOKS}), 0) AS n_toks FROM documents
+), c AS (
+  SELECT doc_id, n_toks,
+         sum(n_toks) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+), spans AS (
+  SELECT doc_id,
+         cast(cum - n_toks AS BIGINT) AS s,
+         cast(cum AS BIGINT) AS e
+  FROM c WHERE n_toks > 0
+), ex AS (
+  SELECT doc_id, s, e,
+         unnest(generate_series(s // 64, (e - 1) // 64)) AS seq_id
+  FROM spans
+)
+SELECT cast(seq_id AS BIGINT) AS seq_id,
+       doc_id,
+       cast(greatest(s, seq_id * 64) - s AS BIGINT) AS doc_tok_start,
+       cast(least(e, (seq_id + 1) * 64) - s AS BIGINT) AS doc_tok_end,
+       cast(greatest(s, seq_id * 64) - seq_id * 64 AS BIGINT) AS seq_tok_start,
+       cast(least(e, (seq_id + 1) * 64) - greatest(s, seq_id * 64) AS BIGINT)
+         AS n_toks
+FROM ex ORDER BY seq_id, doc_id
+"""
+
+
 # ---------------------------------------------------------------- contract
 
 _ORACLE: dict[str, str] = {
@@ -3407,6 +3449,7 @@ _ORACLE: dict[str, str] = {
     "streaming_dedup": _SQL_STREAMING_DEDUP,
     "c4_line_clean": _SQL_C4_LINE_CLEAN,
     "boilerplate_lines": _SQL_BOILERPLATE_LINES,
+    "pack_manifest": _SQL_PACK_MANIFEST,
 }
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3464,9 +3507,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sliding_folds": q_sliding_folds,
     "naive_forecast_metrics": q_naive_forecast_metrics,
     "weighted_cv_rmse": q_weighted_cv_rmse,
-    "column_profile": q_column_profile,
-    # new in r5 — placed inside the checked prefix (frequency_table and
-    # class_weights rotate out; both were driver-green in r4)
+    # new in r5 — placed inside the checked prefix (column_profile,
+    # frequency_table and class_weights rotate out; all driver-green in r4)
+    "pack_manifest": q_pack_manifest,
     "c4_line_clean": q_c4_line_clean,
     "boilerplate_lines": q_boilerplate_lines,
     "token_explode": q_token_explode,
@@ -3506,6 +3549,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
     "frequency_table": q_frequency_table,
     "class_weights": q_class_weights,
+    "column_profile": q_column_profile,
 }
 
 
