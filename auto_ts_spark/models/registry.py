@@ -39,14 +39,18 @@ def model_registry(
     seasonal_period: int = 12,
     exog_cols: list[str] | None = None,
     fourier_config: dict | None = None,
+    var_config: dict | None = None,
 ) -> dict[str, Callable]:
     """Per-series forecast workers, keyed by reference model family:
-    'fourier' ≈ Prophet, 'seasonal_ar' ≈ (auto-)SARIMAX, 'var' ≈ VAR.
+    'fourier' ≈ Prophet, 'seasonal_ar' ≈ (auto-)SARIMAX, 'var' ≈ VARMA.
     The ML family is Spark-side (models/ml.py), not a worker.
 
     ``fourier_config`` forwards the Prophet configuration surface
     (growth/cap/seasonality_mode/holidays/seasonal_periods — reference
-    build_prophet.py:70-80, 587-649) into the fourier worker."""
+    build_prophet.py:70-80, 587-649) into the fourier worker.
+    ``var_config`` forwards the VARMA grid bounds (``max_p``/``max_q``
+    — reference BuildVAR(p_max, q_max), build_var.py:32-47; pass
+    ``max_q=0`` to pin pure VAR(p))."""
     return {
         "fourier": partial(
             FOUR.forecast_fourier,
@@ -59,7 +63,9 @@ def model_registry(
             seasonal_period=seasonal_period,
             exog_cols=exog_cols,
         ),
-        "var": partial(VARM.forecast_var, exog_cols=exog_cols),
+        "var": partial(
+            VARM.forecast_var, exog_cols=exog_cols, **(var_config or {})
+        ),
     }
 
 
@@ -113,6 +119,7 @@ def run_all_models(
     exog_cols: list[str] | None = None,
     models: list[str] | None = None,
     fourier_config: dict | None = None,
+    var_config: dict | None = None,
 ) -> DataFrame:
     """All (series × model) fits in ONE applyInPandas stage.
 
@@ -127,6 +134,7 @@ def run_all_models(
         seasonal_period=seasonal_period,
         exog_cols=exog_cols,
         fourier_config=fourier_config,
+        var_config=var_config,
     )
     names = models or list(reg)
 

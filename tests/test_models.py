@@ -530,3 +530,26 @@ def test_seasonal_ma_q_improves_sma_process():
     assert fit_q1[1] < fit_q0[1]  # AIC prefers the seasonal-MA shape
     model = select_model(y, m=m, max_p=2, max_d=1, max_q=1, max_P=1)
     assert model is not None and model["search_meta"]["n_fits_used"] <= 50
+
+
+def test_var_config_threads_through_registry(spark):
+    # reference BuildVAR(p_max, q_max) surface: max_q=0 pins pure VAR
+    import numpy as np
+    import pandas as pd
+
+    from auto_ts_spark.models.registry import run_all_models
+
+    rng = np.random.RandomState(1)
+    n = 120
+    pdf = pd.DataFrame(
+        {
+            "series_id": "s0",
+            "ts": pd.date_range("2020-01-01", periods=n, freq="D"),
+            "y": np.sin(np.arange(n) / 5.0) + rng.randn(n) * 0.1,
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    preds = run_all_models(
+        df, n_splits=1, horizon=4, models=["var"], var_config={"max_p": 1, "max_q": 0}
+    )
+    assert preds.filter(preds.fold == -1).count() == 4
