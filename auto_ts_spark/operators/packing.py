@@ -44,6 +44,11 @@ def pack_sequences(
     addressed and deterministic; pass a priority column to pack
     curriculum-style). The final partial sequence is emitted too —
     drop ``seq_id = max`` if training requires only full sequences.
+
+    Determinism requires UNIQUE order keys: over an upsampled corpus
+    (mixture copies share the id) add the copy counter to ``order`` as
+    a tiebreak, exactly like ``budget_select``'s ``extra_tiebreak`` —
+    rows tied on every order key get an arbitrary relative offset.
     """
     if seq_len <= 0:
         raise ValueError("seq_len must be positive")
