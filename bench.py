@@ -124,6 +124,13 @@ def main() -> None:
         raise KeyError(f"headline queries not registered: {missing}")
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
     for _ in range(RUNS):
+        # drop cached DataFrames between repeat loops so queries with
+        # internal caching (curate's pre-near-dup cache) are measured
+        # end-to-end each run — otherwise run 2+ would silently reuse
+        # run 1's cached upstream and the median would under-report.
+        # Codegen/JIT/worker-pool warmth (the intended steady state)
+        # survives a cache clear.
+        spark.catalog.clearCache()
         for name in HEADLINE:
             fn = qs[name]
             t0 = time.perf_counter()
@@ -132,7 +139,12 @@ def main() -> None:
     timings = {
         name: round(statistics.median(vals), 3) for name, vals in samples.items()
     }
-    total = round(sum(timings.values()), 3)
+    # "value" stays the r1-r4 17-query basket so the round-over-round
+    # baseline comparison keeps measuring the same thing; the full
+    # curation chain (added r5, an 8-stage pipeline rather than one
+    # query) is timed identically and reported alongside
+    comparable = {n: t for n, t in timings.items() if n != "curate_chain"}
+    total = round(sum(comparable.values()), 3)
     print(
         json.dumps(
             {
@@ -143,6 +155,9 @@ def main() -> None:
                 "sf": sf,
                 "runs_per_query": RUNS,
                 "aggregation": "median",
+                "value_composition": "17-query r1-r4 basket; curate_chain "
+                "(full 8-stage pipeline, added r5) timed identically but "
+                "reported alongside, not inside value",
             }
         )
     )
