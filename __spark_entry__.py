@@ -1262,11 +1262,12 @@ FROM lab
 
 def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash fingerprints for doc_id < 100 (bit-exact in
-    DuckDB via the shared md5 hash family)."""
+    DuckDB via the shared md5 hash family). Token hashes are staged as
+    their own projection; the voting loop reads the staged array."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     return docs.select(
-        "doc_id", F.expr(TX.simhash_sql("text", 32)).alias("simhash")
-    )
+        "doc_id", F.expr(TX.simhash_token_hashes_sql("text")).alias("_th")
+    ).select("doc_id", F.expr(TX.simhash_from_hashes_sql("_th", 32)).alias("simhash"))
 
 
 _SQL_SIMHASH = f"""

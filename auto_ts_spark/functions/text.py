@@ -164,27 +164,58 @@ def minhash_from_base(base_hashes: Column, num_hashes: int = 16) -> Column:
 
 
 def minhash_signature(col: Column, num_hashes: int = 16, shingle_n: int = 3) -> Column:
-    """MinHash signature straight from a text column (convenience; the
-    LSH operator materializes the base hashes itself)."""
+    """MinHash signature straight from a text column — CONVENIENCE
+    form for small ``num_hashes``/ad-hoc use only: the shingle+md5
+    chain is inlined once PER hash function in a single expression, so
+    whole-stage codegen compilation grows with num_hashes (~85 s at
+    k=16 measured). Production paths (``minhash_lsh_pairs``,
+    ``add_fingerprints``) stage the base hashes as their own
+    projection and call ``minhash_from_base``."""
     base = F.transform(shingles(col, shingle_n), lambda s: hash60(s))
     return minhash_from_base(base, num_hashes)
 
 
-def simhash_sql(text_col_name: str, bits: int = 32) -> str:
-    """SimHash as a SQL expression string (for ``selectExpr``/``F.expr``).
+def simhash_token_hashes_sql(text_col_name: str) -> str:
+    """The per-token md5-derived hash array (array<bigint>) SimHash
+    votes over — stage this as its OWN column, then apply
+    ``simhash_from_hashes_sql`` to the staged name, so the
+    tokenize+md5 chain runs once per document instead of once per
+    output bit."""
+    toks = (
+        f"split(trim(regexp_replace(lower({text_col_name}), '[^a-z0-9]+', ' ')), ' ')"
+    )
+    return (
+        f"transform({toks}, t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint))"
+    )
 
-    Per-token md5-derived hashes vote bit-by-bit; bit b of the result
-    is set when the majority of token hashes have bit b set. SQL form
-    because ``shiftleft`` needs column-valued shift amounts, which the
-    Python DSL doesn't expose. Identical text in DuckDB SQL gives the
-    identical fingerprint (same md5-based hash family).
+
+def simhash_from_hashes_sql(hash_col_name: str, bits: int = 32) -> str:
+    """SimHash bit-voting over an already-computed token-hash column:
+    bit b of the result is set when the majority of token hashes have
+    bit b set. SQL form because ``shiftleft`` needs column-valued
+    shift amounts, which the Python DSL doesn't expose."""
+    return (
+        "aggregate("
+        f"  transform(sequence(0, {bits - 1}), b -> "
+        f"    if(2 * size(filter({hash_col_name}, h -> (h div shiftleft(cast(1 as bigint), b)) % 2 = 1)) > size({hash_col_name}),"
+        "      shiftleft(cast(1 as bigint), b), cast(0 as bigint))),"
+        "  cast(0 as bigint), (acc, x) -> acc + x)"
+    )
+
+
+def simhash_sql(text_col_name: str, bits: int = 32) -> str:
+    """SimHash straight from a text column — CONVENIENCE form only:
+    the token md5 chain is inlined into the voting loop, so it
+    re-executes once per output bit (32× the md5 work at the default
+    width; measured ~11.6 s vs ~1 s staged on 5k docs). Production
+    paths stage ``simhash_token_hashes_sql`` as a column first and
+    vote with ``simhash_from_hashes_sql``. Identical text in DuckDB
+    SQL gives the identical fingerprint (same md5-based hash family).
     """
     toks = (
         f"split(trim(regexp_replace(lower({text_col_name}), '[^a-z0-9]+', ' ')), ' ')"
     )
-    tok_hashes = (
-        f"transform({toks}, t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint))"
-    )
+    tok_hashes = simhash_token_hashes_sql(text_col_name)
     return (
         "aggregate("
         f"  transform(sequence(0, {bits - 1}), b -> "

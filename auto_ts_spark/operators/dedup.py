@@ -357,9 +357,15 @@ def simhash_pairs(
     """
     n_blocks = bits // block_bits
     assert n_blocks > max_hamming, "need more blocks than max_hamming (pigeonhole)"
-    fp = ensure_parallelism(df).select(
-        F.col(id_col).alias("id"),
-        F.expr(TX.simhash_sql(text_col, bits)).alias("sh"),
+    # stage the token md5 hashes once, then vote — the inlined
+    # convenience form re-runs the md5 chain once per output bit
+    fp = (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col).alias("id"),
+            F.expr(TX.simhash_token_hashes_sql(text_col)).alias("_th"),
+        )
+        .select("id", F.expr(TX.simhash_from_hashes_sql("_th", bits)).alias("sh"))
     )
     blocked = fp.select(
         "id",

@@ -283,13 +283,35 @@ def add_fingerprints(
     simhash_bits: int = 32,
 ) -> DataFrame:
     """Append content fingerprints: exact (md5-60bit), MinHash
-    signature, SimHash — one projection."""
+    signature, SimHash.
+
+    The MinHash base hashes (tokenize → shingle → md5) are staged as
+    their own projection before the ``minhash_k`` permutations — the
+    same staging ``minhash_lsh_pairs`` uses. Inlining
+    ``TX.minhash_signature`` here would duplicate the md5 chain once
+    per hash function inside a single projection, which blows up
+    whole-stage codegen (measured ~85 s of Janino compilation at
+    k=16 vs sub-second staged)."""
     t = F.col(text_col)
-    return df.select(
+    base_col = "_mh_base"
+    while base_col in df.columns:
+        base_col += "_"
+    sim_col = "_sh_base"
+    while sim_col in df.columns:
+        sim_col += "_"
+    df = ensure_parallelism(df)  # md5/shingle chain is CPU-bound
+    staged = df.select(
         "*",
+        F.transform(TX.shingles(t, shingle_n), lambda s: TX.hash60(s)).alias(
+            base_col
+        ),
+        F.expr(TX.simhash_token_hashes_sql(text_col)).alias(sim_col),
+    )
+    return staged.select(
+        *df.columns,
         TX.fingerprint(t).alias("fingerprint"),
-        TX.minhash_signature(t, minhash_k, shingle_n).alias("minhash"),
-        F.expr(TX.simhash_sql(text_col, simhash_bits)).alias("simhash"),
+        TX.minhash_from_base(F.col(base_col), minhash_k).alias("minhash"),
+        F.expr(TX.simhash_from_hashes_sql(sim_col, simhash_bits)).alias("simhash"),
     )
 
 
