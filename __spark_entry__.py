@@ -1605,7 +1605,8 @@ SELECT date_trunc('hour', ts) AS win_start,
        event_type,
        count(*) AS n_events,
        round(cast(sum(cast(value as decimal(28,6))) as double), 6) AS sum_value,
-       round(cast(sum(cast(value as decimal(28,6))) as double) / count(*), 6) AS avg_value
+       cast(floor(cast(sum(cast(value as decimal(28,6))) * 1000000 AS BIGINT)
+                  / count(*)) AS BIGINT) AS avg_value_micros
 FROM events GROUP BY 1, 2, 3
 """
 
@@ -1688,8 +1689,8 @@ SELECT win_start,
        event_type,
        count(*) AS n_events,
        round(cast(sum(cast(value AS decimal(28,6))) AS double), 6) AS sum_value,
-       round(cast(sum(cast(value AS decimal(28,6))) AS double) / count(*), 6)
-         AS avg_value
+       cast(floor(cast(sum(cast(value AS decimal(28,6))) * 1000000 AS BIGINT)
+                  / count(*)) AS BIGINT) AS avg_value_micros
 FROM exploded GROUP BY 1, 2, 3
 """
 
@@ -3281,8 +3282,12 @@ def q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/textops.py drop_boilerplate_lines: posexplode →
     per-line-hash distinct-doc count → hash-join back → positional
     reassembly). Line structure synthesized as in c4_line_clean; the
-    oracle reproduces the decision by grouping on the line TEXT (the
-    operator joins on the md5-60bit fingerprint of the same text)."""
+    oracle reproduces the decision by grouping on the NORMALIZED line
+    text — lowercase, non-alphanumerics collapsed, trimmed — because
+    the operator keys on ``TX.fingerprint``, which hashes the
+    normalized form so punctuation variants of a banner still match
+    (caught by the sf0.1 replica: grouping on raw text diverges when
+    two raw variants normalize identically)."""
     from auto_ts_spark.operators.textops import drop_boilerplate_lines
 
     docs = load_table(spark, sf_dir, "documents")
@@ -3304,17 +3309,22 @@ WITH lined AS (
 ), s AS (
   SELECT doc_id, string_split(text, chr(10)) AS lines FROM lined
 ), ex AS (
-  SELECT doc_id, trim(unnest(lines)) AS tline FROM s
+  SELECT doc_id, unnest(lines) AS line FROM s
+), norm AS (  -- the operator fingerprints NORMALIZED line text
+  SELECT doc_id,
+         trim(regexp_replace(lower(trim(line)), '[^a-z0-9]+', ' ', 'g')) AS nline
+  FROM ex WHERE length(trim(line)) >= 10
 ), boiler AS (
-  SELECT tline FROM ex
-  WHERE length(tline) >= 10
-  GROUP BY tline HAVING count(DISTINCT doc_id) > 2
+  SELECT nline FROM norm
+  GROUP BY nline HAVING count(DISTINCT doc_id) > 2
 ), b AS (
-  SELECT coalesce(list(tline), []) AS bl FROM boiler
+  SELECT coalesce(list(nline), []) AS bl FROM boiler
 ), f AS (
   SELECT s.doc_id, s.lines,
          list_filter(s.lines, l -> NOT (length(trim(l)) >= 10
-                                        AND list_contains(b.bl, trim(l)))) AS keptl
+             AND list_contains(b.bl,
+                 trim(regexp_replace(lower(trim(l)), '[^a-z0-9]+', ' ', 'g'))))
+         ) AS keptl
   FROM s, b
 )
 SELECT doc_id,

@@ -156,13 +156,20 @@ def tumbling_agg(
     addition is associative, so the result is bit-identical no matter
     how the stream is micro-batched — the mode the cross-engine oracle
     check runs in (float sums would drift with accumulation order).
+    The exact average is emitted in integer MICRO-units (floor of
+    sum*1e6 / n): a rounded double quotient can land exactly on a
+    round-half boundary where engines disagree by one final digit
+    (seen once at sf0.1), while integer floor-division is
+    engine-independent.
     """
     if exact:
         dec = F.sum(F.col("value").cast("decimal(28,6)"))
         aggs = [
             F.count(F.lit(1)).alias("n_events"),
             F.round(dec.cast("double"), 6).alias("sum_value"),
-            F.round(dec.cast("double") / F.count(F.lit(1)), 6).alias("avg_value"),
+            F.floor((dec * 1_000_000).cast("bigint") / F.count(F.lit(1)))
+            .cast("bigint")
+            .alias("avg_value_micros"),
         ]
     else:
         aggs = [
@@ -170,6 +177,7 @@ def tumbling_agg(
             F.round(F.sum("value"), 6).alias("sum_value"),
             F.round(F.avg("value"), 6).alias("avg_value"),
         ]
+    avg_col = "avg_value_micros" if exact else "avg_value"
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("win"), *keys)
@@ -180,7 +188,7 @@ def tumbling_agg(
             *keys,
             "n_events",
             "sum_value",
-            "avg_value",
+            avg_col,
         )
     )
 
@@ -200,13 +208,18 @@ def sliding_agg(
     n/sum/avg (associative → micro-batch-order independent), the mode
     the cross-engine value check runs in."""
     if exact:
+        # decimal sum + integer-micros floor-div average: see
+        # tumbling_agg — a rounded double quotient can tie at the
+        # round-half boundary where engines disagree
         dec = F.sum(F.col("value").cast("decimal(28,6)"))
         aggs = [
             F.count(F.lit(1)).alias("n_events"),
             F.round(dec.cast("double"), 6).alias("sum_value"),
-            F.round(dec.cast("double") / F.count(F.lit(1)), 6).alias("avg_value"),
+            F.floor((dec * 1_000_000).cast("bigint") / F.count(F.lit(1)))
+            .cast("bigint")
+            .alias("avg_value_micros"),
         ]
-        out_cols = ["n_events", "sum_value", "avg_value"]
+        out_cols = ["n_events", "sum_value", "avg_value_micros"]
     else:
         aggs = [
             F.count(F.lit(1)).alias("n_events"),
