@@ -3377,6 +3377,67 @@ FROM ex ORDER BY seq_id, doc_id
 """
 
 
+def q_drift_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-extension: snapshot drift detection (operators/drift.py)
+    — PSI + bucketed two-sample KS per numeric column between two
+    deterministic halves of the events table (event_id parity), on a
+    20-bucket linear grid over the old side's [min, max]. The oracle
+    replays cuts → comparison-count bucketing → per-column CDF/PSI
+    with identically-associated float arithmetic."""
+    from auto_ts_spark.operators.drift import drift_profile
+
+    ev = load_table(spark, sf_dir, "events")
+    old = ev.filter(F.col("event_id") % 2 == 0)
+    new = ev.filter(F.col("event_id") % 2 == 1)
+    return drift_profile(old, new, cols=["value", "user_id"], buckets=20)
+
+
+_SQL_DRIFT_PROFILE = """
+WITH src AS (
+  SELECT 'value' AS col, cast(value AS double) AS v, event_id % 2 = 0 AS is_old
+  FROM events WHERE value IS NOT NULL
+  UNION ALL
+  SELECT 'user_id', cast(user_id AS double), event_id % 2 = 0
+  FROM events WHERE user_id IS NOT NULL
+), b AS (
+  SELECT col, min(v) AS mn, max(v) AS mx FROM src WHERE is_old GROUP BY col
+), cuts AS (  -- same association as the operator: mn + i * ((mx-mn)/20)
+  SELECT b.col, b.mn + i * ((b.mx - b.mn) / 20.0) AS cut
+  FROM b, generate_series(1, 19) t(i)
+), bucketed AS (
+  SELECT s.col,
+         (SELECT count(*) FROM cuts c WHERE c.col = s.col AND s.v > c.cut)
+           AS bucket,
+         s.is_old
+  FROM src s
+), counts AS (
+  SELECT col, bucket,
+         sum(CASE WHEN is_old THEN 1 ELSE 0 END) AS c_old,
+         sum(CASE WHEN NOT is_old THEN 1 ELSE 0 END) AS c_new
+  FROM bucketed GROUP BY col, bucket
+), e AS (
+  SELECT col, bucket, c_old, c_new,
+         sum(c_old) OVER (PARTITION BY col) AS n_old,
+         sum(c_new) OVER (PARTITION BY col) AS n_new,
+         sum(c_old) OVER (PARTITION BY col ORDER BY bucket
+                          ROWS UNBOUNDED PRECEDING) AS cum_old,
+         sum(c_new) OVER (PARTITION BY col ORDER BY bucket
+                          ROWS UNBOUNDED PRECEDING) AS cum_new
+  FROM counts
+)
+SELECT col AS "column",
+       cast(max(n_old) AS BIGINT) AS n_old,
+       cast(max(n_new) AS BIGINT) AS n_new,
+       round(max(abs(cum_old / cast(n_old AS double)
+                     - cum_new / cast(n_new AS double))), 6) AS ks,
+       round(sum((c_new / cast(n_new AS double) + 1e-6
+                  - (c_old / cast(n_old AS double) + 1e-6))
+                 * ln((c_new / cast(n_new AS double) + 1e-6)
+                      / (c_old / cast(n_old AS double) + 1e-6))), 6) AS psi
+FROM e GROUP BY col ORDER BY col
+"""
+
+
 # ---------------------------------------------------------------- contract
 
 _ORACLE: dict[str, str] = {
@@ -3461,6 +3522,7 @@ _ORACLE: dict[str, str] = {
     "c4_line_clean": _SQL_C4_LINE_CLEAN,
     "boilerplate_lines": _SQL_BOILERPLATE_LINES,
     "pack_manifest": _SQL_PACK_MANIFEST,
+    "drift_profile": _SQL_DRIFT_PROFILE,
 }
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3517,7 +3579,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "expanding_folds": q_expanding_folds,
     "sliding_folds": q_sliding_folds,
     "naive_forecast_metrics": q_naive_forecast_metrics,
-    "weighted_cv_rmse": q_weighted_cv_rmse,
+    "drift_profile": q_drift_profile,  # new in r5 (weighted_cv_rmse rotates out)
     # new in r5 — placed inside the checked prefix (column_profile,
     # frequency_table and class_weights rotate out; all driver-green in r4)
     "pack_manifest": q_pack_manifest,
@@ -3561,6 +3623,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "frequency_table": q_frequency_table,
     "class_weights": q_class_weights,
     "column_profile": q_column_profile,
+    "weighted_cv_rmse": q_weighted_cv_rmse,
 }
 
 
