@@ -15,11 +15,13 @@ Metrics per numeric column, both computed on a shared bucket grid:
   global per-column sort no sane 100 TB job runs for monitoring.
 
 Spark-first shape: the grid cuts come from one min/max (or
-approx-quantile) pass over the OLD side; bucket assignment is a
-when-free arithmetic projection; the union of both sides aggregates
-once per (column, bucket) with map-side partial aggregation, and the
-per-column CDF window runs over ≤ buckets+1 rows per column —
-bounded, never a data-sized sort. Driver state is O(cols × buckets).
+approx-quantile) pass over the OLD side; each side is then scanned
+exactly ONCE — every profiled column melts into (column, value) rows
+through a single explode, bucket assignment is an arithmetic
+projection, and the union of both sides aggregates per (column,
+bucket) with map-side partial aggregation. The per-column CDF window
+runs over ≤ buckets+1 rows per column — bounded, never a data-sized
+sort. Driver state is O(cols × buckets).
 """
 
 from __future__ import annotations
@@ -40,7 +42,9 @@ def drift_profile(
 
     Returns one row per column: ``(column, n_old, n_new, ks, psi)``
     (metrics rounded to 6 decimals; NULL values are excluded from
-    both sides).
+    both sides). A column with zero non-null rows on a side still
+    gets its row — counts are 0 and the metrics are NULL (undefined
+    against an empty side), never a divide-by-zero failure.
 
     ``cuts="linear"`` grids ``buckets`` equal-width bins over the OLD
     side's [min, max] — fully deterministic, the mode the cross-engine
@@ -74,25 +78,42 @@ def drift_profile(
         cut_points = dict(zip(cols, qs))
 
     def side_counts(df: DataFrame, side: str) -> DataFrame:
-        frames = []
+        # ONE scan per side: melt every profiled column into
+        # (column, v) rows via a single explode, then assign the
+        # bucket with a per-column comparison-count expression —
+        # a per-column union would re-execute the upstream plan once
+        # per column, ruinous when the snapshot is a computed pipeline
+        melted = (
+            df.select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(c).alias("column"),
+                                F.col(c).cast("double").alias("v"),
+                            )
+                            for c in cols
+                        ]
+                    )
+                ).alias("kv")
+            )
+            .select("kv.column", "kv.v")
+            .filter(F.col("v").isNotNull())
+        )
+        # bucket index = how many cuts the value exceeds — a sum of
+        # comparisons (seeded with lit(0) so a column with NO cuts,
+        # e.g. an all-NULL old side under quantile mode, still yields
+        # a Column, not a Python int)
+        bucket = F.lit(None).cast("int")
         for c in cols:
-            # bucket index = how many cuts the value exceeds — a sum
-            # of comparisons, one codegen projection, no when-chain
             idx = sum(
-                (F.col(c).cast("double") > F.lit(cut)).cast("int")
-                for cut in cut_points[c]
+                ((F.col("v") > F.lit(cut)).cast("int") for cut in cut_points[c]),
+                F.lit(0),
             )
-            frames.append(
-                df.filter(F.col(c).isNotNull()).select(
-                    F.lit(c).alias("column"),
-                    idx.alias("bucket"),
-                    F.lit(side).alias("side"),
-                )
-            )
-        out = frames[0]
-        for f in frames[1:]:
-            out = out.unionByName(f)
-        return out
+            bucket = F.when(F.col("column") == c, idx).otherwise(bucket)
+        return melted.select(
+            "column", bucket.alias("bucket"), F.lit(side).alias("side")
+        )
 
     counts = (
         side_counts(old, "old")
@@ -111,12 +132,16 @@ def drift_profile(
         .orderBy("bucket")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    # bounded windows: ≤ buckets+1 rows per column partition
+    # bounded windows: ≤ buckets+1 rows per column partition.
+    # try_divide everywhere a snapshot count is the divisor: a column
+    # that is all-NULL on one side (exactly the regression drift
+    # detection exists to catch) must report NULL metrics for that
+    # column, not kill the whole monitoring job with DIVIDE_BY_ZERO
     enriched = counts.withColumn("n_old", F.sum("c_old").over(w)).withColumn(
         "n_new", F.sum("c_new").over(w)
     )
-    p_old = F.col("c_old") / F.col("n_old")
-    p_new = F.col("c_new") / F.col("n_new")
+    p_old = F.try_divide(F.col("c_old"), F.col("n_old"))
+    p_new = F.try_divide(F.col("c_new"), F.col("n_new"))
     sm_old = p_old + eps
     sm_new = p_new + eps
     enriched = (
@@ -128,18 +153,30 @@ def drift_profile(
         .withColumn(
             "cdf_gap",
             F.abs(
-                F.col("cum_old") / F.col("n_old")
-                - F.col("cum_new") / F.col("n_new")
+                F.try_divide(F.col("cum_old"), F.col("n_old"))
+                - F.try_divide(F.col("cum_new"), F.col("n_new"))
             ),
         )
     )
+    metrics = enriched.groupBy("column").agg(
+        F.max("n_old").cast("bigint").alias("n_old"),
+        F.max("n_new").cast("bigint").alias("n_new"),
+        F.round(F.max("cdf_gap"), 6).alias("ks"),
+        F.round(F.sum("psi_term"), 6).alias("psi"),
+    )
+    # a column with zero non-null rows on BOTH sides emits no count
+    # rows at all — re-seat it so every requested column gets a row
+    skeleton = old.sparkSession.createDataFrame(
+        [(c,) for c in cols], "column string"
+    )
     return (
-        enriched.groupBy("column")
-        .agg(
-            F.max("n_old").cast("bigint").alias("n_old"),
-            F.max("n_new").cast("bigint").alias("n_new"),
-            F.round(F.max("cdf_gap"), 6).alias("ks"),
-            F.round(F.sum("psi_term"), 6).alias("psi"),
+        skeleton.join(metrics, "column", "left")
+        .select(
+            "column",
+            F.coalesce("n_old", F.lit(0)).cast("bigint").alias("n_old"),
+            F.coalesce("n_new", F.lit(0)).cast("bigint").alias("n_new"),
+            "ks",
+            "psi",
         )
         .orderBy("column")
     )

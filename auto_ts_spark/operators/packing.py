@@ -62,7 +62,13 @@ def pack_sequences(
         )
     else:
         work = work.withColumn(tok, F.col(token_col).cast("long"))
-    work = work.withColumn(tok, F.coalesce(F.col(tok), F.lit(0)))
+    # NULL and negative counts both clamp to 0: a negative count from
+    # a buggy upstream column would otherwise flow INTO the global
+    # cumsum and silently shift every later document's offsets
+    # (overlapping spans), while the row itself gets filtered below
+    work = work.withColumn(
+        tok, F.greatest(F.coalesce(F.col(tok), F.lit(0)), F.lit(0))
+    )
     order = order or [F.col(id_col).asc()]
     cum = "_cum_toks"
     while cum in df.columns:

@@ -72,3 +72,31 @@ def test_invalid_args(spark):
         drift_profile(old, new, cols=["x"], cuts="bogus")
     with pytest.raises(ValueError):
         drift_profile(old, new, cols=["x"], buckets=1)
+
+
+def test_all_null_side_reports_instead_of_crashing(spark):
+    # an all-NULL column on one side is exactly the regression drift
+    # detection exists to catch — it must report, not DIVIDE_BY_ZERO
+    old = spark.createDataFrame([(None,), (None,)], "x double")
+    new = spark.createDataFrame([(1.0,), (2.0,)], "x double")
+    row = drift_profile(old, new, cols=["x"]).collect()[0]
+    assert row["n_old"] == 0 and row["n_new"] == 2
+    assert row["ks"] is None and row["psi"] is None
+    # both sides empty: the column still gets its row
+    row2 = drift_profile(old, old, cols=["x"]).collect()[0]
+    assert row2["n_old"] == row2["n_new"] == 0
+    # quantile mode with an all-NULL old side (empty cut list) runs too
+    row3 = drift_profile(old, new, cols=["x"], cuts="quantile").collect()[0]
+    assert row3["n_old"] == 0
+
+
+def test_single_scan_per_side(spark):
+    # the melt shape must scan each input once, not once per column
+    df = spark.createDataFrame([(1.0, 2.0, 3.0)], "a double, b double, c double")
+    plan = (
+        drift_profile(df, df, cols=["a", "b", "c"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Scan ExistingRDD") <= 3  # bounds agg + one per side

@@ -90,3 +90,17 @@ def test_no_unpartitioned_window(spark):
     for line in plan.splitlines():
         if "Window" in line:
             assert "_pid" in line, line
+
+
+def test_negative_tokens_clamp_to_zero(spark):
+    # a buggy upstream count must not flow into the global cumsum and
+    # shift every later document's offsets
+    df = spark.createDataFrame(
+        [(0, 4), (1, -5), (2, 4)], "doc_id long, n_tok long"
+    )
+    rows = pack_sequences(df, 8, token_col="n_tok").collect()
+    assert sorted(r.doc_id for r in rows) == [0, 2]
+    per_seq = collections.defaultdict(int)
+    for r in rows:
+        per_seq[r.seq_id] += r.n_toks
+    assert per_seq == {0: 8}  # 4 + 4 fills one sequence exactly
