@@ -3438,6 +3438,66 @@ FROM e GROUP BY col ORDER BY col
 """
 
 
+def q_categorical_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-extension: categorical snapshot drift
+    (operators/drift.py categorical_drift_profile) — total-variation
+    distance + PSI over category masses between the two event_id-
+    parity halves of events, for a bounded-cardinality column
+    (event_type) AND a high-cardinality one (props, JSON strings)
+    whose tail collapses into __other__ at top_k=10. Oracle replays
+    counts → deterministic rank → collapse → TV/PSI."""
+    from auto_ts_spark.operators.drift import categorical_drift_profile
+
+    ev = load_table(spark, sf_dir, "events")
+    old = ev.filter(F.col("event_id") % 2 == 0)
+    new = ev.filter(F.col("event_id") % 2 == 1)
+    return categorical_drift_profile(
+        old, new, cols=["event_type", "props"], top_k=10
+    )
+
+
+_SQL_CATEGORICAL_DRIFT = """
+WITH src AS (
+  SELECT 'event_type' AS col,
+         coalesce(cast(event_type AS varchar), '__null__') AS v,
+         event_id % 2 = 0 AS is_old
+  FROM events
+  UNION ALL
+  SELECT 'props', coalesce(cast(props AS varchar), '__null__'),
+         event_id % 2 = 0
+  FROM events
+), counts AS (
+  SELECT col, v,
+         sum(CASE WHEN is_old THEN 1 ELSE 0 END) AS c_old,
+         sum(CASE WHEN NOT is_old THEN 1 ELSE 0 END) AS c_new
+  FROM src GROUP BY col, v
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY col
+                               ORDER BY c_old + c_new DESC, v ASC) AS rk
+  FROM counts
+), bucketed AS (
+  SELECT col, CASE WHEN rk <= 10 THEN v ELSE '__other__' END AS cat,
+         sum(c_old) AS c_old, sum(c_new) AS c_new
+  FROM ranked GROUP BY 1, 2
+), e AS (
+  SELECT col, cat, c_old, c_new,
+         sum(c_old) OVER (PARTITION BY col) AS n_old,
+         sum(c_new) OVER (PARTITION BY col) AS n_new
+  FROM bucketed
+)
+SELECT col AS "column",
+       cast(max(n_old) AS BIGINT) AS n_old,
+       cast(max(n_new) AS BIGINT) AS n_new,
+       round(sum(abs(c_old / cast(n_old AS double)
+                     - c_new / cast(n_new AS double))) / 2.0, 6) AS tv,
+       round(sum((c_new / cast(n_new AS double) + 1e-6
+                  - (c_old / cast(n_old AS double) + 1e-6))
+                 * ln((c_new / cast(n_new AS double) + 1e-6)
+                      / (c_old / cast(n_old AS double) + 1e-6))), 6) AS psi
+FROM e GROUP BY col ORDER BY col
+"""
+
+
 # ---------------------------------------------------------------- contract
 
 _ORACLE: dict[str, str] = {
@@ -3523,6 +3583,7 @@ _ORACLE: dict[str, str] = {
     "boilerplate_lines": _SQL_BOILERPLATE_LINES,
     "pack_manifest": _SQL_PACK_MANIFEST,
     "drift_profile": _SQL_DRIFT_PROFILE,
+    "categorical_drift": _SQL_CATEGORICAL_DRIFT,
 }
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3574,7 +3635,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cumsum": q_cumsum,
     "rolling_stats": q_rolling_stats,
     "calendar_features": q_calendar_features,
-    "frequency_inference": q_frequency_inference,
+    "categorical_drift": q_categorical_drift,  # new in r5 (frequency_inference rotates out)
     "future_index": q_future_index,
     "expanding_folds": q_expanding_folds,
     "sliding_folds": q_sliding_folds,
@@ -3624,6 +3685,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "class_weights": q_class_weights,
     "column_profile": q_column_profile,
     "weighted_cv_rmse": q_weighted_cv_rmse,
+    "frequency_inference": q_frequency_inference,
 }
 
 

@@ -3,7 +3,9 @@
 change) column by column, the monitoring step a production
 training-data pipeline runs on every refresh.
 
-Metrics per numeric column, both computed on a shared bucket grid:
+Numeric columns (``drift_profile``) compare on a shared bucket grid;
+categorical columns (``categorical_drift_profile``) compare category
+masses directly. Numeric metrics:
 
 - **PSI** (population stability index), the industry drift metric:
   ``Σ (p_new - p_old) · ln(p_new / p_old)`` over buckets, with
@@ -176,6 +178,110 @@ def drift_profile(
             F.coalesce("n_old", F.lit(0)).cast("bigint").alias("n_old"),
             F.coalesce("n_new", F.lit(0)).cast("bigint").alias("n_new"),
             "ks",
+            "psi",
+        )
+        .orderBy("column")
+    )
+
+
+def categorical_drift_profile(
+    old: DataFrame,
+    new: DataFrame,
+    *,
+    cols: list[str],
+    top_k: int = 50,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Per-column drift metrics for CATEGORICAL columns between two
+    snapshots — the source-mix / language-distribution check a corpus
+    pipeline runs on every refresh.
+
+    Returns one row per column: ``(column, n_old, n_new, tv, psi)``
+    where ``tv`` is total-variation distance (``0.5 · Σ|p_old -
+    p_new|``, 0 = identical mix, 1 = disjoint) and ``psi`` the
+    population stability index over the category masses, both computed
+    on the ``top_k`` categories by combined count with everything else
+    collapsed into one ``__other__`` bucket (so the metric space stays
+    bounded regardless of tail cardinality). NULL category values
+    count as their own ``__null__`` category — a column going NULL is
+    drift, not missing data to ignore.
+
+    Scale contract: counts aggregate distributedly (one shuffle), but
+    the top-k rank runs one bounded window task PER COLUMN over its
+    distinct (value, count) rows — intended for bounded-cardinality
+    columns (language, source, event type). Hash or bucket
+    high-cardinality columns upstream."""
+    from pyspark.sql import Window
+
+    if top_k < 1:
+        raise ValueError("top_k must be positive")
+
+    def side(df: DataFrame, flag: str) -> DataFrame:
+        return df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("column"),
+                            F.coalesce(
+                                F.col(c).cast("string"), F.lit("__null__")
+                            ).alias("v"),
+                        )
+                        for c in cols
+                    ]
+                )
+            ).alias("kv"),
+        ).select("kv.column", "kv.v", F.lit(flag).alias("side"))
+
+    counts = (
+        side(old, "old")
+        .unionByName(side(new, "new"))
+        .groupBy("column", "v")
+        .agg(
+            F.sum(F.when(F.col("side") == "old", 1).otherwise(0)).alias("c_old"),
+            F.sum(F.when(F.col("side") == "new", 1).otherwise(0)).alias("c_new"),
+        )
+    )
+    # deterministic top-k per column (combined count desc, value asc
+    # tie-break); the rest collapses into __other__
+    wrank = Window.partitionBy("column").orderBy(
+        (F.col("c_old") + F.col("c_new")).desc(), F.col("v").asc()
+    )
+    bucketed = (
+        counts.withColumn("_rk", F.row_number().over(wrank))
+        .withColumn(
+            "cat", F.when(F.col("_rk") <= top_k, F.col("v")).otherwise("__other__")
+        )
+        .groupBy("column", "cat")
+        .agg(F.sum("c_old").alias("c_old"), F.sum("c_new").alias("c_new"))
+    )
+    w = Window.partitionBy("column")
+    enriched = bucketed.withColumn("n_old", F.sum("c_old").over(w)).withColumn(
+        "n_new", F.sum("c_new").over(w)
+    )
+    p_old = F.try_divide(F.col("c_old"), F.col("n_old"))
+    p_new = F.try_divide(F.col("c_new"), F.col("n_new"))
+    sm_old = p_old + eps
+    sm_new = p_new + eps
+    enriched = enriched.withColumn(
+        "tv_term", F.abs(p_old - p_new)
+    ).withColumn("psi_term", (sm_new - sm_old) * F.log(sm_new / sm_old))
+    metrics = enriched.groupBy("column").agg(
+        F.max("n_old").cast("bigint").alias("n_old"),
+        F.max("n_new").cast("bigint").alias("n_new"),
+        F.round(F.sum("tv_term") / 2.0, 6).alias("tv"),
+        F.round(F.sum("psi_term"), 6).alias("psi"),
+    )
+    skeleton = old.sparkSession.createDataFrame(
+        [(c,) for c in cols], "column string"
+    )
+    return (
+        skeleton.join(metrics, "column", "left")
+        .select(
+            "column",
+            F.coalesce("n_old", F.lit(0)).cast("bigint").alias("n_old"),
+            F.coalesce("n_new", F.lit(0)).cast("bigint").alias("n_new"),
+            "tv",
             "psi",
         )
         .orderBy("column")

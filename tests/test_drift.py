@@ -100,3 +100,37 @@ def test_single_scan_per_side(spark):
         .toString()
     )
     assert plan.count("Scan ExistingRDD") <= 3  # bounds agg + one per side
+
+
+def test_categorical_shift_and_identity(spark):
+    from auto_ts_spark.operators.drift import categorical_drift_profile
+
+    old = spark.createDataFrame([("a",)] * 70 + [("b",)] * 30, "x string")
+    new = spark.createDataFrame([("a",)] * 30 + [("b",)] * 70, "x string")
+    row = categorical_drift_profile(old, new, cols=["x"]).collect()[0]
+    assert row["tv"] == 0.4  # 0.5 * (|0.7-0.3| + |0.3-0.7|)
+    assert row["psi"] > 0.25
+    same = categorical_drift_profile(old, old, cols=["x"]).collect()[0]
+    assert same["tv"] == 0.0 and same["psi"] == 0.0
+
+
+def test_categorical_null_is_its_own_category(spark):
+    from auto_ts_spark.operators.drift import categorical_drift_profile
+
+    old = spark.createDataFrame([("a",)] * 10, "x string")
+    new = spark.createDataFrame([(None,)] * 10, "x string")
+    row = categorical_drift_profile(old, new, cols=["x"]).collect()[0]
+    # a column going NULL is maximal drift, not ignored rows
+    assert row["tv"] == 1.0
+    assert row["n_old"] == row["n_new"] == 10
+
+
+def test_categorical_tail_collapses_to_other(spark):
+    from auto_ts_spark.operators.drift import categorical_drift_profile
+
+    # 2 head categories + a 20-value tail; top_k=2 collapses the tail
+    old = spark.createDataFrame(
+        [("a",)] * 40 + [("b",)] * 40 + [(f"t{i}",) for i in range(20)], "x string"
+    )
+    row = categorical_drift_profile(old, old, cols=["x"], top_k=2).collect()[0]
+    assert row["tv"] == 0.0 and row["n_old"] == 100
