@@ -148,11 +148,18 @@ def read_input(
     spark: SparkSession, path_or_df: str | DataFrame, *, sep: str = ","
 ) -> DataFrame:
     """S1/S2 input dispatch (auto_ts/utils/etl.py:17-85): accept a
-    DataFrame, a parquet path, or a CSV path."""
+    DataFrame, or a parquet / ORC / newline-delimited JSON / CSV path
+    by extension (CSV is the no-extension fallback, matching the
+    reference's pandas ``read_csv`` default). Parquet routes through
+    the nanosecond-tolerant reader."""
     if isinstance(path_or_df, DataFrame):
         return path_or_df
     if path_or_df.endswith(".parquet") or path_or_df.endswith("/"):
-        return spark.read.parquet(path_or_df)
+        return read_parquet(spark, path_or_df)
+    if path_or_df.endswith(".orc"):
+        return spark.read.orc(path_or_df)
+    if path_or_df.endswith((".json", ".jsonl", ".ndjson")):
+        return spark.read.json(path_or_df)
     return (
         spark.read.option("header", True)
         .option("sep", sep)

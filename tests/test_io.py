@@ -96,3 +96,19 @@ def test_load_ts_adopts_existing_series_id(spark):
         "a",
         "b",
     }
+
+
+def test_read_input_json_and_orc(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5)], "id long, k string, v double"
+    )
+    jpath = str(tmp_path / "in.json")
+    opath = str(tmp_path / "in.orc")
+    df.coalesce(1).write.mode("overwrite").json(jpath)
+    df.coalesce(1).write.mode("overwrite").orc(opath)
+    from auto_ts_spark.io.sources import read_input
+
+    got_j = read_input(spark, jpath)
+    assert got_j.count() == 2 and set(got_j.columns) == {"id", "k", "v"}
+    got_o = read_input(spark, opath)
+    assert got_o.count() == 2 and set(got_o.columns) == {"id", "k", "v"}
