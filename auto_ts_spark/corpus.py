@@ -41,6 +41,7 @@ def curate(
     line_clean: bool = False,
     boilerplate_max_docs: int | None = None,
     quality: bool = True,
+    repetition: bool = False,
     redact: bool = True,
     dedup_exact: bool = True,
     near_dedup: bool = True,
@@ -71,6 +72,7 @@ def curate(
         c4_line_clean,
         drop_boilerplate_lines,
         quality_keep_expr,
+        repetition_filter,
     )
 
     # every stage is CPU-bound text work; spread an under-partitioned
@@ -118,6 +120,17 @@ def curate(
         # a shuffle-free filter, decision-identical to quality_filter
         # (both build on the same shared metric/rule expressions)
         out = tick("quality", out.filter(quality_keep_expr(text_col)))
+    if repetition:
+        # the Gopher repetition family (opt-in — it shuffles per
+        # n-gram order, so it runs AFTER the cheap inline gate has
+        # already shrunk the corpus); drop-list join keeps the chain's
+        # column set unchanged
+        rep_drop = (
+            repetition_filter(out, text_col=text_col, id_col=id_col)
+            .filter(~F.col("keep"))
+            .select(id_col)
+        )
+        out = tick("repetition", out.join(rep_drop, id_col, "left_anti"))
     if redact:
         out = tick("redact", redact_documents(out, text_col=text_col))
     if dedup_exact:

@@ -72,11 +72,14 @@ QUALITY_RULES: tuple[tuple[str, float | None, float | None], ...] = (
 def _fail_reasons_expr(
     metric: dict[str, "F.Column"],
     rules: tuple[tuple[str, float | None, float | None], ...],
+    *,
+    null_key: str = "n_chars",
 ):
     """Sorted array of violated rule names from metric EXPRESSIONS —
-    shared by the DataFrame gate (metrics as profile columns) and the
+    shared by the DataFrame gate (metrics as profile columns), the
     streaming inline filter (metrics re-derived from the text column,
-    no join needed)."""
+    no join needed), and the repetition gate (``null_key`` names the
+    metric whose NULL marks a NULL document)."""
     reasons = []
     for name, lo, hi in rules:
         c = metric[name]
@@ -91,7 +94,7 @@ def _fail_reasons_expr(
     # true nor false — without the explicit gate a NULL document would
     # sail through every rule
     return F.when(
-        metric["n_chars"].isNull(), F.array(F.lit("null_text"))
+        metric[null_key].isNull(), F.array(F.lit("null_text"))
     ).otherwise(arr)
 
 
@@ -271,6 +274,41 @@ def repetition_profile(
         F.coalesce(
             F.round(1 - F.col("tri_distinct") / F.col("tri_total"), 6), F.lit(0.0)
         ).alias("dup_trigram_frac"),
+    )
+
+
+# Gopher repetition-rule thresholds (Rae et al. 2021 §A1.1, the
+# "repetitious text" family, adapted to this engine's token-level
+# metrics): documents where one unigram/bigram dominates, or where
+# most trigrams repeat, are spam/boilerplate.
+REPETITION_RULES: tuple[tuple[str, float | None, float | None], ...] = (
+    ("top_unigram_frac", None, 0.30),
+    ("top_bigram_frac", None, 0.20),
+    ("dup_trigram_frac", None, 0.30),
+)
+
+
+def repetition_filter(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rules: tuple[tuple[str, float | None, float | None], ...] = REPETITION_RULES,
+) -> DataFrame:
+    """Repetition gate over ``repetition_profile`` metrics — the
+    second half of the Gopher quality recipe (the first half,
+    ``quality_filter``, covers length/ratio rules; this one drops the
+    repetitious documents those rules cannot see). Output mirrors
+    ``quality_filter``: the metric columns plus ``fail_reasons`` and
+    ``keep``. Costlier than the inline gate — the profile shuffles
+    per n-gram order — so the curation chain runs it AFTER the cheap
+    rules have already shrunk the corpus."""
+    prof = repetition_profile(df, text_col=text_col, id_col=id_col)
+    metric = {name: F.col(name) for name, _, _ in rules}
+    metric["n_tokens"] = F.col("n_tokens")
+    arr = _fail_reasons_expr(metric, rules, null_key="n_tokens")
+    return prof.withColumn("fail_reasons", arr).withColumn(
+        "keep", F.size("fail_reasons") == 0
     )
 
 

@@ -54,3 +54,46 @@ def test_repetition_profile_keeps_null_text_docs(spark):
     assert out.loc[1, "n_tokens"] == 0
     assert out.loc[1, "top_unigram_frac"] == 0.0
     assert abs(out.loc[3, "top_unigram_frac"] - 1.0) < 1e-9
+
+
+def test_repetition_filter_drops_spam_keeps_prose(spark):
+    from auto_ts_spark.operators.textops import repetition_filter
+
+    prose = (
+        "the market opened higher while investors weighed new data on "
+        "inflation and growth prospects across several regions today"
+    )
+    spam = "buy now " * 40  # one bigram dominates everything
+    df = spark.createDataFrame(
+        [(0, prose), (1, spam)], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in repetition_filter(df).collect()}
+    assert rows[0]["keep"] is True and rows[0]["fail_reasons"] == []
+    assert rows[1]["keep"] is False
+    assert "top_bigram_frac" in rows[1]["fail_reasons"]
+
+
+def test_repetition_stage_in_curate(spark):
+    from auto_ts_spark.corpus import curate
+
+    good = (
+        "many different words appear in this lengthy and varied sentence "
+        "because natural prose rarely repeats the same token runs often"
+    )
+    spam = "win money fast " * 30
+    df = spark.createDataFrame(
+        [(i, "src0", good + f" tail {i}") for i in range(3)]
+        + [(9, "src0", spam)],
+        "doc_id long, source string, text string",
+    )
+    out, counts = curate(
+        df,
+        quality=False,  # isolate the repetition stage
+        repetition=True,
+        redact=False,
+        dedup_exact=False,
+        near_dedup=False,
+        stage_counts=True,
+    )
+    assert counts["repetition"] == 3
+    assert sorted(r.doc_id for r in out.collect()) == [0, 1, 2]
