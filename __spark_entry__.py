@@ -3488,8 +3488,10 @@ WITH src AS (
 SELECT col AS "column",
        cast(max(n_old) AS BIGINT) AS n_old,
        cast(max(n_new) AS BIGINT) AS n_new,
-       round(sum(abs(c_old / cast(n_old AS double)
-                     - c_new / cast(n_new AS double))) / 2.0, 6) AS tv,
+       -- exact-integer numerator (matches the operator): immune to
+       -- float-summation order across engines
+       round(cast(sum(abs(c_old * n_new - c_new * n_old)) AS double)
+             / (2.0 * max(n_old) * max(n_new)), 6) AS tv,
        round(sum((c_new / cast(n_new AS double) + 1e-6
                   - (c_old / cast(n_old AS double) + 1e-6))
                  * ln((c_new / cast(n_new AS double) + 1e-6)

@@ -124,7 +124,11 @@ def curate(
         # the Gopher repetition family (opt-in — it shuffles per
         # n-gram order, so it runs AFTER the cheap inline gate has
         # already shrunk the corpus); drop-list join keeps the chain's
-        # column set unchanged
+        # column set unchanged. Cache: the gate derives its drop list
+        # from the same frame it anti-joins, the self-join pattern the
+        # boilerplate/near-dup stages cache for as well
+        if not stage_counts:  # tick() already checkpointed it
+            out = out.cache()
         rep_drop = (
             repetition_filter(out, text_col=text_col, id_col=id_col)
             .filter(~F.col("keep"))

@@ -263,13 +263,28 @@ def categorical_drift_profile(
     p_new = F.try_divide(F.col("c_new"), F.col("n_new"))
     sm_old = p_old + eps
     sm_new = p_new + eps
+    # tv accumulates as an EXACT integer numerator (|c_old·n_new −
+    # c_new·n_old| in decimal(38,0) — counts are longs, so products
+    # stay exact) with one final division, so the statistic cannot
+    # drift with float-summation order across engines/partials; psi is
+    # irreducibly float (logs) and rounds from a float sum
     enriched = enriched.withColumn(
-        "tv_term", F.abs(p_old - p_new)
+        "tv_num",
+        F.abs(
+            F.col("c_old").cast("decimal(38,0)") * F.col("n_new")
+            - F.col("c_new").cast("decimal(38,0)") * F.col("n_old")
+        ),
     ).withColumn("psi_term", (sm_new - sm_old) * F.log(sm_new / sm_old))
     metrics = enriched.groupBy("column").agg(
         F.max("n_old").cast("bigint").alias("n_old"),
         F.max("n_new").cast("bigint").alias("n_new"),
-        F.round(F.sum("tv_term") / 2.0, 6).alias("tv"),
+        F.round(
+            F.try_divide(
+                F.sum("tv_num").cast("double"),
+                2.0 * F.max("n_old") * F.max("n_new"),
+            ),
+            6,
+        ).alias("tv"),
         F.round(F.sum("psi_term"), 6).alias("psi"),
     )
     skeleton = old.sparkSession.createDataFrame(

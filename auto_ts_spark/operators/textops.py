@@ -300,15 +300,26 @@ def repetition_filter(
     ``quality_filter``, covers length/ratio rules; this one drops the
     repetitious documents those rules cannot see). Output mirrors
     ``quality_filter``: the metric columns plus ``fail_reasons`` and
-    ``keep``. Costlier than the inline gate — the profile shuffles
+    ``keep``; NULL-text documents fail with ``null_text`` like the
+    quality gate. Costlier than the inline gate — the profile shuffles
     per n-gram order — so the curation chain runs it AFTER the cheap
     rules have already shrunk the corpus."""
     prof = repetition_profile(df, text_col=text_col, id_col=id_col)
+    # the profile coalesces NULL-text metrics to 0, so NULL-ness must
+    # travel alongside explicitly for the null_text verdict to fire
+    nulls = df.select(
+        F.col(id_col), F.col(text_col).isNull().alias("_null_text")
+    )
+    prof = prof.join(nulls, id_col)
     metric = {name: F.col(name) for name, _, _ in rules}
-    metric["n_tokens"] = F.col("n_tokens")
-    arr = _fail_reasons_expr(metric, rules, null_key="n_tokens")
-    return prof.withColumn("fail_reasons", arr).withColumn(
-        "keep", F.size("fail_reasons") == 0
+    metric["_null_probe"] = F.when(
+        F.col("_null_text"), F.lit(None).cast("int")
+    ).otherwise(F.lit(0))
+    arr = _fail_reasons_expr(metric, rules, null_key="_null_probe")
+    return (
+        prof.withColumn("fail_reasons", arr)
+        .withColumn("keep", F.size("fail_reasons") == 0)
+        .drop("_null_text")
     )
 
 

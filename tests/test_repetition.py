@@ -97,3 +97,16 @@ def test_repetition_stage_in_curate(spark):
     )
     assert counts["repetition"] == 3
     assert sorted(r.doc_id for r in out.collect()) == [0, 1, 2]
+
+
+def test_repetition_filter_null_text_fails(spark):
+    from auto_ts_spark.operators.textops import repetition_filter
+
+    df = spark.createDataFrame(
+        [(0, None), (1, "plenty of distinct words in ordinary readable prose here")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_filter(df).collect()}
+    assert rows[0]["keep"] is False
+    assert list(rows[0]["fail_reasons"]) == ["null_text"]
+    assert rows[1]["keep"] is True
