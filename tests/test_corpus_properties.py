@@ -88,3 +88,77 @@ def test_pii_scrub_works_as_a_stream(spark, tmp_path):
     )
     assert list(got["text"]) == list(want["text"])
     assert got.loc[0, "text"] == "mail <EMAIL> now"
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    toks=st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=30),
+    budget=st.integers(min_value=0, max_value=400),
+)
+def test_budget_greedy_prefix_property(spark, toks, budget):
+    """budget_select's per-key and global paths must agree with the
+    greedy-prefix reference computed in plain Python, for arbitrary
+    token counts and budgets."""
+    from auto_ts_spark.operators.budget import budget_select
+
+    df = spark.createDataFrame(
+        [(i, "k", int(t)) for i, t in enumerate(toks)],
+        "doc_id long, source string, n_tok long",
+    )
+    # reference: ids ascending, keep while cumsum <= budget
+    want, acc = [], 0
+    for i, t in enumerate(toks):
+        acc += t
+        if acc <= budget:
+            want.append(i)
+        else:
+            break
+    for by in ("source", None):
+        got = sorted(
+            r.doc_id
+            for r in budget_select(df, budget, by=by, token_col="n_tok").collect()
+        )
+        assert got == want, (by, toks, budget, got, want)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    toks=st.lists(st.integers(min_value=0, max_value=25), min_size=1, max_size=25),
+    seq_len=st.integers(min_value=1, max_value=17),
+)
+def test_packing_invariants_property(spark, toks, seq_len):
+    """For arbitrary token counts and sequence lengths: every document
+    is tiled exactly once across its manifest rows, every sequence
+    except the last is exactly full, and in-sequence offsets are
+    gapless — the invariants a training reader depends on."""
+    from auto_ts_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, int(t)) for i, t in enumerate(toks)], "doc_id long, n_tok long"
+    )
+    rows = pack_sequences(df, seq_len, token_col="n_tok").collect()
+    total = sum(t for t in toks)
+    assert sum(r.n_toks for r in rows) == total
+    per_doc = {}
+    per_seq = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, []).append((r.doc_tok_start, r.doc_tok_end))
+        per_seq.setdefault(r.seq_id, []).append((r.seq_tok_start, r.n_toks))
+    for i, t in enumerate(toks):
+        spans = sorted(per_doc.get(i, []))
+        if t == 0:
+            assert spans == []
+            continue
+        assert spans[0][0] == 0 and spans[-1][1] == t
+        assert all(a[1] == b[0] for a, b in zip(spans, spans[1:]))
+    if total:
+        last = max(per_seq)
+        for sid, spans in per_seq.items():
+            spans = sorted(spans)
+            assert spans[0][0] == 0
+            pos = 0
+            for start, n in spans:
+                assert start == pos
+                pos += n
+            if sid != last:
+                assert pos == seq_len
