@@ -45,6 +45,7 @@ def curate(
     redact: bool = True,
     dedup_exact: bool = True,
     near_dedup: bool = True,
+    near_dedup_method: str = "minhash",
     near_dedup_max_bucket: int | None = 1000,
     benchmark: DataFrame | None = None,
     decontam_n: int = 5,
@@ -152,12 +153,23 @@ def curate(
         # evictable under memory pressure at scale.
         if not stage_counts:  # tick() already checkpointed it
             out = out.cache()
-        clusters = DD.dedup_clusters(
-            out,
-            text_col=text_col,
-            id_col=id_col,
-            max_bucket_size=near_dedup_max_bucket,
-        )
+        if near_dedup_method == "minhash":
+            clusters = DD.dedup_clusters(
+                out,
+                text_col=text_col,
+                id_col=id_col,
+                max_bucket_size=near_dedup_max_bucket,
+            )
+        elif near_dedup_method == "simhash":
+            # SimHash blocking: cheaper signatures, hamming-ball
+            # candidate generation — the better fit for short/near-
+            # identical documents; same clustering + retention shape
+            pairs = DD.simhash_pairs(out, text_col=text_col, id_col=id_col)
+            clusters = DD.clusters_from_pairs(pairs, id_col=id_col)
+        else:
+            raise ValueError(
+                f"unknown near_dedup_method: {near_dedup_method!r}"
+            )
         drop = clusters.filter(~F.col("is_keep")).select(id_col)
         out = tick("near_dedup", out.join(drop, id_col, "left_anti"))
     if benchmark is not None:

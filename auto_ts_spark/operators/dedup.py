@@ -330,6 +330,15 @@ def dedup_clusters(
         threshold=threshold,
         max_bucket_size=max_bucket_size,
     )
+    return clusters_from_pairs(pairs, id_col=id_col)
+
+
+def clusters_from_pairs(pairs: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """Cluster labels + retention flags from ANY near-dup pair frame
+    (``id_a``/``id_b`` columns — MinHash-LSH, SimHash, n-gram Jaccard,
+    winnowing all emit this shape): connected components → per-doc
+    ``(id, cluster_id, cluster_size, is_keep)`` with the min member id
+    as the deterministic canonical keeper."""
     cc = connected_components(pairs)
     w = Window.partitionBy("cluster_id")
     return (

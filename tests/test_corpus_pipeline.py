@@ -144,3 +144,45 @@ def test_curate_stream_line_clean_equals_batch(spark, tmp_path):
         "A good long first sentence here.",
         "Another keeper line stands now.",
     ]
+
+
+def test_curate_simhash_near_dedup_method(spark):
+    """The simhash near-dup method must collapse planted
+    near-identical documents through the same cluster-retention shape
+    as the minhash default (keep ONE canonical member per cluster)."""
+    import pytest
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while evening light "
+        "settles across a quiet field of tall dry summer grass nearby "
+    ) * 3
+    df = spark.createDataFrame(
+        [
+            (0, "src0", base),
+            (1, "src0", base + "tiny tail difference"),  # near-dup of 0
+            (2, "src0", base.replace("fox", "hare") + "still close variant"),
+            (
+                3,
+                "src0",
+                "entirely different content about databases, query planners "
+                "and distributed shuffles across a large analytics cluster "
+                * 3,
+            ),
+        ],
+        "doc_id long, source string, text string",
+    )
+    out, counts = curate(
+        df,
+        quality=False,
+        redact=False,
+        dedup_exact=False,
+        near_dedup=True,
+        near_dedup_method="simhash",
+        stage_counts=True,
+    )
+    kept = sorted(r.doc_id for r in out.collect())
+    # the planted near-dup cluster {0,1,2} keeps exactly its min id
+    assert 0 in kept and 3 in kept
+    assert counts["near_dedup"] < 4
+    with pytest.raises(ValueError):
+        curate(df, near_dedup_method="bogus")
