@@ -1605,8 +1605,8 @@ SELECT date_trunc('hour', ts) AS win_start,
        event_type,
        count(*) AS n_events,
        round(cast(sum(cast(value as decimal(28,6))) as double), 6) AS sum_value,
-       cast(floor(cast(sum(cast(value as decimal(28,6))) * 1000000 AS BIGINT)
-                  / count(*)) AS BIGINT) AS avg_value_micros
+       cast(sum(cast(value as decimal(28,6))) * 1000000 AS BIGINT)
+           // count(*) AS avg_value_micros
 FROM events GROUP BY 1, 2, 3
 """
 
@@ -1689,8 +1689,8 @@ SELECT win_start,
        event_type,
        count(*) AS n_events,
        round(cast(sum(cast(value AS decimal(28,6))) AS double), 6) AS sum_value,
-       cast(floor(cast(sum(cast(value AS decimal(28,6))) * 1000000 AS BIGINT)
-                  / count(*)) AS BIGINT) AS avg_value_micros
+       cast(sum(cast(value AS decimal(28,6))) * 1000000 AS BIGINT)
+           // count(*) AS avg_value_micros
 FROM exploded GROUP BY 1, 2, 3
 """
 

@@ -328,6 +328,7 @@ def select_model(
     n_fits: int = 50,
     large_series_threshold: int = 1000,
     d_hint: int | None = None,
+    check_roots: bool = True,
 ) -> dict | None:
     """Order search for one series. ``search='stepwise'`` is the
     pmdarima-parity path (build_autoarimax.py): d from the unit-root
@@ -339,6 +340,13 @@ def select_model(
     onto the seasonal Q bound the same way). The chosen model dict
     records ``search_meta`` (fits used, whether the reduced budget
     triggered) for tests and diagnostics.
+
+    ``check_roots=True`` (the default) rejects any fitted candidate
+    whose AR or MA lag-polynomial roots fall on/inside the unit circle
+    (``model_roots_outside_unit_circle``) — the reference refuses
+    non-stationary/non-invertible winners the same way
+    (auto_ts/utils/val.py:163-167); a rejected candidate still spends
+    its slot of the fit budget (the fit happened).
 
     ``d_hint`` pins the regular differencing order, skipping the
     autolag-AIC ADF cascade — callers fitting the same series across
@@ -380,6 +388,14 @@ def select_model(
                                     # the predictors — a legal SARIMAX(0,d,0)
                                     continue
                                 res = _fit_ar(y, p, d, q, m, P, exog, D, Q)
+                                if (
+                                    res is not None
+                                    and check_roots
+                                    and not all(
+                                        model_roots_outside_unit_circle(res[0])
+                                    )
+                                ):
+                                    res = None
                                 if res and (best is None or res[1] < best[1]):
                                     best = res
         if best:
@@ -415,6 +431,12 @@ def select_model(
             return None
         fits += 1
         res = _fit_ar(y, p, d, q, m, P, exog, D, Q)
+        if (
+            res is not None
+            and check_roots
+            and not all(model_roots_outside_unit_circle(res[0]))
+        ):
+            res = None
         cache[key] = res
         return res
 

@@ -50,6 +50,7 @@ def pack_sequences(
     a tiebreak, exactly like ``budget_select``'s ``extra_tiebreak`` —
     rows tied on every order key get an arbitrary relative offset.
     """
+    seq_len = int(seq_len)
     if seq_len <= 0:
         raise ValueError("seq_len must be positive")
     work = df
@@ -78,8 +79,12 @@ def pack_sequences(
     work = work.filter(F.col(tok) > 0).select(
         F.col(id_col), F.col(tok), start, F.col(cum).alias("_end")
     )
-    first_seq = F.floor(F.col("_start") / seq_len)
-    last_seq = F.floor((F.col("_end") - 1) / seq_len)
+    # true bigint `div`, not floor(a / b): `/` on bigints is IEEE
+    # double division, exact only below 2^53 cumulative tokens —
+    # integer division keeps the manifest exact at any corpus size
+    # (offsets are non-negative, so div == floor here)
+    first_seq = F.expr(f"_start div {seq_len}")
+    last_seq = F.expr(f"(_end - 1) div {seq_len}")
     exploded = work.select(
         "*", F.explode(F.sequence(first_seq, last_seq)).alias("seq_id")
     )

@@ -156,20 +156,23 @@ def tumbling_agg(
     addition is associative, so the result is bit-identical no matter
     how the stream is micro-batched — the mode the cross-engine oracle
     check runs in (float sums would drift with accumulation order).
-    The exact average is emitted in integer MICRO-units (floor of
-    sum*1e6 / n): a rounded double quotient can land exactly on a
-    round-half boundary where engines disagree by one final digit
-    (seen once at sf0.1), while integer floor-division is
-    engine-independent.
+    The exact average is emitted in integer MICRO-units (sum*1e6 `div`
+    n): a rounded double quotient can land exactly on a round-half
+    boundary where engines disagree by one final digit (seen once at
+    sf0.1), while integer division is engine-independent. This is true
+    bigint ``div`` (floored quotient of exact integers), NOT
+    ``floor(a / b)`` — `/` on bigints is IEEE double division, which
+    stops being exact past 2^53 micro-units.
     """
     if exact:
         dec = F.sum(F.col("value").cast("decimal(28,6)"))
         aggs = [
             F.count(F.lit(1)).alias("n_events"),
             F.round(dec.cast("double"), 6).alias("sum_value"),
-            F.floor((dec * 1_000_000).cast("bigint") / F.count(F.lit(1)))
-            .cast("bigint")
-            .alias("avg_value_micros"),
+            F.expr(
+                "CAST(sum(CAST(value AS decimal(28,6))) * 1000000 AS bigint)"
+                " div count(1)"
+            ).alias("avg_value_micros"),
         ]
     else:
         aggs = [
@@ -208,16 +211,18 @@ def sliding_agg(
     n/sum/avg (associative → micro-batch-order independent), the mode
     the cross-engine value check runs in."""
     if exact:
-        # decimal sum + integer-micros floor-div average: see
-        # tumbling_agg — a rounded double quotient can tie at the
-        # round-half boundary where engines disagree
+        # decimal sum + integer-micros `div` average: see tumbling_agg
+        # — a rounded double quotient can tie at the round-half
+        # boundary where engines disagree, and floor(a/b) on bigints
+        # is double division (inexact past 2^53)
         dec = F.sum(F.col("value").cast("decimal(28,6)"))
         aggs = [
             F.count(F.lit(1)).alias("n_events"),
             F.round(dec.cast("double"), 6).alias("sum_value"),
-            F.floor((dec * 1_000_000).cast("bigint") / F.count(F.lit(1)))
-            .cast("bigint")
-            .alias("avg_value_micros"),
+            F.expr(
+                "CAST(sum(CAST(value AS decimal(28,6))) * 1000000 AS bigint)"
+                " div count(1)"
+            ).alias("avg_value_micros"),
         ]
         out_cols = ["n_events", "sum_value", "avg_value_micros"]
     else:
