@@ -1732,6 +1732,76 @@ FROM events
 """
 
 
+def q_streaming_forecast_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W19 stateful streaming forecast, value-checked: drain a bounded
+    event subset (event_id % 20 == 0 — engine-agnostic, keeps the
+    oracle's recursion shallow) through
+    ``stateful_rolling_forecast`` (applyInPandasWithState: per-key
+    O(1) state folding count / running mean / EWMA), keep each key's
+    FINAL state row, and replay the identical sequential fold in a
+    DuckDB recursive CTE ordered by (ts, event_id). Both sides execute
+    the same IEEE double ops in the same order (``alpha*v +
+    (1-alpha)*ewma``, ``mean + (v-mean)/n``), so the rounded values
+    must agree exactly — a wrong fold order, lost state, or dropped
+    micro-batch changes every digit."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql import Window
+
+    from auto_ts_spark.streaming import ops as ST
+
+    ev = ST.read_event_stream_nanos(spark, f"{sf_dir}/events.parquet").filter(
+        F.col("event_id") % 20 == 0
+    )
+    fc = ST.stateful_rolling_forecast(ev, alpha=0.3)
+    sink = f"stream_forecast_{uuid.uuid4().hex[:8]}"
+    ST.run_to_completion(
+        fc, sink_table=sink, checkpoint_dir=tempfile.mkdtemp(prefix="ckpt_")
+    )
+    w = Window.partitionBy("series_id").orderBy(F.col("running_n").desc())
+    return (
+        spark.table(sink)
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("series_id", "running_n", "running_mean", "ewma", "yhat_next")
+    )
+
+
+# the recursive CTE replays stateful_rolling_forecast's fold verbatim:
+# base case n=1 (mean = v, ewma = v), step n+1 joins the next row in
+# (ts, event_id) order; (1 - 0.3) is written as the expression, not
+# 0.7, because the two double literals differ in the last ulp
+_SQL_STREAMING_FORECAST_STATE = """
+WITH RECURSIVE bounded AS (
+  SELECT * FROM (
+    SELECT event_type AS series_id, CAST(value AS DOUBLE) AS v,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY ts, event_id) AS rn
+    FROM events WHERE event_id % 20 = 0)
+), fold AS (
+  SELECT series_id, rn, CAST(1 AS BIGINT) AS n, v AS mean, v AS ewma
+  FROM bounded WHERE rn = 1
+  UNION ALL
+  SELECT b.series_id, b.rn, f.n + 1,
+         f.mean + (b.v - f.mean) / (f.n + 1),
+         0.3 * b.v + (1 - 0.3) * f.ewma
+  FROM fold f JOIN bounded b
+    ON b.series_id = f.series_id AND b.rn = f.rn + 1
+), final AS (
+  SELECT series_id, n, mean, ewma,
+         row_number() OVER (PARTITION BY series_id ORDER BY n DESC) AS rk
+  FROM fold
+)
+SELECT series_id,
+       n AS running_n,
+       round(mean, 6) AS running_mean,
+       round(ewma, 6) AS ewma,
+       round(ewma, 6) AS yhat_next
+FROM final WHERE rk = 1
+"""
+
+
 def q_dedup_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3 value check: duplicate-named column drop (keep-FIRST,
     case-insensitive — reference etl.py de-dup of repeated columns).
@@ -3581,6 +3651,7 @@ _ORACLE: dict[str, str] = {
     "dedup_columns": _SQL_DEDUP_COLUMNS,
     "streaming_sliding_rollup": _SQL_STREAMING_SLIDING_ROLLUP,
     "streaming_dedup": _SQL_STREAMING_DEDUP,
+    "streaming_forecast_state": _SQL_STREAMING_FORECAST_STATE,
     "c4_line_clean": _SQL_C4_LINE_CLEAN,
     "boilerplate_lines": _SQL_BOILERPLATE_LINES,
     "pack_manifest": _SQL_PACK_MANIFEST,
@@ -3590,64 +3661,15 @@ _ORACLE: dict[str, str] = {
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Registration order is deliberate: the driver correctness check
-    # samples a 50-query prefix of this dict, so queries that have not
-    # yet had a driver-side CORRECTNESS row are front-loaded, followed
-    # by queries last driver-verified in r1-r3, then the r4-green set.
-    # --- never driver-checked (front-loaded for r5) ---
-    "predict_feature_splice": q_predict_feature_splice,
-    "df_test_stationarity": q_df_test_stationarity,
-    "snaive_forecast_intervals": q_snaive_forecast_intervals,
-    "lsh_ann_recall": q_lsh_ann_recall,
-    "ivf_ann_recall": q_ivf_ann_recall,
-    "multimodal_features": q_multimodal_features,
-    "automl_leaderboard_contract": q_automl_leaderboard_contract,
-    "feature_importance_contract": q_feature_importance_contract,
-    "seasonal_period_map": q_seasonal_period_map,
-    "adf_stationarity": q_adf_stationarity,  # rows-only
-    "automl_leaderboard": q_automl_leaderboard,  # rows-only
-    "automl_forecast": q_automl_forecast,  # rows-only
-    "ar1_forecast": q_ar1_forecast,
-    "var1_forecast": q_var1_forecast,
-    "streaming_sessionize": q_streaming_sessionize,
-    "dedup_columns": q_dedup_columns,
-    "streaming_sliding_rollup": q_streaming_sliding_rollup,
-    "streaming_dedup": q_streaming_dedup,
-    "lsh_ann_topk": q_lsh_ann_topk,  # rows-only
-    "ivf_ann_topk": q_ivf_ann_topk,  # rows-only
-    "feature_importance": q_feature_importance,  # rows-only
-    # --- last driver-green in r1-r3 ---
-    "label_encode": q_label_encode,
-    "forecast_viz_join": q_forecast_viz_join,
-    "revenue_rollup": q_revenue_rollup,
-    "residual_diagnostics": q_residual_diagnostics,
-    "seasonal_decompose": q_seasonal_decompose,
-    "quantile_profile": q_quantile_profile,
-    "asof_join": q_asof_join,
-    "resample_ffill": q_resample_ffill,
-    "customer_set_ops": q_customer_set_ops,
-    "datetime_parse": q_datetime_parse,
-    "bucketed_join_revenue": q_bucketed_join_revenue,
-    "range_join_window": q_range_join_window,
-    "pacf": q_pacf,
-    # --- driver-green in r4 ---
-    "tpch_pricing_summary": q_tpch_pricing_summary,
-    "shipping_priority": q_shipping_priority,
-    "lag_matrix": q_lag_matrix,
-    "difference": q_difference,
-    "cumsum": q_cumsum,
-    "rolling_stats": q_rolling_stats,
-    "calendar_features": q_calendar_features,
-    "categorical_drift": q_categorical_drift,  # new in r5 (frequency_inference rotates out)
-    "future_index": q_future_index,
-    "expanding_folds": q_expanding_folds,
-    "sliding_folds": q_sliding_folds,
-    "naive_forecast_metrics": q_naive_forecast_metrics,
-    "drift_profile": q_drift_profile,  # new in r5 (weighted_cv_rmse rotates out)
-    # new in r5 — placed inside the checked prefix (column_profile,
-    # frequency_table and class_weights rotate out; all driver-green in r4)
-    "pack_manifest": q_pack_manifest,
-    "c4_line_clean": q_c4_line_clean,
-    "boilerplate_lines": q_boilerplate_lines,
+    # samples a 50-query prefix of this dict. r6 rotation: the 39
+    # queries whose last driver row is r4 go first (driver freshness
+    # back to <= 1 round for every oracle, including the five the r5
+    # rotation displaced), then the query new in r6, then the 10
+    # queries whose plans this round's fixes touch (integer-div
+    # streaming average, integer-div packing, root-checked model
+    # selection). Everything below slot 50 was driver-green in r5
+    # and is unchanged.
+    # --- last driver-green in r4 (39) ---
     "token_explode": q_token_explode,
     "actual_vs_predicted_join": q_actual_vs_predicted_join,
     "train_tail_splice": q_train_tail_splice,
@@ -3682,13 +3704,67 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "acf": q_acf,
     "zero_variance": q_zero_variance,
     "problem_type": q_problem_type,
-
     "frequency_table": q_frequency_table,
     "class_weights": q_class_weights,
     "column_profile": q_column_profile,
     "weighted_cv_rmse": q_weighted_cv_rmse,
     "frequency_inference": q_frequency_inference,
+    # --- new in r6 ---
+    "streaming_forecast_state": q_streaming_forecast_state,
+    # --- r5-green, plans touched by r6 fixes ---
+    "streaming_sliding_rollup": q_streaming_sliding_rollup,
+    "pack_manifest": q_pack_manifest,
+    "automl_leaderboard_contract": q_automl_leaderboard_contract,
+    "automl_leaderboard": q_automl_leaderboard,  # rows-only
+    "automl_forecast": q_automl_forecast,  # rows-only
+    "residual_diagnostics": q_residual_diagnostics,
+    "ar1_forecast": q_ar1_forecast,
+    "var1_forecast": q_var1_forecast,
+    "adf_stationarity": q_adf_stationarity,  # rows-only
+    "df_test_stationarity": q_df_test_stationarity,
+    # --- r5-green, unchanged (outside the 50-slot prefix) ---
+    "predict_feature_splice": q_predict_feature_splice,
+    "snaive_forecast_intervals": q_snaive_forecast_intervals,
+    "lsh_ann_recall": q_lsh_ann_recall,
+    "ivf_ann_recall": q_ivf_ann_recall,
+    "multimodal_features": q_multimodal_features,
+    "feature_importance_contract": q_feature_importance_contract,
+    "seasonal_period_map": q_seasonal_period_map,
+    "streaming_sessionize": q_streaming_sessionize,
+    "dedup_columns": q_dedup_columns,
+    "streaming_dedup": q_streaming_dedup,
+    "lsh_ann_topk": q_lsh_ann_topk,  # rows-only
+    "ivf_ann_topk": q_ivf_ann_topk,  # rows-only
+    "feature_importance": q_feature_importance,  # rows-only
+    "label_encode": q_label_encode,
+    "forecast_viz_join": q_forecast_viz_join,
+    "revenue_rollup": q_revenue_rollup,
+    "seasonal_decompose": q_seasonal_decompose,
+    "quantile_profile": q_quantile_profile,
+    "asof_join": q_asof_join,
+    "resample_ffill": q_resample_ffill,
+    "customer_set_ops": q_customer_set_ops,
+    "datetime_parse": q_datetime_parse,
+    "bucketed_join_revenue": q_bucketed_join_revenue,
+    "range_join_window": q_range_join_window,
+    "pacf": q_pacf,
+    "tpch_pricing_summary": q_tpch_pricing_summary,
+    "shipping_priority": q_shipping_priority,
+    "lag_matrix": q_lag_matrix,
+    "difference": q_difference,
+    "cumsum": q_cumsum,
+    "rolling_stats": q_rolling_stats,
+    "calendar_features": q_calendar_features,
+    "categorical_drift": q_categorical_drift,
+    "future_index": q_future_index,
+    "expanding_folds": q_expanding_folds,
+    "sliding_folds": q_sliding_folds,
+    "naive_forecast_metrics": q_naive_forecast_metrics,
+    "drift_profile": q_drift_profile,
+    "c4_line_clean": q_c4_line_clean,
+    "boilerplate_lines": q_boilerplate_lines,
 }
+
 
 
 def entry(spark: SparkSession) -> DataFrame:

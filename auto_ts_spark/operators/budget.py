@@ -29,7 +29,13 @@ from auto_ts_spark.functions import text as TX
 
 
 def _ordered_cumsum_global(
-    df: DataFrame, value_col: str, order: list[Column], name: str
+    df: DataFrame,
+    value_col: str,
+    order: list[Column],
+    name: str,
+    *,
+    assert_unique_order: bool = False,
+    assert_msg: str = "duplicate order keys in global ordered cumsum",
 ) -> DataFrame:
     """Global ordered prefix sum without a single-task sort — the same
     two-pass shape as ``encoders.distributed_rank`` and
@@ -44,6 +50,14 @@ def _ordered_cumsum_global(
     while fractional token-estimate columns stay doubles (they must
     not truncate). NULL slice totals count 0 (a slice whose values are
     all NULL contributes nothing).
+
+    ``assert_unique_order=True`` makes tied order keys a loud runtime
+    error instead of a silent arbitrary ordering: ties co-locate under
+    ``repartitionByRange`` (equal keys hash to the same range slice),
+    so ``rank() != row_number()`` over the SAME per-slice window the
+    cumsum already sorts detects every tie with no extra shuffle; the
+    check is woven into the cumsum column itself (``assert_true``
+    guarding the projection) so column pruning cannot elide it.
 
     The slice-cumsum intermediate is ``localCheckpoint``-ed, not
     cached: range-boundary sampling and ``spark_partition_id`` are not
@@ -63,14 +77,20 @@ def _ordered_cumsum_global(
     parted = df.repartitionByRange(n_part, *order).withColumn(
         "_pid", F.spark_partition_id()
     )
-    local = parted.withColumn(
-        "_lcum",
-        F.sum(value_col).over(
-            Window.partitionBy("_pid")
-            .orderBy(*order)
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ),
-    ).localCheckpoint(eager=True)
+    wspec = Window.partitionBy("_pid").orderBy(*order)
+    lcum = F.sum(value_col).over(
+        wspec.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    if assert_unique_order:
+        check = F.assert_true(
+            F.rank().over(wspec) == F.row_number().over(wspec),
+            F.lit(assert_msg),
+        )
+        # assert_true is NULL whenever it does not throw, so the
+        # otherwise-branch is unreachable; wrapping keeps the check
+        # inside the one column every consumer reads
+        lcum = F.when(check.isNull(), lcum).otherwise(lcum)
+    local = parted.withColumn("_lcum", lcum).localCheckpoint(eager=True)
     totals = {
         r["_pid"]: num(r["t"] if r["t"] is not None else 0)
         for r in local.groupBy("_pid").agg(F.sum(value_col).alias("t")).collect()

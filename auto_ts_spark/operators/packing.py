@@ -32,6 +32,7 @@ def pack_sequences(
     text_col: str = "text",
     id_col: str = "doc_id",
     order: list[Column] | None = None,
+    assert_unique_order: bool = True,
 ) -> DataFrame:
     """Packing manifest: ``(seq_id, doc_id, doc_tok_start, doc_tok_end,
     seq_tok_start, n_toks)`` — one row per (document × sequence it
@@ -49,6 +50,13 @@ def pack_sequences(
     (mixture copies share the id) add the copy counter to ``order`` as
     a tiebreak, exactly like ``budget_select``'s ``extra_tiebreak`` —
     rows tied on every order key get an arbitrary relative offset.
+    ``assert_unique_order=True`` (the default) makes that misuse LOUD:
+    any tie on the full order key raises at execution time instead of
+    silently shuffling spans between runs. The check rides the cumsum
+    pass's existing per-slice sort (ties co-locate under the range
+    partitioner), costing no extra shuffle; pass ``False`` only when
+    the keys are unique by construction and the two extra window
+    functions matter.
     """
     seq_len = int(seq_len)
     if seq_len <= 0:
@@ -74,7 +82,18 @@ def pack_sequences(
     cum = "_cum_toks"
     while cum in df.columns:
         cum += "_"
-    work = _ordered_cumsum_global(work, tok, order, cum)
+    work = _ordered_cumsum_global(
+        work,
+        tok,
+        order,
+        cum,
+        assert_unique_order=assert_unique_order,
+        assert_msg=(
+            "pack_sequences: duplicate order keys — packing offsets would "
+            "be nondeterministic; add a tiebreak column (e.g. the mixture "
+            "copy counter) to `order` or pass assert_unique_order=False"
+        ),
+    )
     start = (F.col(cum) - F.col(tok)).alias("_start")
     work = work.filter(F.col(tok) > 0).select(
         F.col(id_col), F.col(tok), start, F.col(cum).alias("_end")

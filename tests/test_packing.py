@@ -104,3 +104,26 @@ def test_negative_tokens_clamp_to_zero(spark):
     for r in rows:
         per_seq[r.seq_id] += r.n_toks
     assert per_seq == {0: 8}  # 4 + 4 fills one sequence exactly
+
+
+def test_tied_order_keys_raise(spark):
+    """An upsampled corpus packed without a tiebreak (copies share the
+    doc_id) must fail LOUD: tied order keys make span assignment
+    nondeterministic."""
+    df = spark.createDataFrame(
+        [(1, 5), (1, 3), (2, 4)], "doc_id long, n_tok long"
+    )
+    with pytest.raises(Exception, match="duplicate order keys"):
+        pack_sequences(df, 8, token_col="n_tok").collect()
+    # the documented escape hatches both work: a tiebreak column...
+    df2 = df.withColumn("copy", F.monotonically_increasing_id())
+    rows = pack_sequences(
+        df2, 8, token_col="n_tok",
+        order=[F.col("doc_id").asc(), F.col("copy").asc()],
+    ).collect()
+    assert sum(r.n_toks for r in rows) == 12
+    # ...and the explicit opt-out
+    rows2 = pack_sequences(
+        df, 8, token_col="n_tok", assert_unique_order=False
+    ).collect()
+    assert sum(r.n_toks for r in rows2) == 12
