@@ -1,5 +1,7 @@
 """End-to-end corpus curation chain (auto_ts_spark/corpus.py)."""
 
+from pyspark.sql import functions as F
+
 from auto_ts_spark.corpus import curate
 from auto_ts_spark.io.sources import load_table
 
@@ -186,3 +188,84 @@ def test_curate_simhash_near_dedup_method(spark):
     assert counts["near_dedup"] < 4
     with pytest.raises(ValueError):
         curate(df, near_dedup_method="bogus")
+
+
+def test_stream_land_curate_pack_end_to_end(spark, tmp_path):
+    """The full production handoff: a live feed is cleaned as it lands
+    (curate_stream -> parquet sink), the landed corpus then runs the
+    corpus-wide batch stages (near-dup clustering), and the survivor
+    set is packed into a training manifest. Validates the wiring the
+    README documents: landed output IS the input of the batch side,
+    and the manifest covers exactly the curated survivors with gapless
+    in-sequence spans."""
+    import pandas as pd
+
+    from auto_ts_spark.corpus import curate, curate_stream
+    from auto_ts_spark.operators.packing import pack_sequences
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and runs for the hills "
+        "while it keeps a steady pace in the warm morning light of a clear day "
+    )
+    base = pd.Timestamp("2024-01-01")
+    rows = []
+    for i in range(12):
+        text = good * (1 + i % 3) + f"tail variant {i % 4}"
+        if i == 7:
+            text = rows[3][2]  # exact dup, dropped in-stream
+        if i == 9:
+            text = "way too short"  # fails the inline gate
+        rows.append((i, base + pd.Timedelta(minutes=i), text))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "ts", "text"]).astype(
+        {"doc_id": "int64"}
+    )
+    src = tmp_path / "raw_feed"
+    spark.createDataFrame(pdf).write.parquet(str(src))
+
+    # 1) stream-side: clean + dedup as the feed lands, to a REAL
+    # parquet sink (the landed corpus), not a memory table
+    stream = spark.readStream.schema(
+        "doc_id long, ts timestamp, text string"
+    ).parquet(str(src))
+    landed = tmp_path / "landed"
+    q = (
+        curate_stream(stream, ts_col="ts")
+        .writeStream.format("parquet")
+        .option("path", str(landed))
+        .option("checkpointLocation", str(tmp_path / "ck_land"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # 2) batch-side: corpus-wide stages on the landed output (the
+    # in-stream stages are already applied, so they're off here)
+    corpus = spark.read.parquet(str(landed))
+    curated = curate(
+        corpus, quality=False, redact=False, dedup_exact=False, near_dedup=True
+    )
+    survivors = {r.doc_id for r in curated.select("doc_id").collect()}
+    assert 7 not in {r.doc_id for r in corpus.select("doc_id").collect()}
+    assert 9 not in survivors  # gate dropped it in-stream
+    assert len(survivors) < 10  # near-dup clustering collapsed variants
+
+    # 3) pack the survivors; manifest must cover exactly their tokens
+    man = pack_sequences(curated, 64).cache()
+    per_doc = {
+        r.doc_id: r.total
+        for r in man.groupBy("doc_id")
+        .agg(F.sum("n_toks").alias("total"))
+        .collect()
+    }
+    tok_counts = {
+        r.doc_id: r.n
+        for r in curated.select(
+            "doc_id", F.size(F.split("text", r"\s+")).alias("n")
+        ).collect()
+    }
+    assert set(per_doc) == survivors
+    assert per_doc == {d: tok_counts[d] for d in per_doc}
+    # gapless fill: every sequence except the last is exactly full
+    fills = man.groupBy("seq_id").agg(F.sum("n_toks").alias("fill")).collect()
+    last = max(r.seq_id for r in fills)
+    assert all(r.fill == 64 for r in fills if r.seq_id != last)
