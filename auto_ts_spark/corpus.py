@@ -29,6 +29,8 @@ stage — diagnostic runs only, not the 100 TB hot path).
 
 from __future__ import annotations
 
+import time as _time
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -55,6 +57,7 @@ def curate(
     budget_by: str | None = None,
     budget_priority: str | None = None,
     stage_counts: bool = False,
+    stage_seconds: dict[str, float] | None = None,
 ) -> DataFrame | tuple[DataFrame, dict[str, int]]:
     """Run the curation chain; see module docstring for the order.
 
@@ -62,7 +65,11 @@ def curate(
     ``mixture_sample``'s ``copy_n`` counter — suffixed with ``_`` if
     that name is taken — when a mixture is applied), or
     ``(df, counts)`` with per-stage surviving-row counts when
-    ``stage_counts`` is set."""
+    ``stage_counts`` is set. Pass a dict as ``stage_seconds`` (only
+    meaningful together with ``stage_counts``, whose per-stage
+    checkpoint+count is what forces each stage to actually execute at
+    its tick) to also receive each stage's wall-clock — the scale-probe
+    hook."""
     from auto_ts_spark.operators import dedup as DD
     from auto_ts_spark.operators.budget import budget_select
     from auto_ts_spark.operators.decontam import decontaminate
@@ -82,6 +89,7 @@ def curate(
     df = ensure_parallelism(df)
 
     counts: dict[str, int] = {}
+    _last_tick = [_time.perf_counter()]
 
     def tick(name: str, frame: DataFrame) -> DataFrame:
         if stage_counts:
@@ -91,6 +99,10 @@ def curate(
             # be re-executed for every later stage's count
             frame = frame.localCheckpoint(eager=True)
             counts[name] = frame.count()
+            if stage_seconds is not None:
+                now = _time.perf_counter()
+                stage_seconds[name] = now - _last_tick[0]
+                _last_tick[0] = now
         return frame
 
     out = tick("input", df)

@@ -229,6 +229,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Component labels for an undirected pair graph: iterative
     min-label propagation (converged label = min node id reachable,
@@ -252,6 +253,11 @@ def connected_components(
     initialization — and change detection reads the previous label
     carried inside the checkpointed round output instead of re-joining
     the two label generations.
+
+    ``stats`` (optional dict) receives ``{"rounds": n}`` — the number
+    of propagation rounds actually run (the init-folded first round
+    counts as 1) — so scale probes can confirm convergence stays flat
+    as the corpus grows.
     """
     half = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     # cache (not checkpoint): edges are a pure map of the input, so a
@@ -268,6 +274,7 @@ def connected_components(
         .select("id", F.least("id", "nbr").alias("label"))
         .localCheckpoint()
     )
+    rounds = 1  # the init-folded first propagation
     for _ in range(max_iter - 1):
         nbr_min = (
             edges.join(
@@ -293,9 +300,12 @@ def connected_components(
             new_labels.filter(F.col("label") != F.col("prev")).limit(1).count()
         )
         labels = new_labels.select("id", "label")
+        rounds += 1
         if changed == 0:
             break
     edges.unpersist()
+    if stats is not None:
+        stats["rounds"] = rounds
     return labels.select("id", F.col("label").alias("cluster_id"))
 
 
@@ -309,6 +319,7 @@ def dedup_clusters(
     shingle_n: int = 3,
     threshold: float = 0.5,
     max_bucket_size: int | None = None,
+    cc_stats: dict | None = None,
 ) -> DataFrame:
     """Near-dup cluster assignment — the step a production dedup
     pipeline runs after pair generation: pairs alone can't drive
@@ -330,16 +341,18 @@ def dedup_clusters(
         threshold=threshold,
         max_bucket_size=max_bucket_size,
     )
-    return clusters_from_pairs(pairs, id_col=id_col)
+    return clusters_from_pairs(pairs, id_col=id_col, cc_stats=cc_stats)
 
 
-def clusters_from_pairs(pairs: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+def clusters_from_pairs(
+    pairs: DataFrame, *, id_col: str = "doc_id", cc_stats: dict | None = None
+) -> DataFrame:
     """Cluster labels + retention flags from ANY near-dup pair frame
     (``id_a``/``id_b`` columns — MinHash-LSH, SimHash, n-gram Jaccard,
     winnowing all emit this shape): connected components → per-doc
     ``(id, cluster_id, cluster_size, is_keep)`` with the min member id
     as the deterministic canonical keeper."""
-    cc = connected_components(pairs)
+    cc = connected_components(pairs, stats=cc_stats)
     w = Window.partitionBy("cluster_id")
     return (
         cc.select(F.col("id").alias(id_col), "cluster_id")

@@ -56,6 +56,51 @@ def _day_ts(rng: np.random.Generator, n: int, lo: str, hi: str) -> np.ndarray:
     return (np.datetime64(lo) + off).astype("datetime64[us]").astype(np.int64)
 
 
+def make_documents(
+    rng: np.random.Generator,
+    n_doc: int,
+    near_frac: float = 0.02,
+    exact_frac: float = 0.002,
+) -> pa.Table:
+    """Documents table: 10..100-word salads over the 31-word vocab,
+    then ``near_frac`` near-dup copies (1-3 word positions perturbed)
+    and ``exact_frac`` exact copies overwrite tail slots so dedup
+    operators have real work; shuffled so duplicates are not clustered
+    at the file tail. Shared by the sf generator and the curate-chain
+    scale probe (tools/probe_curate_scale.py)."""
+    lens = rng.integers(10, 101, n_doc)
+    words = rng.integers(0, len(VOCAB), int(lens.sum()))
+    texts: list[str] = []
+    pos = 0
+    varr = np.array(VOCAB)
+    for L in lens:
+        texts.append(" ".join(varr[words[pos:pos + L]]))
+        pos += L
+    n_near = int(near_frac * n_doc)
+    n_exact = int(exact_frac * n_doc)
+    base_pool = n_doc - n_near - n_exact
+    for i in range(n_near):
+        src = int(rng.integers(0, base_pool))
+        toks = texts[src].split()
+        for _ in range(int(rng.integers(1, 4))):
+            toks[int(rng.integers(0, len(toks)))] = VOCAB[
+                int(rng.integers(0, len(VOCAB)))
+            ]
+        texts[base_pool + i] = " ".join(toks)
+    for i in range(n_exact):
+        texts[base_pool + n_near + i] = texts[int(rng.integers(0, base_pool))]
+    perm = rng.permutation(n_doc)
+    texts = [texts[i] for i in perm]
+    lang_idx = rng.choice(5, n_doc, p=[1 / 3, 1 / 6, 1 / 6, 1 / 6, 1 / 6])
+    return pa.table({
+        "doc_id": pa.array(np.arange(n_doc), pa.int64()),
+        "text": texts,
+        "lang": pa.array(np.array(LANGS)[lang_idx]),
+        "source": pa.array([f"src{s}" for s in rng.integers(0, 20, n_doc)]),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+
+
 def generate(sf: float, outdir: str, seed: int = 42) -> None:
     os.makedirs(outdir, exist_ok=True)
     rng = np.random.default_rng(seed)
@@ -160,43 +205,7 @@ def generate(sf: float, outdir: str, seed: int = 42) -> None:
         "props": [json.dumps({"k": int(k)}) for k in rng.integers(0, 100, n_ev)],
     }))
 
-    # documents: 10..100-word salads over the 31-word vocab; then 2%
-    # near-dup copies (1-3 word positions perturbed) and 0.2% exact
-    # copies overwrite tail slots so dedup operators have real work
-    lens = rng.integers(10, 101, n_doc)
-    words = rng.integers(0, len(VOCAB), int(lens.sum()))
-    texts: list[str] = []
-    pos = 0
-    varr = np.array(VOCAB)
-    for L in lens:
-        texts.append(" ".join(varr[words[pos:pos + L]]))
-        pos += L
-    n_near = int(0.02 * n_doc)
-    n_exact = int(0.002 * n_doc)
-    base_pool = n_doc - n_near - n_exact
-    for i in range(n_near):
-        src = int(rng.integers(0, base_pool))
-        toks = texts[src].split()
-        for _ in range(int(rng.integers(1, 4))):
-            toks[int(rng.integers(0, len(toks)))] = VOCAB[
-                int(rng.integers(0, len(VOCAB)))
-            ]
-        texts[base_pool + i] = " ".join(toks)
-    for i in range(n_exact):
-        texts[base_pool + n_near + i] = texts[int(rng.integers(0, base_pool))]
-    # shuffle so duplicates are not clustered at the file tail
-    perm = rng.permutation(n_doc)
-    texts = [texts[i] for i in perm]
-    lang_idx = rng.choice(5, n_doc, p=[1 / 3, 1 / 6, 1 / 6, 1 / 6, 1 / 6])
-    _write(outdir, "documents", pa.table({
-        "doc_id": pa.array(np.arange(n_doc), pa.int64()),
-        "text": texts,
-        "lang": pa.array(np.array(LANGS)[lang_idx]),
-        "source": pa.array(
-            [f"src{s}" for s in rng.integers(0, 20, n_doc)]
-        ),
-        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
-    }))
+    _write(outdir, "documents", make_documents(rng, n_doc))
 
     # embeddings: 10 unit-norm cluster centers + noise, renormalized
     centers = rng.normal(0, 1, (10, 64))
