@@ -1171,17 +1171,21 @@ WITH base AS (
   SELECT doc_id AS id, {_SQL_TOKS} AS toks FROM documents
 ), sh AS (
   SELECT id, {_SQL_SHINGLES} AS sh, cast(len(toks) // 16 as int) AS lb FROM base
-), pairs AS (
-  SELECT a.id AS id_a, b.id AS id_b, a.sh AS sh_a, b.sh AS sh_b
-  FROM sh a JOIN sh b
-    ON b.lb BETWEEN a.lb - 1 AND a.lb + 1 AND a.id < b.id
-), scored AS (
-  SELECT id_a, id_b,
-         round(len(list_intersect(sh_a, sh_b))
-               / greatest(len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b)), 1), 6) AS jaccard
-  FROM pairs
+), inv AS (
+  SELECT id, len(sh) AS n_sh, lb, unnest(sh) AS shingle FROM sh
+), inter AS (
+  -- inverted-index set-similarity join (mirrors the Spark operator):
+  -- pairs sharing zero shingles have Jaccard 0 and are exactly prunable
+  SELECT a.id AS id_a, b.id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
+         count(*) AS c
+  FROM inv a JOIN inv b
+    ON a.shingle = b.shingle AND a.id < b.id
+   AND b.lb BETWEEN a.lb - 1 AND a.lb + 1
+  GROUP BY 1, 2, 3, 4
 )
-SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.4
+SELECT id_a, id_b,
+       round(c / greatest(n_a + n_b - c, 1), 6) AS jaccard
+FROM inter WHERE round(c / greatest(n_a + n_b - c, 1), 6) >= 0.4
 """
 
 
@@ -1734,8 +1738,10 @@ FROM events
 
 def q_streaming_forecast_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W19 stateful streaming forecast, value-checked: drain a bounded
-    event subset (event_id % 20 == 0 — engine-agnostic, keeps the
-    oracle's recursion shallow) through
+    event subset (event_id % 20 == 0, id < 100k — engine-agnostic, and
+    an ABSOLUTE cap so the oracle's per-key recursion depth stays
+    ~1000 at any scale factor; at the driver's sf0.01 every event id
+    is < 100k, so the cap is a no-op there) through
     ``stateful_rolling_forecast`` (applyInPandasWithState: per-key
     O(1) state folding count / running mean / EWMA), keep each key's
     FINAL state row, and replay the identical sequential fold in a
@@ -1752,7 +1758,7 @@ def q_streaming_forecast_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     from auto_ts_spark.streaming import ops as ST
 
     ev = ST.read_event_stream_nanos(spark, f"{sf_dir}/events.parquet").filter(
-        F.col("event_id") % 20 == 0
+        (F.col("event_id") % 20 == 0) & (F.col("event_id") < 100_000)
     )
     fc = ST.stateful_rolling_forecast(ev, alpha=0.3)
     sink = f"stream_forecast_{uuid.uuid4().hex[:8]}"
@@ -1778,7 +1784,7 @@ WITH RECURSIVE bounded AS (
     SELECT event_type AS series_id, CAST(value AS DOUBLE) AS v,
            row_number() OVER (PARTITION BY event_type
                               ORDER BY ts, event_id) AS rn
-    FROM events WHERE event_id % 20 = 0)
+    FROM events WHERE event_id % 20 = 0 AND event_id < 100000)
 ), fold AS (
   SELECT series_id, rn, CAST(1 AS BIGINT) AS n, v AS mean, v AS ewma
   FROM bounded WHERE rn = 1

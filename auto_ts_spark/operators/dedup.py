@@ -67,12 +67,24 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     length_bucket: int = 16,
 ) -> DataFrame:
-    """Exact n-gram Jaccard near-duplicate pairs.
+    """Exact n-gram Jaccard near-duplicate pairs, inverted-index shape.
 
-    Candidate restriction: only compare documents whose token counts
-    fall in the same or adjacent length bucket (a true near-dup at
-    threshold t must have length ratio ≥ t, so comparable lengths) —
-    deterministic, reproducible in the SQL oracle.
+    Candidate generation is a self-join on the SHINGLE (the classic
+    distributed set-similarity join: explode each document's distinct
+    shingles, equi-join on the shingle, count shared shingles per
+    pair), NOT an all-pairs comparison — a pair with zero shared
+    shingles has Jaccard 0 and can never reach any positive threshold,
+    so skipping it is exact. The per-pair intersection size falls out
+    of the join's group-count; |union| = |a| + |b| − |∩|. Length-bucket
+    adjacency (token counts within one bucket of each other — a true
+    near-dup at threshold t has comparable lengths) is kept as a
+    post-join filter, preserving the original candidate contract.
+
+    Scale shape: one shuffle on the shingle + one on the pair, both
+    linear in the number of shingle-sharing pairs — sparse in any real
+    corpus (vocabulary grows with corpus size). The earlier form
+    compared every same-bucket pair: quadratic per length bucket, which
+    a 50k-doc fixture already made intractable on BOTH engines.
 
     Returns ``(id_a, id_b, jaccard)`` with id_a < id_b, jaccard ≥
     threshold.
@@ -82,27 +94,37 @@ def ngram_jaccard_pairs(
         F.array_distinct(TX.shingles(F.col(text_col), shingle_n)).alias("sh"),
         (TX.token_count(F.col(text_col)) / length_bucket).cast("int").alias("lb"),
     )
-    a = sh.select(
-        F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), F.col("lb").alias("lb_a")
+    inv = sh.select(
+        "id", F.size("sh").alias("n_sh"), "lb", F.explode("sh").alias("shingle")
     )
-    b = sh.select(
-        F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), F.col("lb").alias("lb_b")
+    a = inv.select(
+        F.col("id").alias("id_a"),
+        F.col("n_sh").alias("n_a"),
+        F.col("lb").alias("lb_a"),
+        "shingle",
     )
-    # bucket-adjacency equi-join: explode a's bucket to {lb-1, lb, lb+1}
-    a_exp = a.select(
-        "id_a", "sh_a", F.explode(F.array(F.col("lb_a") - 1, F.col("lb_a"), F.col("lb_a") + 1)).alias("lb_b")
+    b = inv.select(
+        F.col("id").alias("id_b"),
+        F.col("n_sh").alias("n_b"),
+        F.col("lb").alias("lb_b"),
+        "shingle",
     )
-    pairs = a_exp.join(b, "lb_b").filter(F.col("id_a") < F.col("id_b"))
-    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
-    return (
-        pairs.select(
-            "id_a",
-            "id_b",
-            F.round(inter / F.greatest(union, F.lit(1)), 6).alias("jaccard"),
+    inter = (
+        a.join(b, "shingle")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("lb_b") >= F.col("lb_a") - 1)
+            & (F.col("lb_b") <= F.col("lb_a") + 1)
         )
-        .filter(F.col("jaccard") >= threshold)
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("c"))
     )
+    union = F.col("n_a") + F.col("n_b") - F.col("c")
+    return inter.select(
+        "id_a",
+        "id_b",
+        F.round(F.col("c") / F.greatest(union, F.lit(1)), 6).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
 
 
 def minhash_lsh_pairs(

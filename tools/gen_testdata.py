@@ -61,18 +61,32 @@ def make_documents(
     n_doc: int,
     near_frac: float = 0.02,
     exact_frac: float = 0.002,
+    vocab_mult: int = 1,
 ) -> pa.Table:
     """Documents table: 10..100-word salads over the 31-word vocab,
     then ``near_frac`` near-dup copies (1-3 word positions perturbed)
     and ``exact_frac`` exact copies overwrite tail slots so dedup
     operators have real work; shuffled so duplicates are not clustered
     at the file tail. Shared by the sf generator and the curate-chain
-    scale probe (tools/probe_curate_scale.py)."""
+    scale probe (tools/probe_curate_scale.py).
+
+    ``vocab_mult`` grows the vocabulary with the corpus (numbered word
+    variants). This matters above ~10k docs: a corpus 10x bigger over
+    a FIXED 31-word vocab makes every 3-gram shingle shared by ~100+
+    documents — candidate-pair generation (n-gram Jaccard, winnowing)
+    goes quadratic in a way no real corpus does (vocabulary grows with
+    corpus size; shingle collisions stay sparse). The generator scales
+    it so per-shingle document counts stay roughly constant across sf."""
+    vocab = (
+        VOCAB
+        if vocab_mult <= 1
+        else [f"{w}{i}" if i else w for i in range(vocab_mult) for w in VOCAB]
+    )
     lens = rng.integers(10, 101, n_doc)
-    words = rng.integers(0, len(VOCAB), int(lens.sum()))
+    words = rng.integers(0, len(vocab), int(lens.sum()))
     texts: list[str] = []
     pos = 0
-    varr = np.array(VOCAB)
+    varr = np.array(vocab)
     for L in lens:
         texts.append(" ".join(varr[words[pos:pos + L]]))
         pos += L
@@ -83,8 +97,8 @@ def make_documents(
         src = int(rng.integers(0, base_pool))
         toks = texts[src].split()
         for _ in range(int(rng.integers(1, 4))):
-            toks[int(rng.integers(0, len(toks)))] = VOCAB[
-                int(rng.integers(0, len(VOCAB)))
+            toks[int(rng.integers(0, len(toks)))] = vocab[
+                int(rng.integers(0, len(vocab)))
             ]
         texts[base_pool + i] = " ".join(toks)
     for i in range(n_exact):
@@ -205,7 +219,11 @@ def generate(sf: float, outdir: str, seed: int = 42) -> None:
         "props": [json.dumps({"k": int(k)}) for k in rng.integers(0, 100, n_ev)],
     }))
 
-    _write(outdir, "documents", make_documents(rng, n_doc))
+    _write(
+        outdir,
+        "documents",
+        make_documents(rng, n_doc, vocab_mult=max(1, int(round(10 * sf)))),
+    )
 
     # embeddings: 10 unit-norm cluster centers + noise, renormalized
     centers = rng.normal(0, 1, (10, 64))
