@@ -62,7 +62,14 @@ def _events_series(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_tpch_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped pricing summary (S1+P1+A1-A9 composite;
-    flagship agg). Sums routed through DECIMAL for exactness.
+    flagship agg). Sums routed through DECIMAL for exactness and
+    emitted as exact MICRO-UNIT bigints: at sf1 the charge sum is
+    ~2.8e10 with 6 decimals — 17 significant digits, past double
+    precision — and the decimal→double casts of the two engines
+    round-trip differently at the last ulp (DuckDB double-rounds
+    int128→double→/1e6; Spark's BigDecimal rounds once). Integer
+    micro-units are engine-independent at any magnitude < 2^63
+    (the same convention as the streaming exact averages).
 
     The testdata parquet is single-row-group, so the scan feeds ONE
     task; the decimal agg over 600k rows is CPU-bound enough that the
@@ -71,6 +78,7 @@ def q_tpch_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     helper is a no-op."""
     li = PART.ensure_parallelism(load_table(spark, sf_dir, "lineitem"))
     dec = lambda c: c.cast("decimal(28,6)")  # noqa: E731
+    micros = lambda c: (F.sum(c) * 1_000_000).cast("bigint")  # noqa: E731
     disc_price = dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     charge = dec(
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
@@ -79,12 +87,10 @@ def q_tpch_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum(dec(F.col("l_quantity"))).cast("double"), 6).alias("sum_qty"),
-            F.round(F.sum(dec(F.col("l_extendedprice"))).cast("double"), 6).alias(
-                "sum_base_price"
-            ),
-            F.round(F.sum(disc_price).cast("double"), 6).alias("sum_disc_price"),
-            F.round(F.sum(charge).cast("double"), 6).alias("sum_charge"),
+            micros(dec(F.col("l_quantity"))).alias("sum_qty_micros"),
+            micros(dec(F.col("l_extendedprice"))).alias("sum_base_price_micros"),
+            micros(disc_price).alias("sum_disc_price_micros"),
+            micros(charge).alias("sum_charge_micros"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
@@ -95,10 +101,10 @@ def q_tpch_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_TPCH_Q1 = """
 SELECT l_returnflag, l_linestatus,
-       round(cast(sum(cast(l_quantity as decimal(28,6))) as double), 6) AS sum_qty,
-       round(cast(sum(cast(l_extendedprice as decimal(28,6))) as double), 6) AS sum_base_price,
-       round(cast(sum(cast(l_extendedprice * (1 - l_discount) as decimal(28,6))) as double), 6) AS sum_disc_price,
-       round(cast(sum(cast(l_extendedprice * (1 - l_discount) * (1 + l_tax) as decimal(28,6))) as double), 6) AS sum_charge,
+       cast(sum(cast(l_quantity as decimal(28,6))) * 1000000 as bigint) AS sum_qty_micros,
+       cast(sum(cast(l_extendedprice as decimal(28,6))) * 1000000 as bigint) AS sum_base_price_micros,
+       cast(sum(cast(l_extendedprice * (1 - l_discount) as decimal(28,6))) * 1000000 as bigint) AS sum_disc_price_micros,
+       cast(sum(cast(l_extendedprice * (1 - l_discount) * (1 + l_tax) as decimal(28,6))) * 1000000 as bigint) AS sum_charge_micros,
        round(avg(l_quantity), 6) AS avg_qty,
        round(avg(l_extendedprice), 6) AS avg_price,
        round(avg(l_discount), 6) AS avg_disc,
@@ -890,7 +896,7 @@ WITH t AS (
 SELECT doc_id, n_chars, n_tokens, n_bpe_tokens,
        round(sw_ratio, 6) AS stopword_ratio,
        round((least(n_tokens / 100.0, 1.0) + least(sw_ratio * 5.0, 1.0)
-            + greatest(1.0 - punct_ratio * 4.0, 0.0) + greatest(1.0 - digit_ratio * 4.0, 0.0)) / 4.0, 6) AS quality
+            + greatest(1.0 - punct_ratio * 4.0, 0.0) + greatest(1.0 - digit_ratio * 4.0, 0.0)) / 4.0 * 1000000) / 1000000 AS quality
 FROM s
 """
 
@@ -2616,7 +2622,17 @@ def q_var1_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursion. Oracle: the two 3-coefficient equations in closed form
     (demeaned 2x2 normal equations over the lag-aligned sample) and a
     2-state recursive CTE. The q > 0 Hannan-Rissanen axis is
-    value-tested in tests/test_models.py (no closed SQL form)."""
+    value-tested in tests/test_models.py (no closed SQL form).
+
+    The state pair is (daily MEAN value, daily count/1000) — both
+    scale-free in magnitude and mutually near-orthogonal. The original
+    (daily sum, daily count) pair was collinear (sum ≈ E[value]·count)
+    with magnitudes growing linearly in sf: at sf1 the demeaned
+    normal-equation cross-products cancel catastrophically, the fitted
+    companion matrix turns explosive, and the two engines' different
+    solve orders (numpy lstsq vs closed form) diverge visibly in the
+    amplified recursion — a conditioning bug this sweep caught at 10x,
+    invisible at every smaller scale."""
     from functools import partial
 
     from auto_ts_spark.models import var_model as VARM
@@ -2626,8 +2642,11 @@ def q_var1_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     series = (
         ev.groupBy(F.date_trunc("day", "ts").alias("ts"))
         .agg(
-            F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("y"),
-            F.count(F.lit(1)).cast("double").alias("x"),
+            (
+                F.sum(F.col("value").cast("decimal(28,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("y"),
+            (F.count(F.lit(1)) / F.lit(1000.0)).alias("x"),
         )
         .withColumn("series_id", PART.opaque_lit("0"))
     )
@@ -2643,8 +2662,8 @@ def q_var1_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_VAR1_FORECAST = """
 WITH RECURSIVE s AS (
   SELECT date_trunc('day', ts) AS ts,
-         cast(sum(cast(value AS decimal(28,6))) AS double) AS y,
-         cast(count(*) AS double) AS x
+         cast(sum(cast(value AS decimal(28,6))) AS double) / count(*) AS y,
+         count(*) / 1000.0 AS x
   FROM events GROUP BY 1
 ), l AS (
   SELECT y, x,
@@ -2816,22 +2835,28 @@ def q_bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li, f"ats_bkt_lineitem_{tag}", bucket_by="l_orderkey", num_buckets=8
     )
     j = bucketed_join(spark, lt, ot, on=F.col("l_orderkey") == F.col("o_orderkey"))
+    # exact micro-unit bigint, not round(cast(sum AS double), 6): at
+    # sf1 the revenue sum is ~6e10 with 6 decimals — 17 significant
+    # digits, past double precision (same hazard as
+    # q_tpch_pricing_summary; caught by the sf1 parity sweep)
     return j.groupBy("o_orderpriority").agg(
-        F.round(
+        (
             F.sum(
                 (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
                     "decimal(28,6)"
                 )
-            ).cast("double"),
-            6,
-        ).alias("revenue"),
+            )
+            * 1_000_000
+        )
+        .cast("bigint")
+        .alias("revenue_micros"),
         F.countDistinct("o_orderkey").alias("n_orders"),
     )
 
 
 _SQL_BUCKETED_JOIN = """
 SELECT o_orderpriority,
-       round(cast(sum(cast(l_extendedprice * (1 - l_discount) as decimal(28,6))) as double), 6) AS revenue,
+       cast(sum(cast(l_extendedprice * (1 - l_discount) as decimal(28,6))) * 1000000 as bigint) AS revenue_micros,
        count(DISTINCT o_orderkey) AS n_orders
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority

@@ -33,7 +33,16 @@ def profile_metric_exprs(text_col: str = "text") -> dict[str, "F.Column"]:
         "stopword_ratio": F.round(TX.stopword_ratio(t), 6),
         "punct_ratio": F.round(TX.punct_ratio(t), 6),
         "digit_ratio": F.round(TX.digit_ratio(t), 6),
-        "quality": F.round(TX.quality_score(t), 6),
+        # multiply-path rounding (round(x*1e6)/1e6), NOT round(x, 6):
+        # the composite score lands on exact dyadic half-points of the
+        # 6th decimal (char counts are frequently powers of two), where
+        # Spark's BigDecimal HALF_UP on the true value rounds UP while
+        # engines that scale-then-round (DuckDB, Python) see x*1e6
+        # fall BELOW .5 and round down. Scaling first makes every
+        # engine round the same pre-scaled double. Caught by the sf1
+        # parity sweep (doc with 384 chars, 51 digits: 17/128 ratio).
+        "quality": F.round(TX.quality_score(t) * 1_000_000.0)
+        / F.lit(1_000_000.0),
     }
 
 
