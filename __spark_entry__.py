@@ -57,6 +57,26 @@ def _events_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "events").withColumn("series_id", PART.opaque_lit("0"))
 
 
+def _daily_decimal_series(spark: SparkSession, sf_dir: str, with_id: bool = True) -> DataFrame:
+    """The shared univariate fixture: daily-summed event value series
+    (exact decimal sum routed to double), optionally tagged with the
+    constant series_id the per-series operators group on."""
+    df = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").alias("ts"))
+        .agg(F.sum(F.col("value").cast("decimal(20,2)")).cast("double").alias("y"))
+    )
+    return df.withColumn("series_id", PART.opaque_lit("0")) if with_id else df
+
+
+# DuckDB replica of _daily_decimal_series (splice into a CTE body)
+_SQL_DAILY = (
+    "SELECT date_trunc('day', ts) AS ts,\n"
+    "         cast(sum(cast(value AS decimal(20,2))) AS double) AS y\n"
+    "  FROM events GROUP BY 1"
+)
+
+
 # ---------------------------------------------------------------- queries
 
 
@@ -1938,12 +1958,7 @@ FROM events
 def q_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W17: autocorrelation of the daily event-value series, lags 1..7
     (one window stage for all lags, one corr agg, unpivot)."""
-    series = (
-        load_table(spark, sf_dir, "events")
-        .groupBy(F.date_trunc("day", "ts").alias("ts"))
-        .agg(F.sum(F.col("value").cast("decimal(20,2)")).cast("double").alias("y"))
-        .withColumn("series_id", PART.opaque_lit("0"))
-    )
+    series = _daily_decimal_series(spark, sf_dir)
     return LAGS.acf(series, "y", 7).select(
         "lag", F.round("acf", 6).alias("acf")
     )
@@ -1951,9 +1966,7 @@ def q_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_ACF = """
 WITH s AS (
-  SELECT date_trunc('day', ts) AS ts,
-         cast(sum(cast(value AS decimal(20,2))) AS double) AS y
-  FROM events GROUP BY 1
+  """ + _SQL_DAILY + """
 ), l AS (
   SELECT y,
          """ + ", ".join(f"lag(y,{k}) OVER (ORDER BY ts) AS l{k}" for k in range(1, 8)) + """
@@ -1973,9 +1986,7 @@ PACF_MAX_LAG = 7
 
 _SQL_PACF = f"""
 WITH RECURSIVE s AS (
-  SELECT date_trunc('day', ts) AS ts,
-         cast(sum(cast(value AS decimal(20,2))) AS double) AS y
-  FROM events GROUP BY 1
+  """ + _SQL_DAILY + """
 ), l AS (
   SELECT y, """ + ", ".join(
     f"lag(y,{k}) OVER (ORDER BY ts) AS l{k}" for k in range(1, PACF_MAX_LAG + 1)
@@ -2118,11 +2129,7 @@ def q_forecast_viz_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame carrying yhat / yhat_lower / yhat_upper (the Prophet-style
     viz frame, build_prophet.py:513-521) — rows exist where either
     side does."""
-    daily = (
-        load_table(spark, sf_dir, "events")
-        .groupBy(F.date_trunc("day", "ts").alias("ts"))
-        .agg(F.sum(F.col("value").cast("decimal(20,2)")).cast("double").alias("y"))
-    )
+    daily = _daily_decimal_series(spark, sf_dir, with_id=False)
     fc = (
         daily.select(
             (F.col("ts") + F.expr("INTERVAL 7 DAYS")).alias("ts"),
@@ -2138,9 +2145,7 @@ def q_forecast_viz_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_FORECAST_VIZ_JOIN = """
 WITH daily AS (
-  SELECT date_trunc('day', ts) AS ts,
-         cast(sum(cast(value AS decimal(20,2))) AS double) AS y
-  FROM events GROUP BY 1
+  """ + _SQL_DAILY + """
 ), fc AS (
   SELECT ts + INTERVAL 7 DAY AS ts, round(y, 6) AS yhat,
          round(y * 0.9, 6) AS yhat_lower, round(y * 1.1, 6) AS yhat_upper
@@ -2157,12 +2162,7 @@ def q_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
     (oracle: DuckDB recursive CTE over a list column)."""
     from auto_ts_spark.operators.lags import pacf
 
-    series = (
-        load_table(spark, sf_dir, "events")
-        .groupBy(F.date_trunc("day", "ts").alias("ts"))
-        .agg(F.sum(F.col("value").cast("decimal(20,2)")).cast("double").alias("y"))
-        .withColumn("series_id", PART.opaque_lit("0"))
-    )
+    series = _daily_decimal_series(spark, sf_dir)
     return pacf(series, "y", PACF_MAX_LAG)
 
 
@@ -2228,11 +2228,7 @@ def q_residual_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
     fitted-model root check (regular+seasonal AR/MA polynomials via
     np.roots) is models/ar.py model_roots_outside_unit_circle,
     value-tested in tests/test_models.py."""
-    daily = (
-        load_table(spark, sf_dir, "events")
-        .groupBy(F.date_trunc("day", "ts").alias("ts"))
-        .agg(F.sum(F.col("value").cast("decimal(20,2)")).cast("double").alias("y"))
-    )
+    daily = _daily_decimal_series(spark, sf_dir, with_id=False)
     from pyspark.sql import Window
 
     # declared single-partition window on the bounded daily series
@@ -2289,9 +2285,7 @@ def q_residual_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_RESIDUAL_DIAG = """
 WITH daily AS (
-  SELECT date_trunc('day', ts) AS ts,
-         cast(sum(cast(value AS decimal(20,2))) AS double) AS y
-  FROM events GROUP BY 1
+  """ + _SQL_DAILY + """
 ), e AS (
   SELECT ts, y - lag(y, 1) OVER (ORDER BY ts) AS e FROM daily
   QUALIFY e IS NOT NULL
@@ -2330,12 +2324,7 @@ def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic core of the reference's seasonality handling."""
     from auto_ts_spark.operators.lags import seasonal_decompose
 
-    series = (
-        load_table(spark, sf_dir, "events")
-        .groupBy(F.date_trunc("day", "ts").alias("ts"))
-        .agg(F.sum(F.col("value").cast("decimal(20,2)")).cast("double").alias("y"))
-        .withColumn("series_id", PART.opaque_lit("0"))
-    )
+    series = _daily_decimal_series(spark, sf_dir)
     out = seasonal_decompose(series, "y", 7)
     return out.select(
         "ts",
@@ -2348,9 +2337,7 @@ def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_SEASONAL_DECOMPOSE = """
 WITH s AS (
-  SELECT date_trunc('day', ts) AS ts,
-         cast(sum(cast(value AS decimal(20,2))) AS double) AS y
-  FROM events GROUP BY 1
+  """ + _SQL_DAILY + """
 ), t AS (
   SELECT ts, y,
          (row_number() OVER (ORDER BY ts) - 1) % 7 AS phase,
