@@ -3729,18 +3729,24 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "frequency_inference": q_frequency_inference,
     # --- new in r6 ---
     "streaming_forecast_state": q_streaming_forecast_state,
-    # --- r5-green, plans touched by r6 fixes ---
+    # --- r5-green, plans touched by r6 fixes (int-div averages/packing,
+    # root-checked model selection, sf1-sweep micro-unit money sums) ---
     "streaming_sliding_rollup": q_streaming_sliding_rollup,
     "pack_manifest": q_pack_manifest,
     "automl_leaderboard_contract": q_automl_leaderboard_contract,
-    "automl_leaderboard": q_automl_leaderboard,  # rows-only
-    "automl_forecast": q_automl_forecast,  # rows-only
+    "tpch_pricing_summary": q_tpch_pricing_summary,
+    "bucketed_join_revenue": q_bucketed_join_revenue,
     "residual_diagnostics": q_residual_diagnostics,
     "ar1_forecast": q_ar1_forecast,
     "var1_forecast": q_var1_forecast,
     "adf_stationarity": q_adf_stationarity,  # rows-only
     "df_test_stationarity": q_df_test_stationarity,
-    # --- r5-green, unchanged (outside the 50-slot prefix) ---
+    # --- r5-green, unchanged (outside the 50-slot prefix); the two
+    # rows-only automl entries sit here because a rows-only driver row
+    # cannot see the r6 value-level changes the oracle queries above
+    # already cover ---
+    "automl_leaderboard": q_automl_leaderboard,  # rows-only
+    "automl_forecast": q_automl_forecast,  # rows-only
     "predict_feature_splice": q_predict_feature_splice,
     "snaive_forecast_intervals": q_snaive_forecast_intervals,
     "lsh_ann_recall": q_lsh_ann_recall,
@@ -3763,10 +3769,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "resample_ffill": q_resample_ffill,
     "customer_set_ops": q_customer_set_ops,
     "datetime_parse": q_datetime_parse,
-    "bucketed_join_revenue": q_bucketed_join_revenue,
     "range_join_window": q_range_join_window,
     "pacf": q_pacf,
-    "tpch_pricing_summary": q_tpch_pricing_summary,
     "shipping_priority": q_shipping_priority,
     "lag_matrix": q_lag_matrix,
     "difference": q_difference,
