@@ -32,6 +32,23 @@ LANG_PROFILES: dict[str, tuple[str, ...]] = {
 STOPWORDS_EN = LANG_PROFILES["en"]
 
 
+def let_bind(value: Column, body) -> Column:
+    """Evaluate ``value`` once and pass it to ``body`` as a bound
+    lambda variable: ``element_at(transform(array(value), body), 1)``.
+
+    Higher-order-function lambdas re-evaluate any *captured* outer
+    expression on every element — ``transform(sequence(1, n), i ->
+    slice(expensive_expr, i, w))`` runs ``expensive_expr`` n times per
+    row (O(n²) when the expression is itself O(n), e.g. a tokenizer).
+    Binding it as the one element of a wrapping ``transform`` makes the
+    inner references LambdaVariable lookups instead. This is the
+    standard let-binding idiom for Catalyst expressions; the sf1 parity
+    sweep caught ``winnow_fingerprints`` re-running the whole
+    tokenize→shingle→md5 chain per window position without it.
+    """
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
 def normalize_text(col: Column) -> Column:
     """Lowercase, collapse non-alphanumerics to single spaces, trim."""
     return F.trim(F.regexp_replace(F.lower(col), r"[^a-z0-9]+", " "))
@@ -117,16 +134,21 @@ def shingles(col: Column, n: int = 3) -> Column:
     """Word n-gram shingles (array<string>) of the normalized text.
 
     ``transform(sequence(...))`` over the token array — JVM-side, no
-    explode needed until the caller wants one row per shingle.
+    explode needed until the caller wants one row per shingle. The
+    token array is let-bound so the tokenizer runs once per document,
+    not once per shingle position (see ``let_bind``).
     """
-    toks = tokens(col)
-    k = F.size(toks) - (n - 1)
-    return F.when(k <= 0, F.array(F.concat_ws(" ", toks))).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), k),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+
+    def _sh(toks: Column) -> Column:
+        k = F.size(toks) - (n - 1)
+        return F.when(k <= 0, F.array(F.concat_ws(" ", toks))).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), k),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            )
         )
-    )
+
+    return let_bind(tokens(col), _sh)
 
 
 # Universal-hash family for MinHash: h_i(x) = (a_i·(x mod P) + b_i) mod P

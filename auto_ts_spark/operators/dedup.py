@@ -483,11 +483,19 @@ def winnow_fingerprints(
     hashes = F.transform(
         sh, lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
     )
-    fps = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size(hashes)),
-            lambda i: F.array_min(F.slice(hashes, i, window)),
-        )
+    # let-bind the hash array: slice() inside the window lambda would
+    # otherwise re-evaluate the whole tokenize→shingle→md5 chain per
+    # window position — O(n²) md5/regex per document (the sf1 sweep
+    # measured winnow_overlap_pairs at >40 min before this; seconds
+    # after)
+    fps = TX.let_bind(
+        hashes,
+        lambda h: F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(h)),
+                lambda i: F.array_min(F.slice(h, i, window)),
+            )
+        ),
     )
     return ensure_parallelism(df).select(
         F.col(id_col), F.explode(fps).alias("fp")
