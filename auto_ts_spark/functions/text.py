@@ -59,9 +59,16 @@ def tokens(col: Column) -> Column:
     return F.split(normalize_text(col), r" ")
 
 
-def token_count(col: Column) -> Column:
-    """Whitespace token count (W-token counting)."""
-    return F.size(tokens(col))
+def token_count(col: Column, toks: Column | None = None) -> Column:
+    """Whitespace token count (W-token counting).
+
+    ``toks``: optionally a pre-tokenized array column — callers
+    computing several token-derived metrics in one projection stage
+    the array once (``withColumn``) and pass it here, so the
+    tokenizer regex runs once per document instead of once per
+    metric (CollapseProject keeps a non-cheap producer referenced
+    more than once staged)."""
+    return F.size(tokens(col) if toks is None else toks)
 
 
 def bpe_ish_token_count(col: Column) -> Column:
@@ -91,33 +98,61 @@ def upper_ratio(col: Column) -> Column:
     )
 
 
-def stopword_ratio(col: Column, stopwords: tuple[str, ...] = STOPWORDS_EN) -> Column:
-    toks = tokens(col)
+def stopword_ratio(
+    col: Column,
+    stopwords: tuple[str, ...] = STOPWORDS_EN,
+    toks: Column | None = None,
+) -> Column:
+    t = tokens(col) if toks is None else toks
     sw = F.array(*[F.lit(s) for s in stopwords])
-    n_sw = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
-    return n_sw / F.greatest(F.size(toks), F.lit(1))
+
+    def _ratio(tk: Column) -> Column:
+        n_sw = F.size(F.filter(tk, lambda x: F.array_contains(sw, x)))
+        return n_sw / F.greatest(F.size(tk), F.lit(1))
+
+    # let-bound so the (possibly inline) tokenizer isn't evaluated
+    # twice (filter + size)
+    return let_bind(t, _ratio) if toks is None else _ratio(t)
 
 
-def mean_word_length(col: Column) -> Column:
-    toks = tokens(col)
-    return F.aggregate(
-        toks, F.lit(0).cast("double"), lambda acc, t: acc + F.length(t)
-    ) / F.greatest(F.size(toks), F.lit(1))
+def mean_word_length(col: Column, toks: Column | None = None) -> Column:
+    """Mean token length. ``length(concat_ws('', toks))`` is exactly
+    the sum of token lengths (tokens are never NULL) — an integer, so
+    the double division is bit-identical to the oracle's
+    ``list_sum(list_transform(toks, length))`` — and it stays in
+    codegen instead of an interpreted per-token ``aggregate`` lambda
+    (the profile's hottest expression before this)."""
+    t = tokens(col) if toks is None else toks
+
+    def _mean(tk: Column) -> Column:
+        return F.length(F.concat_ws("", tk)) / F.greatest(
+            F.size(tk), F.lit(1)
+        )
+
+    return let_bind(t, _mean) if toks is None else _mean(t)
 
 
-def quality_score(col: Column) -> Column:
+def quality_score(col: Column, toks: Column | None = None) -> Column:
     """Composite [0,1] quality heuristic: penalize very short docs,
     high punctuation/digit density, low stopword incidence.
 
     Deterministic arithmetic over the component ratios — matches the
-    oracle SQL expression term-for-term.
+    oracle SQL expression term-for-term. ``toks``: see
+    ``token_count``; without it the two token-derived terms share one
+    let-bound tokenizer evaluation.
     """
-    n_tok = token_count(col)
-    length_term = F.least(n_tok / F.lit(100.0), F.lit(1.0))
-    sw_term = F.least(stopword_ratio(col) * 5.0, F.lit(1.0))
-    punct_pen = F.greatest(F.lit(1.0) - punct_ratio(col) * 4.0, F.lit(0.0))
-    digit_pen = F.greatest(F.lit(1.0) - digit_ratio(col) * 4.0, F.lit(0.0))
-    return (length_term + sw_term + punct_pen + digit_pen) / 4.0
+
+    def _score(tk: Column) -> Column:
+        length_term = F.least(F.size(tk) / F.lit(100.0), F.lit(1.0))
+        sw_term = F.least(
+            stopword_ratio(col, toks=tk) * 5.0, F.lit(1.0)
+        )
+        punct_pen = F.greatest(F.lit(1.0) - punct_ratio(col) * 4.0, F.lit(0.0))
+        digit_pen = F.greatest(F.lit(1.0) - digit_ratio(col) * 4.0, F.lit(0.0))
+        return (length_term + sw_term + punct_pen + digit_pen) / 4.0
+
+    t = tokens(col) if toks is None else toks
+    return let_bind(t, _score) if toks is None else _score(t)
 
 
 def fingerprint(col: Column) -> Column:

@@ -19,18 +19,27 @@ from auto_ts_spark.functions import text as TX
 from auto_ts_spark.operators.partitioning import ensure_parallelism
 
 
-def profile_metric_exprs(text_col: str = "text") -> dict[str, "F.Column"]:
+def profile_metric_exprs(
+    text_col: str = "text", toks: "F.Column | None" = None
+) -> dict[str, "F.Column"]:
     """THE metric expression table — single source for the profile
     projection (``text_profile``), the DataFrame quality gate
     (``quality_filter``), and the streaming inline gate
-    (``quality_keep_expr``), so their decisions cannot drift."""
+    (``quality_keep_expr``), so their decisions cannot drift.
+
+    ``toks``: optionally a STAGED token-array column. Four of the
+    metrics are token-derived; without staging each evaluates its own
+    tokenizer regex per document. ``text_profile`` stages the array in
+    a ``withColumn`` and passes it here (one tokenize per doc); the
+    streaming gate, which must stay a single inline expression,
+    omits it and pays the constant factor."""
     t = F.col(text_col)
     return {
         "n_chars": TX.char_count(t),
-        "n_tokens": TX.token_count(t),
+        "n_tokens": TX.token_count(t, toks),
         "n_bpe_tokens": TX.bpe_ish_token_count(t),
-        "mean_word_len": F.round(TX.mean_word_length(t), 6),
-        "stopword_ratio": F.round(TX.stopword_ratio(t), 6),
+        "mean_word_len": F.round(TX.mean_word_length(t, toks), 6),
+        "stopword_ratio": F.round(TX.stopword_ratio(t, toks=toks), 6),
         "punct_ratio": F.round(TX.punct_ratio(t), 6),
         "digit_ratio": F.round(TX.digit_ratio(t), 6),
         # multiply-path rounding (round(x*1e6)/1e6), NOT round(x, 6):
@@ -41,7 +50,7 @@ def profile_metric_exprs(text_col: str = "text") -> dict[str, "F.Column"]:
         # fall BELOW .5 and round down. Scaling first makes every
         # engine round the same pre-scaled double. Caught by the sf1
         # parity sweep (doc with 384 chars, 51 digits: 17/128 ratio).
-        "quality": F.round(TX.quality_score(t) * 1_000_000.0)
+        "quality": F.round(TX.quality_score(t, toks) * 1_000_000.0)
         / F.lit(1_000_000.0),
     }
 
@@ -58,12 +67,18 @@ def text_profile(
     consume a few columns (``quality_filter``) skip the regex work of
     the rest (n_bpe_tokens is a full-text regexp_extract_all; the
     composite quality score re-derives four ratios)."""
-    exprs = profile_metric_exprs(text_col)
+    # stage the token array once per document: four metrics are
+    # token-derived, and an inline tokenizer would re-run per metric.
+    # CollapseProject keeps the staged column (non-cheap, referenced
+    # >1×); if the selected metrics never reference it, column
+    # pruning drops the stage entirely.
+    staged = df.withColumn("_ats_toks", TX.tokens(F.col(text_col)))
+    exprs = profile_metric_exprs(text_col, toks=F.col("_ats_toks"))
     names = metrics if metrics is not None else tuple(exprs)
     unknown = set(names) - set(exprs)
     if unknown:
         raise ValueError(f"unknown text_profile metrics: {sorted(unknown)}")
-    return df.select(F.col(id_col), *[exprs[n].alias(n) for n in names])
+    return staged.select(F.col(id_col), *[exprs[n].alias(n) for n in names])
 
 
 # Gopher-rule default thresholds (Rae et al. 2021 §A1.1, the public
@@ -115,7 +130,37 @@ def quality_keep_expr(
     column — usable in a plain ``filter`` with no profile projection
     or join, which is what a streaming pipeline needs (stream-to-
     stream joins require watermarks a pure per-row gate shouldn't)."""
-    return F.size(_fail_reasons_expr(profile_metric_exprs(text_col), rules)) == 0
+    return F.size(_gate_fail_reasons(text_col, rules)) == 0
+
+
+def _gate_fail_reasons(
+    text_col: str,
+    rules: tuple[tuple[str, float | None, float | None], ...],
+) -> "F.Column":
+    """``fail_reasons`` as ONE self-contained expression over the raw
+    text column, the token array let-bound across all token-derived
+    metrics. Self-containment matters: predicate pushdown substitutes
+    projection aliases into a filter condition with NO cheapness
+    guard (unlike CollapseProject), so a gate built over staged metric
+    columns re-tokenizes once per referenced metric after pushdown —
+    measured 67 s vs 7 s for the full profile at 500k docs. A
+    let-bound expression tokenizes once wherever the optimizer moves
+    it."""
+    needed = tuple(
+        dict.fromkeys(["n_chars", *[name for name, _, _ in rules]])
+    )
+
+    def _over_toks(tk: "F.Column") -> "F.Column":
+        m = profile_metric_exprs(text_col, toks=tk)
+        # bind the metric VALUES once as a struct: a lo+hi rule
+        # otherwise embeds (and re-evaluates) its metric expression
+        # twice
+        s = F.struct(*[m[n].alias(n) for n in needed])
+        return TX.let_bind(
+            s, lambda ms: _fail_reasons_expr({n: ms[n] for n in needed}, rules)
+        )
+
+    return TX.let_bind(TX.tokens(F.col(text_col)), _over_toks)
 
 
 def quality_filter(
@@ -135,10 +180,20 @@ def quality_filter(
     needed = tuple(
         dict.fromkeys(["n_chars", *[name for name, _, _ in rules]])
     )
-    prof = text_profile(df, text_col=text_col, id_col=id_col, metrics=needed)
-    arr = _fail_reasons_expr({n: F.col(n) for n in needed}, rules)
-    return prof.withColumn("fail_reasons", arr).withColumn(
-        "keep", F.size("fail_reasons") == 0
+    # the audit metric columns come from the staged profile; keep /
+    # fail_reasons are the SELF-CONTAINED let-bound gate expression
+    # (see _gate_fail_reasons) rather than references to those
+    # columns, so `filter("keep")` stays one-tokenize-per-doc after
+    # predicate pushdown. Both derive from profile_metric_exprs, so
+    # the decisions cannot drift from the audit columns.
+    staged = df.withColumn("_ats_toks", TX.tokens(F.col(text_col)))
+    exprs = profile_metric_exprs(text_col, toks=F.col("_ats_toks"))
+    arr = _gate_fail_reasons(text_col, rules)
+    return staged.select(
+        F.col(id_col),
+        *[exprs[n].alias(n) for n in needed],
+        arr.alias("fail_reasons"),
+        (F.size(arr) == 0).alias("keep"),
     )
 
 
