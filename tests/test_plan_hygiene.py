@@ -135,3 +135,44 @@ def test_dim_joins_broadcast(spark):
     assert "BroadcastHashJoin" in plan
     plan = _plan(spark, "revenue_rollup")
     assert "BroadcastHashJoin" in plan
+
+
+def test_quality_gate_single_tokenizer_after_pushdown(spark):
+    """The keep predicate must stay ONE self-contained let-bound
+    expression: predicate pushdown substitutes projection aliases with
+    no cheapness guard, so a gate built over staged metric columns
+    re-tokenizes once per referenced metric (sf1 sweep measured the
+    O(n^2) variant of this class of bug at >40 min for winnowing).
+    The pruned count plan must contain exactly one tokenizer split."""
+    from pyspark.sql import functions as F
+
+    from auto_ts_spark.operators.textops import quality_filter
+
+    docs = E.load_table(spark, SF, "documents")
+    plan = (
+        quality_filter(docs)
+        .filter("keep")
+        .groupBy()
+        .count()
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert plan.count("split(") == 1, plan
+
+
+def test_winnow_fingerprints_single_hash_chain(spark):
+    """winnow's window-min lambda must reference a LambdaVariable, not
+    re-evaluate the tokenize->shingle->md5 chain per window position:
+    exactly one md5 call in the optimized plan."""
+    from auto_ts_spark.operators.dedup import winnow_fingerprints
+
+    docs = E.load_table(spark, SF, "documents")
+    plan = (
+        winnow_fingerprints(docs)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert plan.count("md5(") == 1, plan
+    assert plan.count("split(") == 1, plan
