@@ -2356,18 +2356,23 @@ FROM t LEFT JOIN pm ON t.phase = pm.phase CROSS JOIN g
 
 
 def q_quantile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated quantiles of lineitem prices (profiling op):
-    Spark `percentile` == DuckDB `quantile_cont`."""
+    """Exact interpolated quantiles of lineitem prices (profiling op),
+    matching DuckDB `quantile_cont` (R type-7). NOT Spark's exact
+    `percentile` aggregate: that buffers every value of the column in
+    one in-memory map per aggregate expression — the r6 sf3 sweep
+    (18M rows × 5 percentiles) killed the 8g JVM with it, and at
+    100 TB it is impossible by construction. `exact_quantiles` is the
+    scalable exact form: two-pass global rank (range repartition →
+    local sort-rank → O(partitions) offsets), then the ≤2 bracketing
+    rows per q fetched and interpolated driver-side."""
+    from auto_ts_spark.operators.profile import exact_quantiles
+
     li = load_table(spark, sf_dir, "lineitem")
-    qs = [0.25, 0.5, 0.75, 0.95]
-    return li.agg(
-        *[
-            F.round(F.expr(f"percentile(l_extendedprice, {q})"), 6).alias(
-                f"p{int(q*100)}"
-            )
-            for q in qs
-        ],
-        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 6).alias("p99"),
+    qs = (0.25, 0.5, 0.75, 0.95, 0.99)
+    vals = exact_quantiles(li, "l_extendedprice", qs)
+    row = [tuple(round(vals[q], 6) for q in qs)]
+    return spark.createDataFrame(
+        row, "p25 double, p50 double, p75 double, p95 double, p99 double"
     )
 
 
@@ -3739,7 +3744,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "residual_diagnostics": q_residual_diagnostics,
     "ar1_forecast": q_ar1_forecast,
     "var1_forecast": q_var1_forecast,
-    "adf_stationarity": q_adf_stationarity,  # rows-only
+    "quantile_profile": q_quantile_profile,  # r6: scalable exact form
     "df_test_stationarity": q_df_test_stationarity,
     # --- r5-green, unchanged (outside the 50-slot prefix); the two
     # rows-only automl entries sit here because a rows-only driver row
@@ -3764,7 +3769,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "forecast_viz_join": q_forecast_viz_join,
     "revenue_rollup": q_revenue_rollup,
     "seasonal_decompose": q_seasonal_decompose,
-    "quantile_profile": q_quantile_profile,
+    "adf_stationarity": q_adf_stationarity,  # rows-only
     "asof_join": q_asof_join,
     "resample_ffill": q_resample_ffill,
     "customer_set_ops": q_customer_set_ops,

@@ -182,3 +182,72 @@ def class_weights(df: DataFrame, label_col: str) -> DataFrame:
         F.col("cnt"),
         (F.col("n") / (F.col("k") * F.col("cnt"))).alias("weight"),
     )
+
+
+def exact_quantiles(
+    df: DataFrame,
+    value_col: str,
+    probabilities: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95, 0.99),
+) -> dict[float, float | None]:
+    """Exact interpolated quantiles (R type-7, the semantics of both
+    Spark ``percentile`` and DuckDB ``quantile_cont``) at ANY scale.
+
+    Spark's exact ``percentile`` aggregate buffers every value of the
+    column in one in-memory map per aggregate expression — fine for
+    bounded groups, a memory bomb on a whole table (the r6 sf3 sweep
+    killed an 8g JVM with 5 percentiles over 18M rows; at 100 TB it is
+    simply impossible). This is the scalable exact form instead:
+
+    1. two-pass global rank over the value (range repartition →
+       local sort-rank → O(partitions) offset collect; the same
+       no-single-task-sort shape as ``with_global_row_number`` /
+       ``budget_select``), every stage spill-safe;
+    2. the ≤ 2·len(probabilities) bracketing ranks are fetched with a
+       rank-IN filter and interpolated driver-side.
+
+    Driver state: O(partitions + probabilities). Returns
+    ``{probability: value}`` (None for every q when the column has no
+    non-null rows).
+    """
+    import math
+
+    from .partitioning import with_global_row_number
+
+    vals = (
+        df.select(F.col(value_col).cast("double").alias("_v"))
+        .filter(F.col("_v").isNotNull())
+        .withColumn("_s", F.lit("0"))
+    )
+    ranked = with_global_row_number(
+        vals, order_col="_v", series_col="_s", name="_r"
+    )
+    n = ranked.count()
+    if n == 0:
+        return {q: None for q in probabilities}
+    need = sorted(
+        {
+            r
+            for q in probabilities
+            for r in (
+                math.floor((n - 1) * q) + 1,
+                math.ceil((n - 1) * q) + 1,
+            )
+        }
+    )
+    picked = {
+        row["_r"]: row["_v"]
+        for row in ranked.filter(F.col("_r").isin(need)).collect()
+    }
+    ranked.unpersist()
+    out: dict[float, float | None] = {}
+    for q in probabilities:
+        k = (n - 1) * q
+        lo, hi = math.floor(k), math.ceil(k)
+        v_lo = picked[lo + 1]
+        if hi == lo:
+            out[q] = v_lo
+        else:
+            # v_lo + frac*(v_hi - v_lo): the interpolation form both
+            # Spark's Percentile aggregate and DuckDB quantile_cont use
+            out[q] = v_lo + (k - lo) * (picked[hi + 1] - v_lo)
+    return out
