@@ -29,6 +29,7 @@ from auto_ts_spark.functions import text as TX
 from auto_ts_spark.functions.calendar import add_calendar_features
 from auto_ts_spark.io.sources import load_table
 from auto_ts_spark.operators import dedup as DD
+from auto_ts_spark.operators import dsir as DSIR
 from auto_ts_spark.operators import folds as FOLDS
 from auto_ts_spark.operators import lags as LAGS
 from auto_ts_spark.operators import partitioning as PART
@@ -1581,6 +1582,93 @@ WHERE list_dot_product(a.ve, b.ve) /
       (sqrt(list_dot_product(a.ve, a.ve)) * sqrt(list_dot_product(b.ve, b.ve))) >= 0.2999995
   AND round(list_dot_product(a.ve, b.ve) /
       (sqrt(list_dot_product(a.ve, a.ve)) * sqrt(list_dot_product(b.ve, b.ve))), 6) >= 0.3
+"""
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic deduplication (operators/similarity.py::
+    semantic_dedup): within-cluster cosine pairs → connected
+    components → keep-one-per-group decisions. Blocked on the
+    deterministic ``label`` column so the oracle can replay the exact
+    pair graph (the IVF-quantizer blocking of the production path is
+    covered by ``tests/test_semantic_dedup.py`` equivalence on planted
+    duplicates + the ``ivf_ann_recall`` quantizer check)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.semantic_dedup(emb, block_col="label", threshold=0.3)
+
+
+_SQL_SEMANTIC_DEDUP = """
+WITH RECURSIVE v AS (
+  SELECT label, vec_id, cast(embedding as double[]) AS ve FROM embeddings
+), pr AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE list_dot_product(a.ve, b.ve) /
+        (sqrt(list_dot_product(a.ve, a.ve)) * sqrt(list_dot_product(b.ve, b.ve))) >= 0.2999995
+    AND round(list_dot_product(a.ve, b.ve) /
+        (sqrt(list_dot_product(a.ve, a.ve)) * sqrt(list_dot_product(b.ve, b.ve))), 6) >= 0.3
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pr
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pr
+), nodes AS (
+  SELECT DISTINCT src AS id FROM edges
+), reach(id, root) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.id
+), lab AS (
+  SELECT id AS vec_id, min(root) AS cluster_id FROM reach GROUP BY id
+)
+SELECT vec_id, cluster_id,
+       cast(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+       vec_id = cluster_id AS is_keep
+FROM lab
+"""
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (operators/dsir.py::dsir_log_weights):
+    hashed unigram+bigram log-likelihood ratio of the English-document
+    target distribution over the full-corpus raw distribution — the
+    Xie et al. 2023 data-selection recipe. Exact-decimal per-doc
+    accumulation of round-9 per-bucket log-ratios makes the sum
+    engine- and order-independent."""
+    docs = load_table(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    return DSIR.dsir_log_weights(docs, target, n_buckets=256)
+
+
+_SQL_DSIR_WEIGHTS = f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKS} AS tk FROM documents
+), grams AS (
+  SELECT doc_id, unnest(tk) AS g FROM toks
+  UNION ALL
+  SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+                                       i -> tk[i] || ' ' || tk[i + 1])) AS g
+  FROM toks
+), rawb AS (
+  SELECT doc_id, {_sql_hash60("g")} % 256 AS bucket FROM grams
+), tgtb AS (
+  SELECT bucket FROM rawb JOIN documents USING (doc_id) WHERE lang = 'en'
+), rc AS (
+  SELECT bucket, count(*) AS cnt_r FROM rawb GROUP BY bucket
+), tc AS (
+  SELECT bucket, count(*) AS cnt_t FROM tgtb GROUP BY bucket
+), tot AS (
+  SELECT (SELECT count(*) FROM rawb) AS tr, (SELECT count(*) FROM tgtb) AS tt
+), lnr AS (
+  SELECT coalesce(rc.bucket, tc.bucket) AS bucket,
+         cast(round(ln(((coalesce(cnt_t, 0) + 1.0) / (tt + 256.0))
+                       / ((coalesce(cnt_r, 0) + 1.0) / (tr + 256.0))), 9)
+              as decimal(28,9)) AS lnr
+  FROM rc FULL JOIN tc ON rc.bucket = tc.bucket, tot
+)
+SELECT doc_id, count(*) AS n_grams,
+       round(cast(sum(lnr) as double), 6) AS log_weight
+FROM rawb JOIN lnr USING (bucket)
+GROUP BY doc_id
 """
 
 
@@ -3649,6 +3737,8 @@ _ORACLE: dict[str, str] = {
     "quality_filter": _SQL_QUALITY_FILTER,
     "embedding_topk": _SQL_EMBEDDING_TOPK,
     "embedding_near_dup": _SQL_EMBEDDING_NEAR_DUP,
+    "semantic_dedup": _SQL_SEMANTIC_DEDUP,
+    "dsir_weights": _SQL_DSIR_WEIGHTS,
     "hourly_rollup": _SQL_HOURLY_ROLLUP,
     "streaming_hourly_rollup": _SQL_STREAMING_HOURLY_ROLLUP,
     "sessionize": _SQL_SESSIONIZE,
@@ -3745,6 +3835,12 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ar1_forecast": q_ar1_forecast,
     "var1_forecast": q_var1_forecast,
     "quantile_profile": q_quantile_profile,  # r6: scalable exact form
+    # --- new in r6 continuation: SemDeDup semantic dedup + DSIR
+    # importance weights; they take the last two prefix slots, so
+    # df_test_stationarity (r5-green, models/stats.py untouched since)
+    # rotates just below the line ---
+    "semantic_dedup": q_semantic_dedup,
+    "dsir_weights": q_dsir_weights,
     "df_test_stationarity": q_df_test_stationarity,
     # --- r5-green, unchanged (outside the 50-slot prefix); the two
     # rows-only automl entries sit here because a rows-only driver row

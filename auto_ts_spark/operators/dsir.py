@@ -1,0 +1,153 @@
+"""Data Selection with Importance Resampling (DSIR) — hashed n-gram
+importance weights for targeted pretraining-data selection.
+
+Published recipe (Xie et al. 2023, "Data Selection for Language Models
+via Importance Resampling", arXiv:2302.03169): featurize every document
+as hashed unigram+bigram counts, fit bag-of-grams distributions for a
+small TARGET corpus (what you want more of) and the RAW corpus (what
+you have), and weight each raw document by the log-likelihood ratio
+
+    log w(doc) = sum_over_gram_instances  ln( p_target[b] / p_raw[b] )
+
+where ``b`` is the gram's hash bucket. High-weight documents look like
+the target distribution; selection keeps the top slice (or
+Gumbel-resamples with the weights — the deterministic top-k variant is
+what :func:`select_top_weighted` implements so results are
+oracle-reproducible).
+
+Scale shape: both distributions are ``n_buckets`` numbers — built with
+one map-side-combined groupBy each and broadcast back as a single tiny
+join table, so scoring a 100 TB corpus is scan → explode grams →
+broadcast-join (bucket) → per-doc agg: ONE wide shuffle (the per-doc
+groupBy), no driver state beyond the O(n_buckets) distribution.
+Per-gram log-ratios are rounded to 9 dp and accumulated as exact
+decimals so the per-doc sum is independent of aggregation order (the
+same engine-parity discipline the money sums use).
+
+Extension beyond the reference (no Auto_TS counterpart) — part of the
+training-data curation surface alongside ``sampling``/``budget``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from auto_ts_spark.functions.text import hash60, tokens
+from auto_ts_spark.operators.partitioning import ensure_parallelism
+
+
+def gram_buckets(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """One row per gram instance: ``(id, bucket)``.
+
+    Grams are whitespace unigrams plus adjacent-pair bigrams of the
+    normalized text; bucket = shared md5-derived ``hash60`` mod
+    ``n_buckets`` (reproducible in any SQL engine). The token array is
+    staged once per document; the bigram zip reads the staged array.
+    """
+    toks = ensure_parallelism(df).select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("_tk")
+    )
+    tk = F.col("_tk")
+    bigrams = F.zip_with(
+        F.slice(tk, 1, F.greatest(F.size(tk) - 1, F.lit(0))),
+        F.slice(tk, 2, F.greatest(F.size(tk) - 1, F.lit(0))),
+        lambda x, y: F.concat_ws(" ", x, y),
+    )
+    grams = toks.select(
+        "id", F.explode(F.concat(tk, bigrams)).alias("gram")
+    )
+    return grams.select(
+        "id", F.pmod(hash60(F.col("gram")), F.lit(n_buckets)).alias("bucket")
+    )
+
+
+def _bucket_counts(grams: DataFrame) -> DataFrame:
+    return grams.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def _log_ratio(ct: Column, tot_t: Column, cr: Column, tot_r: Column, s: float, b: int) -> Column:
+    """round-9 ln of the smoothed probability ratio, as an exact decimal."""
+    pt = (ct + F.lit(s)) / (tot_t + F.lit(s * b))
+    pr = (cr + F.lit(s)) / (tot_r + F.lit(s * b))
+    return F.round(F.log(pt / pr), 9).cast("decimal(28,9)")
+
+
+def dsir_log_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """Per-document DSIR importance weight: ``(id, n_grams,
+    log_weight)`` for every raw document with at least one gram.
+
+    ``log_weight`` is the summed per-gram log-likelihood ratio of the
+    add-``smoothing`` bucket distributions (target over raw); rounded
+    to 6 dp after an exact decimal accumulation.
+    """
+    raw_grams = gram_buckets(
+        raw, text_col=text_col, id_col=id_col, n_buckets=n_buckets
+    )
+    tgt_grams = gram_buckets(
+        target, text_col=text_col, id_col=id_col, n_buckets=n_buckets
+    )
+    # distributions: n_buckets rows each — combined into one tiny
+    # broadcast table; totals are scalar aggregates (O(1) driver state)
+    rc = _bucket_counts(raw_grams)
+    tc = _bucket_counts(tgt_grams)
+    tot_r = raw_grams.count()
+    tot_t = tgt_grams.count()
+    dist = (
+        rc.join(tc.withColumnRenamed("cnt", "cnt_t"), "bucket", "full")
+        .select(
+            "bucket",
+            F.coalesce("cnt", F.lit(0)).alias("cnt_r"),
+            F.coalesce("cnt_t", F.lit(0)).alias("cnt_t"),
+        )
+        .withColumn(
+            "lnr",
+            _log_ratio(
+                F.col("cnt_t"),
+                F.lit(tot_t),
+                F.col("cnt_r"),
+                F.lit(tot_r),
+                smoothing,
+                n_buckets,
+            ),
+        )
+    )
+    scored = raw_grams.join(F.broadcast(dist.select("bucket", "lnr")), "bucket")
+    return (
+        scored.groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.round(F.sum("lnr").cast("double"), 6).alias("log_weight"),
+        )
+    )
+
+
+def select_top_weighted(
+    weights: DataFrame,
+    n: int,
+    *,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic DSIR selection: the ``n`` highest-weight documents
+    (weight desc, id asc tiebreak). The stochastic variant in the paper
+    adds Gumbel noise to ``log_weight`` before the same top-k — inject
+    it upstream with a seeded hash-derived uniform if needed."""
+    w = F.col("log_weight")
+    return (
+        weights.orderBy(w.desc(), F.col(id_col))
+        .limit(n)
+    )

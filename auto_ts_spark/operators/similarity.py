@@ -321,3 +321,124 @@ def ivf_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# ------------------------------------------------------- semantic dedup
+
+
+def ivf_assign(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    sample_size: int = 4096,
+    seed: int = 42,
+) -> DataFrame:
+    """Coarse-quantizer cell assignment: ``(id, vec, cell)``.
+
+    The k-means quantizer is trained once on a driver-side sample
+    (O(sample) driver state) and broadcast; assignment is one
+    Arrow-batched pandas UDF doing a numpy matmul per batch — the same
+    shape ``ivf_topk`` uses, factored out so cell ids can also drive
+    blocking (semantic dedup) and cell-local statistics.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    sample = np.array(
+        [r[0] for r in df.select(vec_col).limit(sample_size).collect()],
+        dtype=np.float64,
+    )
+    cents = kmeans_centroids(sample, n_centroids, seed=seed)
+    bc = df.sparkSession.sparkContext.broadcast(cents)
+
+    @pandas_udf("int")
+    def nearest_cell(vecs: pd.Series) -> pd.Series:
+        c = bc.value
+        v = np.stack(vecs.to_numpy())
+        d2 = (v * v).sum(1)[:, None] - 2.0 * (v @ c.T) + (c * c).sum(1)[None, :]
+        return pd.Series(d2.argmin(axis=1).astype("int32"))
+
+    return (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("vec"),
+        )
+        .withColumn("cell", nearest_cell("vec"))
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.3,
+    block_col: str | None = None,
+    n_centroids: int = 16,
+    sample_size: int = 4096,
+    seed: int = 42,
+    cc_stats: dict | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication over an embedding column
+    (Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
+    through semantic deduplication", arXiv:2303.09540): cluster the
+    corpus with a coarse quantizer, compare embeddings pairwise ONLY
+    within a cluster, and keep one representative per group of
+    semantic duplicates (cosine >= ``threshold``).
+
+    Blocking: ``block_col`` names a precomputed cluster/category column
+    (deterministic — what the oracle replays); ``None`` trains the IVF
+    quantizer via :func:`ivf_assign` (the production path — k chosen so
+    cells stay small enough that the within-cell pair join is bounded
+    by sum(|cell|^2) ≈ n^2/k).
+
+    Scale shape: the pair stage is a hash-join on ``cell`` — spill-safe
+    (no collect_list buffering), shuffle proportional to corpus size,
+    pair work bounded per cell. Components and keeper selection reuse
+    the distributed min-label machinery every other dedup family uses
+    (``dedup.clusters_from_pairs``), so output shape and determinism
+    match MinHash/SimHash dedup: ``(id, cluster_id, cluster_size,
+    is_keep)`` for every id in at least one near-dup pair, keeper =
+    min id per component.
+
+    Extension beyond the reference (no Auto_TS counterpart) — part of
+    the training-data curation surface alongside
+    ``dedup.dedup_clusters``.
+    """
+    from auto_ts_spark.operators.dedup import clusters_from_pairs
+
+    if block_col is None:
+        blocked = ivf_assign(
+            df,
+            id_col=id_col,
+            vec_col=vec_col,
+            n_centroids=n_centroids,
+            sample_size=sample_size,
+            seed=seed,
+        )
+    else:
+        blocked = ensure_parallelism(df).select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("vec"),
+            F.col(block_col).alias("cell"),
+        )
+    a = blocked.select(
+        "cell", F.col("id").alias("id_a"), F.col("vec").alias("va")
+    )
+    b = blocked.select(
+        "cell", F.col("id").alias("id_b"), F.col("vec").alias("vb")
+    )
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= F.lit(threshold))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return clusters_from_pairs(pairs, id_col=id_col, cc_stats=cc_stats)

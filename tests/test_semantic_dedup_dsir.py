@@ -1,0 +1,131 @@
+"""SemDeDup semantic dedup + DSIR importance-weight selection.
+
+Engine parity for the registered queries lives in tests/parity.py;
+these tests cover the parts the oracle can't see: the IVF-quantizer
+blocking path (non-deterministic centroids w.r.t. SQL, deterministic
+w.r.t. seed) and the DSIR weight semantics (target-lookalike docs rank
+above off-target docs; identical corpora weigh zero).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _planted_vectors(spark):
+    """Three well-separated directions in R^4; ids 0-2 are near-dups of
+    direction A (cosine ~1), 10-11 near-dups of B, 20 a singleton."""
+    rows = [
+        (0, [1.0, 0.01, 0.0, 0.0]),
+        (1, [1.0, 0.02, 0.0, 0.0]),
+        (2, [0.99, 0.0, 0.01, 0.0]),
+        (10, [0.0, 1.0, 0.01, 0.0]),
+        (11, [0.0, 1.0, 0.0, 0.02]),
+        (20, [0.0, 0.0, 0.0, 1.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_semantic_dedup_ivf_blocking_matches_planted_groups(spark):
+    from auto_ts_spark.operators.similarity import semantic_dedup
+
+    df = _planted_vectors(spark)
+    stats: dict = {}
+    out = semantic_dedup(
+        df, threshold=0.95, n_centroids=3, sample_size=10, cc_stats=stats
+    ).toPandas()
+    by_id = out.set_index("vec_id")
+    # group A: {0,1,2} one cluster, keeper = 0
+    assert set(by_id.index) == {0, 1, 2, 10, 11}
+    assert len(set(by_id.loc[[0, 1, 2], "cluster_id"])) == 1
+    assert bool(by_id.loc[0, "is_keep"]) and not bool(by_id.loc[1, "is_keep"])
+    assert (by_id.loc[[0, 1, 2], "cluster_size"] == 3).all()
+    # group B: {10,11}, keeper = 10; singleton 20 never appears
+    assert len(set(by_id.loc[[10, 11], "cluster_id"])) == 1
+    assert bool(by_id.loc[10, "is_keep"]) and not bool(by_id.loc[11, "is_keep"])
+    assert stats["rounds"] >= 1
+
+
+def test_semantic_dedup_block_col_equals_ivf_on_separated_data(spark):
+    """When blocks are well separated, quantizer blocking and an exact
+    precomputed block column produce the same dedup decisions."""
+    from auto_ts_spark.operators.similarity import semantic_dedup
+
+    df = _planted_vectors(spark).withColumn(
+        "grp", (F.col("vec_id") / 10).cast("int")
+    )
+    via_col = (
+        semantic_dedup(df.select("vec_id", "embedding", "grp"),
+                       threshold=0.95, block_col="grp")
+        .toPandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    via_ivf = (
+        semantic_dedup(df.select("vec_id", "embedding"),
+                       threshold=0.95, n_centroids=3, sample_size=10)
+        .toPandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    assert via_col.equals(via_ivf)
+
+
+def test_dsir_identical_corpora_weighs_zero(spark):
+    from auto_ts_spark.operators.dsir import dsir_log_weights
+
+    docs = spark.createDataFrame(
+        [(1, "spark joins shuffle data"), (2, "filter scan parquet")],
+        "doc_id long, text string",
+    )
+    out = dsir_log_weights(docs, docs, n_buckets=64).toPandas()
+    assert (out["log_weight"] == 0.0).all()
+    # n_grams = unigrams + bigrams = (4+3) and (3+2)
+    assert sorted(out["n_grams"]) == [5, 7]
+
+
+def test_dsir_upweights_target_lookalikes(spark):
+    from auto_ts_spark.operators.dsir import dsir_log_weights, select_top_weighted
+
+    raw = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "stochastic gradient descent converges on convex losses"),
+            (3, "gradient descent with momentum converges faster"),
+            (4, "pack my box with five dozen liquor jugs"),
+        ],
+        "doc_id long, text string",
+    )
+    target = spark.createDataFrame(
+        [
+            (100, "gradient descent optimizes convex objectives"),
+            (101, "stochastic optimization with gradient methods"),
+        ],
+        "doc_id long, text string",
+    )
+    w = dsir_log_weights(raw, target, n_buckets=128)
+    pdf = w.toPandas().set_index("doc_id")
+    assert pdf.loc[2, "log_weight"] > pdf.loc[1, "log_weight"]
+    assert pdf.loc[3, "log_weight"] > pdf.loc[4, "log_weight"]
+    top = select_top_weighted(w, 2).toPandas()
+    assert set(top["doc_id"]) == {2, 3}
+
+
+def test_dsir_weight_is_order_independent(spark):
+    """Repartitioning the corpus cannot change a weight: the decimal
+    accumulation is exact, so any aggregation order agrees."""
+    from auto_ts_spark.operators.dsir import dsir_log_weights
+
+    raw = spark.range(0, 60).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.lit("token"),
+            (F.col("id") % 7).cast("string"),
+            (F.col("id") % 3).cast("string"),
+            F.lit("tail words here"),
+        ).alias("text"),
+    )
+    target = raw.filter(F.col("doc_id") % 2 == 0)
+    a = dsir_log_weights(raw, target, n_buckets=32).toPandas()
+    b = dsir_log_weights(raw.repartition(7), target, n_buckets=32).toPandas()
+    a = a.sort_values("doc_id").reset_index(drop=True)
+    b = b.sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
