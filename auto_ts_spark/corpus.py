@@ -49,6 +49,10 @@ def curate(
     near_dedup: bool = True,
     near_dedup_method: str = "minhash",
     near_dedup_max_bucket: int | None = 1000,
+    embeddings: DataFrame | None = None,
+    embedding_vec_col: str = "embedding",
+    semantic_threshold: float = 0.95,
+    semantic_centroids: int = 256,
     benchmark: DataFrame | None = None,
     decontam_n: int = 5,
     mixture: dict[str, float] | None = None,
@@ -178,6 +182,29 @@ def curate(
             # identical documents; same clustering + retention shape
             pairs = DD.simhash_pairs(out, text_col=text_col, id_col=id_col)
             clusters = DD.clusters_from_pairs(pairs, id_col=id_col)
+        elif near_dedup_method == "semantic":
+            # SemDeDup blocking (similarity.semantic_dedup): dedup on
+            # MEANING via a per-document embedding column — ``embeddings``
+            # maps id_col -> embedding_vec_col. Joined to the surviving
+            # docs first so the quantizer and pair join only see live
+            # rows; batch-only (curate_stream keeps lexical methods).
+            from auto_ts_spark.operators.similarity import semantic_dedup
+
+            if embeddings is None:
+                raise ValueError(
+                    "near_dedup_method='semantic' needs an `embeddings` "
+                    f"DataFrame with ({id_col}, {embedding_vec_col})"
+                )
+            vecs = embeddings.select(
+                id_col, embedding_vec_col
+            ).join(out.select(id_col), id_col)
+            clusters = semantic_dedup(
+                vecs,
+                id_col=id_col,
+                vec_col=embedding_vec_col,
+                threshold=semantic_threshold,
+                n_centroids=semantic_centroids,
+            )
         else:
             raise ValueError(
                 f"unknown near_dedup_method: {near_dedup_method!r}"

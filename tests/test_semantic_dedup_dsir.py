@@ -129,3 +129,52 @@ def test_dsir_weight_is_order_independent(spark):
     a = a.sort_values("doc_id").reset_index(drop=True)
     b = b.sort_values("doc_id").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_curate_semantic_method_drops_meaning_duplicates(spark):
+    """curate(near_dedup_method='semantic') keeps one doc per
+    embedding near-dup group while lexical stages stay off."""
+    from auto_ts_spark.corpus import curate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta words one"),
+            (2, "totally different phrasing same idea"),
+            (3, "an unrelated document about parquet files"),
+        ],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.01, 0.0]),
+            (2, [1.0, 0.02, 0.0]),  # same meaning as 1, no shared words
+            (3, [0.0, 0.0, 1.0]),
+        ],
+        "doc_id long, embedding array<double>",
+    )
+    out = curate(
+        docs,
+        quality=False,
+        redact=False,
+        dedup_exact=False,
+        near_dedup_method="semantic",
+        embeddings=emb,
+        semantic_threshold=0.95,
+        semantic_centroids=2,
+    )
+    kept = sorted(r.doc_id for r in out.select("doc_id").collect())
+    assert kept == [1, 3]
+
+
+def test_curate_semantic_without_embeddings_raises(spark):
+    from auto_ts_spark.corpus import curate
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="embeddings"):
+        curate(
+            docs,
+            quality=False,
+            redact=False,
+            dedup_exact=False,
+            near_dedup_method="semantic",
+        )
