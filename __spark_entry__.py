@@ -1672,6 +1672,50 @@ GROUP BY doc_id
 """
 
 
+def q_repeated_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-approximation repeated-span scrubbing
+    (operators/textops.py::scrub_repeated_spans): verbatim 8-token
+    windows shared across >=2 docs are removed from every carrier;
+    clean text + kept/removed counts value-checked."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return TOPS.scrub_repeated_spans(docs, window=8)
+
+
+_SQL_REPEATED_SPAN_SCRUB = f"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
+  FROM documents WHERE text IS NOT NULL
+), spans AS (
+  SELECT doc_id, unnest(range(1, greatest(len(tk) - 8 + 2, 1))) AS s FROM t
+), fp AS (
+  SELECT spans.doc_id, s,
+         {_sql_hash60("array_to_string(tk[s:s+7], ' ')")} AS h
+  FROM spans JOIN t USING (doc_id)
+), dup AS (
+  SELECT h FROM fp GROUP BY h HAVING count(distinct doc_id) >= 2
+), cov AS (
+  SELECT DISTINCT doc_id, u AS p
+  FROM (SELECT doc_id, unnest(range(s, s + 8)) AS u
+        FROM fp JOIN dup USING (h))
+), pos AS (
+  SELECT doc_id, unnest(range(1, len(tk) + 1)) AS p FROM t
+), kept AS (
+  SELECT pos.doc_id, pos.p
+  FROM pos LEFT JOIN cov ON pos.doc_id = cov.doc_id AND pos.p = cov.p
+  WHERE cov.p IS NULL
+), asm AS (
+  SELECT kept.doc_id, string_agg(tk[p], ' ' ORDER BY p) AS clean_text,
+         count(*) AS nk
+  FROM kept JOIN t USING (doc_id) GROUP BY kept.doc_id
+)
+SELECT t.doc_id,
+       coalesce(asm.clean_text, '') AS clean_text,
+       cast(coalesce(asm.nk, 0) AS bigint) AS n_tokens_kept,
+       cast(len(tk) - coalesce(asm.nk, 0) AS bigint) AS n_tokens_removed
+FROM t LEFT JOIN asm ON t.doc_id = asm.doc_id
+"""
+
+
 def q_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W19 (batch twin of the streaming tumbling window): hourly event
     rollup per type."""
@@ -3739,6 +3783,7 @@ _ORACLE: dict[str, str] = {
     "embedding_near_dup": _SQL_EMBEDDING_NEAR_DUP,
     "semantic_dedup": _SQL_SEMANTIC_DEDUP,
     "dsir_weights": _SQL_DSIR_WEIGHTS,
+    "repeated_span_scrub": _SQL_REPEATED_SPAN_SCRUB,
     "hourly_rollup": _SQL_HOURLY_ROLLUP,
     "streaming_hourly_rollup": _SQL_STREAMING_HOURLY_ROLLUP,
     "sessionize": _SQL_SESSIONIZE,
@@ -3789,7 +3834,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "leaderboard": q_leaderboard,
     "topk_suppliers": q_topk_suppliers,
     "top_correlations": q_top_correlations,
-    "minmax_profile": q_minmax_profile,
     "text_profile": q_text_profile,
     "repetition_profile": q_repetition_profile,
     "corpus_vocabulary": q_corpus_vocabulary,
@@ -3841,6 +3885,12 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # rotates just below the line ---
     "semantic_dedup": q_semantic_dedup,
     "dsir_weights": q_dsir_weights,
+    "repeated_span_scrub": q_repeated_span_scrub,
+    # displaced to make room for repeated_span_scrub: minmax_profile
+    # (trivial min/max aggregate, untouched since r1, r4 driver-green,
+    # 5-scale local parity) sits just below the line with
+    # df_test_stationarity (r5-green, models/stats.py untouched)
+    "minmax_profile": q_minmax_profile,
     "df_test_stationarity": q_df_test_stationarity,
     # --- r5-green, unchanged (outside the 50-slot prefix); the two
     # rows-only automl entries sit here because a rows-only driver row

@@ -42,6 +42,8 @@ def curate(
     id_col: str = "doc_id",
     line_clean: bool = False,
     boilerplate_max_docs: int | None = None,
+    scrub_spans: bool = False,
+    scrub_window: int = 8,
     quality: bool = True,
     repetition: bool = False,
     redact: bool = True,
@@ -129,6 +131,24 @@ def curate(
                 text_col=text_col,
                 id_col=id_col,
                 max_docs_per_line=boilerplate_max_docs,
+                mode="apply",
+            ),
+        )
+    if scrub_spans:
+        # ExactSubstr-approx repeated-span scrubbing (textops.
+        # scrub_repeated_spans) — like boilerplate, apply mode reads
+        # its input twice (fingerprint counting + the rejoin)
+        from auto_ts_spark.operators.textops import scrub_repeated_spans
+
+        if not stage_counts:  # tick() already checkpointed it
+            out = out.cache()
+        out = tick(
+            "scrub_spans",
+            scrub_repeated_spans(
+                out,
+                text_col=text_col,
+                id_col=id_col,
+                window=scrub_window,
                 mode="apply",
             ),
         )

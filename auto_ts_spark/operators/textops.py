@@ -582,3 +582,108 @@ def drop_boilerplate_lines(
     if mode != "profile":
         raise ValueError(f"unknown drop_boilerplate_lines mode: {mode!r}")
     return profile
+
+
+def scrub_repeated_spans(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+    min_dup_docs: int = 2,
+    mode: str = "profile",
+) -> DataFrame:
+    """Cross-document repeated-span scrubbing — the distributed
+    approximation of suffix-array ExactSubstr dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499 §4.1): any ``window``-token run of RAW whitespace
+    tokens that appears verbatim in at least ``min_dup_docs`` distinct
+    documents is memorization-grade duplication; every token position
+    covered by such a run is removed from every document carrying it.
+    A shared substring of length L >= window contains only duplicated
+    windows, so the whole substring is scrubbed; windows shared by
+    chance cost exactly ``window`` tokens — the fixed-width window is
+    what makes the suffix-array recipe shuffle-expressible.
+
+    Distributed shape — two bounded shuffles, like the boilerplate
+    remover: stage raw tokens once → explode (start, 60-bit window
+    fingerprint) pairs → per-fingerprint distinct-doc count (map-side
+    partial agg) → join the duplicated set back → per-doc sorted start
+    list → coverage/reassembly entirely in array expressions (no
+    second explode). The fingerprint (never the window text) crosses
+    the shuffle; per-doc state is one array bounded by the token
+    count.
+
+    ``mode="profile"`` returns ``(id, clean_text, n_tokens_kept,
+    n_tokens_removed)`` — NULL-text docs keep a row with NULL
+    clean_text and zero counts. ``mode="apply"`` joins the scrubbed
+    text back over the input frame (the curation-chain form; reads the
+    input plan twice — persist upstream when expensive).
+    """
+    if mode not in ("profile", "apply"):
+        raise ValueError(f"unknown mode: {mode!r}")
+    raw_tokens = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda t: t != F.lit("")
+    )
+    toks = ensure_parallelism(df).select(
+        F.col(id_col).alias("_doc"), raw_tokens.alias("_tk")
+    )
+    n = F.size(F.col("_tk"))
+    spans = toks.select(
+        "_doc",
+        "_tk",
+        F.explode(
+            F.when(
+                n >= window, F.sequence(F.lit(1), n - window + 1)
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("_s"),
+    ).select(
+        "_doc",
+        "_s",
+        TX.hash60(F.concat_ws(" ", F.slice(F.col("_tk"), F.col("_s"), window))).alias(
+            "_fp"
+        ),
+    )
+    dup = (
+        spans.groupBy("_fp")
+        .agg(F.count_distinct("_doc").alias("_docs"))
+        .filter(F.col("_docs") >= min_dup_docs)
+        .select("_fp")
+    )
+    dup_starts = (
+        spans.join(dup, "_fp")
+        .groupBy("_doc")
+        .agg(F.array_sort(F.collect_list("_s")).alias("_starts"))
+    )
+    marked = toks.join(dup_starts, "_doc", "left")
+    covered = F.array_distinct(
+        F.flatten(
+            F.transform(
+                F.coalesce(F.col("_starts"), F.array().cast("array<int>")),
+                lambda s: F.sequence(s, s + window - 1),
+            )
+        )
+    )
+    kept_idx = F.array_except(F.sequence(F.lit(1), F.size(F.col("_tk"))), covered)
+    clean = F.when(
+        F.col("_tk").isNotNull(),
+        F.array_join(
+            F.transform(kept_idx, lambda i: F.element_at(F.col("_tk"), i)), " "
+        ),
+    )
+    profile = marked.select(
+        F.col("_doc").alias(id_col),
+        clean.alias("clean_text"),
+        F.coalesce(F.size(kept_idx), F.lit(0)).cast("bigint").alias("n_tokens_kept"),
+        F.coalesce(F.size(covered), F.lit(0)).cast("bigint").alias(
+            "n_tokens_removed"
+        ),
+    )
+    if mode == "profile":
+        return profile
+    cleaned = profile.select(id_col, "clean_text")
+    return (
+        df.join(cleaned, id_col, "left")
+        .withColumn(text_col, F.coalesce("clean_text", F.col(text_col)))
+        .drop("clean_text")
+    )

@@ -1,0 +1,98 @@
+"""ExactSubstr-approximation repeated-span scrubbing
+(textops.scrub_repeated_spans). Engine parity for the registered query
+is in tests/parity.py; these tests pin the removal semantics on
+planted spans."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SHARED = "one two three four five six seven eight"  # exactly window=8 tokens
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    rows = [
+        (1, f"intro words here {SHARED} tail a"),
+        (2, f"other leading text {SHARED} different end"),
+        (3, "completely unrelated document with enough words to count"),
+        (4, None),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_shared_window_removed_from_every_carrier(spark, planted):
+    from auto_ts_spark.operators.textops import scrub_repeated_spans
+
+    out = (
+        scrub_repeated_spans(planted, window=8)
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert out.loc[1, "clean_text"] == "intro words here tail a"
+    assert out.loc[2, "clean_text"] == "other leading text different end"
+    assert out.loc[1, "n_tokens_removed"] == 8
+    # untouched doc keeps everything
+    assert out.loc[3, "n_tokens_removed"] == 0
+    assert out.loc[3, "clean_text"].startswith("completely unrelated")
+    # NULL text survives with NULL clean_text and zero counts
+    assert out.loc[4, ["n_tokens_kept", "n_tokens_removed"]].tolist() == [0, 0]
+    assert out.loc[4, "clean_text"] is None
+
+
+def test_longer_shared_run_fully_covered(spark):
+    """A 10-token shared run with window=8 covers all 10 positions
+    (three overlapping duplicated windows union to the full run)."""
+    from auto_ts_spark.operators.textops import scrub_repeated_spans
+
+    run = "a b c d e f g h i j"
+    df = spark.createDataFrame(
+        [(1, f"x {run} y"), (2, f"p q {run} r")],
+        "doc_id long, text string",
+    )
+    out = scrub_repeated_spans(df, window=8).toPandas().set_index("doc_id")
+    assert out.loc[1, "clean_text"] == "x y"
+    assert out.loc[1, "n_tokens_removed"] == 10
+    assert out.loc[2, "clean_text"] == "p q r"
+
+
+def test_within_doc_repeat_alone_is_not_cross_doc(spark):
+    """min_dup_docs counts DISTINCT documents: a span repeated twice
+    inside one doc is kept (the Gopher repetition gate owns that)."""
+    from auto_ts_spark.operators.textops import scrub_repeated_spans
+
+    df = spark.createDataFrame(
+        [(1, f"{SHARED} junk {SHARED}"), (2, "nothing shared here at all")],
+        "doc_id long, text string",
+    )
+    out = scrub_repeated_spans(df, window=8).toPandas().set_index("doc_id")
+    assert out.loc[1, "n_tokens_removed"] == 0
+
+
+def test_apply_mode_preserves_other_columns(spark, planted):
+    from auto_ts_spark.operators.textops import scrub_repeated_spans
+
+    df = planted.withColumn("src", F.lit("web"))
+    out = scrub_repeated_spans(df, window=8, mode="apply")
+    assert set(out.columns) == {"doc_id", "text", "src"}
+    pdf = out.toPandas().set_index("doc_id")
+    assert pdf.loc[1, "text"] == "intro words here tail a"
+    assert pdf.loc[4, "text"] is None  # NULL text passes through
+
+
+def test_curate_scrub_spans_stage(spark, planted):
+    from auto_ts_spark.corpus import curate
+
+    out, counts = curate(
+        planted.filter(F.col("text").isNotNull()),
+        scrub_spans=True,
+        quality=False,
+        redact=False,
+        dedup_exact=False,
+        near_dedup=False,
+        stage_counts=True,
+    )
+    assert counts["scrub_spans"] == 3
+    texts = {r.doc_id: r.text for r in out.collect()}
+    assert texts[1] == "intro words here tail a"
