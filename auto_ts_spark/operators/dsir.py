@@ -151,3 +151,40 @@ def select_top_weighted(
         weights.orderBy(w.desc(), F.col(id_col))
         .limit(n)
     )
+
+
+def gumbel_select(
+    weights: DataFrame,
+    n: int,
+    *,
+    id_col: str = "doc_id",
+    seed: int = 42,
+    temperature: float = 1.0,
+) -> DataFrame:
+    """Stochastic DSIR selection — the paper's importance-RESAMPLING
+    form, via the Gumbel-top-k trick: perturb ``log_weight /
+    temperature`` with Gumbel(0,1) noise and keep the ``n`` largest
+    keys, which samples n documents without replacement with
+    probability proportional to ``exp(log_weight / temperature)``.
+
+    The noise is hash-seeded (md5 of id:seed → uniform in (0,1) →
+    ``-ln(-ln(u))``), so selection is deterministic, reproducible
+    across retries/partitionings, and needs no driver-side RNG state.
+    ``temperature -> 0`` converges on :func:`select_top_weighted`.
+    """
+    two53 = float(1 << 53)
+    u = (
+        F.pmod(
+            hash60(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}"))),
+            F.lit(1 << 53),
+        )
+        + F.lit(1.0)
+    ) / F.lit(two53 + 2.0)
+    gumbel = -F.log(-F.log(u))
+    key = F.col("log_weight") / F.lit(temperature) + gumbel
+    return (
+        weights.withColumn("_key", key)
+        .orderBy(F.col("_key").desc(), F.col(id_col))
+        .limit(n)
+        .drop("_key")
+    )
