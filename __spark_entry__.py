@@ -1666,7 +1666,7 @@ WITH toks AS (
   FROM rc FULL JOIN tc ON rc.bucket = tc.bucket, tot
 )
 SELECT doc_id, count(*) AS n_grams,
-       round(cast(sum(lnr) as double), 6) AS log_weight
+       cast(round(sum(lnr), 6) as double) AS log_weight
 FROM rawb JOIN lnr USING (bucket)
 GROUP BY doc_id
 """
@@ -3876,7 +3876,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_pricing_summary": q_tpch_pricing_summary,
     "bucketed_join_revenue": q_bucketed_join_revenue,
     "residual_diagnostics": q_residual_diagnostics,
-    "ar1_forecast": q_ar1_forecast,
     "var1_forecast": q_var1_forecast,
     "quantile_profile": q_quantile_profile,  # r6: scalable exact form
     # --- new in r6 continuation: SemDeDup semantic dedup + DSIR
@@ -3888,9 +3887,13 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repeated_span_scrub": q_repeated_span_scrub,
     # displaced to make room for repeated_span_scrub: minmax_profile
     # (trivial min/max aggregate, untouched since r1, r4 driver-green,
-    # 5-scale local parity) sits just below the line with
-    # df_test_stationarity (r5-green, models/stats.py untouched)
+    # 5-scale local parity) and ar1_forecast (r5-green with a strong
+    # closed-form oracle; its pinned single-candidate fit path is
+    # untouched by the r6 root-rejection change to the stepwise
+    # search) sit just below the line with df_test_stationarity
+    # (r5-green, models/stats.py untouched)
     "minmax_profile": q_minmax_profile,
+    "ar1_forecast": q_ar1_forecast,
     "df_test_stationarity": q_df_test_stationarity,
     # --- r5-green, unchanged (outside the 50-slot prefix); the two
     # rows-only automl entries sit here because a rows-only driver row

@@ -131,7 +131,14 @@ def dsir_log_weights(
         scored.groupBy(F.col("id").alias(id_col))
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
-            F.round(F.sum("lnr").cast("double"), 6).alias("log_weight"),
+            # round the EXACT decimal sum to 6 dp first, THEN cast:
+            # the 9-dp sum can land on an exact half-point of the 6th
+            # decimal (seen at 100x scale: -0.0080425), where rounding
+            # the nearest-double approximation flips between engines.
+            # Decimal HALF_UP (Spark) and half-away-from-zero (DuckDB)
+            # agree on the exact value, and the 6-dp decimal -> double
+            # cast is correctly rounded in both.
+            F.round(F.sum("lnr"), 6).cast("double").alias("log_weight"),
         )
     )
 
