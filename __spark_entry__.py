@@ -32,6 +32,7 @@ from auto_ts_spark.operators import dedup as DD
 from auto_ts_spark.operators import dsir as DSIR
 from auto_ts_spark.operators import folds as FOLDS
 from auto_ts_spark.operators import lags as LAGS
+from auto_ts_spark.operators import lm_quality as LMQ
 from auto_ts_spark.operators import partitioning as PART
 from auto_ts_spark.operators import sampling as SAMP
 from auto_ts_spark.operators import sessions as SESS
@@ -1669,6 +1670,86 @@ SELECT doc_id, count(*) AS n_grams,
        cast(round(sum(lnr), 6) as double) AS log_weight
 FROM rawb JOIN lnr USING (bucket)
 GROUP BY doc_id
+"""
+
+
+def _lm_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    lm = LMQ.train_ngram_lm(docs.filter(F.col("lang") == "en"))
+    return LMQ.perplexity_score(docs, lm)
+
+
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet LM-perplexity scoring (operators/lm_quality.py): bigram
+    stupid-backoff LM trained on the English documents (the 'reference
+    corpus'), every document scored by per-token negative
+    log-probability — Wenzek et al. 2020's quality signal. Round-9
+    per-token terms, exact decimal per-doc sum, round-6 → double."""
+    return _lm_scored(spark, sf_dir)
+
+
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity terciles
+    (operators/lm_quality.py::perplexity_terciles): NTILE(3) over
+    (avg_nlp, doc_id) via the two-pass distributed rank — no
+    single-task global window."""
+    return LMQ.perplexity_terciles(_lm_scored(spark, sf_dir))
+
+
+# stupid-backoff bigram LM over the en reference; per-token branches:
+# first token → smoothed unigram; seen bigram → conditional MLE;
+# else → alpha(0.4)-discounted smoothed unigram (OOV included via the
+# V+1-class add-one smoothing)
+_SQL_LM_SCORED = f"""
+WITH t AS (
+  SELECT doc_id, list_filter({_SQL_TOKS}, x -> x <> '') AS tk
+  FROM documents WHERE text IS NOT NULL
+), ref AS (
+  SELECT t.tk FROM t JOIN documents USING (doc_id) WHERE lang = 'en'
+), uni AS (
+  SELECT w, count(*) AS c1 FROM (SELECT unnest(tk) AS w FROM ref) GROUP BY w
+), tot AS (
+  SELECT cast(sum(c1) + count(*) + 1 AS double) AS nv1 FROM uni
+), bi AS (
+  SELECT big, count(*) AS c2
+  FROM (SELECT unnest(list_transform(range(1, len(tk)),
+                                     i -> tk[i] || ' ' || tk[i + 1])) AS big
+        FROM ref)
+  GROUP BY big
+), bi2 AS (
+  SELECT big, c2, c1 AS c1_prev
+  FROM bi JOIN uni ON string_split(big, ' ')[1] = w
+), pos AS (
+  SELECT doc_id, tk[i] AS cur,
+         CASE WHEN i = 1 THEN NULL ELSE tk[i - 1] END AS prev
+  FROM (SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS i FROM t)
+), lp AS (
+  SELECT doc_id,
+         cast(round(CASE
+           WHEN prev IS NULL
+             THEN ln((coalesce(c1, 0) + 1.0) / nv1)
+           WHEN c2 IS NOT NULL THEN ln(c2 / c1_prev)
+           ELSE ln(0.4) + ln((coalesce(c1, 0) + 1.0) / nv1)
+         END, 9) AS decimal(28,9)) AS lp9
+  FROM pos
+  LEFT JOIN uni ON pos.cur = uni.w
+  LEFT JOIN bi2 ON pos.prev || ' ' || pos.cur = bi2.big
+  CROSS JOIN tot
+)
+SELECT doc_id, count(*) AS n_tokens,
+       cast(-round(sum(lp9), 6) AS double) AS nlp_sum,
+       cast(-round(sum(lp9), 6) AS double) / count(*) AS avg_nlp
+FROM lp GROUP BY doc_id
+"""
+
+_SQL_PERPLEXITY_BUCKETS = f"""
+WITH scored AS ({_SQL_LM_SCORED}), r AS (
+  SELECT avg_nlp, ntile(3) OVER (ORDER BY avg_nlp, doc_id) AS b FROM scored
+)
+SELECT CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
+       count(*) AS n_docs,
+       min(avg_nlp) AS min_avg_nlp, max(avg_nlp) AS max_avg_nlp
+FROM r GROUP BY 1
 """
 
 
@@ -3784,6 +3865,8 @@ _ORACLE: dict[str, str] = {
     "semantic_dedup": _SQL_SEMANTIC_DEDUP,
     "dsir_weights": _SQL_DSIR_WEIGHTS,
     "repeated_span_scrub": _SQL_REPEATED_SPAN_SCRUB,
+    "lm_perplexity": _SQL_LM_SCORED,
+    "perplexity_buckets": _SQL_PERPLEXITY_BUCKETS,
     "hourly_rollup": _SQL_HOURLY_ROLLUP,
     "streaming_hourly_rollup": _SQL_STREAMING_HOURLY_ROLLUP,
     "sessionize": _SQL_SESSIONIZE,
@@ -3837,7 +3920,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_profile": q_text_profile,
     "repetition_profile": q_repetition_profile,
     "corpus_vocabulary": q_corpus_vocabulary,
-    "dataset_split": q_dataset_split,
     "language_id": q_language_id,
     "exact_dedup_stats": q_exact_dedup_stats,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -3857,7 +3939,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_hourly_rollup": q_streaming_hourly_rollup,
     "sessionize": q_sessionize,
     "fillna_ffill": q_fillna_ffill,
-    "json_props_extract": q_json_props_extract,
     "acf": q_acf,
     "zero_variance": q_zero_variance,
     "problem_type": q_problem_type,
@@ -3885,6 +3966,13 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_dedup": q_semantic_dedup,
     "dsir_weights": q_dsir_weights,
     "repeated_span_scrub": q_repeated_span_scrub,
+    # --- new in r6 continuation: CCNet LM-perplexity quality scoring.
+    # To keep them inside the 50-slot prefix, dataset_split and
+    # json_props_extract (both r4 driver-green, their operator code
+    # untouched all of r6, 5-scale local parity) rotate just below the
+    # line — rotate them back in r7 ---
+    "lm_perplexity": q_lm_perplexity,
+    "perplexity_buckets": q_perplexity_buckets,
     # displaced to make room for repeated_span_scrub: minmax_profile
     # (trivial min/max aggregate, untouched since r1, r4 driver-green,
     # 5-scale local parity) and ar1_forecast (r5-green with a strong
@@ -3895,6 +3983,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minmax_profile": q_minmax_profile,
     "ar1_forecast": q_ar1_forecast,
     "df_test_stationarity": q_df_test_stationarity,
+    "dataset_split": q_dataset_split,
+    "json_props_extract": q_json_props_extract,
     # --- r5-green, unchanged (outside the 50-slot prefix); the two
     # rows-only automl entries sit here because a rows-only driver row
     # cannot see the r6 value-level changes the oracle queries above

@@ -12,10 +12,12 @@ __all__ = [
     "decontam",
     "dedup",
     "drift",
+    "dsir",
     "encoders",
     "folds",
     "future",
     "lags",
+    "lm_quality",
     "multimodal",
     "packing",
     "partitioning",

@@ -1,0 +1,103 @@
+"""lm_quality unit tests: every stupid-backoff branch on a corpus
+small enough to score by hand, plus tercile NTILE semantics."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from auto_ts_spark.operators import lm_quality as LQ
+
+
+def _r9(x: float) -> float:
+    return round(x, 9)
+
+
+@pytest.fixture(scope="module")
+def lm_and_scored(spark):
+    # reference: tokens a b a c -> N=4, V=3; uni a:2 b:1 c:1;
+    # bi "a b":1 "b a":1 "a c":1
+    ref = spark.createDataFrame(
+        [(1, "A b; a C!")], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [
+            (10, "a b"),    # seen-bigram branch
+            (11, "b c"),    # backoff to seen unigram
+            (12, "a z"),    # backoff to OOV unigram
+            (13, "z"),      # single OOV token
+            (14, "!!!"),    # no tokens -> excluded
+            (15, None),     # NULL text -> excluded
+            (16, "c"),
+            (17, "a"),
+            (18, "b a"),
+        ],
+        "doc_id long, text string",
+    )
+    lm = LQ.train_ngram_lm(ref)
+    scored = LQ.perplexity_score(docs, lm)
+    return lm, scored, {r["doc_id"]: r for r in scored.collect()}
+
+
+def test_lm_tables(spark, lm_and_scored):
+    lm, _, _ = lm_and_scored
+    assert lm.n_tokens == 4 and lm.vocab == 3
+    uni = {r["w"]: r["c1"] for r in lm.uni.collect()}
+    assert uni == {"a": 2, "b": 1, "c": 1}
+    bi = {r["big"]: (r["c2"], r["c1_prev"]) for r in lm.bi.collect()}
+    assert bi == {"a b": (1, 2), "b a": (1, 1), "a c": (1, 2)}
+
+
+def test_backoff_branches(lm_and_scored):
+    _, _, rows = lm_and_scored
+    # denominators: N + V + 1 = 8
+    lp_a = _r9(math.log(3 / 8))  # c1(a)=2 -> (2+1)/8
+    lp_b = _r9(math.log(2 / 8))
+    lp_c = _r9(math.log(2 / 8))
+    lp_oov = _r9(math.log(1 / 8))
+    back = math.log(0.4)
+    exp = {
+        10: -(lp_a + _r9(math.log(1 / 2))),        # bigram "a b": c2/c1_prev
+        11: -(lp_b + _r9(back + lp_c / 1)),         # unseen bigram, seen uni
+        12: -(lp_a + _r9(back + lp_oov)),           # unseen bigram, OOV
+        13: -lp_oov,                                 # first-token OOV
+    }
+    for doc, want in exp.items():
+        got = rows[doc]["nlp_sum"]
+        assert got == pytest.approx(round(want, 6), abs=2e-6), doc
+    assert rows[10]["n_tokens"] == 2
+    assert rows[10]["avg_nlp"] == rows[10]["nlp_sum"] / 2
+
+
+def test_tokenless_docs_excluded(lm_and_scored):
+    _, _, rows = lm_and_scored
+    assert 14 not in rows and 15 not in rows
+    assert len(rows) == 7
+
+
+def test_terciles_ntile_sizes(spark, lm_and_scored):
+    _, scored, _ = lm_and_scored
+    out = {r["bucket"]: r for r in LQ.perplexity_terciles(scored).collect()}
+    # 7 docs -> NTILE(3) = 3/2/2, head takes the extra row
+    assert out["head"]["n_docs"] == 3
+    assert out["middle"]["n_docs"] == 2
+    assert out["tail"]["n_docs"] == 2
+    # buckets are ordered, non-overlapping ranges
+    assert out["head"]["max_avg_nlp"] <= out["middle"]["min_avg_nlp"]
+    assert out["middle"]["max_avg_nlp"] <= out["tail"]["min_avg_nlp"]
+
+
+def test_reference_scores_low(spark):
+    """Documents drawn from the reference language score lower
+    (more probable) than shuffled-alphabet noise."""
+    ref = spark.createDataFrame(
+        [(i, "the cat sat on the mat and the dog ran") for i in range(5)],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "qz vx wp kj qz nb")],
+        "doc_id long, text string",
+    )
+    lm = LQ.train_ngram_lm(ref)
+    rows = {r["doc_id"]: r["avg_nlp"] for r in LQ.perplexity_score(docs, lm).collect()}
+    assert rows[1] < rows[2]
