@@ -3,8 +3,9 @@ training-data preparation pipeline chains the engine's corpus
 operators in, as one call:
 
     [line-level cleaning] → quality gate → PII scrub → exact dedup →
-    near-dup (MinHash-LSH cluster) retention → benchmark
-    decontamination → source mixture → token budget
+    near-dup (MinHash-LSH cluster) retention → [LM-perplexity
+    terciles] → benchmark decontamination → source mixture →
+    token budget
 
 The optional line-level head stages (C4 per-line rules, cross-document
 boilerplate removal — both in ``operators.textops``) run FIRST because
@@ -18,10 +19,12 @@ unique text; mixture before budget so budgets apply to the mixed
 distribution) and threads the id/text column names through. Every
 stage is optional — pass None/False to skip it.
 
-The chain is lazy with one documented exception: a GLOBAL token
+The chain is lazy with two documented exceptions: a GLOBAL token
 budget (``token_budget`` with ``budget_by=None``) uses the two-pass
 distributed cumsum, whose offset collection materializes the upstream
-stages inside the ``curate`` call. Per-key budgets (``budget_by``
+stages inside the ``curate`` call, and the LM-perplexity gate
+(``perplexity_ref``) materializes its LM counts and tercile rank the
+same way. Per-key budgets (``budget_by``
 set) and every other stage stay lazy. ``stage_counts=True`` adds an
 eager per-stage row count report (one count() action per enabled
 stage — diagnostic runs only, not the 100 TB hot path).
@@ -55,6 +58,8 @@ def curate(
     embedding_vec_col: str = "embedding",
     semantic_threshold: float = 0.95,
     semantic_centroids: int = 256,
+    perplexity_ref: DataFrame | None = None,
+    perplexity_keep: tuple[str, ...] = ("head", "middle"),
     benchmark: DataFrame | None = None,
     decontam_n: int = 5,
     mixture: dict[str, float] | None = None,
@@ -231,6 +236,38 @@ def curate(
             )
         drop = clusters.filter(~F.col("is_keep")).select(id_col)
         out = tick("near_dedup", out.join(drop, id_col, "left_anti"))
+    if perplexity_ref is not None:
+        # CCNet LM-perplexity gate (lm_quality): train a bigram
+        # stupid-backoff LM on the trusted reference, tercile the
+        # surviving corpus by per-token perplexity, keep the
+        # ``perplexity_keep`` buckets (CCNet keeps head+middle).
+        # Ordered after dedup, as in CCNet, so the LM scores each
+        # unique document once. Costs one per-doc shuffle (scoring
+        # agg) + the two-pass tercile rank + a semi join on id; docs
+        # with zero tokens have no perplexity and are dropped.
+        from auto_ts_spark.operators.lm_quality import (
+            perplexity_score,
+            perplexity_tercile_assign,
+            train_ngram_lm,
+        )
+
+        lm = train_ngram_lm(perplexity_ref, text_col=text_col, id_col=id_col)
+        assigned = perplexity_tercile_assign(
+            perplexity_score(out, lm, text_col=text_col, id_col=id_col),
+            id_col=id_col,
+        )
+        keep_ids = assigned.filter(
+            F.col("bucket").isin(*perplexity_keep)
+        ).select(id_col)
+        out = tick("perplexity", out.join(keep_ids, id_col, "left_semi"))
+        if stage_counts:
+            # tick() just checkpointed+counted the joined result, so
+            # the rank cache (pinned by perplexity_tercile_assign) is
+            # consumed — release it. Without stage_counts the join is
+            # still lazy and the cache must survive until the caller's
+            # action (recompute would be correct — the rank source is
+            # checkpointed — but wasteful).
+            assigned.unpersist()
     if benchmark is not None:
         out = tick(
             "decontaminate",

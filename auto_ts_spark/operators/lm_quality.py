@@ -200,12 +200,12 @@ def perplexity_score(
     )
 
 
-def perplexity_terciles(
+def perplexity_tercile_assign(
     scored: DataFrame, *, id_col: str = "doc_id"
 ) -> DataFrame:
-    """CCNet head/middle/tail buckets: NTILE(3) over ``(avg_nlp,
-    id)`` ascending (head = lowest perplexity = most reference-like),
-    summarized as ``(bucket, n_docs, min_avg_nlp, max_avg_nlp)``.
+    """Per-document CCNet bucket: NTILE(3) over ``(avg_nlp, id)``
+    ascending (head = lowest perplexity = most reference-like), added
+    as a ``bucket`` column.
 
     The rank is the two-pass distributed row number (range repartition
     -> local rank -> O(partitions) driver offsets) — no single-task
@@ -230,8 +230,16 @@ def perplexity_terciles(
         .when(F.col("_rn") <= F.lit(cut2), F.lit("middle"))
         .otherwise(F.lit("tail"))
     )
+    return ranked.withColumn("bucket", bucket).drop("_series", "_ord", "_rn")
+
+
+def perplexity_terciles(
+    scored: DataFrame, *, id_col: str = "doc_id"
+) -> DataFrame:
+    """Tercile summary ``(bucket, n_docs, min_avg_nlp, max_avg_nlp)``
+    over :func:`perplexity_tercile_assign`."""
     return (
-        ranked.withColumn("bucket", bucket)
+        perplexity_tercile_assign(scored, id_col=id_col)
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

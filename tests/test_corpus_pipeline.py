@@ -106,6 +106,51 @@ def test_curate_stages_optional(spark, sf_dir):
     assert out.count() == 50  # no enabled stage -> identity
 
 
+def test_curate_perplexity_gate(spark, sf_dir):
+    """The CCNet LM-perplexity stage keeps exactly the head+middle
+    terciles of the surviving corpus and matches the standalone
+    operator's assignment."""
+    from auto_ts_spark.operators.lm_quality import (
+        perplexity_score,
+        perplexity_tercile_assign,
+        train_ngram_lm,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("lang") == "en")
+    out, counts = curate(
+        docs,
+        quality=False,
+        redact=False,
+        dedup_exact=False,
+        near_dedup=False,
+        perplexity_ref=ref,
+        stage_counts=True,
+    )
+    assert list(counts) == ["input", "perplexity"]
+    # standalone replica: head+middle of the tercile assignment
+    lm = train_ngram_lm(ref)
+    assigned = perplexity_tercile_assign(perplexity_score(docs, lm))
+    want = {
+        r["doc_id"]
+        for r in assigned.filter(F.col("bucket") != "tail").collect()
+    }
+    got = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert got == want
+    assert counts["perplexity"] == len(want) > 0
+    # head-only keeps strictly fewer
+    head_only = curate(
+        docs,
+        quality=False,
+        redact=False,
+        dedup_exact=False,
+        near_dedup=False,
+        perplexity_ref=ref,
+        perplexity_keep=("head",),
+    )
+    assert head_only.count() < len(want)
+
+
 def test_curate_stream_line_clean_equals_batch(spark, tmp_path):
     """The C4 line-cleaning head stage is a pure per-row map, so the
     streaming form must match the batch apply mode exactly."""
