@@ -55,9 +55,16 @@ HEADLINE = [
     "semantic_dedup",
     "dsir_weights",
     "repeated_span_scrub",
+    "lm_perplexity",
 ]
 
-EXTRAS = {"curate_chain", "semantic_dedup", "dsir_weights", "repeated_span_scrub"}
+EXTRAS = {
+    "curate_chain",
+    "semantic_dedup",
+    "dsir_weights",
+    "repeated_span_scrub",
+    "lm_perplexity",
+}
 
 
 def q_curate_chain(spark, sf_dir: str):
@@ -165,7 +172,8 @@ def main() -> None:
                 "aggregation": "median",
                 "value_composition": "17-query r1-r4 basket; curate_chain "
                 "(full 8-stage pipeline, added r5) and the r6 additions "
-                "(semantic_dedup, dsir_weights, repeated_span_scrub) are "
+                "(semantic_dedup, dsir_weights, repeated_span_scrub, "
+                "lm_perplexity) are "
                 "timed identically but reported alongside, not inside value",
             }
         )
