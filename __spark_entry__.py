@@ -1742,6 +1742,104 @@ SELECT doc_id, count(*) AS n_tokens,
 FROM lp GROUP BY doc_id
 """
 
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText/LLaMA-style in-engine quality classifier
+    (operators/quality_classifier.py): 3 full-batch gradient steps of
+    a hashed-unigram logistic model with label lang='en', then every
+    document scored. The whole TRAINING LOOP is replayed by the
+    oracle (unrolled CTE per iteration) — weights, margins,
+    probabilities and keep flags are value-checked bit-for-bit thanks
+    to the fixed-point micro-unit discipline (exact bigint sums +
+    identical IEEE floor-quantization chains; no engine round())."""
+    from auto_ts_spark.operators import quality_classifier as QC
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = QC.train_quality_classifier(
+        docs, F.col("lang") == "en", n_buckets=128, iters=3, lr=1.0
+    )
+    return QC.classify(docs, w, n_buckets=128)
+
+
+def _sql_quality_classifier(n_buckets: int = 128, iters: int = 3) -> str:
+    """Unrolled-training-loop oracle for q_quality_classifier (lr=1).
+
+    Mirrors the operator op-for-op in micro-units: every sum is
+    bigint, every quantization is floor(x * 1e6 + 0.5) over the same
+    IEEE double sequence the Spark side (and the driver's Python
+    update step) executes."""
+    u = "1000000.0"
+    head = f"""
+WITH t AS (
+  SELECT doc_id AS id, list_filter({_SQL_TOKS}, x -> x <> '') AS tk
+  FROM documents WHERE text IS NOT NULL
+), grams AS (
+  SELECT id, {_sql_hash60("w")} % {n_buckets} AS bucket
+  FROM (SELECT id, unnest(tk) AS w FROM t)
+), cnt AS (
+  SELECT id, bucket, count(*) AS c FROM grams GROUP BY id, bucket
+), tot AS (
+  SELECT id, count(*) AS tc FROM grams GROUP BY id
+), feats AS (
+  SELECT id, bucket, cast(floor(c / tc * {u} + 0.5) AS bigint) AS x_u
+  FROM cnt JOIN tot USING (id)
+), lab AS (
+  SELECT f.id, f.bucket, f.x_u,
+         CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM feats f JOIN documents d ON f.id = d.doc_id
+), nn AS (
+  SELECT count(DISTINCT id) AS n FROM lab
+), w0 AS (
+  SELECT unnest(range({n_buckets})) AS bucket, cast(0 AS bigint) AS w_u
+)"""
+    steps = []
+    for i in range(iters):
+        steps.append(f""", c{i} AS (
+  SELECT id, bucket, x_u, y,
+         cast(floor(cast(w_u AS double) * (cast(x_u AS double) / {u})
+                    + 0.5) AS bigint) AS wx_u
+  FROM lab JOIN w{i} USING (bucket)
+), z{i} AS (
+  SELECT id, y, sum(wx_u) AS z_u FROM c{i} GROUP BY id, y
+), e{i} AS (
+  SELECT id,
+         cast(floor(1.0 / (1.0 + exp(-(cast(z_u AS double) / {u}))) * {u}
+                    + 0.5) AS bigint) - y * 1000000 AS e_u
+  FROM z{i}
+), g{i} AS (
+  SELECT bucket,
+         sum(cast(floor((cast(x_u AS double) / {u})
+                        * cast(e_u AS double) + 0.5) AS bigint)) AS g_u
+  FROM c{i} JOIN e{i} USING (id) GROUP BY bucket
+), w{i + 1} AS (
+  SELECT w{i}.bucket,
+         w{i}.w_u - cast(floor(1.0 * cast(coalesce(g.g_u, 0) AS double)
+                               / nn.n + 0.5) AS bigint) AS w_u
+  FROM w{i} LEFT JOIN g{i} g USING (bucket) CROSS JOIN nn
+)""")
+    tail = f""", sc AS (
+  SELECT id,
+         cast(floor(cast(w_u AS double) * (cast(x_u AS double) / {u})
+                    + 0.5) AS bigint) AS wx_u
+  FROM feats JOIN w{iters} USING (bucket)
+), zz AS (
+  SELECT id AS doc_id, cast(sum(wx_u) AS bigint) AS z_micro
+  FROM sc GROUP BY id
+), pp AS (
+  SELECT doc_id, z_micro,
+         cast(floor(1.0 / (1.0 + exp(-(cast(z_micro AS double) / {u})))
+                    * {u} + 0.5) AS bigint) AS p_u
+  FROM zz
+)
+SELECT doc_id, z_micro, cast(p_u AS double) / {u} AS p,
+       p_u >= 500000 AS keep
+FROM pp
+"""
+    return head + "".join(steps) + tail
+
+
+_SQL_QUALITY_CLASSIFIER = _sql_quality_classifier()
+
+
 _SQL_PERPLEXITY_BUCKETS = f"""
 WITH scored AS ({_SQL_LM_SCORED}), r AS (
   SELECT avg_nlp, ntile(3) OVER (ORDER BY avg_nlp, doc_id) AS b FROM scored
@@ -3867,6 +3965,7 @@ _ORACLE: dict[str, str] = {
     "repeated_span_scrub": _SQL_REPEATED_SPAN_SCRUB,
     "lm_perplexity": _SQL_LM_SCORED,
     "perplexity_buckets": _SQL_PERPLEXITY_BUCKETS,
+    "quality_classifier": _SQL_QUALITY_CLASSIFIER,
     "hourly_rollup": _SQL_HOURLY_ROLLUP,
     "streaming_hourly_rollup": _SQL_STREAMING_HOURLY_ROLLUP,
     "sessionize": _SQL_SESSIONIZE,
@@ -3938,7 +4037,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hourly_rollup": q_hourly_rollup,
     "streaming_hourly_rollup": q_streaming_hourly_rollup,
     "sessionize": q_sessionize,
-    "fillna_ffill": q_fillna_ffill,
     "acf": q_acf,
     "zero_variance": q_zero_variance,
     "problem_type": q_problem_type,
@@ -3966,13 +4064,15 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_dedup": q_semantic_dedup,
     "dsir_weights": q_dsir_weights,
     "repeated_span_scrub": q_repeated_span_scrub,
-    # --- new in r6 continuation: CCNet LM-perplexity quality scoring.
-    # To keep them inside the 50-slot prefix, dataset_split and
-    # json_props_extract (both r4 driver-green, their operator code
-    # untouched all of r6, 5-scale local parity) rotate just below the
-    # line — rotate them back in r7 ---
+    # --- new in r6 continuation: CCNet LM-perplexity quality scoring
+    # and the fastText-style in-engine quality classifier. To keep
+    # them inside the 50-slot prefix, dataset_split,
+    # json_props_extract and fillna_ffill (all r4 driver-green, their
+    # operator code untouched all of r6, 5-scale local parity) rotate
+    # just below the line — rotate them back in r7 ---
     "lm_perplexity": q_lm_perplexity,
     "perplexity_buckets": q_perplexity_buckets,
+    "quality_classifier": q_quality_classifier,
     # displaced to make room for repeated_span_scrub: minmax_profile
     # (trivial min/max aggregate, untouched since r1, r4 driver-green,
     # 5-scale local parity) and ar1_forecast (r5-green with a strong
@@ -3985,6 +4085,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "df_test_stationarity": q_df_test_stationarity,
     "dataset_split": q_dataset_split,
     "json_props_extract": q_json_props_extract,
+    "fillna_ffill": q_fillna_ffill,
     # --- r5-green, unchanged (outside the 50-slot prefix); the two
     # rows-only automl entries sit here because a rows-only driver row
     # cannot see the r6 value-level changes the oracle queries above

@@ -331,7 +331,10 @@ def curate_stream(
     ``dropDuplicates`` state (unbounded — only for bounded backfills).
     Corpus-wide stages (near-dup clustering, decontamination, mixture,
     budget) need the whole corpus and stay batch — run them on the
-    landed output. Same operators as ``curate``, so streaming ≡ batch
+    landed output. The LM-perplexity gate also stays batch: its
+    terciles are corpus-relative AND scoring needs a per-document
+    re-aggregation after the token explode, which would be unbounded
+    streaming state. Same operators as ``curate``, so streaming ≡ batch
     on identical input (tested)."""
     from auto_ts_spark.functions import text as TX
     from auto_ts_spark.operators.pii import redact_documents

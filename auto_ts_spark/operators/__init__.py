@@ -23,6 +23,7 @@ __all__ = [
     "partitioning",
     "pii",
     "profile",
+    "quality_classifier",
     "rangejoin",
     "sampling",
     "sessions",

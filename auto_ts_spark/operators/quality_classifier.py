@@ -1,0 +1,215 @@
+"""In-engine quality classifier — the fastText-style recipe.
+
+Published recipe (LLaMA, Touvron et al. 2023 §2 "pre-training data";
+GPT-3, Brown et al. 2020 appendix A; fastText, Joulin et al. 2017):
+train a linear classifier on hashed bag-of-n-gram features to predict
+"looks like the trusted reference" (Wikipedia/books) vs "random web
+text", then keep or upweight documents the classifier scores highly.
+
+This module trains the classifier INSIDE the engine — full-batch
+gradient descent where every iteration is a fixed set of DataFrame
+aggregations, so the whole fit distributes and the driver holds only
+the O(n_buckets) weight vector between iterations:
+
+    features  = hashed-unigram term frequencies (one explode + one
+                groupBy, reused across iterations via localCheckpoint)
+    iteration = join features with broadcast weights
+                -> per-doc margin z (one groupBy)
+                -> error (sigmoid(z) - y) joined back on doc
+                -> per-bucket gradient (one groupBy)
+                -> driver update of n_buckets weights
+
+Scale shape per iteration: one broadcast join + two wide shuffles
+(per-doc, per-bucket); the feature table is computed once. A 100 TB
+corpus trains in ``iters`` passes with no driver state beyond the
+weight vector, and scoring is the same broadcast join + per-doc agg
+as every other corpus operator here.
+
+Cross-engine determinism — FIXED-POINT MICRO-UNITS, not decimal
+rounding: every quantity is a bigint count of 1e-6 units, every sum
+is exact integer addition (order-independent), and every
+quantization is ``floor(x * 1e6 + 0.5)`` over an IEEE double chain
+whose operations (multiply, divide, add, floor) are all
+correctly-rounded and therefore BIT-IDENTICAL in any engine given
+identical inputs. Nothing depends on an engine's round()
+implementation — which is exactly where decimal-rounding schemes
+diverge: Spark rounds the shortest-repr BigDecimal of a double while
+DuckDB multiplies by 1e9 and nearbyints, and a gradient-descent loop
+manufactures systematic half-points (iteration-1 errors are exactly
+±0.5, so x*e lands on 10th-decimal halves whenever x's 9th digit is
+odd). The only non-exact ingredient is libm's exp() (1-ulp engine
+differences), absorbed by the 1e-6 quantization (flip probability
+~1e-10 per value).
+
+Extension beyond the reference (no Auto_TS counterpart) — part of the
+training-data curation surface alongside ``lm_quality``/``dsir``.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from auto_ts_spark.functions.text import hash60, tokens
+from auto_ts_spark.operators.partitioning import ensure_parallelism
+
+UNIT = 1_000_000  # fixed-point scale: 1 unit = 1e-6
+
+
+def _q(x: Column) -> Column:
+    """Quantize a double expression to micro-units (bigint):
+    ``floor(x * 1e6 + 0.5)`` — every op correctly-rounded IEEE, so the
+    result is bit-identical across engines."""
+    return F.floor(x * F.lit(float(UNIT)) + F.lit(0.5)).cast("long")
+
+
+def hashed_features(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 128,
+) -> DataFrame:
+    """Hashed-unigram term-frequency features: one row per
+    ``(id, bucket)`` with ``x_u = floor(count/total * 1e6 + 0.5)``
+    micro-units — the fastText bag-of-words input, bucketed by the
+    shared md5-derived ``hash60`` so any SQL engine reproduces the
+    hashing."""
+    toks = ensure_parallelism(
+        df.filter(F.col(text_col).isNotNull())
+    ).select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.filter(tokens(F.col(text_col)), lambda x: F.length(x) > 0)
+        ).alias("w"),
+    )
+    grams = toks.select(
+        "id", F.pmod(hash60(F.col("w")), F.lit(n_buckets)).alias("bucket")
+    )
+    cnt = grams.groupBy("id", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    tot = grams.groupBy("id").agg(F.count(F.lit(1)).alias("t"))
+    return cnt.join(tot, "id").select(
+        "id", "bucket", _q(F.col("c") / F.col("t")).alias("x_u")
+    )
+
+
+def _wx_u(w_u: Column, x_u: Column) -> Column:
+    """w*x in micro-units: w_u (exact in double while |w| < 2^53/1e6)
+    times the unit-valued feature, requantized."""
+    return F.floor(
+        w_u.cast("double") * (x_u.cast("double") / F.lit(float(UNIT)))
+        + F.lit(0.5)
+    ).cast("long")
+
+
+def _p_u(z_u: Column) -> Column:
+    """Quantized logistic of a micro-unit margin."""
+    p = F.lit(1.0) / (
+        F.lit(1.0) + F.exp(-(z_u.cast("double") / F.lit(float(UNIT))))
+    )
+    return _q(p)
+
+
+def train_quality_classifier(
+    docs: DataFrame,
+    label: Column,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 128,
+    iters: int = 3,
+    lr: float = 1.0,
+) -> DataFrame:
+    """Fit the hashed-n-gram logistic classifier; returns the weight
+    table ``(bucket, w_u)`` (micro-units, bigint) after ``iters``
+    full-batch gradient steps ``w <- w - lr * grad / n_docs`` from
+    ``w = 0``.
+
+    ``label`` is a boolean Column over ``docs`` (1 = reference-like).
+    Documents with zero tokens carry no features and drop out of the
+    fit. The labeled feature table is localCheckpointed once and
+    reused by every iteration (lineage truncation keeps iteration
+    plans flat).
+    """
+    feats = hashed_features(
+        docs, text_col=text_col, id_col=id_col, n_buckets=n_buckets
+    )
+    y = docs.select(F.col(id_col).alias("id"), label.cast("int").alias("y"))
+    labeled = feats.join(y, "id").localCheckpoint(eager=True)
+    n_docs = labeled.select("id").distinct().count()
+    spark = docs.sparkSession
+
+    w = {b: 0 for b in range(n_buckets)}  # micro-units, exact ints
+    for _ in range(iters):
+        w_df = spark.createDataFrame(
+            list(w.items()), "bucket int, w_u long"
+        )
+        contrib = labeled.join(F.broadcast(w_df), "bucket").select(
+            "id", "bucket", "x_u", "y", _wx_u(F.col("w_u"), F.col("x_u")).alias("wx_u")
+        )
+        z = contrib.groupBy("id", "y").agg(F.sum("wx_u").alias("z_u"))
+        err = z.select(
+            "id", (_p_u(F.col("z_u")) - F.col("y") * F.lit(UNIT)).alias("e_u")
+        )
+        grad = (
+            contrib.select("id", "bucket", "x_u")
+            .join(err, "id")
+            .select(
+                "bucket",
+                # x * e in micro-units: x back to unit scale (exact
+                # double chain), times the micro-unit error
+                F.floor(
+                    (F.col("x_u").cast("double") / F.lit(float(UNIT)))
+                    * F.col("e_u").cast("double")
+                    + F.lit(0.5)
+                )
+                .cast("long")
+                .alias("g_u"),
+            )
+            .groupBy("bucket")
+            .agg(F.sum("g_u").alias("g_u"))
+            .collect()
+        )
+        for row in grad:
+            # mirror of the oracle's floor(lr * g / n + 0.5): Python
+            # floats are the same IEEE doubles, so the step is
+            # bit-identical to the SQL replay
+            step = math.floor(float(lr) * float(row["g_u"]) / n_docs + 0.5)
+            w[row["bucket"]] = w[row["bucket"]] - step
+    return spark.createDataFrame(
+        sorted(w.items()), "bucket int, w_u long"
+    )
+
+
+def classify(
+    docs: DataFrame,
+    weights: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 128,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Score documents under a trained weight table: ``(id_col,
+    z_micro, p, keep)`` — micro-unit margin (exact bigint), quantized
+    probability, and the keep flag at ``threshold``. Same
+    broadcast-join + per-doc-agg shape as every scoring operator
+    here; token-less documents are excluded."""
+    feats = hashed_features(
+        docs, text_col=text_col, id_col=id_col, n_buckets=n_buckets
+    )
+    scored = (
+        feats.join(F.broadcast(weights), "bucket")
+        .select("id", _wx_u(F.col("w_u"), F.col("x_u")).alias("wx_u"))
+        .groupBy(F.col("id").alias(id_col))
+        .agg(F.sum("wx_u").alias("z_micro"))
+    )
+    p_u = _p_u(F.col("z_micro"))
+    return scored.select(
+        id_col,
+        "z_micro",
+        (p_u.cast("double") / F.lit(float(UNIT))).alias("p"),
+        (p_u >= F.lit(int(round(threshold * UNIT)))).alias("keep"),
+    )

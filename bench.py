@@ -56,6 +56,7 @@ HEADLINE = [
     "dsir_weights",
     "repeated_span_scrub",
     "lm_perplexity",
+    "quality_classifier",
 ]
 
 EXTRAS = {
@@ -64,6 +65,7 @@ EXTRAS = {
     "dsir_weights",
     "repeated_span_scrub",
     "lm_perplexity",
+    "quality_classifier",
 }
 
 
@@ -173,7 +175,7 @@ def main() -> None:
                 "value_composition": "17-query r1-r4 basket; curate_chain "
                 "(full 8-stage pipeline, added r5) and the r6 additions "
                 "(semantic_dedup, dsir_weights, repeated_span_scrub, "
-                "lm_perplexity) are "
+                "lm_perplexity, quality_classifier) are "
                 "timed identically but reported alongside, not inside value",
             }
         )
