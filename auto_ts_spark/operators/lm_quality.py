@@ -20,10 +20,11 @@ from Catalyst expressions:
 - SCORE: stage the token array once per document, zip it with its
   1-shift to one struct array, ONE linear explode (never
   posexplode-over-a-kept-array, which duplicates the array per
-  position), three broadcast hash joins against the LM tables, one
-  per-document aggregate. A 100 TB corpus is scan -> explode ->
-  broadcast-join -> groupBy: ONE wide shuffle, LM state O(reference
-  grams) broadcast once.
+  position), two LM-table joins, one per-document aggregate. The LM
+  joins are SIZE-AWARE: tables up to ``BROADCAST_MAX_ROWS`` broadcast
+  (one wide shuffle total — the per-doc agg); a Wikipedia-scale
+  reference (hundreds of millions of distinct bigrams) shuffle-joins
+  on the gram key instead — still linear, never a driver collect.
 - BUCKET: NTILE-style terciles from a two-pass distributed rank
   (``partitioning.with_global_row_number`` — no single-task global
   window), driver state O(partitions).
@@ -59,6 +60,16 @@ from auto_ts_spark.operators.partitioning import (
 
 BACKOFF_ALPHA = 0.4
 
+# LM-table rows up to this size are broadcast to the scoring join;
+# larger tables shuffle-join (a real reference corpus — CCNet uses
+# Wikipedia — has hundreds of millions of distinct bigrams, far past
+# any sane driver/executor broadcast budget)
+BROADCAST_MAX_ROWS = 1_000_000
+
+
+def _maybe_broadcast(df: DataFrame, n_rows: int) -> DataFrame:
+    return F.broadcast(df) if n_rows <= BROADCAST_MAX_ROWS else df
+
 
 @dataclass(frozen=True)
 class NgramLM:
@@ -68,13 +79,17 @@ class NgramLM:
     ``bi``:  (big, c2, c1_prev) bigram counts keyed by the space-joined
     bigram string, carrying the history's unigram count so scoring
     needs no second unigram lookup for the conditional numerator.
-    ``n_tokens``: total token instances; ``vocab``: distinct unigrams.
+    ``n_tokens``: total token instances; ``vocab``: distinct unigrams;
+    ``n_bigrams``: distinct bigrams — scoring uses the two sizes to
+    pick broadcast vs shuffle joins (a Wikipedia-scale reference has
+    hundreds of millions of distinct bigrams: never broadcastable).
     """
 
     uni: DataFrame
     bi: DataFrame
     n_tokens: int
     vocab: int
+    n_bigrams: int
 
 
 def _doc_tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -127,12 +142,23 @@ def train_ngram_lm(
     bi = (
         bi.withColumn("_prev", F.substring_index("big", " ", 1))
         .join(
-            F.broadcast(uni.select(F.col("w").alias("_prev"), F.col("c1").alias("c1_prev"))),
+            _maybe_broadcast(
+                uni.select(
+                    F.col("w").alias("_prev"), F.col("c1").alias("c1_prev")
+                ),
+                vocab,
+            ),
             "_prev",
         )
         .select("big", "c2", "c1_prev")
+        # cached like uni: counted here (for the scoring join-strategy
+        # choice) and read again by every scoring pass
+        .cache()
     )
-    return NgramLM(uni=uni, bi=bi, n_tokens=n_tokens, vocab=vocab)
+    n_bigrams = bi.count()
+    return NgramLM(
+        uni=uni, bi=bi, n_tokens=n_tokens, vocab=vocab, n_bigrams=n_bigrams
+    )
 
 
 def _ln_uni(c1: Column, n_tokens: int, vocab: int) -> Column:
@@ -174,11 +200,16 @@ def perplexity_score(
     scored = (
         pos.withColumn("big", F.concat_ws(" ", F.col("prev"), F.col("cur")))
         .join(
-            F.broadcast(lm.uni.select(F.col("w").alias("cur"), F.col("c1").alias("c1_cur"))),
+            _maybe_broadcast(
+                lm.uni.select(
+                    F.col("w").alias("cur"), F.col("c1").alias("c1_cur")
+                ),
+                lm.vocab,
+            ),
             "cur",
             "left",
         )
-        .join(F.broadcast(lm.bi), "big", "left")
+        .join(_maybe_broadcast(lm.bi, lm.n_bigrams), "big", "left")
     )
     ln_uni_cur = _ln_uni(F.coalesce(F.col("c1_cur"), F.lit(0)), lm.n_tokens, lm.vocab)
     lp = (
