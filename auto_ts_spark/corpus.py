@@ -4,8 +4,8 @@ operators in, as one call:
 
     [line-level cleaning] → quality gate → PII scrub → exact dedup →
     near-dup (MinHash-LSH cluster) retention → [LM-perplexity
-    terciles] → benchmark decontamination → source mixture →
-    token budget
+    terciles] → [trained quality-classifier gate] → benchmark
+    decontamination → source mixture → token budget
 
 The optional line-level head stages (C4 per-line rules, cross-document
 boilerplate removal — both in ``operators.textops``) run FIRST because
@@ -60,6 +60,11 @@ def curate(
     semantic_centroids: int = 256,
     perplexity_ref: DataFrame | None = None,
     perplexity_keep: tuple[str, ...] = ("head", "middle"),
+    classifier_ref: DataFrame | None = None,
+    classifier_threshold: float = 0.5,
+    classifier_neg_fraction: float = 1.0,
+    classifier_iters: int = 5,
+    classifier_lr: float = 4.0,
     benchmark: DataFrame | None = None,
     decontam_n: int = 5,
     mixture: dict[str, float] | None = None,
@@ -268,6 +273,53 @@ def curate(
             # action (recompute would be correct — the rank source is
             # checkpointed — but wasteful).
             assigned.unpersist()
+    if classifier_ref is not None:
+        # GPT-3 appendix-A quality classifier gate
+        # (operators/quality_classifier.py): train the hashed-n-gram
+        # logistic model with the trusted reference as positives and a
+        # deterministic hash sample of the surviving corpus as
+        # negatives (GPT-3: WebText/Wikipedia/books positives, random
+        # CommonCrawl negatives), then keep documents scoring >=
+        # ``classifier_threshold``. Reference ids are remapped to a
+        # disjoint negative range so a reference that overlaps the
+        # corpus (the common case) can't double-label a document.
+        from auto_ts_spark.operators.quality_classifier import (
+            classify,
+            train_quality_classifier,
+        )
+        from auto_ts_spark.operators.sampling import deterministic_sample
+
+        neg = (
+            deterministic_sample(out, classifier_neg_fraction, id_col=id_col)
+            if classifier_neg_fraction < 1.0
+            else out
+        )
+        train_docs = (
+            classifier_ref.select(
+                (-F.col(id_col) - 1).alias(id_col), F.col(text_col)
+            )
+            .unionByName(neg.select(F.col(id_col), F.col(text_col)))
+        )
+        w = train_quality_classifier(
+            train_docs,
+            F.col(id_col) < 0,
+            text_col=text_col,
+            id_col=id_col,
+            iters=classifier_iters,
+            lr=classifier_lr,
+        )
+        keep_ids = (
+            classify(
+                out,
+                w,
+                text_col=text_col,
+                id_col=id_col,
+                threshold=classifier_threshold,
+            )
+            .filter(F.col("keep"))
+            .select(id_col)
+        )
+        out = tick("classifier", out.join(keep_ids, id_col, "left_semi"))
     if benchmark is not None:
         out = tick(
             "decontaminate",

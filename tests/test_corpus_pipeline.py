@@ -151,6 +151,40 @@ def test_curate_perplexity_gate(spark, sf_dir):
     assert head_only.count() < len(want)
 
 
+def test_curate_classifier_gate(spark):
+    """GPT-3-style classifier gate: reference-like documents survive,
+    junk documents are dropped, and an id-overlapping reference can't
+    double-label (ids are remapped to a disjoint negative range)."""
+    from auto_ts_spark.corpus import curate
+
+    pos_text = "good clean prose writing style"
+    neg_text = "spam junk click buy pills"
+    docs = spark.createDataFrame(
+        [(i, pos_text, "w") for i in range(6)]
+        + [(i, neg_text, "w") for i in range(6, 12)],
+        "doc_id long, text string, source string",
+    )
+    # reference overlaps the corpus ids on purpose; it must be large
+    # enough to balance its own copies inside the negative sample
+    # (GPT-3's negatives are raw CommonCrawl, which contains
+    # reference-like text too)
+    ref = docs.filter("doc_id < 6").select("doc_id", "text")
+    out, counts = curate(
+        docs,
+        quality=False,
+        redact=False,
+        dedup_exact=False,
+        near_dedup=False,
+        classifier_ref=ref,
+        classifier_iters=3,
+        classifier_lr=4.0,
+        stage_counts=True,
+    )
+    assert list(counts) == ["input", "classifier"]
+    kept = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert kept == set(range(6))
+
+
 def test_curate_stream_line_clean_equals_batch(spark, tmp_path):
     """The C4 line-cleaning head stage is a pure per-row map, so the
     streaming form must match the batch apply mode exactly."""
