@@ -1779,38 +1779,38 @@ WITH t AS (
   SELECT id, bucket, count(*) AS c FROM grams GROUP BY id, bucket
 ), tot AS (
   SELECT id, count(*) AS tc FROM grams GROUP BY id
-), feats AS (
+), feats AS MATERIALIZED (
   SELECT id, bucket, cast(floor(c / tc * {u} + 0.5) AS bigint) AS x_u
   FROM cnt JOIN tot USING (id)
-), lab AS (
+), lab AS MATERIALIZED (
   SELECT f.id, f.bucket, f.x_u,
          CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
   FROM feats f JOIN documents d ON f.id = d.doc_id
 ), nn AS (
   SELECT count(DISTINCT id) AS n FROM lab
-), w0 AS (
+), w0 AS MATERIALIZED (
   SELECT unnest(range({n_buckets})) AS bucket, cast(0 AS bigint) AS w_u
 )"""
     steps = []
     for i in range(iters):
-        steps.append(f""", c{i} AS (
+        steps.append(f""", c{i} AS MATERIALIZED (
   SELECT id, bucket, x_u, y,
          cast(floor(cast(w_u AS double) * (cast(x_u AS double) / {u})
                     + 0.5) AS bigint) AS wx_u
   FROM lab JOIN w{i} USING (bucket)
-), z{i} AS (
+), z{i} AS MATERIALIZED (
   SELECT id, y, sum(wx_u) AS z_u FROM c{i} GROUP BY id, y
-), e{i} AS (
+), e{i} AS MATERIALIZED (
   SELECT id,
          cast(floor(1.0 / (1.0 + exp(-(cast(z_u AS double) / {u}))) * {u}
                     + 0.5) AS bigint) - y * 1000000 AS e_u
   FROM z{i}
-), g{i} AS (
+), g{i} AS MATERIALIZED (
   SELECT bucket,
          sum(cast(floor((cast(x_u AS double) / {u})
                         * cast(e_u AS double) + 0.5) AS bigint)) AS g_u
   FROM c{i} JOIN e{i} USING (id) GROUP BY bucket
-), w{i + 1} AS (
+), w{i + 1} AS MATERIALIZED (
   SELECT w{i}.bucket,
          w{i}.w_u - cast(floor(1.0 * cast(coalesce(g.g_u, 0) AS double)
                                / nn.n + 0.5) AS bigint) AS w_u
