@@ -1782,6 +1782,8 @@ WITH t AS (
 ), feats AS MATERIALIZED (
   SELECT id, bucket, cast(floor(c / tc * {u} + 0.5) AS bigint) AS x_u
   FROM cnt JOIN tot USING (id)
+  UNION ALL
+  SELECT id, -1 AS bucket, 1000000 AS x_u FROM tot
 ), lab AS MATERIALIZED (
   SELECT f.id, f.bucket, f.x_u,
          CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
@@ -1789,7 +1791,7 @@ WITH t AS (
 ), nn AS (
   SELECT count(DISTINCT id) AS n FROM lab
 ), w0 AS MATERIALIZED (
-  SELECT unnest(range({n_buckets})) AS bucket, cast(0 AS bigint) AS w_u
+  SELECT unnest(range(-1, {n_buckets})) AS bucket, cast(0 AS bigint) AS w_u
 )"""
     steps = []
     for i in range(iters):

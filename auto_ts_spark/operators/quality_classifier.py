@@ -65,6 +65,9 @@ def _q(x: Column) -> Column:
     return F.floor(x * F.lit(float(UNIT)) + F.lit(0.5)).cast("long")
 
 
+BIAS_BUCKET = -1
+
+
 def hashed_features(
     df: DataFrame,
     *,
@@ -76,7 +79,10 @@ def hashed_features(
     ``(id, bucket)`` with ``x_u = floor(count/total * 1e6 + 0.5)``
     micro-units — the fastText bag-of-words input, bucketed by the
     shared md5-derived ``hash60`` so any SQL engine reproduces the
-    hashing."""
+    hashing. Every document with tokens also carries one intercept
+    row ``(id, BIAS_BUCKET, 1e6)`` so the model can calibrate the
+    class base rate (without it, an imbalanced corpus pins every
+    probability on one side of 0.5)."""
     toks = ensure_parallelism(
         df.filter(F.col(text_col).isNotNull())
     ).select(
@@ -90,9 +96,15 @@ def hashed_features(
     )
     cnt = grams.groupBy("id", "bucket").agg(F.count(F.lit(1)).alias("c"))
     tot = grams.groupBy("id").agg(F.count(F.lit(1)).alias("t"))
-    return cnt.join(tot, "id").select(
+    feats = cnt.join(tot, "id").select(
         "id", "bucket", _q(F.col("c") / F.col("t")).alias("x_u")
     )
+    bias = tot.select(
+        "id",
+        F.lit(BIAS_BUCKET).cast("int").alias("bucket"),
+        F.lit(UNIT).cast("long").alias("x_u"),
+    )
+    return feats.unionByName(bias)
 
 
 def _wx_u(w_u: Column, x_u: Column) -> Column:
@@ -141,7 +153,9 @@ def train_quality_classifier(
     n_docs = labeled.select("id").distinct().count()
     spark = docs.sparkSession
 
-    w = {b: 0 for b in range(n_buckets)}  # micro-units, exact ints
+    # micro-units, exact ints; BIAS_BUCKET is the intercept
+    w = {b: 0 for b in range(n_buckets)}
+    w[BIAS_BUCKET] = 0
     for _ in range(iters):
         w_df = spark.createDataFrame(
             list(w.items()), "bucket int, w_u long"

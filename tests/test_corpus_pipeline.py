@@ -176,6 +176,11 @@ def test_curate_classifier_gate(spark):
         dedup_exact=False,
         near_dedup=False,
         classifier_ref=ref,
+        # sample half the corpus as negatives: with the full corpus
+        # the good text would be labeled exactly 50/50 (6 reference
+        # positives vs its own 6 copies in the negatives) and the
+        # calibrated probability sits on the 0.5 threshold boundary
+        classifier_neg_fraction=0.5,
         classifier_iters=3,
         classifier_lr=4.0,
         stage_counts=True,

@@ -18,7 +18,9 @@ def test_features_fixed_point(spark):
     # "a a b": x(a) = 2/3 -> floor(2/3*1e6+0.5) = 666667; x(b) = 333333
     docs = _docs(spark, [(1, "a a b")])
     feats = {r["bucket"]: r["x_u"] for r in QC.hashed_features(docs).collect()}
-    assert sorted(feats.values()) == [333333, 666667]
+    # two token buckets + the intercept row
+    assert sorted(feats.values()) == [333333, 666667, 1000000]
+    assert feats[QC.BIAS_BUCKET] == 1000000
     # token-less and NULL docs yield no feature rows
     assert QC.hashed_features(_docs(spark, [(2, "!!"), (3, None)])).count() == 0
 
@@ -35,6 +37,9 @@ def test_first_iteration_exact(spark):
     by_w = {r["bucket"]: r["w_u"] for r in w.collect()}
     nonzero = sorted(v for v in by_w.values() if v != 0)
     assert nonzero == [-250000, 250000]
+    # balanced classes -> the intercept's ±500000 gradient terms
+    # cancel exactly
+    assert by_w[QC.BIAS_BUCKET] == 0
 
 
 def test_separable_corpus_learns(spark):
