@@ -91,20 +91,38 @@ def hashed_features(
             F.filter(tokens(F.col(text_col)), lambda x: F.length(x) > 0)
         ).alias("w"),
     )
+    from pyspark.sql import Window
+
     grams = toks.select(
         "id", F.pmod(hash60(F.col("w")), F.lit(n_buckets)).alias("bucket")
     )
     cnt = grams.groupBy("id", "bucket").agg(F.count(F.lit(1)).alias("c"))
-    tot = grams.groupBy("id").agg(F.count(F.lit(1)).alias("t"))
-    feats = cnt.join(tot, "id").select(
-        "id", "bucket", _q(F.col("c") / F.col("t")).alias("x_u")
-    )
-    bias = tot.select(
+    # ONE pass over the corpus (plan-pinned single scan/tokenizer):
+    # per-doc totals are a window sum over the bucket counts (no
+    # self-join — Spark duplicates both sides' full scan subtrees and
+    # exchange reuse doesn't kick in), and the intercept row rides a
+    # conditional explode on each document's first bucket row instead
+    # of a union with a second aggregate over the same scan.
+    w_id = Window.partitionBy("id")
+    staged = cnt.select(
         "id",
+        "bucket",
+        _q(F.col("c") / F.sum("c").over(w_id)).alias("x_u"),
+        F.row_number().over(w_id.orderBy("bucket")).alias("_rn"),
+    )
+    pair = F.struct(
+        F.col("bucket").cast("int").alias("bucket"), F.col("x_u")
+    )
+    bias = F.struct(
         F.lit(BIAS_BUCKET).cast("int").alias("bucket"),
         F.lit(UNIT).cast("long").alias("x_u"),
     )
-    return feats.unionByName(bias)
+    rows = F.when(F.col("_rn") == 1, F.array(pair, bias)).otherwise(
+        F.array(pair)
+    )
+    return staged.select("id", F.explode(rows).alias("r")).select(
+        "id", F.col("r.bucket").alias("bucket"), F.col("r.x_u").alias("x_u")
+    )
 
 
 def _wx_u(w_u: Column, x_u: Column) -> Column:

@@ -176,3 +176,52 @@ def test_winnow_fingerprints_single_hash_chain(spark):
     )
     assert plan.count("md5(") == 1, plan
     assert plan.count("split(") == 1, plan
+
+
+def test_lm_scoring_single_corpus_scan(spark):
+    """perplexity_score must scan (and therefore tokenize) the scored
+    corpus ONCE — the pair explode is zip_with-built from one staged
+    token array, never a posexplode over a kept array or a self-join.
+
+    Raw split() counts are useless here: InMemoryRelation.toString()
+    dumps the cached LM build plan verbatim, so the plan STRING
+    contains the reference-side tokenizers even though they never
+    re-execute. The corpus-side scan is the only FileScan that reads
+    ``doc_id`` (the LM tables only read text+lang), so pin on that."""
+    from pyspark.sql import functions as F
+
+    from auto_ts_spark.operators import lm_quality as LQ
+
+    docs = E.load_table(spark, SF, "documents")
+    lm = LQ.train_ngram_lm(docs.filter(F.col("lang") == "en"))
+    plan = (
+        LQ.perplexity_score(docs, lm)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    corpus_scans = [
+        ln
+        for ln in plan.splitlines()
+        if "Relation" in ln and "parquet" in ln and "doc_id" in ln
+    ]
+    assert len(corpus_scans) == 1, plan
+    lm.uni.unpersist()
+    lm.bi.unpersist()
+
+
+def test_classifier_features_single_scan(spark):
+    """hashed_features must scan+tokenize the corpus ONCE: per-doc
+    totals re-aggregate the bucket counts (not the raw gram stream),
+    so the optimized plan has one tokenizer split and one md5."""
+    from auto_ts_spark.operators.quality_classifier import hashed_features
+
+    docs = E.load_table(spark, SF, "documents")
+    plan = (
+        hashed_features(docs)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert plan.count("split(") == 1, plan
+    assert plan.count("md5(") == 1, plan
