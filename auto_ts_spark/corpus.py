@@ -267,12 +267,15 @@ def curate(
         out = tick("perplexity", out.join(keep_ids, id_col, "left_semi"))
         if stage_counts:
             # tick() just checkpointed+counted the joined result, so
-            # the rank cache (pinned by perplexity_tercile_assign) is
-            # consumed — release it. Without stage_counts the join is
-            # still lazy and the cache must survive until the caller's
-            # action (recompute would be correct — the rank source is
-            # checkpointed — but wasteful).
-            assigned.unpersist()
+            # the LM's cached count tables (uni/bi, pinned by
+            # train_ngram_lm for their multiple scoring consumers) are
+            # consumed — release them so repeated curate() calls in
+            # one session don't accumulate O(vocab + bigrams) cached
+            # blocks. (``assigned`` itself holds no cache:
+            # with_global_row_number localCheckpoints instead.)
+            # Without stage_counts the join is still lazy and the
+            # cache must survive until the caller's action.
+            lm.release()
     if classifier_ref is not None:
         # GPT-3 appendix-A quality classifier gate
         # (operators/quality_classifier.py): train the hashed-n-gram

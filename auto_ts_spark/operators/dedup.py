@@ -87,8 +87,17 @@ def ngram_jaccard_pairs(
     a 50k-doc fixture already made intractable on BOTH engines.
 
     Returns ``(id_a, id_b, jaccard)`` with id_a < id_b, jaccard ≥
-    threshold.
+    threshold. ``threshold`` must be positive: the inverted index can
+    only surface pairs that share at least one shingle, so a
+    zero/negative threshold (which would have to emit Jaccard-0 pairs)
+    is rejected rather than silently under-reported.
     """
+    if threshold <= 0:
+        raise ValueError(
+            "ngram_jaccard_pairs requires threshold > 0; the shingle "
+            "inverted index cannot enumerate zero-overlap pairs "
+            f"(got {threshold!r})"
+        )
     sh = ensure_parallelism(df).select(
         F.col(id_col).alias("id"),
         F.array_distinct(TX.shingles(F.col(text_col), shingle_n)).alias("sh"),

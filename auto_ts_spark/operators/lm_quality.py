@@ -91,6 +91,24 @@ class NgramLM:
     vocab: int
     n_bigrams: int
 
+    def release(self) -> None:
+        """Unpersist the cached count tables (train_ngram_lm pins both
+        with ``.cache()`` for their multiple scoring-side consumers).
+        Call once every scoring pass reading this LM has been
+        materialized; a session that trains several reference LMs and
+        never releases them accumulates O(vocab + bigrams) cached
+        blocks per LM. Using the LM after release stays correct — the
+        tables recompute from the reference plan — just slower."""
+        for t in (self.uni, self.bi):
+            t.unpersist()
+
+    def __enter__(self) -> "NgramLM":
+        return self
+
+    def __exit__(self, *exc) -> bool:
+        self.release()
+        return False
+
 
 def _doc_tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(id, tk) with empty tokens dropped; empty/NULL-text docs keep an

@@ -345,10 +345,23 @@ def ivf_assign(
     """
     from pyspark.sql.functions import pandas_udf
 
-    sample = np.array(
-        [r[0] for r in df.select(vec_col).limit(sample_size).collect()],
-        dtype=np.float64,
+    # Deterministic sample: an unordered limit() depends on partition
+    # layout, making the trained quantizer (and thus the production
+    # block_col=None semantic_dedup result) vary across repartitionings
+    # or task retries. Ordering by a seeded hash of the id picks the
+    # same ``sample_size`` rows regardless of layout, and Spark executes
+    # orderBy+limit as a per-partition top-k (TakeOrderedAndProject),
+    # not a full sort — O(sample) driver state as before.
+    sample_rows = (
+        df.select(F.col(id_col).alias("_sid"), F.col(vec_col).alias("_v"))
+        .orderBy(
+            F.xxhash64(F.col("_sid").cast("string"), F.lit(int(seed))),
+            F.col("_sid"),
+        )
+        .limit(sample_size)
+        .collect()
     )
+    sample = np.array([r["_v"] for r in sample_rows], dtype=np.float64)
     cents = kmeans_centroids(sample, n_centroids, seed=seed)
     bc = df.sparkSession.sparkContext.broadcast(cents)
 

@@ -664,7 +664,15 @@ def scrub_repeated_spans(
             )
         )
     )
-    kept_idx = F.array_except(F.sequence(F.lit(1), F.size(F.col("_tk"))), covered)
+    # Guard the zero-token case exactly like the spans explode above:
+    # sequence(1, 0) is DESCENDING [1, 0] and element_at(empty, 0|1)
+    # raises INVALID_ARRAY_INDEX_IN_ELEMENT_AT on Spark 4.x, so an
+    # empty or whitespace-only document (reachable mid-curate() after
+    # boilerplate removal empties the text) must short-circuit to [].
+    kept_idx = F.when(
+        F.size(F.col("_tk")) > 0,
+        F.array_except(F.sequence(F.lit(1), F.size(F.col("_tk"))), covered),
+    ).otherwise(F.array().cast("array<int>"))
     clean = F.when(
         F.col("_tk").isNotNull(),
         F.array_join(

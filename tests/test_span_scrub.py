@@ -96,3 +96,36 @@ def test_curate_scrub_spans_stage(spark, planted):
     assert counts["scrub_spans"] == 3
     texts = {r.doc_id: r.text for r in out.collect()}
     assert texts[1] == "intro words here tail a"
+
+
+def test_empty_and_whitespace_only_docs_do_not_crash(spark):
+    """Regression: sequence(1, size) is DESCENDING [1, 0] on a
+    zero-token doc and element_at(empty, 0) raised
+    INVALID_ARRAY_INDEX_IN_ELEMENT_AT on Spark 4.1.2. Empty and
+    whitespace-only texts (reachable after boilerplate removal) must
+    come back with empty clean_text and zero counts."""
+    from auto_ts_spark.operators.textops import scrub_repeated_spans
+
+    rows = [
+        (1, ""),
+        (2, "   \t \n  "),
+        (3, f"pad pad pad {SHARED} trailing bits"),
+        (4, f"lead in words {SHARED} more padding here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = scrub_repeated_spans(df, window=8).toPandas().set_index("doc_id")
+    assert out.loc[1, "clean_text"] == ""
+    assert out.loc[2, "clean_text"] == ""
+    assert out.loc[1, ["n_tokens_kept", "n_tokens_removed"]].tolist() == [0, 0]
+    assert out.loc[2, ["n_tokens_kept", "n_tokens_removed"]].tolist() == [0, 0]
+    # the planted shared window is still scrubbed alongside
+    assert out.loc[3, "n_tokens_removed"] == 8
+
+    # apply mode over the same frame must also survive
+    applied = (
+        scrub_repeated_spans(df, window=8, mode="apply")
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert applied.loc[1, "text"] == ""
+    assert applied.loc[2, "text"] == ""
