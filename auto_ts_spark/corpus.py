@@ -57,7 +57,7 @@ def curate(
     embeddings: DataFrame | None = None,
     embedding_vec_col: str = "embedding",
     semantic_threshold: float = 0.95,
-    semantic_centroids: int = 256,
+    semantic_centroids: int | None = None,  # None = auto-size to corpus
     perplexity_ref: DataFrame | None = None,
     perplexity_keep: tuple[str, ...] = ("head", "middle"),
     classifier_ref: DataFrame | None = None,

@@ -240,8 +240,12 @@ def kmeans_centroids(
     if k < 1:
         raise ValueError("kmeans_centroids needs a non-empty sample")
     cents = vectors[rng.choice(len(vectors), size=k, replace=False)].copy()
+    # matmul distance form: O(n·k) floats per iteration instead of the
+    # O(n·k·dim) broadcast tensor — the difference between 100 MB and
+    # 10+ GB once the quantizer is auto-sized for a large corpus.
+    v2 = (vectors * vectors).sum(axis=1)[:, None]
     for _ in range(iters):
-        d2 = ((vectors[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        d2 = v2 - 2.0 * (vectors @ cents.T) + (cents * cents).sum(axis=1)[None, :]
         assign = d2.argmin(axis=1)
         for j in range(k):
             members = vectors[assign == j]
@@ -331,7 +335,7 @@ def ivf_assign(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_centroids: int = 16,
+    n_centroids: int | None = 16,
     sample_size: int = 4096,
     seed: int = 42,
 ) -> DataFrame:
@@ -342,9 +346,21 @@ def ivf_assign(
     Arrow-batched pandas UDF doing a numpy matmul per batch — the same
     shape ``ivf_topk`` uses, factored out so cell ids can also drive
     blocking (semantic dedup) and cell-local statistics.
+
+    ``n_centroids=None`` auto-sizes the quantizer to the corpus:
+    ``k = clamp(ceil(n / 512), 16, 1024)`` — SemDeDup-style blocking
+    is only bounded if cell population tracks corpus size (pair work
+    is Σ|cell|² ≈ n·512 at the target), so a fixed k that was right
+    for 10k vectors is quadratic poison at 10M. Costs one count().
+    The sample grows to ``max(sample_size, 8k)`` (capped at 16384) so
+    every centroid sees several sample points.
     """
     from pyspark.sql.functions import pandas_udf
 
+    if n_centroids is None:
+        n = df.count()
+        n_centroids = max(16, min(1024, -(-n // 512)))
+        sample_size = min(max(sample_size, 8 * n_centroids), 16384)
     # Deterministic sample: an unordered limit() depends on partition
     # layout, making the trained quantizer (and thus the production
     # block_col=None semantic_dedup result) vary across repartitionings
@@ -361,6 +377,9 @@ def ivf_assign(
         .limit(sample_size)
         .collect()
     )
+    # Canonical id order: k-means init indexes into this array, so the
+    # array order must be as deterministic as the selection.
+    sample_rows.sort(key=lambda r: r["_sid"])
     sample = np.array([r["_v"] for r in sample_rows], dtype=np.float64)
     cents = kmeans_centroids(sample, n_centroids, seed=seed)
     bc = df.sparkSession.sparkContext.broadcast(cents)
@@ -389,7 +408,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     threshold: float = 0.3,
     block_col: str | None = None,
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
     sample_size: int = 4096,
     seed: int = 42,
     cc_stats: dict | None = None,
@@ -405,7 +424,10 @@ def semantic_dedup(
     (deterministic — what the oracle replays); ``None`` trains the IVF
     quantizer via :func:`ivf_assign` (the production path — k chosen so
     cells stay small enough that the within-cell pair join is bounded
-    by sum(|cell|^2) ≈ n^2/k).
+    by sum(|cell|^2) ≈ n^2/k). ``n_centroids=None`` (the default)
+    auto-sizes k to the corpus (see :func:`ivf_assign`) — the r7 fix
+    for the fixed-k footgun where 16 cells over an 80k-vector corpus
+    meant ~400M candidate pairs.
 
     Scale shape: the pair stage is a hash-join on ``cell`` — spill-safe
     (no collect_list buffering), shuffle proportional to corpus size,

@@ -57,10 +57,15 @@ HEADLINE = [
     "repeated_span_scrub",
     "lm_perplexity",
     "quality_classifier",
+    # r7: the COMPLETE published-recipe chain (adds span scrub,
+    # semantic near-dedup, perplexity gate, classifier gate on top of
+    # curate_chain) — tracked alongside, never inside `value`
+    "curate_full",
 ]
 
 EXTRAS = {
     "curate_chain",
+    "curate_full",
     "semantic_dedup",
     "dsir_weights",
     "repeated_span_scrub",
@@ -81,6 +86,46 @@ def q_curate_chain(spark, sf_dir: str):
     mixture = {f"src{i}": (2.0 if i < 3 else 1.0) for i in range(20)}
     return curate(
         docs,
+        benchmark=bench_docs,
+        mixture=mixture,
+        token_budget=200_000,
+        budget_by="source",
+    )
+
+
+def q_curate_full(spark, sf_dir: str):
+    """The complete raw→manifest recipe a 100 TB pretraining run would
+    ship (r7 headline ask): cross-doc span scrub → Gopher quality gate
+    → PII scrub → exact dedup → SEMANTIC near-dedup (auto-sized IVF
+    over the embeddings table) → CCNet perplexity gate → quality-
+    classifier gate → decontamination → source mixture → per-source
+    token budget — one ``curate()`` call. The trusted reference for
+    the LM and the classifier is a deterministic 1-in-7 slice of the
+    corpus itself (self-referential but measurement-stable)."""
+    from auto_ts_spark.corpus import curate
+
+    docs = E.load_table(spark, sf_dir, "documents")
+    emb = E.load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    ref = docs.filter(F.col("doc_id") % 7 == 0).select("doc_id", "text")
+    bench_docs = docs.filter(F.col("doc_id") % 97 == 0).select("doc_id", "text")
+    mixture = {f"src{i}": (2.0 if i < 3 else 1.0) for i in range(20)}
+    return curate(
+        docs,
+        scrub_spans=True,
+        near_dedup_method="semantic",
+        embeddings=emb,
+        semantic_threshold=0.95,
+        perplexity_ref=ref,
+        classifier_ref=ref,
+        # threshold at the exact class prior (ref is 1-in-7 of the
+        # corpus -> P/(P+N) = 1/8 at ANY sf): "more reference-like
+        # than base rate". A self-referential reference can't separate
+        # the synthetic corpus, so the GPT-3-style 0.5 default would
+        # zero it out; the gate's full train+score cost is still paid,
+        # which is what the bench measures.
+        classifier_threshold=0.125,
         benchmark=bench_docs,
         mixture=mixture,
         token_budget=200_000,
@@ -135,7 +180,7 @@ def main() -> None:
     _DD.minhash_lsh_pairs(_tiny, text_col="text", id_col="doc_id").write.format(
         "noop"
     ).mode("overwrite").save()
-    qs = dict(qs, curate_chain=q_curate_chain)
+    qs = dict(qs, curate_chain=q_curate_chain, curate_full=q_curate_full)
     missing = [n for n in HEADLINE if n not in qs]
     if missing:  # fail loudly BEFORE burning warmup + timed runs
         raise KeyError(f"headline queries not registered: {missing}")
