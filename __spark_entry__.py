@@ -71,6 +71,13 @@ def _daily_decimal_series(spark: SparkSession, sf_dir: str, with_id: bool = True
     return df.withColumn("series_id", PART.opaque_lit("0")) if with_id else df
 
 
+# Plain-double daily series (the W15-18/M-oracle CTE body; the decimal
+# variant below is for money-exact replays)
+_SQL_DAILY_PLAIN = (
+    "SELECT date_trunc('day', ts) AS ts, sum(value) AS y\n"
+    "  FROM events GROUP BY 1"
+)
+
 # DuckDB replica of _daily_decimal_series (splice into a CTE body)
 _SQL_DAILY = (
     "SELECT date_trunc('day', ts) AS ts,\n"
@@ -1194,9 +1201,17 @@ def _sql_shingles(n: int, distinct: bool = True) -> str:
 
 _SQL_SHINGLES = _sql_shingles(3)
 
+# The tokenized-documents base CTE body shared by every shingling
+# oracle (Jaccard, MinHash, SimHash, winnowing) — change the
+# tokenizer convention in ONE place or not at all.
+def _sql_tok_base(pred: str = "") -> str:
+    where = f" WHERE {pred}" if pred else ""
+    return "SELECT doc_id AS id, " + _SQL_TOKS + " AS toks FROM documents" + where
+
+
 _SQL_NGRAM_JACCARD = f"""
 WITH base AS (
-  SELECT doc_id AS id, {_SQL_TOKS} AS toks FROM documents
+  {_sql_tok_base()}
 ), sh AS (
   SELECT id, {_SQL_SHINGLES} AS sh, cast(len(toks) // 16 as int) AS lb FROM base
 ), inv AS (
@@ -1235,7 +1250,7 @@ def _sql_minhash_lsh(pred: str = "") -> str:
     where = f" WHERE {pred}" if pred else ""
     return f"""
 WITH base AS (
-  SELECT doc_id AS id, {_SQL_TOKS} AS toks FROM documents{where}
+  {_sql_tok_base(pred)}
 ), sh AS (
   SELECT id, {_SQL_SHINGLES} AS sh,
          {_sql_shingles(3, distinct=False)} AS sh_all
@@ -1382,7 +1397,7 @@ def q_winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_WINNOW_OVERLAP = f"""
 WITH base AS (
-  SELECT doc_id AS id, {_SQL_TOKS} AS toks FROM documents
+  {_sql_tok_base()}
 ), sh AS (
   SELECT id, {_sql_shingles(4, distinct=False)} AS sh
   FROM base
@@ -1422,7 +1437,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_DECONTAMINATE = f"""
 WITH base AS (
-  SELECT doc_id AS id, {_SQL_TOKS} AS toks FROM documents
+  {_sql_tok_base()}
 ), sh AS (
   SELECT id, {_sql_shingles(4, distinct=False)} AS sh
   FROM base
@@ -3402,8 +3417,7 @@ def q_predict_feature_splice(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_PREDICT_SPLICE = """
 WITH series AS (
-  SELECT date_trunc('day', ts) AS ts, sum(value) AS y
-  FROM events GROUP BY 1
+  """ + _SQL_DAILY_PLAIN + """
 ), feat AS (
   SELECT ts, y,
          lag(y, 1) OVER w AS y_lag_1,
@@ -3466,8 +3480,7 @@ def q_df_test_stationarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_DF_TEST = """
 WITH series AS (
-  SELECT date_trunc('day', ts) AS ts, sum(value) AS y
-  FROM events GROUP BY 1
+  """ + _SQL_DAILY_PLAIN + """
 ), base AS (
   SELECT y, lag(y) OVER (ORDER BY ts) AS x FROM series
 ), d AS (
@@ -3531,8 +3544,7 @@ def q_snaive_forecast_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_SNAIVE_INTERVALS = """
 WITH series AS (
-  SELECT date_trunc('day', ts) AS ts, sum(value) AS y
-  FROM events GROUP BY 1
+  """ + _SQL_DAILY_PLAIN + """
 ), ranked AS (
   SELECT ts, y, row_number() OVER (ORDER BY ts DESC) AS rd FROM series
 ), last AS (SELECT max(ts) AS last_ts FROM series),

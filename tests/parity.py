@@ -89,6 +89,21 @@ def compare(spark_df, duck_df: pd.DataFrame, *, float_tol: float = 0.0) -> list[
     return issues
 
 
+# Queries whose DuckDB oracle is QUADRATIC BY CONSTRUCTION (all-pairs
+# or pair-graph replays over the whole table). At sf >= 3 the oracle —
+# not the engine — is the bottleneck (10-30+ min each at sf10); their
+# bounded-subset / invariant twins (right column, r7) carry the same
+# per-operator signal in seconds at any sf. The full-board high-sf
+# sweep (`PARITY_SKIP_QUADRATIC=1 python tests/parity.py`) substitutes
+# accordingly; the driver's sf0.01 check still runs the full forms.
+QUADRATIC_ORACLES = {
+    "minhash_lsh_pairs": "minhash_lsh_slice",
+    "dedup_clusters": "dedup_clusters_slice",
+    "embedding_near_dup": "embedding_near_dup_slice",
+    "semantic_dedup": "semantic_dedup_ivf",
+}
+
+
 def run_parity(spark, sf_dir: str, only: list[str] | None = None) -> dict[str, list[str]]:
     import __spark_entry__ as E
 
@@ -129,7 +144,18 @@ if __name__ == "__main__":
 
     sf_dir = os.environ.get("PARITY_SF_DIR", "/root/testdata/sf0.01")
     only = sys.argv[1:] or None
+    if only is None and os.environ.get("PARITY_SKIP_QUADRATIC"):
+        import __spark_entry__ as E
+
+        only = [n for n in E.queries() if n not in QUADRATIC_ORACLES]
+        print(
+            f"high-sf mode: skipping {sorted(QUADRATIC_ORACLES)} "
+            f"(covered by {sorted(QUADRATIC_ORACLES.values())})"
+        )
     spark = get_spark("parity")
+    import time as _t
+
+    t_all = _t.perf_counter()
     res = run_parity(spark, sf_dir, only)
     n_bad = 0
     for name, issues in sorted(res.items()):
@@ -139,5 +165,8 @@ if __name__ == "__main__":
         print(f"[{status}] {name}")
         for i in issues[:4]:
             print(f"       {i}")
-    print(f"\n{len(res) - n_bad}/{len(res)} queries match")
+    print(
+        f"\n{len(res) - n_bad}/{len(res)} queries match "
+        f"in {_t.perf_counter() - t_all:.0f}s"
+    )
     sys.exit(1 if n_bad else 0)

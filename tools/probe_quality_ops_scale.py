@@ -11,8 +11,13 @@ For each sf dir it times
 and prints one JSON line per (sf, op) with docs/sec so super-linear
 growth is visible at a glance.
 
-Usage: python tools/probe_quality_ops_scale.py [sf_dir ...]
+Usage: python tools/probe_quality_ops_scale.py [sf_dir | n_docs ...]
   default: /root/testdata/sf0.1 .localdata/sf1 .localdata/sf10
+  A bare integer argument (e.g. 5000000) names a documents-ONLY
+  fixture generated on demand under .localdata/probe_docs/docs_{n}
+  (chunked writes, vocabulary scaled like the sf generator) — the r7
+  path for probing one decade past the largest star-schema fixture
+  without generating 150M lineitem rows nobody reads.
 """
 
 from __future__ import annotations
@@ -23,6 +28,50 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+_CHUNK = 250_000
+
+
+def ensure_docs_fixture(n_doc: int) -> str:
+    """Build (once) a documents-only fixture of ``n_doc`` rows in
+    chunks of ``_CHUNK`` so driver memory stays bounded; vocab_mult
+    follows the sf generator's n_doc/5000 rule so shingle/bigram
+    sparsity matches what a real corpus that size would show."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from gen_testdata import make_documents
+
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".localdata", "probe_docs", f"docs_{n_doc}",
+    )
+    if os.path.exists(os.path.join(root, "_DONE")) or os.path.exists(
+        os.path.join(root, "part0.parquet")  # probe_curate_scale legacy form
+    ):
+        return root
+    os.makedirs(root, exist_ok=True)
+    for f in os.listdir(root):  # clear a partial chunked write
+        if f.startswith("part"):
+            os.remove(os.path.join(root, f))
+    vocab_mult = max(1, round(n_doc / 5000))
+    off = 0
+    part = 0
+    while off < n_doc:
+        n = min(_CHUNK, n_doc - off)
+        rng = np.random.default_rng(1234 + part)
+        tbl = make_documents(rng, n, vocab_mult=vocab_mult)
+        tbl = tbl.set_column(
+            0, "doc_id", [np.arange(off, off + n, dtype=np.int64)]
+        )
+        pq.write_table(tbl, os.path.join(root, f"part{part:04d}.parquet"))
+        off += n
+        part += 1
+        print(f"  fixture {root}: {off}/{n_doc}", file=sys.stderr, flush=True)
+    with open(os.path.join(root, "_DONE"), "w") as fh:
+        fh.write(str(n_doc))
+    return root
 
 
 def main(dirs: list[str]) -> None:
@@ -35,7 +84,14 @@ def main(dirs: list[str]) -> None:
 
     spark = get_spark("probe-quality-ops")
     for sf_dir in dirs:
-        docs = load_table(spark, sf_dir, "documents")
+        if sf_dir.isdigit():
+            path = ensure_docs_fixture(int(sf_dir))
+            from auto_ts_spark.operators.partitioning import ensure_parallelism
+
+            docs = ensure_parallelism(spark.read.parquet(path))
+            sf_dir = path
+        else:
+            docs = load_table(spark, sf_dir, "documents")
         n = docs.count()
 
         t0 = time.perf_counter()
