@@ -254,6 +254,28 @@ def kmeans_centroids(
     return cents
 
 
+def _quantizer_sample(
+    df: DataFrame, id_col: str, vec_col: str, sample_size: int, seed: int
+) -> np.ndarray:
+    """Layout-invariant driver-side sample for quantizer training:
+    rows are SELECTED by seeded id-hash order (executed as a
+    per-partition top-k, no full sort) and the resulting array is
+    id-SORTED so k-means init — which indexes into it — is as
+    deterministic as the selection. An unordered ``limit()`` here made
+    every IVF consumer's output depend on partition layout."""
+    rows = (
+        df.select(F.col(id_col).alias("_sid"), F.col(vec_col).alias("_v"))
+        .orderBy(
+            F.xxhash64(F.col("_sid").cast("string"), F.lit(int(seed))),
+            F.col("_sid"),
+        )
+        .limit(sample_size)
+        .collect()
+    )
+    rows.sort(key=lambda r: r["_sid"])
+    return np.array([r["_v"] for r in rows], dtype=np.float64)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -280,13 +302,7 @@ def ivf_topk(
     from pyspark.sql import Window
     from pyspark.sql.functions import pandas_udf
 
-    sample = np.array(
-        [
-            r[0]
-            for r in corpus.select(vec_col).limit(sample_size).collect()
-        ],
-        dtype=np.float64,
-    )
+    sample = _quantizer_sample(corpus, id_col, vec_col, sample_size, seed)
     cents = kmeans_centroids(sample, n_centroids, seed=seed)
     sc = corpus.sparkSession.sparkContext
     bc = sc.broadcast(cents)
@@ -361,26 +377,7 @@ def ivf_assign(
         n = df.count()
         n_centroids = max(16, min(1024, -(-n // 512)))
         sample_size = min(max(sample_size, 8 * n_centroids), 16384)
-    # Deterministic sample: an unordered limit() depends on partition
-    # layout, making the trained quantizer (and thus the production
-    # block_col=None semantic_dedup result) vary across repartitionings
-    # or task retries. Ordering by a seeded hash of the id picks the
-    # same ``sample_size`` rows regardless of layout, and Spark executes
-    # orderBy+limit as a per-partition top-k (TakeOrderedAndProject),
-    # not a full sort — O(sample) driver state as before.
-    sample_rows = (
-        df.select(F.col(id_col).alias("_sid"), F.col(vec_col).alias("_v"))
-        .orderBy(
-            F.xxhash64(F.col("_sid").cast("string"), F.lit(int(seed))),
-            F.col("_sid"),
-        )
-        .limit(sample_size)
-        .collect()
-    )
-    # Canonical id order: k-means init indexes into this array, so the
-    # array order must be as deterministic as the selection.
-    sample_rows.sort(key=lambda r: r["_sid"])
-    sample = np.array([r["_v"] for r in sample_rows], dtype=np.float64)
+    sample = _quantizer_sample(df, id_col, vec_col, sample_size, seed)
     cents = kmeans_centroids(sample, n_centroids, seed=seed)
     bc = df.sparkSession.sparkContext.broadcast(cents)
 
