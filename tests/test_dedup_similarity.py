@@ -281,3 +281,32 @@ def test_ivf_assign_layout_invariant(spark):
         ).collect()
     }
     assert base == shuffled
+
+
+def test_ivf_auto_sizes_centroids(spark):
+    """n_centroids=None must scale the quantizer with the corpus
+    (fixed k=16 over a large corpus makes the within-cell pair join
+    quadratic): floor at 16 for small inputs, ~n/512 beyond it."""
+    import numpy as np
+
+    from auto_ts_spark.operators.similarity import ivf_assign
+
+    rng = np.random.RandomState(3)
+    small = spark.createDataFrame(
+        [(i, rng.randn(4).tolist()) for i in range(200)],
+        "vec_id long, embedding array<double>",
+    )
+    cells_small = {
+        r["cell"] for r in ivf_assign(small, n_centroids=None).collect()
+    }
+    assert len(cells_small) <= 16  # floor applies; kmeans caps at data
+
+    big = spark.createDataFrame(
+        [(i, rng.randn(4).tolist()) for i in range(20_000)],
+        "vec_id long, embedding array<double>",
+    )
+    cells_big = {
+        r["cell"] for r in ivf_assign(big, n_centroids=None).collect()
+    }
+    # ceil(20000/512) = 40 target cells; k-means may leave a few empty
+    assert len(cells_big) > 20

@@ -71,3 +71,23 @@ def test_partitioning_invariance(spark):
     w1 = QC.train_quality_classifier(docs.coalesce(1), label, iters=2)
     w8 = QC.train_quality_classifier(docs.repartition(8), label, iters=2)
     assert {tuple(r) for r in w1.collect()} == {tuple(r) for r in w8.collect()}
+
+
+def test_training_leaves_no_cached_blocks(spark):
+    """r7 OOM regression: the labeled feature table must be persisted
+    SERIALIZED (deserialized localCheckpoint blocks OOMed an 8g heap
+    at 5M docs) and released once training returns."""
+    from pyspark.sql import functions as F
+
+    from auto_ts_spark.operators.quality_classifier import (
+        train_quality_classifier,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"word{i % 7} text sample number {i}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    spark.sparkContext._jsc.sc().getRDDStorageInfo()  # warm the gateway
+    train_quality_classifier(docs, F.col("doc_id") % 2 == 0, iters=2)
+    leftover = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    assert len(leftover) == 0, [str(x) for x in leftover]
