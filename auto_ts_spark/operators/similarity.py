@@ -254,6 +254,22 @@ def kmeans_centroids(
     return cents
 
 
+def _auto_centroids(
+    df: DataFrame, n_centroids: int | None, sample_size: int
+) -> tuple[int, int]:
+    """Resolve ``n_centroids=None`` to a corpus-proportional quantizer
+    size: ``k = clamp(ceil(n / 512), 16, 1024)`` (cell population —
+    and with it the within-cell pair/probe work — then tracks a fixed
+    target instead of growing with the corpus), with the sample grown
+    to ``max(sample_size, 8k)`` capped at 16384 so every centroid sees
+    several points. Costs one count() when auto-sizing."""
+    if n_centroids is not None:
+        return int(n_centroids), sample_size
+    n = df.count()
+    k = max(16, min(1024, -(-n // 512)))
+    return k, min(max(sample_size, 8 * k), 16384)
+
+
 def _quantizer_sample(
     df: DataFrame, id_col: str, vec_col: str, sample_size: int, seed: int
 ) -> np.ndarray:
@@ -283,14 +299,16 @@ def ivf_topk(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_centroids: int = 16,
+    n_centroids: int | None = 16,
     n_probe: int = 4,
     sample_size: int = 4096,
     seed: int = 42,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: coarse-quantize the corpus
     into ``n_centroids`` cells, probe the ``n_probe`` nearest cells per
-    query, exact-rescore only those candidates.
+    query, exact-rescore only those candidates. ``n_centroids=None``
+    auto-sizes the quantizer like :func:`ivf_assign` (probed-candidate
+    count then tracks ``n_probe/k`` of the corpus at any scale).
 
     Scale shape: the quantizer is trained once on a driver-side sample
     and broadcast; cell assignment is one vectorized Arrow-batched
@@ -302,6 +320,7 @@ def ivf_topk(
     from pyspark.sql import Window
     from pyspark.sql.functions import pandas_udf
 
+    n_centroids, sample_size = _auto_centroids(corpus, n_centroids, sample_size)
     sample = _quantizer_sample(corpus, id_col, vec_col, sample_size, seed)
     cents = kmeans_centroids(sample, n_centroids, seed=seed)
     sc = corpus.sparkSession.sparkContext
@@ -373,10 +392,7 @@ def ivf_assign(
     """
     from pyspark.sql.functions import pandas_udf
 
-    if n_centroids is None:
-        n = df.count()
-        n_centroids = max(16, min(1024, -(-n // 512)))
-        sample_size = min(max(sample_size, 8 * n_centroids), 16384)
+    n_centroids, sample_size = _auto_centroids(df, n_centroids, sample_size)
     sample = _quantizer_sample(df, id_col, vec_col, sample_size, seed)
     cents = kmeans_centroids(sample, n_centroids, seed=seed)
     bc = df.sparkSession.sparkContext.broadcast(cents)
