@@ -4,8 +4,9 @@ operators in, as one call:
 
     [line-level cleaning] → quality gate → PII scrub → exact dedup →
     near-dup (MinHash-LSH cluster) retention → [LM-perplexity
-    terciles] → [trained quality-classifier gate] → benchmark
-    decontamination → source mixture → token budget
+    terciles] → [trained quality-classifier gate] → [DSIR targeted
+    selection] → benchmark decontamination → source mixture →
+    token budget
 
 The optional line-level head stages (C4 per-line rules, cross-document
 boilerplate removal — both in ``operators.textops``) run FIRST because
@@ -24,7 +25,9 @@ budget (``token_budget`` with ``budget_by=None``) uses the two-pass
 distributed cumsum, whose offset collection materializes the upstream
 stages inside the ``curate`` call, and the LM-perplexity gate
 (``perplexity_ref``) materializes its LM counts and tercile rank the
-same way. Per-key budgets (``budget_by``
+same way; a DSIR stage (``dsir_target``) materializes its bucket
+distributions, rank offsets, and — when ``dsir_keep`` is fractional —
+one survivor count. Per-key budgets (``budget_by``
 set) and every other stage stay lazy. ``stage_counts=True`` adds an
 eager per-stage row count report (one count() action per enabled
 stage — diagnostic runs only, not the 100 TB hot path).
@@ -65,6 +68,10 @@ def curate(
     classifier_neg_fraction: float = 1.0,
     classifier_iters: int = 5,
     classifier_lr: float = 4.0,
+    dsir_target: DataFrame | None = None,
+    dsir_keep: float | int = 0.5,
+    dsir_stochastic: bool = False,
+    dsir_seed: int = 42,
     benchmark: DataFrame | None = None,
     decontam_n: int = 5,
     mixture: dict[str, float] | None = None,
@@ -323,6 +330,43 @@ def curate(
             .select(id_col)
         )
         out = tick("classifier", out.join(keep_ids, id_col, "left_semi"))
+    if dsir_target is not None:
+        # DSIR targeted selection (operators/dsir.py — Xie et al. 2023
+        # importance resampling): weight every surviving document by
+        # the hashed-n-gram log-likelihood ratio of target over raw,
+        # then keep the top ``dsir_keep`` (int = count, float =
+        # fraction of survivors; one scalar count when fractional).
+        # ``dsir_stochastic`` uses the paper's Gumbel-top-k resampling
+        # (seeded, retry-deterministic) instead of the deterministic
+        # top-k. Ordered after the quality gates — DSIR assumes its
+        # raw pool is already language/quality filtered — and before
+        # decontamination/mixture/budget, which operate on whatever
+        # subset survives selection.
+        from auto_ts_spark.operators.dsir import (
+            dsir_log_weights,
+            gumbel_select,
+            select_top_weighted,
+        )
+
+        wts = dsir_log_weights(
+            out, dsir_target, text_col=text_col, id_col=id_col
+        )
+        if isinstance(dsir_keep, float):
+            if not 0.0 < dsir_keep <= 1.0:
+                raise ValueError(
+                    f"fractional dsir_keep must be in (0, 1], got {dsir_keep!r}"
+                )
+            n_sel = max(1, int(dsir_keep * wts.count()))
+        else:
+            n_sel = int(dsir_keep)
+        sel = (
+            gumbel_select(wts, n_sel, id_col=id_col, seed=dsir_seed)
+            if dsir_stochastic
+            else select_top_weighted(wts, n_sel, id_col=id_col)
+        )
+        out = tick(
+            "dsir", out.join(sel.select(id_col), id_col, "left_semi")
+        )
     if benchmark is not None:
         out = tick(
             "decontaminate",

@@ -143,6 +143,29 @@ def dsir_log_weights(
     )
 
 
+def _top_n_by(weights: DataFrame, key: Column, n: int, id_col: str) -> DataFrame:
+    """Distributed top-``n`` rows by ``(key desc, id asc)``.
+
+    r7: the earlier ``orderBy().limit(n)`` form executes as
+    TakeOrderedAndProject, which COLLECTS all ``n`` rows to the driver
+    — fine for a thousand-doc selection, driver-fatal for the
+    million-doc selections DSIR exists for. The two-pass distributed
+    row number (range repartition → local rank → O(partitions) driver
+    offsets) keeps the selection executor-side at any ``n``; output is
+    identical."""
+    from auto_ts_spark.operators.partitioning import with_global_row_number
+
+    ranked = with_global_row_number(
+        weights.withColumn("_series", F.lit("all")).withColumn(
+            "_ord", F.struct((-key).alias("k"), F.col(id_col).alias("i"))
+        ),
+        order_col="_ord",
+        series_col="_series",
+        name="_rn",
+    )
+    return ranked.filter(F.col("_rn") <= n).drop("_series", "_ord", "_rn")
+
+
 def select_top_weighted(
     weights: DataFrame,
     n: int,
@@ -150,14 +173,11 @@ def select_top_weighted(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Deterministic DSIR selection: the ``n`` highest-weight documents
-    (weight desc, id asc tiebreak). The stochastic variant in the paper
-    adds Gumbel noise to ``log_weight`` before the same top-k — inject
-    it upstream with a seeded hash-derived uniform if needed."""
-    w = F.col("log_weight")
-    return (
-        weights.orderBy(w.desc(), F.col(id_col))
-        .limit(n)
-    )
+    (weight desc, id asc tiebreak), distributed at any ``n`` (see
+    :func:`_top_n_by`). The stochastic variant in the paper adds Gumbel
+    noise to ``log_weight`` before the same top-k —
+    :func:`gumbel_select`."""
+    return _top_n_by(weights, F.col("log_weight"), n, id_col)
 
 
 def gumbel_select(
@@ -189,9 +209,6 @@ def gumbel_select(
     ) / F.lit(two53 + 2.0)
     gumbel = -F.log(-F.log(u))
     key = F.col("log_weight") / F.lit(temperature) + gumbel
-    return (
-        weights.withColumn("_key", key)
-        .orderBy(F.col("_key").desc(), F.col(id_col))
-        .limit(n)
-        .drop("_key")
-    )
+    return _top_n_by(
+        weights.withColumn("_key", key), F.col("_key"), n, id_col
+    ).drop("_key")

@@ -353,3 +353,76 @@ def test_stream_land_curate_pack_end_to_end(spark, tmp_path):
     fills = man.groupBy("seq_id").agg(F.sum("n_toks").alias("fill")).collect()
     last = max(r.seq_id for r in fills)
     assert all(r.fill == 64 for r in fills if r.seq_id != last)
+
+
+def test_curate_dsir_stage(spark, sf_dir):
+    """The DSIR stage keeps exactly the standalone operator's top-k
+    selection (fraction form), between classifier and decontamination
+    in the chain order."""
+    from auto_ts_spark.operators.dsir import (
+        dsir_log_weights,
+        select_top_weighted,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    out, counts = curate(
+        docs,
+        quality=False,
+        redact=False,
+        dedup_exact=False,
+        near_dedup=False,
+        dsir_target=target,
+        dsir_keep=0.4,
+        stage_counts=True,
+    )
+    assert list(counts) == ["input", "dsir"]
+    expected_n = max(1, int(0.4 * dsir_log_weights(docs, target).count()))
+    assert counts["dsir"] == expected_n
+    kept = {r["doc_id"] for r in out.select("doc_id").collect()}
+    manual = {
+        r["doc_id"]
+        for r in select_top_weighted(
+            dsir_log_weights(docs, target), expected_n
+        ).collect()
+    }
+    assert kept == manual
+
+    # int form + stochastic form both land exactly n documents
+    out2, c2 = curate(
+        docs,
+        quality=False,
+        redact=False,
+        dedup_exact=False,
+        near_dedup=False,
+        dsir_target=target,
+        dsir_keep=25,
+        dsir_stochastic=True,
+        stage_counts=True,
+    )
+    assert c2["dsir"] == 25
+
+
+def test_dsir_top_n_matches_order_by_limit(spark):
+    """_top_n_by (distributed rank) must equal the orderBy().limit()
+    reference on both the deterministic and the Gumbel key."""
+    import numpy as np
+
+    from auto_ts_spark.operators.dsir import select_top_weighted
+
+    rng = np.random.RandomState(5)
+    rows = [(i, int(10 + rng.randint(20)), round(float(rng.randn()), 6))
+            for i in range(500)]
+    wts = spark.createDataFrame(
+        rows, "doc_id long, n_grams int, log_weight double"
+    )
+    got = {
+        r["doc_id"] for r in select_top_weighted(wts, 100).collect()
+    }
+    ref = {
+        r["doc_id"]
+        for r in wts.orderBy(
+            F.col("log_weight").desc(), F.col("doc_id")
+        ).limit(100).collect()
+    }
+    assert got == ref
