@@ -218,9 +218,10 @@ def main() -> None:
                 "runs_per_query": RUNS,
                 "aggregation": "median",
                 "value_composition": "17-query r1-r4 basket; curate_chain "
-                "(full 8-stage pipeline, added r5) and the r6 additions "
+                "(full 8-stage pipeline, added r5), the r6 additions "
                 "(semantic_dedup, dsir_weights, repeated_span_scrub, "
-                "lm_perplexity, quality_classifier) are "
+                "lm_perplexity, quality_classifier) and the r7 "
+                "curate_full (complete raw-to-manifest recipe) are "
                 "timed identically but reported alongside, not inside value",
             }
         )

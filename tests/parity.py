@@ -110,9 +110,16 @@ def run_parity(spark, sf_dir: str, only: list[str] | None = None) -> dict[str, l
     con = duck_connection(sf_dir)
     results: dict[str, list[str]] = {}
     qs, oracles = E.queries(), E.oracle_sql()
-    for name, fn in qs.items():
+    for i, (name, fn) in enumerate(qs.items()):
         if only and name not in only:
             continue
+        if i and i % 10 == 0:
+            # a long single-session sweep accumulates localCheckpoint
+            # blocks (two-pass rank queries) until the JVM's
+            # ContextCleaner sees the RDD references die — which needs
+            # a JVM GC cycle; at sf10 an 8g sweep OOMed without this
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
         try:
             sdf = fn(spark, sf_dir)
         except Exception as ex:  # noqa: BLE001
