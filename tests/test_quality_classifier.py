@@ -87,7 +87,10 @@ def test_training_leaves_no_cached_blocks(spark):
         [(i, f"word{i % 7} text sample number {i}") for i in range(40)],
         "doc_id long, text string",
     )
-    spark.sparkContext._jsc.sc().getRDDStorageInfo()  # warm the gateway
+    # delta-based: the shared test session carries other suites'
+    # localCheckpoint blocks, so assert training adds NONE, not that
+    # the session is globally clean
+    before = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
     train_quality_classifier(docs, F.col("doc_id") % 2 == 0, iters=2)
-    leftover = spark.sparkContext._jsc.sc().getRDDStorageInfo()
-    assert len(leftover) == 0, [str(x) for x in leftover]
+    after = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    assert after <= before, (before, after)
