@@ -268,21 +268,25 @@ def curate(
             perplexity_score(out, lm, text_col=text_col, id_col=id_col),
             id_col=id_col,
         )
-        keep_ids = assigned.filter(
-            F.col("bucket").isin(*perplexity_keep)
-        ).select(id_col)
+        # materialize the survivor-id column (one small id frame — the
+        # same trick the DSIR stage's survivor count uses) so the LM's
+        # cached count tables (uni/bi, pinned by train_ngram_lm for
+        # their multiple scoring consumers) can be released HERE,
+        # unconditionally, instead of surviving until some caller
+        # action that may never come — repeated curate() calls in one
+        # session then accumulate no O(vocab + bigrams) cached blocks.
+        # The tercile stage already runs eagerly inside this call (its
+        # scalar count + rank-offset collect), so checkpointing the
+        # final id projection adds only the bucket filter, and the
+        # rank frame itself is not cached (pin_result=False inside
+        # perplexity_tercile_assign).
+        keep_ids = (
+            assigned.filter(F.col("bucket").isin(*perplexity_keep))
+            .select(id_col)
+            .localCheckpoint(eager=True)
+        )
+        lm.release()
         out = tick("perplexity", out.join(keep_ids, id_col, "left_semi"))
-        if stage_counts:
-            # tick() just checkpointed+counted the joined result, so
-            # the LM's cached count tables (uni/bi, pinned by
-            # train_ngram_lm for their multiple scoring consumers) are
-            # consumed — release them so repeated curate() calls in
-            # one session don't accumulate O(vocab + bigrams) cached
-            # blocks. (``assigned`` itself holds no cache:
-            # with_global_row_number localCheckpoints instead.)
-            # Without stage_counts the join is still lazy and the
-            # cache must survive until the caller's action.
-            lm.release()
     if classifier_ref is not None:
         # GPT-3 appendix-A quality classifier gate
         # (operators/quality_classifier.py): train the hashed-n-gram
@@ -358,6 +362,13 @@ def curate(
                 )
             n_sel = max(1, int(dsir_keep * wts.count()))
         else:
+            # bool is an int subclass — dsir_keep=True would silently
+            # mean "keep 1 document"; and a count < 1 empties the
+            # corpus. Both are caller bugs, mirror the fractional check.
+            if isinstance(dsir_keep, bool) or int(dsir_keep) < 1:
+                raise ValueError(
+                    f"integer dsir_keep must be a count >= 1, got {dsir_keep!r}"
+                )
             n_sel = int(dsir_keep)
         sel = (
             gumbel_select(wts, n_sel, id_col=id_col, seed=dsir_seed)

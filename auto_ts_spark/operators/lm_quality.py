@@ -273,6 +273,11 @@ def perplexity_tercile_assign(
         order_col="_ord",
         series_col="_series",
         name="_rn",
+        # single-pass consumers (bucket filter / tercile groupBy):
+        # skip the O(n) result cache — the bucket projection
+        # recomputes from the internal rank checkpoint, so repeated
+        # curate(perplexity_ref=…) calls pin no rank frame
+        pin_result=False,
     )
     bucket = (
         F.when(F.col("_rn") <= F.lit(cut1), F.lit("head"))

@@ -87,6 +87,7 @@ def with_global_row_number(
     order_col: str = "ts",
     series_col: str = "series_id",
     name: str = "_grn",
+    pin_result: bool = True,
 ) -> DataFrame:
     """Per-series global row number WITHOUT a per-series single-task
     window — the enabler for sharding one giant series across cores.
@@ -99,6 +100,15 @@ def with_global_row_number(
     series) — this path is for a handful of huge series; millions of
     small series should use the ordinary per-series window, which
     already distributes.
+
+    ``pin_result=False`` skips the result cache for single-consumer
+    callers (a top-n filter, a tercile bucket assignment): the result
+    stays a cheap deterministic join over the internally checkpointed
+    rank frame (the checkpoint is what guarantees offsets and rows see
+    the same partition assignment — that never depends on pinning), so
+    nothing O(n) stays pinned after the caller's one pass. Default
+    True preserves the multi-consumer contract; those callers should
+    ``.unpersist()`` the returned frame when done.
     """
     from pyspark.sql import Window
 
@@ -140,14 +150,15 @@ def with_global_row_number(
         .withColumn(name, F.col("_off") + F.col("_lrank"))
         .drop("_pid", "_lrank", "_off")
     )
-    # pin the RESULT (which downstream reuses). NOTE: the checkpointed
-    # intermediate stays pinned while the cached result's plan
-    # references it — storage cost for recompute-safety (a silently
-    # corrupted rank is worse than held blocks). Callers should
-    # .unpersist() the returned frame when done; the ContextCleaner
-    # then frees the checkpoint too
-    out = out.cache()
-    out.count()
+    if pin_result:
+        # pin the RESULT (which downstream reuses). NOTE: the
+        # checkpointed intermediate stays pinned while the cached
+        # result's plan references it — storage cost for
+        # recompute-safety (a silently corrupted rank is worse than
+        # held blocks). Callers should .unpersist() the returned frame
+        # when done; the ContextCleaner then frees the checkpoint too
+        out = out.cache()
+        out.count()
     return out
 
 

@@ -178,8 +178,20 @@ def train_quality_classifier(
     )
     y = docs.select(F.col(id_col).alias("id"), label.cast("int").alias("y"))
     labeled = feats.join(y, "id").persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        return _gd_iterate(labeled, docs.sparkSession, n_buckets, iters, lr)
+    finally:
+        # release even when an iteration/collect raises — the persisted
+        # feature table is O(n_docs × tokens) and would otherwise leak
+        # for the session
+        labeled.unpersist()
+
+
+def _gd_iterate(labeled, spark, n_buckets: int, iters: int, lr: float):
+    """The micro-unit gradient-descent loop over the persisted feature
+    table (split out so train_quality_classifier can guarantee the
+    unpersist in a finally)."""
     n_docs = labeled.select("id").distinct().count()
-    spark = docs.sparkSession
 
     # micro-units, exact ints; BIAS_BUCKET is the intercept
     w = {b: 0 for b in range(n_buckets)}
@@ -220,7 +232,6 @@ def train_quality_classifier(
             # bit-identical to the SQL replay
             step = math.floor(float(lr) * float(row["g_u"]) / n_docs + 0.5)
             w[row["bucket"]] = w[row["bucket"]] - step
-    labeled.unpersist()
     return spark.createDataFrame(
         sorted(w.items()), "bucket int, w_u long"
     )

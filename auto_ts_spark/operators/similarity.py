@@ -228,6 +228,24 @@ def embedding_near_dup_pairs(
 # ------------------------------------------------------------------ IVF
 
 
+def _nearest_cell_udf(bc):
+    """Arrow-batched nearest-centroid assignment against a broadcast
+    centroid matrix. A FACTORY (not a loop-local def) so each quantizer
+    level closes over its own broadcast handle — a loop-local pandas
+    UDF would late-bind the rebound ``bc`` name and assign every level
+    with the LAST level's centroids."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def nearest_cell(vecs: pd.Series) -> pd.Series:
+        c = bc.value
+        v = np.stack(vecs.to_numpy())
+        d2 = (v * v).sum(1)[:, None] - 2.0 * (v @ c.T) + (c * c).sum(1)[None, :]
+        return pd.Series(d2.argmin(axis=1).astype("int32"))
+
+    return nearest_cell
+
+
 def kmeans_centroids(
     vectors: np.ndarray, k: int, *, iters: int = 20, seed: int = 42
 ) -> np.ndarray:
@@ -325,13 +343,7 @@ def ivf_topk(
     cents = kmeans_centroids(sample, n_centroids, seed=seed)
     sc = corpus.sparkSession.sparkContext
     bc = sc.broadcast(cents)
-
-    @pandas_udf("int")
-    def nearest_cell(vecs: pd.Series) -> pd.Series:
-        c = bc.value
-        v = np.stack(vecs.to_numpy())
-        d2 = (v * v).sum(1)[:, None] - 2.0 * (v @ c.T) + (c * c).sum(1)[None, :]
-        return pd.Series(d2.argmin(axis=1).astype("int32"))
+    nearest_cell = _nearest_cell_udf(bc)
 
     @pandas_udf("array<int>")
     def probe_cells(vecs: pd.Series) -> pd.Series:
@@ -389,29 +401,145 @@ def ivf_assign(
     for 10k vectors is quadratic poison at 10M. Costs one count().
     The sample grows to ``max(sample_size, 8k)`` (capped at 16384) so
     every centroid sees several sample points.
-    """
-    from pyspark.sql.functions import pandas_udf
 
+    NOTE the k=1024 cap (the driver-sample budget can't train more
+    centroids): past ~524k vectors mean cell population grows with n
+    again. Blocking consumers must bound cells —
+    :func:`ivf_assign_bounded` layers recursive sub-quantization on
+    top of this primitive and is what :func:`semantic_dedup` uses.
+    """
     n_centroids, sample_size = _auto_centroids(df, n_centroids, sample_size)
     sample = _quantizer_sample(df, id_col, vec_col, sample_size, seed)
-    cents = kmeans_centroids(sample, n_centroids, seed=seed)
-    bc = df.sparkSession.sparkContext.broadcast(cents)
-
-    @pandas_udf("int")
-    def nearest_cell(vecs: pd.Series) -> pd.Series:
-        c = bc.value
-        v = np.stack(vecs.to_numpy())
-        d2 = (v * v).sum(1)[:, None] - 2.0 * (v @ c.T) + (c * c).sum(1)[None, :]
-        return pd.Series(d2.argmin(axis=1).astype("int32"))
-
-    return (
-        ensure_parallelism(df)
-        .select(
-            F.col(id_col).alias("id"),
-            F.col(vec_col).cast("array<double>").alias("vec"),
-        )
-        .withColumn("cell", nearest_cell("vec"))
+    base = ensure_parallelism(df).select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
     )
+    if len(sample) == 0:
+        # empty corpus (e.g. every vector filtered upstream): nothing
+        # to train a quantizer on — return the empty contract schema
+        return base.withColumn("cell", F.lit(0))
+    cents = kmeans_centroids(sample, n_centroids, seed=seed)
+    nearest_cell = _nearest_cell_udf(
+        df.sparkSession.sparkContext.broadcast(cents)
+    )
+    return base.withColumn("cell", nearest_cell("vec"))
+
+
+def ivf_assign_bounded(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int | None = None,
+    sample_size: int = 4096,
+    seed: int = 42,
+    max_cell_size: int = 4096,
+    max_levels: int = 3,
+    release_handles: list | None = None,
+) -> DataFrame:
+    """``(id, vec, cell)`` with every cell bounded to ``max_cell_size``
+    members — the scale-safe blocking assignment for SemDeDup-style
+    pairwise work.
+
+    Level 0 is :func:`ivf_assign` (auto-sized quantizer, k capped at
+    1024 by the driver-sample training budget). Past ~524k vectors
+    that cap makes mean cell population grow linearly with n again, so
+    a consumer's within-cell pair work Σ|cell|² goes quadratic. The
+    guard here re-quantizes ONLY the over-cap cells: one tiny
+    ``groupBy(cell).count()`` finds them (O(cells) driver rows), a
+    fresh sub-quantizer is trained on a seeded sample of just those
+    rows, and the composite cell id becomes ``xxhash64(parent,
+    child)`` — effective cell count multiplies by up to 1024 per
+    level, so ``max_levels=3`` covers ~10¹¹ vectors. Cold cells are
+    untouched (anti-join), so each extra level touches only the rows
+    that still need splitting.
+
+    Any cell still over cap after ``max_levels`` (vectors inside the
+    sub-quantizer's resolution — near-identical embeddings) is split
+    by a secondary hash of the VECTOR VALUE into ``ceil(count /
+    max_cell_size)`` parts: splitting, never dropping, and identical
+    vectors hash identically so exact copies are never separated (the
+    recall trade-off mirrors ``minhash_lsh_pairs(max_bucket_size=…)``;
+    a same-valued group larger than the cap stays together — bounded
+    pairwise work for those is the caller's job, see
+    ``semantic_dedup``'s exact-group collapse).
+
+    Each level's assignment is persisted (serialized MEMORY_AND_DISK —
+    spill-safe) so the count pass, the sub-quantizer sample, and the
+    caller's downstream joins reuse one computation; parent levels are
+    released as soon as the child materializes. The FINAL frame stays
+    persisted for the caller — pass ``release_handles`` (a list; every
+    still-persisted frame is appended) and unpersist them when done,
+    as ``semantic_dedup`` does after its components materialize.
+    """
+    from pyspark import StorageLevel
+
+    spark = df.sparkSession
+    assigned = ivf_assign(
+        df,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_centroids=n_centroids,
+        sample_size=sample_size,
+        seed=seed,
+    ).withColumn("cell", F.col("cell").cast("bigint"))
+    prev = None
+    hot_rows: list = []
+    for level in range(max_levels + 1):
+        assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
+        if release_handles is not None:
+            release_handles.append(assigned)
+        hot_rows = (
+            assigned.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > max_cell_size)
+            .collect()
+        )
+        if prev is not None:
+            # the collect above materialized the child's persist, so
+            # the parent level's blocks are no longer needed
+            prev.unpersist()
+            if release_handles is not None and prev in release_handles:
+                release_handles.remove(prev)
+        prev = assigned
+        if not hot_rows or level == max_levels:
+            break
+        lseed = seed + 1000 * (level + 1)
+        hot_set = F.broadcast(
+            spark.createDataFrame([(r["cell"],) for r in hot_rows], "cell bigint")
+        )
+        cold = assigned.join(hot_set, "cell", "left_anti")
+        hot = assigned.join(hot_set, "cell", "left_semi")
+        n_hot = sum(r["n"] for r in hot_rows)
+        k2 = max(16, min(1024, -(-n_hot // 512)))
+        s2 = min(max(sample_size, 8 * k2), 16384)
+        sub_sample = _quantizer_sample(hot, "id", "vec", s2, lseed)
+        cents = kmeans_centroids(sub_sample, k2, seed=lseed)
+        nearest_sub = _nearest_cell_udf(spark.sparkContext.broadcast(cents))
+        hot2 = hot.withColumn(
+            "cell", F.xxhash64(F.col("cell"), nearest_sub("vec"))
+        )
+        assigned = cold.unionByName(hot2)
+    if not hot_rows:
+        return assigned
+    # last resort: hash-split the stubborn cells (near-identical
+    # vectors the sub-quantizer can't separate) by vector value
+    split_map = F.broadcast(
+        spark.createDataFrame(
+            [(r["cell"], -(-r["n"] // max_cell_size)) for r in hot_rows],
+            "cell bigint, _ns int",
+        )
+    )
+    cold = assigned.join(split_map.select("cell"), "cell", "left_anti")
+    hot2 = (
+        assigned.join(split_map, "cell")
+        .withColumn(
+            "cell",
+            F.xxhash64(F.col("cell"), F.pmod(F.xxhash64(F.col("vec")), F.col("_ns"))),
+        )
+        .drop("_ns")
+    )
+    return cold.unionByName(hot2)
 
 
 def semantic_dedup(
@@ -424,6 +552,7 @@ def semantic_dedup(
     n_centroids: int | None = None,
     sample_size: int = 4096,
     seed: int = 42,
+    max_cell_size: int = 4096,
     cc_stats: dict | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication over an embedding column
@@ -435,12 +564,26 @@ def semantic_dedup(
 
     Blocking: ``block_col`` names a precomputed cluster/category column
     (deterministic — what the oracle replays); ``None`` trains the IVF
-    quantizer via :func:`ivf_assign` (the production path — k chosen so
-    cells stay small enough that the within-cell pair join is bounded
-    by sum(|cell|^2) ≈ n^2/k). ``n_centroids=None`` (the default)
-    auto-sizes k to the corpus (see :func:`ivf_assign`) — the r7 fix
-    for the fixed-k footgun where 16 cells over an 80k-vector corpus
-    meant ~400M candidate pairs.
+    quantizer via :func:`ivf_assign_bounded` (the production path — k
+    auto-sized to the corpus AND every cell hard-bounded to
+    ``max_cell_size`` members by recursive sub-quantization, so the
+    within-cell pair join stays Σ|cell|² ≤ n·max_cell_size at ANY
+    corpus size — the r8 fix for the k=1024 quantizer cap that made
+    blocking quadratic again past ~524k vectors).
+
+    Exact-group collapse (r8): same-valued embeddings — the dominant
+    duplicate class in real corpora, and the one case blocking cannot
+    split (identical vectors land identically everywhere) — are
+    collapsed to one representative per (block, value) BEFORE the
+    pairwise stage; the group's members attach to the representative
+    as O(group) star pairs (cosine exactly 1.0) instead of O(group²)
+    pairwise rows. Components are provably identical: every member is
+    mutually duplicate with its representative, and any cross pair
+    (y, member) has bit-identical cosine to (y, representative), so
+    the connected components — and with them cluster_id/size/is_keep —
+    are unchanged while a million-copy group costs O(m), not O(m²).
+    Zero-norm vectors never pair (NULL cosine) and are excluded up
+    front, exactly matching the pairwise path's output.
 
     Scale shape: the pair stage is a hash-join on ``cell`` — spill-safe
     (no collect_list buffering), shuffle proportional to corpus size,
@@ -455,23 +598,53 @@ def semantic_dedup(
     the training-data curation surface alongside
     ``dedup.dedup_clusters``.
     """
+    from pyspark.sql import Window
+
     from auto_ts_spark.operators.dedup import clusters_from_pairs
 
     if block_col is None:
-        blocked = ivf_assign(
-            df,
-            id_col=id_col,
-            vec_col=vec_col,
-            n_centroids=n_centroids,
-            sample_size=sample_size,
-            seed=seed,
+        src = ensure_parallelism(df).select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("vec"),
         )
+        grp_cols = ["vec"]  # identical vectors share every IVF cell
     else:
-        blocked = ensure_parallelism(df).select(
+        src = ensure_parallelism(df).select(
             F.col(id_col).alias("id"),
             F.col(vec_col).cast("array<double>").alias("vec"),
             F.col(block_col).alias("cell"),
         )
+        grp_cols = ["cell", "vec"]  # collapse only within a block
+    wv = Window.partitionBy(*grp_cols)
+    tagged = src.withColumn("_rep", F.min("id").over(wv)).withColumn(
+        "_nz", norm(F.col("vec")) > 0
+    )
+    star = (
+        tagged.filter(F.col("_nz") & (F.col("_rep") != F.col("id")))
+        .select(
+            F.col("_rep").alias("id_a"),
+            F.col("id").alias("id_b"),
+            F.lit(1.0).alias("cosine"),
+        )
+        .filter(F.lit(1.0) >= F.lit(threshold))
+    )
+    reduced = tagged.filter(F.col("_nz") & (F.col("_rep") == F.col("id"))).drop(
+        "_rep", "_nz"
+    )
+    release: list = []
+    if block_col is None:
+        blocked = ivf_assign_bounded(
+            reduced,
+            id_col="id",
+            vec_col="vec",
+            n_centroids=n_centroids,
+            sample_size=sample_size,
+            seed=seed,
+            max_cell_size=max_cell_size,
+            release_handles=release,
+        )
+    else:
+        blocked = reduced
     a = blocked.select(
         "cell", F.col("id").alias("id_a"), F.col("vec").alias("va")
     )
@@ -488,5 +661,12 @@ def semantic_dedup(
         )
         .filter(F.col("cosine") >= F.lit(threshold))
         .dropDuplicates(["id_a", "id_b"])
+        .unionByName(star)
     )
-    return clusters_from_pairs(pairs, id_col=id_col, cc_stats=cc_stats)
+    out = clusters_from_pairs(pairs, id_col=id_col, cc_stats=cc_stats)
+    # connected_components eagerly localCheckpoints its labels, so the
+    # returned frame no longer references the blocked assignment —
+    # release the per-level persists ivf_assign_bounded left pinned
+    for h in release:
+        h.unpersist()
+    return out
