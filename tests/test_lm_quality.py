@@ -128,3 +128,45 @@ def test_release_frees_cached_tables(spark):
     assert not (
         lm2.uni.storageLevel.useMemory or lm2.uni.storageLevel.useDisk
     )
+
+
+def test_lazy_curate_releases_lm_cache(spark):
+    """r8: the DEFAULT (lazy) curate(perplexity_ref=…) path must not
+    retain the LM's cached uni/bi tables after the call — the survivor
+    ids are checkpointed inside curate, so the LM cache is released
+    unconditionally, and repeated curate() calls in one session add no
+    cached blocks. Delta-based across iterations (the shared session
+    carries other suites' checkpoint blocks; JVM GC lets the
+    ContextCleaner drop dead checkpoint RDDs between rounds)."""
+    import gc
+
+    from auto_ts_spark.corpus import curate
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta word{i % 11} gamma delta {i}") for i in range(60)],
+        "doc_id long, text string",
+    )
+    ref = docs.filter(F.col("doc_id") % 3 == 0)
+
+    def blocks() -> int:
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+
+    sizes = []
+    for _ in range(3):
+        out = curate(
+            docs,
+            perplexity_ref=ref,
+            quality=False,
+            redact=False,
+            dedup_exact=False,
+            near_dedup=False,
+        )
+        assert out.count() > 0  # the caller's action, after release
+        del out
+        sizes.append(blocks())
+    # a leak adds O(vocab+bigrams) cached tables EVERY iteration —
+    # monotone growth; released caches keep the count flat (tolerate
+    # cleaner lag of one block between consecutive rounds)
+    assert sizes[2] <= sizes[0] + 1, sizes

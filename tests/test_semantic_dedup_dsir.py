@@ -208,3 +208,112 @@ def test_dsir_gumbel_select_is_seed_deterministic(spark):
     )
     det = sorted(r.log_weight for r in select_top_weighted(w, 10).collect())
     assert cold == det
+
+
+# ----------------------------------------------------- r8 cell bounding
+
+
+def _spread_vectors(spark, n=120, dim=4):
+    """n deterministic distinct vectors spread over R^dim."""
+    rows = [
+        (i, [float((i * 31 + d * 7) % 97) / 97.0 + (0.001 * i) for d in range(dim)])
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_ivf_assign_bounded_caps_cells_and_keeps_rows(spark):
+    """Cells must never exceed max_cell_size for distinct vectors
+    (recursive sub-quantization), and splitting must never drop rows —
+    the r8 fix for the k=1024 quantizer cap that made SemDeDup pair
+    work quadratic past ~524k vectors."""
+    from auto_ts_spark.operators.similarity import ivf_assign_bounded
+
+    df = _spread_vectors(spark, n=120)
+    out = ivf_assign_bounded(
+        df, n_centroids=2, max_cell_size=10, max_levels=3
+    )
+    sizes = [r["n"] for r in out.groupBy("cell").agg(F.count("*").alias("n")).collect()]
+    assert max(sizes) <= 10, sizes
+    assert out.count() == 120
+    assert sorted(r.id for r in out.select("id").collect()) == list(range(120))
+
+
+def test_ivf_assign_bounded_fallback_keeps_identical_vectors_together(spark):
+    """Near-identical vectors force the vector-hash split fallback
+    (the sub-quantizer can't separate them) — rows survive, and
+    SAME-VALUED vectors always share a cell (exact copies are never
+    separated by the split: hash of equal values is equal)."""
+    from auto_ts_spark.operators.similarity import ivf_assign_bounded
+
+    base = [1.0, 2.0, 3.0, 4.0]
+    rows = [(i, base) for i in range(30)] + [
+        (100 + i, [1.0 + 1e-12 * i, 2.0, 3.0, 4.0]) for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = ivf_assign_bounded(df, n_centroids=2, max_cell_size=8, max_levels=2)
+    assert out.count() == 60
+    # all 30 exact copies of `base` landed in ONE cell
+    cells = (
+        out.filter(F.col("id") < 100).select("cell").distinct().count()
+    )
+    assert cells == 1
+
+
+def test_semantic_dedup_exact_collapse_component_equivalence(spark):
+    """A large same-valued group plus near-dup satellites: the r8
+    star-pair collapse must produce the same components/keepers as
+    naive pairwise — one cluster, min id keeps, correct size."""
+    from auto_ts_spark.operators.similarity import semantic_dedup
+
+    group = [(i, [5.0, 0.0, 0.0, 0.0]) for i in range(3, 23)]  # 20 copies
+    sats = [(1, [5.0, 0.05, 0.0, 0.0]), (2, [5.0, 0.0, 0.04, 0.0])]
+    lone = [(90, [0.0, 0.0, 0.0, 9.0])]
+    df = spark.createDataFrame(
+        group + sats + lone, "vec_id long, embedding array<double>"
+    )
+    # n_centroids=1: one cell, so the test isolates the collapse/star
+    # machinery (at 4 distinct vectors the auto-sized quantizer gives
+    # every vector its own cell and nothing would ever pair)
+    out = semantic_dedup(df, threshold=0.99, n_centroids=1).collect()
+    got = {r.vec_id: (r.cluster_id, r.cluster_size, r.is_keep) for r in out}
+    # satellites 1,2 pair with every copy (cos > 0.99); 90 pairs with
+    # nothing -> one 22-member component, keeper = min id = 1
+    assert set(got) == set(range(1, 23))
+    assert all(cid == 1 and size == 22 for cid, size, _ in got.values())
+    assert [i for i, (_, _, keep) in got.items() if keep] == [1]
+
+
+def test_semantic_dedup_zero_vectors_never_pair(spark):
+    """Zero-norm vectors have NULL cosine with everything — they must
+    appear in no cluster, including against other zero vectors (the
+    collapse stage must not star-pair them)."""
+    from auto_ts_spark.operators.similarity import semantic_dedup
+
+    rows = [(i, [0.0, 0.0, 0.0, 0.0]) for i in range(5)] + [
+        (10, [1.0, 0.0, 0.0, 0.0]),
+        (11, [1.0, 0.001, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(df, threshold=0.9, n_centroids=1).collect()
+    assert sorted(r.vec_id for r in out) == [10, 11]
+
+
+def test_curate_rejects_bad_integer_dsir_keep(spark):
+    from auto_ts_spark.corpus import curate
+
+    docs = spark.createDataFrame(
+        [(i, f"some words here {i}") for i in range(10)],
+        "doc_id long, text string",
+    )
+    for bad in (0, -3, True):
+        with pytest.raises(ValueError, match="dsir_keep"):
+            curate(
+                docs,
+                dsir_target=docs.limit(3),
+                dsir_keep=bad,
+                quality=False,
+                redact=False,
+                dedup_exact=False,
+                near_dedup=False,
+            )
