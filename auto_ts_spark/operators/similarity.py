@@ -433,7 +433,7 @@ def ivf_assign_bounded(
     n_centroids: int | None = None,
     sample_size: int = 4096,
     seed: int = 42,
-    max_cell_size: int = 4096,
+    max_cell_size: int = 1024,
     max_levels: int = 3,
     release_handles: list | None = None,
 ) -> DataFrame:
@@ -552,7 +552,7 @@ def semantic_dedup(
     n_centroids: int | None = None,
     sample_size: int = 4096,
     seed: int = 42,
-    max_cell_size: int = 4096,
+    max_cell_size: int = 1024,
     cc_stats: dict | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication over an embedding column
