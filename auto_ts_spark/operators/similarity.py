@@ -13,6 +13,8 @@ Arrow transfer; at 100 TB the scan stays in whole-stage codegen.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -456,21 +458,38 @@ def ivf_assign_bounded(
 
     Any cell still over cap after ``max_levels`` (vectors inside the
     sub-quantizer's resolution — near-identical embeddings) is split
-    by a secondary hash of the VECTOR VALUE into ``ceil(count /
-    max_cell_size)`` parts: splitting, never dropping, and identical
-    vectors hash identically so exact copies are never separated (the
-    recall trade-off mirrors ``minhash_lsh_pairs(max_bucket_size=…)``;
-    a same-valued group larger than the cap stays together — bounded
-    pairwise work for those is the caller's job, see
-    ``semantic_dedup``'s exact-group collapse).
+    by a secondary hash of the VECTOR VALUE into ``ceil(2·count /
+    max_cell_size)`` parts (2× slack: expected part occupancy is half
+    the cap, so hash skew pushing a part past the cap needs an
+    exponentially unlikely deviation — the bound is exact-in-
+    expectation, approximate at the tail). Splitting, never dropping,
+    and identical vectors hash identically so exact copies are never
+    separated (the recall trade-off mirrors
+    ``minhash_lsh_pairs(max_bucket_size=…)``; a same-valued group
+    larger than the cap stays together — bounded pairwise work for
+    those is the caller's job, see ``semantic_dedup``'s exact-group
+    collapse).
 
-    Each level's assignment is persisted (serialized MEMORY_AND_DISK —
-    spill-safe) so the count pass, the sub-quantizer sample, and the
-    caller's downstream joins reuse one computation; parent levels are
-    released as soon as the child materializes. The FINAL frame stays
-    persisted for the caller — pass ``release_handles`` (a list; every
-    still-persisted frame is appended) and unpersist them when done,
-    as ``semantic_dedup`` does after its components materialize.
+    Quantizer pooling note: each extra level trains ONE sub-quantizer
+    over the pooled rows of all hot cells (k2 sized from the total hot
+    count). Centroids concentrate where hot mass is, so an isolated
+    hot cell in a sparse region can fail to split at that level and
+    fall through to the next (or to the hash-split fallback) — the
+    bound still holds; only the split geometry is coarser there.
+
+    Caching: levels are persisted (MEMORY_AND_DISK) ONLY when over-cap
+    cells actually exist — the common no-hot-cell case costs one
+    counting pass over the lazy assignment and persists nothing, so
+    small corpora pay no materialization tax. When splitting did
+    happen, the final assignment stays persisted for the caller's
+    downstream joins: pass ``release_handles`` (a list; every
+    still-persisted frame is appended) and unpersist them when done —
+    or use the :func:`bounded_assignment` context manager, which does
+    that for you. With ``release_handles=None`` nothing is left
+    persisted: the result is eagerly ``localCheckpoint``-ed and the
+    internal persists are released before returning (the checkpoint
+    blocks are owned by the returned frame and cleaned up when it is
+    garbage-collected — no session-lifetime leak).
     """
     from pyspark import StorageLevel
 
@@ -483,24 +502,38 @@ def ivf_assign_bounded(
         sample_size=sample_size,
         seed=seed,
     ).withColumn("cell", F.col("cell").cast("bigint"))
-    prev = None
-    hot_rows: list = []
-    for level in range(max_levels + 1):
-        assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
-        if release_handles is not None:
-            release_handles.append(assigned)
-        hot_rows = (
-            assigned.groupBy("cell")
+    internal: list = []
+
+    def _hot(frame: DataFrame) -> list:
+        return (
+            frame.groupBy("cell")
             .agg(F.count(F.lit(1)).alias("n"))
             .filter(F.col("n") > max_cell_size)
             .collect()
         )
+
+    # level-0 count runs on the UN-persisted frame: if no cell is over
+    # cap (the overwhelmingly common case below ~524k vectors) the
+    # lazy assignment is returned as-is — no persist, nothing to leak,
+    # no materialization beyond the one counting pass.
+    hot_rows = _hot(assigned)
+    if not hot_rows:
+        return assigned
+    prev = None
+    for level in range(max_levels + 1):
+        assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
+        internal.append(assigned)
+        if level > 0:
+            hot_rows = _hot(assigned)
+        else:
+            # level 0 was counted above; touch the persist so the
+            # parent-release below always sees materialized children
+            assigned.count()
         if prev is not None:
-            # the collect above materialized the child's persist, so
+            # the action above materialized the child's persist, so
             # the parent level's blocks are no longer needed
             prev.unpersist()
-            if release_handles is not None and prev in release_handles:
-                release_handles.remove(prev)
+            internal.remove(prev)
         prev = assigned
         if not hot_rows or level == max_levels:
             break
@@ -520,26 +553,62 @@ def ivf_assign_bounded(
             "cell", F.xxhash64(F.col("cell"), nearest_sub("vec"))
         )
         assigned = cold.unionByName(hot2)
-    if not hot_rows:
+    if hot_rows:
+        # last resort: hash-split the stubborn cells (near-identical
+        # vectors the sub-quantizer can't separate) by vector value,
+        # with 2x slack parts so overshoot past the cap is negligible
+        split_map = F.broadcast(
+            spark.createDataFrame(
+                [(r["cell"], -(-2 * r["n"] // max_cell_size)) for r in hot_rows],
+                "cell bigint, _ns int",
+            )
+        )
+        cold = assigned.join(split_map.select("cell"), "cell", "left_anti")
+        hot2 = (
+            assigned.join(split_map, "cell")
+            .withColumn(
+                "cell",
+                F.xxhash64(
+                    F.col("cell"), F.pmod(F.xxhash64(F.col("vec")), F.col("_ns"))
+                ),
+            )
+            .drop("_ns")
+        )
+        assigned = cold.unionByName(hot2)
+    if release_handles is not None:
+        release_handles.extend(internal)
         return assigned
-    # last resort: hash-split the stubborn cells (near-identical
-    # vectors the sub-quantizer can't separate) by vector value
-    split_map = F.broadcast(
-        spark.createDataFrame(
-            [(r["cell"], -(-r["n"] // max_cell_size)) for r in hot_rows],
-            "cell bigint, _ns int",
-        )
-    )
-    cold = assigned.join(split_map.select("cell"), "cell", "left_anti")
-    hot2 = (
-        assigned.join(split_map, "cell")
-        .withColumn(
-            "cell",
-            F.xxhash64(F.col("cell"), F.pmod(F.xxhash64(F.col("vec")), F.col("_ns"))),
-        )
-        .drop("_ns")
-    )
-    return cold.unionByName(hot2)
+    # no release contract from the caller: hand back a self-contained
+    # frame (eager localCheckpoint) and drop every internal persist —
+    # checkpoint blocks die with the returned frame's GC, cache
+    # entries would otherwise outlive the session.
+    out = assigned.localCheckpoint(eager=True)
+    for h in internal:
+        h.unpersist()
+    return out
+
+
+@contextmanager
+def bounded_assignment(df: DataFrame, **kwargs):
+    """Context-manager form of :func:`ivf_assign_bounded`: yields the
+    bounded ``(id, vec, cell)`` frame and unpersists every internal
+    cache on exit (including on exceptions) — the recommended way to
+    consume a bounded assignment when you control the consuming scope:
+
+        with bounded_assignment(df, max_cell_size=1024) as blocked:
+            ...joins against blocked...   # materialize inside
+
+    The yielded frame's persisted blocks are released on exit, so any
+    result that must survive the block has to be materialized (count,
+    write, localCheckpoint) before leaving it — exactly how
+    :func:`semantic_dedup` uses it.
+    """
+    handles: list = []
+    try:
+        yield ivf_assign_bounded(df, release_handles=handles, **kwargs)
+    finally:
+        for h in handles:
+            h.unpersist()
 
 
 def semantic_dedup(
@@ -565,11 +634,12 @@ def semantic_dedup(
     Blocking: ``block_col`` names a precomputed cluster/category column
     (deterministic — what the oracle replays); ``None`` trains the IVF
     quantizer via :func:`ivf_assign_bounded` (the production path — k
-    auto-sized to the corpus AND every cell hard-bounded to
+    auto-sized to the corpus AND every cell bounded to
     ``max_cell_size`` members by recursive sub-quantization, so the
-    within-cell pair join stays Σ|cell|² ≤ n·max_cell_size at ANY
-    corpus size — the r8 fix for the k=1024 quantizer cap that made
-    blocking quadratic again past ~524k vectors).
+    within-cell pair join stays Σ|cell|² ≤ n·max_cell_size at any
+    corpus size, up to the hash-split fallback's small tail slack —
+    the r8 fix for the k=1024 quantizer cap that made blocking
+    quadratic again past ~524k vectors).
 
     Exact-group collapse (r8): same-valued embeddings — the dominant
     duplicate class in real corpora, and the one case blocking cannot
@@ -598,6 +668,9 @@ def semantic_dedup(
     the training-data curation surface alongside
     ``dedup.dedup_clusters``.
     """
+    from contextlib import nullcontext
+
+    from pyspark import StorageLevel
     from pyspark.sql import Window
 
     from auto_ts_spark.operators.dedup import clusters_from_pairs
@@ -615,58 +688,70 @@ def semantic_dedup(
             F.col(block_col).alias("cell"),
         )
         grp_cols = ["cell", "vec"]  # collapse only within a block
-    wv = Window.partitionBy(*grp_cols)
-    tagged = src.withColumn("_rep", F.min("id").over(wv)).withColumn(
-        "_nz", norm(F.col("vec")) > 0
+    # the window key leads with xxhash64(vec): the shuffle-sort then
+    # compares a bigint first and falls back to the wide float array
+    # only on hash-equal rows, instead of comparing 768-float keys on
+    # every sort step; `vec` stays in the key so hash collisions can't
+    # merge distinct values (exactness preserved)
+    wv = Window.partitionBy(F.xxhash64(F.col("vec")), *grp_cols)
+    # `tagged` feeds BOTH the star branch and the reduced/pair branch;
+    # persisted so the corpus-wide collapse window computes once
+    # (exchange reuse does not reliably cover two differently-filtered
+    # consumers), released in the finally below.
+    tagged = (
+        src.withColumn("_rep", F.min("id").over(wv))
+        .withColumn("_nz", norm(F.col("vec")) > 0)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    star = (
-        tagged.filter(F.col("_nz") & (F.col("_rep") != F.col("id")))
-        .select(
-            F.col("_rep").alias("id_a"),
-            F.col("id").alias("id_b"),
-            F.lit(1.0).alias("cosine"),
+    try:
+        star = (
+            tagged.filter(F.col("_nz") & (F.col("_rep") != F.col("id")))
+            .select(
+                F.col("_rep").alias("id_a"),
+                F.col("id").alias("id_b"),
+                F.lit(1.0).alias("cosine"),
+            )
+            .filter(F.lit(1.0) >= F.lit(threshold))
         )
-        .filter(F.lit(1.0) >= F.lit(threshold))
-    )
-    reduced = tagged.filter(F.col("_nz") & (F.col("_rep") == F.col("id"))).drop(
-        "_rep", "_nz"
-    )
-    release: list = []
-    if block_col is None:
-        blocked = ivf_assign_bounded(
-            reduced,
-            id_col="id",
-            vec_col="vec",
-            n_centroids=n_centroids,
-            sample_size=sample_size,
-            seed=seed,
-            max_cell_size=max_cell_size,
-            release_handles=release,
+        reduced = tagged.filter(
+            F.col("_nz") & (F.col("_rep") == F.col("id"))
+        ).drop("_rep", "_nz")
+        ctx = (
+            bounded_assignment(
+                reduced,
+                id_col="id",
+                vec_col="vec",
+                n_centroids=n_centroids,
+                sample_size=sample_size,
+                seed=seed,
+                max_cell_size=max_cell_size,
+            )
+            if block_col is None
+            else nullcontext(reduced)
         )
-    else:
-        blocked = reduced
-    a = blocked.select(
-        "cell", F.col("id").alias("id_a"), F.col("vec").alias("va")
-    )
-    b = blocked.select(
-        "cell", F.col("id").alias("id_b"), F.col("vec").alias("vb")
-    )
-    pairs = (
-        a.join(b, "cell")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= F.lit(threshold))
-        .dropDuplicates(["id_a", "id_b"])
-        .unionByName(star)
-    )
-    out = clusters_from_pairs(pairs, id_col=id_col, cc_stats=cc_stats)
-    # connected_components eagerly localCheckpoints its labels, so the
-    # returned frame no longer references the blocked assignment —
-    # release the per-level persists ivf_assign_bounded left pinned
-    for h in release:
-        h.unpersist()
-    return out
+        with ctx as blocked:
+            a = blocked.select(
+                "cell", F.col("id").alias("id_a"), F.col("vec").alias("va")
+            )
+            b = blocked.select(
+                "cell", F.col("id").alias("id_b"), F.col("vec").alias("vb")
+            )
+            pairs = (
+                a.join(b, "cell")
+                .filter(F.col("id_a") < F.col("id_b"))
+                .select(
+                    "id_a",
+                    "id_b",
+                    F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine"),
+                )
+                .filter(F.col("cosine") >= F.lit(threshold))
+                .dropDuplicates(["id_a", "id_b"])
+                .unionByName(star)
+            )
+            # connected_components eagerly localCheckpoints its labels,
+            # so the returned frame references neither the blocked
+            # assignment nor `tagged` — safe to release both on exit
+            # (the with-block and finally cover exceptions too)
+            return clusters_from_pairs(pairs, id_col=id_col, cc_stats=cc_stats)
+    finally:
+        tagged.unpersist()

@@ -148,10 +148,23 @@ def test_lazy_curate_releases_lm_cache(spark):
     )
     ref = docs.filter(F.col("doc_id") % 3 == 0)
 
-    def blocks() -> int:
-        gc.collect()
-        spark.sparkContext._jvm.System.gc()
-        return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    def blocks(target: int | None = None) -> int:
+        """Storage-info block count, GC'ing and re-polling (bounded)
+        until it drops to ``target`` — the ContextCleaner drops dead
+        checkpoint RDDs asynchronously, so a single System.gc() +
+        read can race a slow cleaner and flake even though the
+        product code is leak-free (r8 ADVICE)."""
+        import time
+
+        n = -1
+        for _ in range(20):
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
+            n = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+            if target is None or n <= target:
+                break
+            time.sleep(0.25)
+        return n
 
     sizes = []
     for _ in range(3):
@@ -165,7 +178,7 @@ def test_lazy_curate_releases_lm_cache(spark):
         )
         assert out.count() > 0  # the caller's action, after release
         del out
-        sizes.append(blocks())
+        sizes.append(blocks(target=(sizes[0] + 1) if sizes else None))
     # a leak adds O(vocab+bigrams) cached tables EVERY iteration —
     # monotone growth; released caches keep the count flat (tolerate
     # cleaner lag of one block between consecutive rounds)

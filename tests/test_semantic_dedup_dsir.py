@@ -260,6 +260,76 @@ def test_ivf_assign_bounded_fallback_keeps_identical_vectors_together(spark):
     assert cells == 1
 
 
+def test_bounded_assignment_ctx_releases_persists(spark):
+    """r9 release contract: the context-manager form must leave ZERO
+    cache entries behind after exit — including when the body raises —
+    so a direct consumer can't leak the per-level persists for the
+    session (r8 left this to a mutate-my-argument list)."""
+    from auto_ts_spark.operators.similarity import bounded_assignment
+
+    sc = spark.sparkContext
+
+    def stored_ids() -> set:
+        # id SET, not count: other suites' dead checkpoint blocks get
+        # cleaned asynchronously, so a raw count races the cleaner
+        return {i.id() for i in sc._jsc.sc().getRDDStorageInfo()}
+
+    base = stored_ids()
+    df = _spread_vectors(spark, n=120)
+    with bounded_assignment(df, n_centroids=2, max_cell_size=10) as out:
+        assert out.count() == 120
+        new = stored_ids() - base
+        assert new  # the final level IS persisted inside the block
+    assert not (stored_ids() & new)
+    # exception path: the finally must still release
+    with pytest.raises(RuntimeError):
+        with bounded_assignment(df, n_centroids=2, max_cell_size=10) as out:
+            out.count()
+            new = stored_ids() - base
+            raise RuntimeError("boom")
+    assert not (stored_ids() & new)
+
+
+def test_ivf_assign_bounded_none_handles_self_contained(spark):
+    """With ``release_handles=None`` (a caller that never heard of the
+    release contract) nothing may stay in the cache manager: the
+    result is checkpointed and self-contained, correct after an
+    explicit clearCache, and adds no cache entries."""
+    from auto_ts_spark.operators.similarity import ivf_assign_bounded
+
+    sc = spark.sparkContext
+
+    def stored_ids() -> set:
+        return {i.id() for i in sc._jsc.sc().getRDDStorageInfo()}
+
+    df = _spread_vectors(spark, n=120)
+    base = stored_ids()
+    out = ivf_assign_bounded(df, n_centroids=2, max_cell_size=10)
+    # at most the eager localCheckpoint block remains — owned by `out`
+    # (ContextCleaner drops it on GC), NOT a cache entry that survives
+    # the frame; every internal per-level persist must already be gone
+    assert len(stored_ids() - base) <= 1
+    spark.catalog.clearCache()  # must not invalidate the result
+    assert out.count() == 120
+    sizes = [
+        r["n"] for r in out.groupBy("cell").agg(F.count("*").alias("n")).collect()
+    ]
+    assert max(sizes) <= 10
+    # dropping the frame releases the checkpoint block too (bounded
+    # wait: the ContextCleaner is asynchronous)
+    import gc
+    import time
+
+    del out
+    for _ in range(20):
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        if not (stored_ids() - base):
+            break
+        time.sleep(0.25)
+    assert not (stored_ids() - base)
+
+
 def test_semantic_dedup_exact_collapse_component_equivalence(spark):
     """A large same-valued group plus near-dup satellites: the r8
     star-pair collapse must produce the same components/keepers as
