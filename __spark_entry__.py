@@ -3079,6 +3079,96 @@ FROM rec, lastv ORDER BY ts
 """
 
 
+def q_fourier1_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7 value check (r8 verdict "What's missing #1" — the last model
+    family without a hash-checked row): the Fourier-trend worker
+    (models/fourier.py, the engine's Prophet-family analogue —
+    reference build_prophet.py:82-346) pinned to its smallest exact
+    configuration — linear trend + ONE weekly Fourier pair (K=1, P=7),
+    additive mode, no changepoints/holidays/exog, fixed ridge
+    λ=1e-8 — so the fold=-1 forecast is exactly one 4-parameter
+    ridge solve over the design [1, t, sin(2πt/7), cos(2πt/7)] plus a
+    7-step extrapolation. The oracle replays the identical normal
+    equations in DuckDB: the 14 design/target moments as aggregates,
+    the 4×4 ridge system solved closed-form by Cramer's rule
+    (machine-generated determinant expansions), and yhat evaluated at
+    t = n..n+6. The daily MEAN keeps the moments scale-free (the same
+    conditioning lesson var1_forecast learned at sf1)."""
+    from functools import partial
+
+    from auto_ts_spark.models import fourier as FM
+    from auto_ts_spark.models.registry import run_model
+
+    ev = PART.ensure_parallelism(load_table(spark, sf_dir, "events"))
+    series = (
+        ev.groupBy(F.date_trunc("day", "ts").alias("ts"))
+        .agg(
+            (
+                F.sum(F.col("value").cast("decimal(28,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("y")
+        )
+        .withColumn("series_id", PART.opaque_lit("0"))
+    )
+    worker = partial(FM.forecast_fourier, seasonal_period=7, k_fourier=1)
+    preds = run_model(series, worker, n_splits=1, horizon=7)
+    return (
+        preds.filter(F.col("fold") == -1)
+        .select("ts", F.round("yhat", 4).alias("yhat"))
+        .orderBy("ts")
+    )
+
+
+# Cramer-rule determinant expansions for the symmetric 4x4 ridge
+# system (a11..a44 = XtX + 1e-8 I, b1..b4 = Xty). Machine-generated
+# permanent-sign expansion (24 terms each) — symbolic, so the SQL is
+# the exact closed form of the same solve numpy performs.
+_DET4 = dict(
+    d0="a11*a22*a33*a44 - a11*a22*a34*a34 - a11*a23*a23*a44 + a11*a23*a34*a24 + a11*a24*a23*a34 - a11*a24*a33*a24 - a12*a12*a33*a44 + a12*a12*a34*a34 + a12*a23*a13*a44 - a12*a23*a34*a14 - a12*a24*a13*a34 + a12*a24*a33*a14 + a13*a12*a23*a44 - a13*a12*a34*a24 - a13*a22*a13*a44 + a13*a22*a34*a14 + a13*a24*a13*a24 - a13*a24*a23*a14 - a14*a12*a23*a34 + a14*a12*a33*a24 + a14*a22*a13*a34 - a14*a22*a33*a14 - a14*a23*a13*a24 + a14*a23*a23*a14",
+    d1="b1*a22*a33*a44 - b1*a22*a34*a34 - b1*a23*a23*a44 + b1*a23*a34*a24 + b1*a24*a23*a34 - b1*a24*a33*a24 - a12*b2*a33*a44 + a12*b2*a34*a34 + a12*a23*b3*a44 - a12*a23*a34*b4 - a12*a24*b3*a34 + a12*a24*a33*b4 + a13*b2*a23*a44 - a13*b2*a34*a24 - a13*a22*b3*a44 + a13*a22*a34*b4 + a13*a24*b3*a24 - a13*a24*a23*b4 - a14*b2*a23*a34 + a14*b2*a33*a24 + a14*a22*b3*a34 - a14*a22*a33*b4 - a14*a23*b3*a24 + a14*a23*a23*b4",
+    d2="a11*b2*a33*a44 - a11*b2*a34*a34 - a11*a23*b3*a44 + a11*a23*a34*b4 + a11*a24*b3*a34 - a11*a24*a33*b4 - b1*a12*a33*a44 + b1*a12*a34*a34 + b1*a23*a13*a44 - b1*a23*a34*a14 - b1*a24*a13*a34 + b1*a24*a33*a14 + a13*a12*b3*a44 - a13*a12*a34*b4 - a13*b2*a13*a44 + a13*b2*a34*a14 + a13*a24*a13*b4 - a13*a24*b3*a14 - a14*a12*b3*a34 + a14*a12*a33*b4 + a14*b2*a13*a34 - a14*b2*a33*a14 - a14*a23*a13*b4 + a14*a23*b3*a14",
+    d3="a11*a22*b3*a44 - a11*a22*a34*b4 - a11*b2*a23*a44 + a11*b2*a34*a24 + a11*a24*a23*b4 - a11*a24*b3*a24 - a12*a12*b3*a44 + a12*a12*a34*b4 + a12*b2*a13*a44 - a12*b2*a34*a14 - a12*a24*a13*b4 + a12*a24*b3*a14 + b1*a12*a23*a44 - b1*a12*a34*a24 - b1*a22*a13*a44 + b1*a22*a34*a14 + b1*a24*a13*a24 - b1*a24*a23*a14 - a14*a12*a23*b4 + a14*a12*b3*a24 + a14*a22*a13*b4 - a14*a22*b3*a14 - a14*b2*a13*a24 + a14*b2*a23*a14",
+    d4="a11*a22*a33*b4 - a11*a22*b3*a34 - a11*a23*a23*b4 + a11*a23*b3*a24 + a11*b2*a23*a34 - a11*b2*a33*a24 - a12*a12*a33*b4 + a12*a12*b3*a34 + a12*a23*a13*b4 - a12*a23*b3*a14 - a12*b2*a13*a34 + a12*b2*a33*a14 + a13*a12*a23*b4 - a13*a12*b3*a24 - a13*a22*a13*b4 + a13*a22*b3*a14 + a13*b2*a13*a24 - a13*b2*a23*a14 - b1*a12*a23*a34 + b1*a12*a33*a24 + b1*a22*a13*a34 - b1*a22*a33*a14 - b1*a23*a13*a24 + b1*a23*a23*a14",
+)
+
+_SQL_FOURIER1_FORECAST = """
+WITH s AS (
+  SELECT date_trunc('day', ts) AS ts,
+         cast(sum(cast(value AS decimal(28,6))) AS double) / count(*) AS y
+  FROM events GROUP BY 1
+), idx AS (
+  SELECT y, cast(row_number() OVER (ORDER BY ts) - 1 AS double) AS t FROM s
+), feat AS (
+  SELECT y, t, sin(2*pi()*t/7) AS s1, cos(2*pi()*t/7) AS c1 FROM idx
+), m AS (  -- the 14 moments of the [1, t, sin, cos] design
+  SELECT cast(count(*) AS double) AS n_, sum(t) AS st, sum(t*t) AS stt,
+         sum(s1) AS ss, sum(c1) AS sc, sum(t*s1) AS sts, sum(t*c1) AS stc,
+         sum(s1*c1) AS ssc, sum(s1*s1) AS hs, sum(c1*c1) AS hc,
+         sum(y) AS sy, sum(y*t) AS sty, sum(y*s1) AS sys_, sum(y*c1) AS syc
+  FROM feat
+), a AS (  -- XtX + 1e-8 I (the worker's _fit_beta ridge), Xty
+  SELECT n_ + 1e-8 AS a11, st AS a12, ss AS a13, sc AS a14,
+         stt + 1e-8 AS a22, sts AS a23, stc AS a24,
+         hs + 1e-8 AS a33, ssc AS a34, hc + 1e-8 AS a44,
+         sy AS b1, sty AS b2, sys_ AS b3, syc AS b4, n_ FROM m
+), beta AS (  -- Cramer's rule on the 4x4 ridge system
+  SELECT ({d1}) / ({d0}) AS beta1,
+         ({d2}) / ({d0}) AS beta2,
+         ({d3}) / ({d0}) AS beta3,
+         ({d4}) / ({d0}) AS beta4, n_ FROM a
+), lastv AS (
+  SELECT ts AS ts0 FROM s ORDER BY ts DESC LIMIT 1
+), steps AS (
+  SELECT unnest(range(1, 8)) AS k
+)
+SELECT ts0 + to_days(cast(k AS int)) AS ts,
+       round(beta1 + beta2 * (n_ - 1 + k)
+             + beta3 * sin(2*pi()*(n_ - 1 + k)/7)
+             + beta4 * cos(2*pi()*(n_ - 1 + k)/7), 4) AS yhat
+FROM steps, beta, lastv ORDER BY ts
+""".format(**_DET4)
+
+
 def q_var1_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M4 value check: the VARMA worker (models/var_model.py, reference
     build_var.py:53-160) pinned to one candidate — VAR(1) on
@@ -4150,6 +4240,7 @@ _ORACLE: dict[str, str] = {
     "seasonal_period_map": _SQL_SEASONAL_PERIOD_MAP,
     "ar1_forecast": _SQL_AR1_FORECAST,
     "var1_forecast": _SQL_VAR1_FORECAST,
+    "fourier1_forecast": _SQL_FOURIER1_FORECAST,
     "streaming_sessionize": _SQL_STREAMING_SESSIONIZE,
     "dedup_columns": _SQL_DEDUP_COLUMNS,
     "streaming_sliding_rollup": _SQL_STREAMING_SLIDING_ROLLUP,
@@ -4171,69 +4262,16 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # queries and a 50-slot window this provably bounds driver
     # staleness at one round for every query (each is driver-checked
     # every other round; local parity at sf0.01 covers the off round).
-    # r7 window: the 46 queries outside r6's window — led by the four
-    # whose last driver row was r4 (the r6 prefix comment overclaimed
-    # "<= 1 round"; these were two rounds stale) — then the four new
-    # r7 queries (IVF-path semantic-dedup invariant + the three
-    # bounded-subset sweep twins).
-    # --- last driver-green in r4 (4) ---
-    "minmax_profile": q_minmax_profile,
-    "dataset_split": q_dataset_split,
-    "json_props_extract": q_json_props_extract,
-    "fillna_ffill": q_fillna_ffill,
-    # --- last driver-green in r5 (42) ---
-    "ar1_forecast": q_ar1_forecast,
-    "df_test_stationarity": q_df_test_stationarity,
-    "automl_leaderboard": q_automl_leaderboard,  # rows-only
-    "automl_forecast": q_automl_forecast,  # rows-only
-    "predict_feature_splice": q_predict_feature_splice,
-    "snaive_forecast_intervals": q_snaive_forecast_intervals,
-    "lsh_ann_recall": q_lsh_ann_recall,
-    "ivf_ann_recall": q_ivf_ann_recall,
-    "multimodal_features": q_multimodal_features,
-    "feature_importance_contract": q_feature_importance_contract,
-    "seasonal_period_map": q_seasonal_period_map,
-    "streaming_sessionize": q_streaming_sessionize,
-    "dedup_columns": q_dedup_columns,
-    "streaming_dedup": q_streaming_dedup,
-    "lsh_ann_topk": q_lsh_ann_topk,  # rows-only
-    "ivf_ann_topk": q_ivf_ann_topk,  # rows-only
-    "feature_importance": q_feature_importance,  # rows-only
-    "label_encode": q_label_encode,
-    "forecast_viz_join": q_forecast_viz_join,
-    "revenue_rollup": q_revenue_rollup,
-    "seasonal_decompose": q_seasonal_decompose,
-    "adf_stationarity": q_adf_stationarity,  # rows-only
-    "asof_join": q_asof_join,
-    "resample_ffill": q_resample_ffill,
-    "customer_set_ops": q_customer_set_ops,
-    "datetime_parse": q_datetime_parse,
-    "range_join_window": q_range_join_window,
-    "pacf": q_pacf,
-    "shipping_priority": q_shipping_priority,
-    "lag_matrix": q_lag_matrix,
-    "difference": q_difference,
-    "cumsum": q_cumsum,
-    "rolling_stats": q_rolling_stats,
-    "calendar_features": q_calendar_features,
-    "categorical_drift": q_categorical_drift,
-    "future_index": q_future_index,
-    "expanding_folds": q_expanding_folds,
-    "sliding_folds": q_sliding_folds,
-    "naive_forecast_metrics": q_naive_forecast_metrics,
-    "drift_profile": q_drift_profile,
-    "c4_line_clean": q_c4_line_clean,
-    "boilerplate_lines": q_boilerplate_lines,
-    # --- new in r7 (4): the scale-safe IVF-path semantic-dedup
-    # invariant (closes the r6 verdict's one verification seam) and
-    # the three bounded-subset twins that make the sf10 full-board
-    # parity sweep run in minutes ---
-    "semantic_dedup_ivf": q_semantic_dedup_ivf,
-    "minhash_lsh_slice": q_minhash_lsh_slice,
-    "dedup_clusters_slice": q_dedup_clusters_slice,
-    "embedding_near_dup_slice": q_embedding_near_dup_slice,
-    # ================= 50-slot window boundary =================
-    # --- driver-green in r6 (50), rotate back into the window in r8 ---
+    # r9 window: the r8 driver did NOT rotate (its window re-checked
+    # r7's exact key set), so the 50 queries below r8's boundary were
+    # last driver-checked in r6 — two rounds stale. They move to the
+    # FRONT now (restoring the provable <=1-round staleness bound);
+    # the 50 the driver checked in both r7 and r8 rotate below.
+    # --- new in r9 (1): the Fourier/Prophet-family value check — the
+    # last model family without a hash-checked row (r8 What's missing
+    # #1); pinned K=1 config replayed closed-form in DuckDB ---
+    "fourier1_forecast": q_fourier1_forecast,
+    # --- last driver-green in r6 (50) ---
     "token_explode": q_token_explode,
     "actual_vs_predicted_join": q_actual_vs_predicted_join,
     "train_tail_splice": q_train_tail_splice,
@@ -4284,6 +4322,58 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lm_perplexity": q_lm_perplexity,
     "perplexity_buckets": q_perplexity_buckets,
     "quality_classifier": q_quality_classifier,
+    # ================= 50-slot window boundary =================
+    # --- driver-green in r7 AND r8 (50), rotate back in r10 ---
+    "minmax_profile": q_minmax_profile,
+    "dataset_split": q_dataset_split,
+    "json_props_extract": q_json_props_extract,
+    "fillna_ffill": q_fillna_ffill,
+    "ar1_forecast": q_ar1_forecast,
+    "df_test_stationarity": q_df_test_stationarity,
+    "automl_leaderboard": q_automl_leaderboard,  # rows-only
+    "automl_forecast": q_automl_forecast,  # rows-only
+    "predict_feature_splice": q_predict_feature_splice,
+    "snaive_forecast_intervals": q_snaive_forecast_intervals,
+    "lsh_ann_recall": q_lsh_ann_recall,
+    "ivf_ann_recall": q_ivf_ann_recall,
+    "multimodal_features": q_multimodal_features,
+    "feature_importance_contract": q_feature_importance_contract,
+    "seasonal_period_map": q_seasonal_period_map,
+    "streaming_sessionize": q_streaming_sessionize,
+    "dedup_columns": q_dedup_columns,
+    "streaming_dedup": q_streaming_dedup,
+    "lsh_ann_topk": q_lsh_ann_topk,  # rows-only
+    "ivf_ann_topk": q_ivf_ann_topk,  # rows-only
+    "feature_importance": q_feature_importance,  # rows-only
+    "label_encode": q_label_encode,
+    "forecast_viz_join": q_forecast_viz_join,
+    "revenue_rollup": q_revenue_rollup,
+    "seasonal_decompose": q_seasonal_decompose,
+    "adf_stationarity": q_adf_stationarity,  # rows-only
+    "asof_join": q_asof_join,
+    "resample_ffill": q_resample_ffill,
+    "customer_set_ops": q_customer_set_ops,
+    "datetime_parse": q_datetime_parse,
+    "range_join_window": q_range_join_window,
+    "pacf": q_pacf,
+    "shipping_priority": q_shipping_priority,
+    "lag_matrix": q_lag_matrix,
+    "difference": q_difference,
+    "cumsum": q_cumsum,
+    "rolling_stats": q_rolling_stats,
+    "calendar_features": q_calendar_features,
+    "categorical_drift": q_categorical_drift,
+    "future_index": q_future_index,
+    "expanding_folds": q_expanding_folds,
+    "sliding_folds": q_sliding_folds,
+    "naive_forecast_metrics": q_naive_forecast_metrics,
+    "drift_profile": q_drift_profile,
+    "c4_line_clean": q_c4_line_clean,
+    "boilerplate_lines": q_boilerplate_lines,
+    "semantic_dedup_ivf": q_semantic_dedup_ivf,
+    "minhash_lsh_slice": q_minhash_lsh_slice,
+    "dedup_clusters_slice": q_dedup_clusters_slice,
+    "embedding_near_dup_slice": q_embedding_near_dup_slice,
 }
 
 

@@ -184,6 +184,11 @@ def main() -> None:
     missing = [n for n in HEADLINE if n not in qs]
     if missing:  # fail loudly BEFORE burning warmup + timed runs
         raise KeyError(f"headline queries not registered: {missing}")
+    # load telemetry (r7 verdict ask): record 1-min load average around
+    # the timed section so round-over-round swings in driver-recorded
+    # numbers carry machine-load context (a +16% basket move on
+    # untouched code is noise if load_before was already high)
+    load_before = tuple(round(x, 2) for x in os.getloadavg())
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
     for _ in range(RUNS):
         # drop cached DataFrames between repeat loops so queries with
@@ -217,6 +222,9 @@ def main() -> None:
                 "sf": sf,
                 "runs_per_query": RUNS,
                 "aggregation": "median",
+                "loadavg_before": load_before,
+                "loadavg_after": tuple(round(x, 2) for x in os.getloadavg()),
+                "ncpus": os.cpu_count(),
                 "value_composition": "17-query r1-r4 basket; curate_chain "
                 "(full 8-stage pipeline, added r5), the r6 additions "
                 "(semantic_dedup, dsir_weights, repeated_span_scrub, "
