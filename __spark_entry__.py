@@ -4,7 +4,10 @@
 ``queries()`` exposes one PySpark callable per implemented operator
 from SURVEY.md §2 (plus the scale-extension operators); each has a
 matching DuckDB oracle in ``oracle_sql()`` unless the op is not
-SQL-expressible (those get the weaker rows-only check).
+SQL-expressible (those get the weaker rows-only check). The oracle
+SQL definitions live in ``auto_ts_spark/oracles.py`` (r9 factoring:
+~2,000 LoC of SQL only the correctness harness reads); this file
+keeps the Spark-side ``q_*`` functions and the driver contract.
 
 Cross-engine parity conventions used throughout:
 - every float aggregate is ``round(x, 6)`` on BOTH sides; exact sums
@@ -28,6 +31,8 @@ from auto_ts_spark.functions import metrics as MET
 from auto_ts_spark.functions import text as TX
 from auto_ts_spark.functions.calendar import add_calendar_features
 from auto_ts_spark.io.sources import load_table
+from auto_ts_spark.oracles import ORACLES as _ORACLE
+from auto_ts_spark.oracles import PACF_MAX_LAG
 from auto_ts_spark.operators import dedup as DD
 from auto_ts_spark.operators import dsir as DSIR
 from auto_ts_spark.operators import folds as FOLDS
@@ -45,15 +50,6 @@ SF_SMOKE = "/root/testdata/sf0.001"
 
 # ---------------------------------------------------------------- helpers
 
-# DuckDB fragment: normalized whitespace tokens of `text`
-_SQL_TOKS = (
-    "string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')"
-)
-
-
-def _sql_hash60(expr: str) -> str:
-    return f"cast(cast(concat('0x', substr(md5({expr}), 1, 15)) as ubigint) as bigint)"
-
 
 def _events_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "events").withColumn("series_id", PART.opaque_lit("0"))
@@ -69,21 +65,6 @@ def _daily_decimal_series(spark: SparkSession, sf_dir: str, with_id: bool = True
         .agg(F.sum(F.col("value").cast("decimal(20,2)")).cast("double").alias("y"))
     )
     return df.withColumn("series_id", PART.opaque_lit("0")) if with_id else df
-
-
-# Plain-double daily series (the W15-18/M-oracle CTE body; the decimal
-# variant below is for money-exact replays)
-_SQL_DAILY_PLAIN = (
-    "SELECT date_trunc('day', ts) AS ts, sum(value) AS y\n"
-    "  FROM events GROUP BY 1"
-)
-
-# DuckDB replica of _daily_decimal_series (splice into a CTE body)
-_SQL_DAILY = (
-    "SELECT date_trunc('day', ts) AS ts,\n"
-    "         cast(sum(cast(value AS decimal(20,2))) AS double) AS y\n"
-    "  FROM events GROUP BY 1"
-)
 
 
 # ---------------------------------------------------------------- queries
@@ -128,22 +109,6 @@ def q_tpch_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_TPCH_Q1 = """
-SELECT l_returnflag, l_linestatus,
-       cast(sum(cast(l_quantity as decimal(28,6))) * 1000000 as bigint) AS sum_qty_micros,
-       cast(sum(cast(l_extendedprice as decimal(28,6))) * 1000000 as bigint) AS sum_base_price_micros,
-       cast(sum(cast(l_extendedprice * (1 - l_discount) as decimal(28,6))) * 1000000 as bigint) AS sum_disc_price_micros,
-       cast(sum(cast(l_extendedprice * (1 - l_discount) * (1 + l_tax) as decimal(28,6))) * 1000000 as bigint) AS sum_charge_micros,
-       round(avg(l_quantity), 6) AS avg_qty,
-       round(avg(l_extendedprice), 6) AS avg_price,
-       round(avg(l_discount), 6) AS avg_disc,
-       count(*) AS count_order
-FROM lineitem
-WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-GROUP BY l_returnflag, l_linestatus
-"""
-
-
 def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3-shaped shipping priority: 3-way join
     customer ⋈ orders ⋈ lineitem with selective date predicates.
@@ -186,21 +151,6 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_SHIPPING_PRIORITY = """
-SELECT l_orderkey, o_orderdate, o_orderpriority,
-       round(cast(sum(cast(l_extendedprice * (1 - l_discount)
-                           as decimal(28,6))) as double), 6) AS revenue
-FROM customer
-JOIN orders ON c_custkey = o_custkey
-JOIN lineitem ON l_orderkey = o_orderkey
-WHERE c_mktsegment = 'BUILDING'
-  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
-  AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
-GROUP BY l_orderkey, o_orderdate, o_orderpriority
-ORDER BY revenue DESC, l_orderkey LIMIT 10
-"""
-
-
 def q_lag_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1/W2/W10: per-user lag(1,2,3) + lead(1) supervised matrix."""
     ev = load_table(spark, sf_dir, "events")
@@ -222,21 +172,6 @@ def q_lag_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_LAG_MATRIX = """
-WITH w AS (
-  SELECT user_id, ts, value,
-         lag(value, 1) OVER win AS lag1,
-         lag(value, 2) OVER win AS lag2,
-         lag(value, 3) OVER win AS lag3,
-         lead(value, 1) OVER win AS lead1
-  FROM events
-  WINDOW win AS (PARTITION BY user_id ORDER BY ts)
-)
-SELECT * FROM w
-WHERE lag1 IS NOT NULL AND lag2 IS NOT NULL AND lag3 IS NOT NULL AND lead1 IS NOT NULL
-"""
-
-
 def q_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W3: two rounds of first-differencing per user."""
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
@@ -245,35 +180,12 @@ def q_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_DIFFERENCE = """
-WITH d1 AS (
-  SELECT user_id, ts,
-         value - lag(value) OVER (PARTITION BY user_id ORDER BY ts) AS v
-  FROM events
-), d1f AS (SELECT * FROM d1 WHERE v IS NOT NULL),
-d2 AS (
-  SELECT user_id, ts,
-         v - lag(v) OVER (PARTITION BY user_id ORDER BY ts) AS v
-  FROM d1f
-)
-SELECT user_id, ts, round(v, 6) AS diff2_value FROM d2 WHERE v IS NOT NULL
-"""
-
-
 def q_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W4: running sum per user (undo-differencing primitive)."""
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
     return LAGS.cumulative_sum(ev, ["value"], series_col="user_id").select(
         "user_id", "ts", F.round("cumsum_value", 6).alias("running_value")
     )
-
-
-_SQL_CUMSUM = """
-SELECT user_id, ts,
-       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS running_value
-FROM events
-"""
 
 
 def q_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -286,15 +198,6 @@ def q_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("rolling_mean_4_value", 6).alias("roll_mean"),
         F.round("rolling_std_4_value", 6).alias("roll_std"),
     )
-
-
-_SQL_ROLLING = """
-SELECT user_id, ts,
-       round(avg(value) OVER win, 6) AS roll_mean,
-       round(stddev_samp(value) OVER win, 6) AS roll_std
-FROM events
-WINDOW win AS (PARTITION BY user_id ORDER BY ts ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
-"""
 
 
 def q_calendar_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -312,21 +215,6 @@ def q_calendar_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts_weekofyear").alias("weekofyear"),
         F.col("ts_weekend").alias("weekend"),
     )
-
-
-_SQL_CALENDAR = """
-SELECT o_orderkey,
-       cast(hour(o_orderdate) as int) AS hour,
-       cast(isodow(o_orderdate) - 1 as int) AS dow_mon0,
-       cast(quarter(o_orderdate) as int) AS quarter,
-       cast(month(o_orderdate) as int) AS month,
-       cast(year(o_orderdate) as int) AS year,
-       cast(dayofyear(o_orderdate) as int) AS dayofyear,
-       cast(dayofmonth(o_orderdate) as int) AS dayofmonth,
-       cast(weekofyear(o_orderdate) as int) AS weekofyear,
-       cast(CASE WHEN isodow(o_orderdate) - 1 IN (5, 6) THEN 1 ELSE 0 END as int) AS weekend
-FROM orders
-"""
 
 
 def q_frequency_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -370,43 +258,10 @@ def q_frequency_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_FREQ = """
-WITH t2 AS (
-  SELECT ts FROM events ORDER BY ts LIMIT 2
-), d AS (
-  SELECT cast(floor(epoch(max(ts))) as bigint) - cast(floor(epoch(min(ts))) as bigint) AS delta_s FROM t2
-), f AS (
-  SELECT delta_s,
-         CASE WHEN delta_s < 60 THEN 'seconds'
-              WHEN delta_s < 3600 THEN 'minutes'
-              WHEN delta_s < 86400 THEN 'hours'
-              WHEN delta_s < 604800 THEN 'days'
-              WHEN delta_s < 2419200 THEN 'weeks'
-              WHEN delta_s < 7689600 THEN 'months'
-              WHEN delta_s < 15379200 THEN 'quarters'
-              WHEN delta_s < 31104000 THEN 'semi'
-              ELSE 'years' END AS freq
-  FROM d
-)
-SELECT delta_s, freq,
-       cast(CASE freq WHEN 'months' THEN 12 WHEN 'days' THEN 30 WHEN 'weeks' THEN 52
-                 WHEN 'quarters' THEN 4 WHEN 'semi' THEN 2 WHEN 'hours' THEN 24
-                 WHEN 'minutes' THEN 60 WHEN 'seconds' THEN 60 ELSE 1 END as int) AS seasonal_period
-FROM f
-"""
-
-
 def q_future_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W11: 8 daily future timestamps past max(ts)."""
     ev = _events_series(spark, sf_dir)
     return future_index(ev, 8, "days").select("series_id", "ts")
-
-
-_SQL_FUTURE_INDEX = """
-SELECT '0' AS series_id,
-       unnest(generate_series(mx + INTERVAL 1 DAY, mx + 8 * INTERVAL 1 DAY, INTERVAL 1 DAY)) AS ts
-FROM (SELECT max(ts) AS mx FROM events)
-"""
 
 
 def q_expanding_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -423,26 +278,6 @@ def q_expanding_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_EXPANDING_FOLDS = """
-WITH numbered AS (
-  SELECT value, row_number() OVER (ORDER BY event_id) AS rn, count(*) OVER () AS n
-  FROM events
-), folds AS (
-  SELECT numbered.*, f.fold
-  FROM numbered, (SELECT unnest(generate_series(0, 2)) AS fold) f
-), roles AS (
-  SELECT fold, rn, value,
-         CASE WHEN rn <= n - (3 - fold) * 100 THEN 'train'
-              WHEN rn <= n - (3 - fold) * 100 + 100 THEN 'test' END AS role
-  FROM folds
-)
-SELECT fold, role, count(*) AS n, min(rn) AS min_rn, max(rn) AS max_rn,
-       round(cast(sum(cast(value as decimal(28,6))) as double), 6) AS sum_value
-FROM roles WHERE role IS NOT NULL
-GROUP BY fold, role
-"""
-
-
 def q_sliding_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W13: sliding-window CV fold summary (initial 9000, horizon 200,
     period 300 — sized for the sf0.01 correctness run)."""
@@ -455,28 +290,6 @@ def q_sliding_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("rn").alias("min_rn"),
         F.max("rn").alias("max_rn"),
     )
-
-
-_SQL_SLIDING_FOLDS = """
-WITH numbered AS (
-  SELECT row_number() OVER (ORDER BY event_id) AS rn, count(*) OVER () AS n
-  FROM events
-), nf AS (
-  SELECT *, least(cast(floor((n - 9200) / 300.0) as bigint) + 1, 1000) AS n_folds FROM numbered
-), valid AS (SELECT * FROM nf WHERE n_folds >= 1),
-folds AS (
-  SELECT valid.*, f.fold
-  FROM valid, LATERAL (SELECT unnest(generate_series(0, cast(n_folds - 1 as bigint))) AS fold) f
-), roles AS (
-  SELECT fold, rn,
-         CASE WHEN rn <= 9000 + fold * 300 THEN 'train'
-              WHEN rn <= 9000 + fold * 300 + 200 THEN 'test' END AS role
-  FROM folds
-)
-SELECT fold, role, count(*) AS n, min(rn) AS min_rn, max(rn) AS max_rn
-FROM roles WHERE role IS NOT NULL
-GROUP BY fold, role
-"""
 
 
 def q_naive_forecast_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -505,22 +318,6 @@ def q_naive_forecast_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_NAIVE_METRICS = """
-WITH lagged AS (
-  SELECT event_type, value,
-         lag(value) OVER (PARTITION BY event_type ORDER BY ts) AS yhat
-  FROM events
-), f AS (SELECT * FROM lagged WHERE yhat IS NOT NULL)
-SELECT event_type,
-       round(sqrt(avg(pow(value - yhat, 2))), 6) AS rmse,
-       round(avg(abs(value - yhat)), 6) AS mae,
-       round(avg(abs(CASE WHEN value = 0 THEN NULL ELSE (value - yhat) / value END)) * 100, 6) AS mape,
-       round(sqrt(avg(pow(value - yhat, 2))) / stddev_samp(value), 6) AS normalized_rmse
-FROM f
-GROUP BY event_type
-"""
-
-
 def q_weighted_cv_rmse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W14/A10: per-fold naive-forecast RMSE combined as a
     fold-index-weighted average (one row)."""
@@ -545,29 +342,6 @@ def q_weighted_cv_rmse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_WEIGHTED_CV = """
-WITH lagged AS (
-  SELECT event_id, value,
-         lag(value) OVER (ORDER BY event_id) AS yhat
-  FROM events
-), f AS (SELECT * FROM lagged WHERE yhat IS NOT NULL),
-numbered AS (
-  SELECT *, row_number() OVER (ORDER BY event_id) AS rn, count(*) OVER () AS n FROM f
-), folds AS (
-  SELECT numbered.*, fo.fold
-  FROM numbered, (SELECT unnest(generate_series(0, 4)) AS fold) fo
-), test_rows AS (
-  SELECT fold, value, yhat FROM folds
-  WHERE rn > n - (5 - fold) * 100 AND rn <= n - (5 - fold) * 100 + 100
-), per_fold AS (
-  SELECT fold, sqrt(avg(pow(value - yhat, 2))) AS rmse FROM test_rows GROUP BY fold
-)
-SELECT round(sum(rmse * (fold + 1)) / sum(fold + 1), 6) AS weighted_rmse,
-       count(*) AS n_folds
-FROM per_fold
-"""
-
-
 def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2/A3 (classify_columns inputs): per-column null + distinct
     counts on customer, computed in ONE aggregate scan."""
@@ -577,19 +351,6 @@ def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(p.name, p.n_null, p.n_distinct) for p in profs],
         "column string, n_null bigint, n_distinct bigint",
     )
-
-
-_SQL_COLUMN_PROFILE = """
-SELECT 'c_custkey' AS "column", cast(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null, count(DISTINCT c_custkey) AS n_distinct FROM customer
-UNION ALL
-SELECT 'c_name', cast(sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT), count(DISTINCT c_name) FROM customer
-UNION ALL
-SELECT 'c_nationkey', cast(sum(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT), count(DISTINCT c_nationkey) FROM customer
-UNION ALL
-SELECT 'c_acctbal', cast(sum(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS BIGINT), count(DISTINCT c_acctbal) FROM customer
-UNION ALL
-SELECT 'c_mktsegment', cast(sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS BIGINT), count(DISTINCT c_mktsegment) FROM customer
-"""
 
 
 def q_frequency_table(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -603,12 +364,6 @@ def q_frequency_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_FREQ_TABLE = """
-SELECT event_type, count(*) AS cnt FROM events
-GROUP BY event_type ORDER BY cnt DESC, event_type LIMIT 3
-"""
-
-
 def q_class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A12: balanced class weights for orders.o_orderstatus."""
     od = load_table(spark, sf_dir, "orders")
@@ -616,15 +371,6 @@ def q_class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "o_orderstatus", "cnt", F.round("weight", 6).alias("weight")
     )
-
-
-_SQL_CLASS_WEIGHTS = """
-WITH counts AS (
-  SELECT o_orderstatus, count(*) AS cnt FROM orders GROUP BY o_orderstatus
-), tot AS (SELECT sum(cnt) AS n, count(*) AS k FROM counts)
-SELECT o_orderstatus, cnt, round(n / (k * cnt), 6) AS weight
-FROM counts, tot
-"""
 
 
 def q_token_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -643,13 +389,6 @@ def q_token_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_TOKEN_EXPLODE = f"""
-WITH toks AS (SELECT unnest({_SQL_TOKS}) AS token FROM documents)
-SELECT token, count(*) AS cnt FROM toks
-GROUP BY token ORDER BY cnt DESC, token LIMIT 20
-"""
-
-
 def q_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/C4-style intra-document repetition metrics: top-unigram /
     top-bigram mass fraction and duplicate-trigram fraction per doc
@@ -658,37 +397,6 @@ def q_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return repetition_profile(docs).orderBy("doc_id")
-
-
-_SQL_REPETITION_PROFILE = f"""
-WITH lists AS (
-  SELECT doc_id, {_SQL_TOKS} AS l FROM documents
-), toks AS (
-  SELECT doc_id, generate_subscripts(l, 1) AS i, unnest(l) AS tok FROM lists
-), grams AS (
-  SELECT doc_id, tok AS g1,
-         tok || ' ' || lead(tok) OVER w AS g2,
-         tok || ' ' || lead(tok) OVER w || ' ' || lead(tok, 2) OVER w AS g3
-  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY i)
-), s1 AS (
-  SELECT doc_id, cast(sum(c) AS BIGINT) AS total1, max(c) AS max1
-  FROM (SELECT doc_id, g1, count(*) AS c FROM grams GROUP BY 1, 2) GROUP BY 1
-), s2 AS (
-  SELECT doc_id, sum(c) AS total2, max(c) AS max2
-  FROM (SELECT doc_id, g2, count(*) AS c FROM grams WHERE g2 IS NOT NULL
-        GROUP BY 1, 2) GROUP BY 1
-), s3 AS (
-  SELECT doc_id, sum(c) AS total3, count(*) AS distinct3
-  FROM (SELECT doc_id, g3, count(*) AS c FROM grams WHERE g3 IS NOT NULL
-        GROUP BY 1, 2) GROUP BY 1
-)
-SELECT s1.doc_id, total1 AS n_tokens,
-       coalesce(round(max1 / total1, 6), 0.0) AS top_unigram_frac,
-       coalesce(round(max2 / total2, 6), 0.0) AS top_bigram_frac,
-       coalesce(round(1 - distinct3 / total3, 6), 0.0) AS dup_trigram_frac
-FROM s1 LEFT JOIN s2 USING (doc_id) LEFT JOIN s3 USING (doc_id)
-ORDER BY s1.doc_id
-"""
 
 
 def q_actual_vs_predicted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -710,19 +418,6 @@ def q_actual_vs_predicted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_ACTUAL_PRED_JOIN = """
-WITH daily AS (
-  SELECT date_trunc('day', ts) AS d,
-         round(cast(sum(cast(value as decimal(28,6))) as double), 6) AS actual
-  FROM events GROUP BY 1
-), pred AS (
-  SELECT d + INTERVAL 1 DAY AS d, actual AS yhat FROM daily
-)
-SELECT coalesce(daily.d, pred.d) AS d, daily.actual AS actual, pred.yhat AS yhat
-FROM daily FULL OUTER JOIN pred ON daily.d = pred.d
-"""
-
-
 def q_train_tail_splice(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J5/P8: last-5 train rows ∪ test rows (the lag-splice input for
     recursive forecasting)."""
@@ -733,16 +428,6 @@ def q_train_tail_splice(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("origin", F.lit("tail"))
     test = numbered.filter(F.col("rn") > 9800).withColumn("origin", F.lit("test"))
     return train_tail.unionByName(test).select("event_id", "value", "origin", "rn")
-
-
-_SQL_TRAIN_TAIL_SPLICE = """
-WITH numbered AS (
-  SELECT event_id, value, row_number() OVER (ORDER BY event_id) AS rn FROM events
-)
-SELECT event_id, value, 'tail' AS origin, rn FROM numbered WHERE rn > 9795 AND rn <= 9800
-UNION ALL
-SELECT event_id, value, 'test' AS origin, rn FROM numbered WHERE rn > 9800
-"""
 
 
 def q_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -787,36 +472,6 @@ def q_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_LEADERBOARD = """
-WITH rolled AS (
-  SELECT event_type, ts, value,
-         avg(value) OVER (PARTITION BY event_type ORDER BY ts
-             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS rm
-  FROM events
-), base AS (
-  SELECT event_type, value,
-         lag(value) OVER win AS naive,
-         lag(rm) OVER win AS rollmean
-  FROM rolled
-  WINDOW win AS (PARTITION BY event_type ORDER BY ts)
-), f AS (SELECT * FROM base WHERE naive IS NOT NULL AND rollmean IS NOT NULL),
-long AS (
-  SELECT event_type, value, 'naive_lag1' AS model, naive AS yhat FROM f
-  UNION ALL
-  SELECT event_type, value, 'rolling_mean4', rollmean FROM f
-), per_type AS (
-  SELECT model, event_type, sqrt(avg(pow(value - yhat, 2))) AS rmse
-  FROM long GROUP BY model, event_type
-), board AS (
-  SELECT model, round(avg(rmse), 6) AS mean_rmse FROM per_type GROUP BY model
-)
-SELECT model, mean_rmse,
-       cast(row_number() OVER (ORDER BY mean_rmse ASC, model) as bigint) AS rank,
-       cast(CASE WHEN row_number() OVER (ORDER BY mean_rmse ASC, model) = 1 THEN 1 ELSE 0 END as int) AS is_best
-FROM board
-"""
-
-
 def q_topk_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O3 + star join: top-10 suppliers by discounted revenue; the
     supplier dim is broadcast (no shuffle of the fact table)."""
@@ -840,18 +495,6 @@ def q_topk_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_TOPK_SUPPLIERS = """
-WITH rev AS (
-  SELECT l_suppkey,
-         round(cast(sum(cast(l_extendedprice * (1 - l_discount) as decimal(28,6))) as double), 6) AS revenue
-  FROM lineitem GROUP BY l_suppkey
-)
-SELECT s_suppkey, s_name, revenue
-FROM rev JOIN supplier ON l_suppkey = s_suppkey
-ORDER BY revenue DESC, s_suppkey LIMIT 10
-"""
-
-
 def q_top_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W18/O4: corr(quantity, extendedprice) per part brand, top-5."""
     li = load_table(spark, sf_dir, "lineitem")
@@ -865,13 +508,6 @@ def q_top_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_TOP_CORR = """
-SELECT p_brand, round(corr(l_quantity, l_extendedprice), 6) AS corr
-FROM lineitem JOIN part ON l_partkey = p_partkey
-GROUP BY p_brand ORDER BY corr DESC, p_brand LIMIT 5
-"""
-
-
 def q_minmax_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1/S4: numeric range scan (the downcast driver) on lineitem."""
     li = load_table(spark, sf_dir, "lineitem")
@@ -883,14 +519,6 @@ def q_minmax_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_linenumber").alias("min_ln"),
         F.max("l_linenumber").alias("max_ln"),
     )
-
-
-_SQL_MINMAX = """
-SELECT round(min(l_quantity), 6) AS min_qty, round(max(l_quantity), 6) AS max_qty,
-       round(min(l_extendedprice), 6) AS min_price, round(max(l_extendedprice), 6) AS max_price,
-       min(l_linenumber) AS min_ln, max(l_linenumber) AS max_ln
-FROM lineitem
-"""
 
 
 def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -908,26 +536,6 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n_bpe_tokens", F.col("n_bpe_tokens").cast("bigint"))
         .withColumn("n_chars", F.col("n_chars").cast("bigint"))
     )
-
-
-_SQL_TEXT_PROFILE = f"""
-WITH t AS (
-  SELECT doc_id, text, length(text) AS n_chars, {_SQL_TOKS} AS toks FROM documents
-), s AS (
-  SELECT doc_id, n_chars, cast(len(toks) as bigint) AS n_tokens,
-         cast(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) as bigint) AS n_bpe_tokens,
-         len(list_filter(toks, x -> list_contains(['the','and','of','to','a','in','is','that','for','it'], x)))
-           / greatest(len(toks), 1) AS sw_ratio,
-         length(regexp_replace(text, '[^!-/:-@\\[-`{{|}}~]', '', 'g')) / greatest(length(text), 1) AS punct_ratio,
-         length(regexp_replace(text, '[^0-9]', '', 'g')) / greatest(length(text), 1) AS digit_ratio
-  FROM t
-)
-SELECT doc_id, n_chars, n_tokens, n_bpe_tokens,
-       round(sw_ratio, 6) AS stopword_ratio,
-       round((least(n_tokens / 100.0, 1.0) + least(sw_ratio * 5.0, 1.0)
-            + greatest(1.0 - punct_ratio * 4.0, 0.0) + greatest(1.0 - digit_ratio * 4.0, 0.0)) / 4.0 * 1000000) / 1000000 AS quality
-FROM s
-"""
 
 
 def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -948,51 +556,6 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_quality_filter() -> str:
-    from auto_ts_spark.operators.textops import QUALITY_RULES
-
-    cases = []
-    for name, lo, hi in QUALITY_RULES:
-        conds = []
-        if lo is not None:
-            conds.append(f"{name} < {lo}")
-        if hi is not None:
-            conds.append(f"{name} > {hi}")
-        cases.append(f"CASE WHEN {' OR '.join(conds)} THEN '{name}' END")
-    case_list = ", ".join(cases)
-    return f"""
-WITH t AS (
-  SELECT doc_id, text, length(text) AS n_chars, {_SQL_TOKS} AS toks FROM documents
-), m AS (
-  SELECT doc_id, n_chars,
-         cast(len(toks) as bigint) AS n_tokens,
-         round(list_sum(list_transform(toks, x -> cast(length(x) as double)))
-               / greatest(len(toks), 1), 6) AS mean_word_len,
-         round(len(list_filter(toks, x -> list_contains(['the','and','of','to','a','in','is','that','for','it'], x)))
-               / greatest(len(toks), 1), 6) AS stopword_ratio,
-         round(length(regexp_replace(text, '[^!-/:-@\\[-`{{|}}~]', '', 'g'))
-               / greatest(length(text), 1), 6) AS punct_ratio,
-         round(length(regexp_replace(text, '[^0-9]', '', 'g'))
-               / greatest(length(text), 1), 6) AS digit_ratio
-  FROM t
-), r AS (
-  SELECT doc_id, n_chars,
-         CASE WHEN n_chars IS NULL THEN ['null_text']
-              ELSE list_sort(list_filter([{case_list}], x -> x IS NOT NULL))
-         END AS fr
-  FROM m
-)
-SELECT doc_id, len(fr) = 0 AS keep,
-       -- DuckDB's array_to_string returns NULL for an empty list
-       -- (Spark's array_join returns ''): coalesce to match
-       coalesce(array_to_string(fr, ','), '') AS reasons
-FROM r ORDER BY doc_id
-"""
-
-
-_SQL_QUALITY_FILTER = _sql_quality_filter()
-
-
 def q_corpus_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary with tf/df/idf (min_df=2) — the
     vocabulary-building stage of a training-data pipeline
@@ -1002,40 +565,12 @@ def q_corpus_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TOPS.corpus_vocabulary(docs, min_df=2)
 
 
-_SQL_CORPUS_VOCAB = f"""
-WITH t AS (
-  SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents
-), f AS (
-  SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df
-  FROM t WHERE term <> '' GROUP BY term
-), n AS (
-  SELECT count(*) AS nd FROM documents
-)
-SELECT term, tf, df, round(ln((nd + 1) / (df + 1)) + 1, 6) AS idf
-FROM f, n WHERE df >= 2
-"""
-
-
 def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 80/10/10 split assignment by md5 id hash
     (operators/sampling.py::hash_split): content-addressed,
     partition-independent, bit-reproduced by the oracle."""
     docs = load_table(spark, sf_dir, "documents")
     return SAMP.hash_split(docs, seed=42).select("doc_id", "split")
-
-
-_SQL_DATASET_SPLIT = f"""
-WITH h AS (
-  SELECT doc_id,
-         {_sql_hash60("concat(cast(doc_id as varchar), ':42')")} % 1000000 AS b
-  FROM documents
-)
-SELECT doc_id,
-       CASE WHEN b < 800000 THEN 'train'
-            WHEN b < 900000 THEN 'val'
-            ELSE 'test' END AS split
-FROM h
-"""
 
 
 def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1058,27 +593,6 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_MIXTURE_SAMPLE = f"""
-WITH h AS (
-  SELECT doc_id, source,
-         {_sql_hash60("concat(cast(doc_id as varchar), ':42')")} % 1000000 AS b,
-         CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 0.25
-                     WHEN 'src2' THEN 1.0 ELSE 0.0 END AS r
-  FROM documents
-), copies AS (
-  SELECT doc_id, source,
-         cast(floor(r) AS int)
-         + CASE WHEN b < round((r - floor(r)) * 1000000) THEN 1 ELSE 0 END
-           AS n_copies
-  FROM h
-)
-SELECT source, cast(sum(n_copies) AS bigint) AS n_rows,
-       cast(count(*) AS bigint) AS n_docs
-FROM copies WHERE n_copies > 0
-GROUP BY source ORDER BY source
-"""
-
-
 def q_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget corpus selection (operators/budget.py): per-source
     500-token budgets, documents ranked by n_chars desc (doc_id
@@ -1095,22 +609,6 @@ def q_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_BUDGET_SELECT = f"""
-WITH t AS (
-  SELECT doc_id, source, n_chars,
-         coalesce(len({_SQL_TOKS}), 0) AS n_tokens
-  FROM documents
-), c AS (
-  SELECT doc_id, source,
-         sum(n_tokens) OVER (PARTITION BY source
-                             ORDER BY n_chars DESC, doc_id
-                             ROWS UNBOUNDED PRECEDING) AS cum
-  FROM t
-)
-SELECT doc_id, source FROM c WHERE cum <= 500 ORDER BY doc_id
-"""
-
-
 def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID prediction summary: docs + total profile hits per
     predicted language."""
@@ -1119,32 +617,6 @@ def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pred.groupBy("pred_lang").agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("hits").alias("total_hits")
     )
-
-
-_SQL_LANG_PROFILE_VALUES = ", ".join(
-    f"('{lang}', '{w}')" for lang, ws in TX.LANG_PROFILES.items() for w in ws
-)
-
-_SQL_LANGUAGE_ID = f"""
-WITH toks AS (
-  SELECT doc_id, unnest({_SQL_TOKS}) AS word FROM documents
-), profiles(lang, word) AS (VALUES {_SQL_LANG_PROFILE_VALUES}),
-hits AS (
-  SELECT doc_id, lang, count(*) AS hits
-  FROM toks JOIN profiles USING (word) GROUP BY doc_id, lang
-), best AS (
-  SELECT doc_id, max(hits) AS max_hits FROM hits GROUP BY doc_id
-), pred AS (
-  SELECT h.doc_id, min(h.lang) AS pred_lang, max(h.hits) AS hits
-  FROM hits h JOIN best b ON h.doc_id = b.doc_id AND h.hits = b.max_hits
-  GROUP BY h.doc_id
-), all_docs AS (
-  SELECT d.doc_id, coalesce(p.pred_lang, 'und') AS pred_lang, coalesce(p.hits, 0) AS hits
-  FROM documents d LEFT JOIN pred p ON d.doc_id = p.doc_id
-)
-SELECT pred_lang, count(*) AS n_docs, cast(sum(hits) AS BIGINT) AS total_hits
-FROM all_docs GROUP BY pred_lang
-"""
 
 
 def q_exact_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1160,76 +632,11 @@ def q_exact_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_EXACT_DEDUP = f"""
-WITH fp AS (
-  SELECT {_sql_hash60("trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))")} AS fp
-  FROM documents
-), groups AS (SELECT fp, count(*) AS n FROM fp GROUP BY fp)
-SELECT cast(sum(n) AS BIGINT) AS n_docs, count(*) AS n_distinct,
-       cast(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups
-FROM groups
-"""
-
-
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard near-dup pairs (threshold 0.4) with
     length-bucket candidate pruning."""
     docs = load_table(spark, sf_dir, "documents")
     return DD.ngram_jaccard_pairs(docs, threshold=0.4)
-
-
-# Mirrors auto_ts_spark.functions.text.shingles(): docs with fewer than
-# n tokens fall back to ONE whole-text shingle on BOTH engines. ONE
-# generator serves every oracle that shingles (Jaccard, minhash,
-# winnow, decontaminate) so a tokenizer/shingle convention change
-# cannot silently diverge across them.
-def _sql_shingles(n: int, distinct: bool = True) -> str:
-    zips = ", ".join(["toks"] + [f"toks[{i}:]" for i in range(2, n + 1)])
-    cat = ", ' ', ".join(f"x[{i}]" for i in range(1, n + 1))
-    inner = (
-        f"list_filter(list_transform(list_zip({zips}),\n"
-        f"      x -> CASE WHEN x[{n}] IS NOT NULL THEN concat({cat}) END),\n"
-        f"      s -> s IS NOT NULL)"
-    )
-    if distinct:
-        inner = f"list_distinct({inner})"
-    return (
-        f"CASE WHEN len(toks) < {n} THEN [array_to_string(toks, ' ')]\n"
-        f"    ELSE {inner} END"
-    )
-
-
-_SQL_SHINGLES = _sql_shingles(3)
-
-# The tokenized-documents base CTE body shared by every shingling
-# oracle (Jaccard, MinHash, SimHash, winnowing) — change the
-# tokenizer convention in ONE place or not at all.
-def _sql_tok_base(pred: str = "") -> str:
-    where = f" WHERE {pred}" if pred else ""
-    return "SELECT doc_id AS id, " + _SQL_TOKS + " AS toks FROM documents" + where
-
-
-_SQL_NGRAM_JACCARD = f"""
-WITH base AS (
-  {_sql_tok_base()}
-), sh AS (
-  SELECT id, {_SQL_SHINGLES} AS sh, cast(len(toks) // 16 as int) AS lb FROM base
-), inv AS (
-  SELECT id, len(sh) AS n_sh, lb, unnest(sh) AS shingle FROM sh
-), inter AS (
-  -- inverted-index set-similarity join (mirrors the Spark operator):
-  -- pairs sharing zero shingles have Jaccard 0 and are exactly prunable
-  SELECT a.id AS id_a, b.id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
-         count(*) AS c
-  FROM inv a JOIN inv b
-    ON a.shingle = b.shingle AND a.id < b.id
-   AND b.lb BETWEEN a.lb - 1 AND a.lb + 1
-  GROUP BY 1, 2, 3, 4
-)
-SELECT id_a, id_b,
-       round(c / greatest(n_a + n_b - c, 1), 6) AS jaccard
-FROM inter WHERE round(c / greatest(n_a + n_b - c, 1), 6) >= 0.4
-"""
 
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1240,55 +647,6 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.minhash_lsh_pairs(
         docs, num_hashes=16, bands=8, threshold=0.4
     )
-
-
-def _sql_minhash_lsh(pred: str = "") -> str:
-    """MinHash(16)+LSH(8 bands) oracle, optionally restricted by a
-    deterministic predicate on documents (the bounded-subset form that
-    keeps the sf10 parity sweep to minutes — pair work is quadratic in
-    candidate-bucket size, so an id cap bounds it at any sf)."""
-    where = f" WHERE {pred}" if pred else ""
-    return f"""
-WITH base AS (
-  {_sql_tok_base(pred)}
-), sh AS (
-  SELECT id, {_SQL_SHINGLES} AS sh,
-         {_sql_shingles(3, distinct=False)} AS sh_all
-  FROM base
-), based AS (
-  SELECT id, sh, list_transform(sh_all, s -> {_sql_hash60("s")}) AS base FROM sh
-), sig AS (
-  SELECT id, sh,
-         list_transform(generate_series(0, 15),
-            i -> list_min(list_transform(base,
-                 h -> ((2*i + 1) * (h % 2147483647) + (i * 2654435761 + 987654321) % 2147483647) % 2147483647))) AS mh
-  FROM based
-), banded AS (
-  SELECT id, sh, b.band,
-         array_to_string(mh[b.band * 2 + 1 : b.band * 2 + 2], ',') AS bh
-  FROM sig, (SELECT unnest(generate_series(0, 7)) AS band) b
-), cand AS (
-  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sh AS sh_a, b.sh AS sh_b
-  FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh AND a.id < b.id
-), scored AS (
-  SELECT id_a, id_b,
-         round(len(list_intersect(sh_a, sh_b))
-               / greatest(len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b)), 1), 6) AS jaccard
-  FROM cand
-)
-SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.4
-"""
-
-
-_SQL_MINHASH_LSH = _sql_minhash_lsh()
-
-# Bounded-subset slice (r7): doc_id < 5000 applied identically in
-# Spark and SQL. At the driver's sf0.01 (500 docs) the slice IS the
-# full table, so the driver row carries the same signal as the
-# unbounded query; at sf10 (500k docs) it caps the quadratic oracle
-# at 5k docs so the full-board parity sweep stays minutes, not hours.
-_SLICE_DOC_PRED = "doc_id < 5000"
-_SQL_MINHASH_LSH_SLICE = _sql_minhash_lsh(_SLICE_DOC_PRED)
 
 
 def q_minhash_lsh_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1308,37 +666,6 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.dedup_clusters(docs, num_hashes=16, bands=8, threshold=0.4)
 
 
-def _sql_dedup_clusters(pred: str = "") -> str:
-    """Recursive-CTE components over the (optionally bounded) MinHash
-    pair graph — the parameterization that makes the sf10 sweep
-    tractable (see _sql_minhash_lsh)."""
-    return f"""
-WITH RECURSIVE pr AS (
-  SELECT id_a, id_b FROM ({_sql_minhash_lsh(pred)}) t
-), edges AS (
-  SELECT id_a AS src, id_b AS dst FROM pr
-  UNION ALL
-  SELECT id_b AS src, id_a AS dst FROM pr
-), nodes AS (
-  SELECT DISTINCT src AS id FROM edges
-), reach(id, root) AS (
-  SELECT id, id FROM nodes
-  UNION
-  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.id
-), lab AS (
-  SELECT id AS doc_id, min(root) AS cluster_id FROM reach GROUP BY id
-)
-SELECT doc_id, cluster_id,
-       cast(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
-       doc_id = cluster_id AS is_keep
-FROM lab
-"""
-
-
-_SQL_DEDUP_CLUSTERS = _sql_dedup_clusters()
-_SQL_DEDUP_CLUSTERS_SLICE = _sql_dedup_clusters(_SLICE_DOC_PRED)
-
-
 def q_dedup_clusters_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-subset near-dup clustering (doc_id < 5000, identical
     restriction in the oracle): the sf10-sweepable form of
@@ -1355,24 +682,6 @@ def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", F.expr(TX.simhash_token_hashes_sql("text")).alias("_th")
     ).select("doc_id", F.expr(TX.simhash_from_hashes_sql("_th", 32)).alias("simhash"))
-
-
-_SQL_SIMHASH = f"""
-WITH t AS (
-  SELECT doc_id, {_SQL_TOKS} AS toks FROM documents WHERE doc_id < 100
-), h AS (
-  SELECT doc_id, toks,
-         list_transform(toks, tk -> {_sql_hash60("tk")}) AS hs
-  FROM t
-)
-SELECT doc_id,
-       cast(list_aggregate(
-         list_transform(generate_series(0, 31),
-           b -> CASE WHEN 2 * len(list_filter(hs, hh -> (hh >> b) & 1 = 1)) > len(toks)
-                     THEN (1::BIGINT << b) ELSE 0::BIGINT END),
-         'sum') AS BIGINT) AS simhash
-FROM h
-"""
 
 
 def q_winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1395,30 +704,6 @@ def q_winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_WINNOW_OVERLAP = f"""
-WITH base AS (
-  {_sql_tok_base()}
-), sh AS (
-  SELECT id, {_sql_shingles(4, distinct=False)} AS sh
-  FROM base
-), hashed AS (
-  SELECT id, list_transform(sh, s -> {_sql_hash60("s")}) AS hs FROM sh
-), fps AS (
-  SELECT id, unnest(list_distinct(list_transform(
-           generate_series(1, len(hs)), i -> list_min(hs[i : i + 3])))) AS fp
-  FROM hashed
-), rare AS (
-  SELECT fp FROM fps GROUP BY fp HAVING count(DISTINCT id) <= 20
-), pruned AS (
-  SELECT fps.id, fps.fp FROM fps JOIN rare USING (fp)
-)
-SELECT a.id AS id_a, b.id AS id_b, cast(count(DISTINCT a.fp) AS bigint) AS n_shared
-FROM pruned a JOIN pruned b ON a.fp = b.fp AND a.id < b.id
-GROUP BY 1, 2 HAVING count(DISTINCT a.fp) >= 2
-ORDER BY id_a, id_b
-"""
-
-
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (operators/decontam.py): documents
     sharing any word 4-gram with the held-out 'benchmark' slice
@@ -1433,29 +718,6 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.filter(F.col("doc_id") % 53 == 0)
     corpus = docs.filter(F.col("doc_id") % 53 != 0)
     return contamination_hits(corpus, bench, n=4).orderBy("doc_id")
-
-
-_SQL_DECONTAMINATE = f"""
-WITH base AS (
-  {_sql_tok_base()}
-), sh AS (
-  SELECT id, {_sql_shingles(4, distinct=False)} AS sh
-  FROM base
-), grams AS (
-  -- empty grams dropped (operators/decontam.py::_doc_ngrams)
-  SELECT id, gram
-  FROM (SELECT id, unnest(list_distinct(sh)) AS gram FROM sh)
-  WHERE gram <> ''
-), bench AS (
-  SELECT DISTINCT gram FROM grams WHERE id % 53 = 0
-), corp AS (
-  SELECT id, gram FROM grams WHERE id % 53 <> 0
-)
-SELECT corp.id AS doc_id, cast(count(*) AS bigint) AS n_hits,
-       min(corp.gram) AS first_gram
-FROM corp JOIN bench USING (gram)
-GROUP BY 1 ORDER BY doc_id
-"""
 
 
 def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1494,32 +756,6 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_pii_redaction() -> str:
-    from auto_ts_spark.operators.pii import pii_oracle_sql_exprs
-
-    count_cols, redacted = pii_oracle_sql_exprs()
-    return f"""
-WITH corpus AS (
-  SELECT c_custkey AS custkey,
-    'Reach ' || c_name || ' at user' || c_custkey::varchar ||
-    '@example.com, call 555-' ||
-    lpad((c_custkey % 1000)::varchar, 3, '0') || '-' ||
-    lpad((c_custkey % 10000)::varchar, 4, '0') ||
-    ' or ping 10.' || (c_custkey % 200)::varchar || '.' ||
-    (c_nationkey % 250)::varchar || '.' || ((c_custkey * 7) % 250)::varchar ||
-    CASE WHEN c_custkey % 3 = 0 THEN ' SSN 123-45-6789 on file.' ELSE '' END ||
-    CASE WHEN c_custkey % 5 = 0 THEN ' Card 4242 4242 4242 4242 expired.'
-         ELSE '' END AS txt
-  FROM customer
-)
-SELECT custkey, {count_cols}, {redacted} AS redacted
-FROM corpus ORDER BY custkey
-"""
-
-
-_SQL_PII_REDACTION = _sql_pii_redaction()
-
-
 def q_domain_doc_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL/domain curation (operators/urls.py): per-domain document
     counts over a deterministic URL-bearing corpus built from ``part``
@@ -1544,65 +780,12 @@ def q_domain_doc_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_doc_counts(corpus).orderBy("domain")
 
 
-_SQL_DOMAIN_DOC_COUNTS = """
-WITH corpus AS (
-  SELECT
-    'Buy ' || p_name || ' at https://shop' || (p_partkey % 7)::varchar ||
-    '.example' || CASE WHEN p_partkey % 2 = 0 THEN '.com' ELSE '.org' END ||
-    '/item/' || p_partkey::varchar ||
-    ' or https://cdn.assets' || (p_partkey % 3)::varchar ||
-    '.example.com/img/' || p_partkey::varchar || '.png today' AS txt
-  FROM part
-), doms AS (
-  SELECT unnest(list_distinct(list_transform(
-           regexp_extract_all(txt, '{url_pat}'),
-           u -> lower(regexp_extract(u, '{host_pat}', 1))
-         ))) AS domain
-  FROM corpus
-)
-SELECT domain, cast(count(*) AS bigint) AS n_docs
-FROM doms GROUP BY domain ORDER BY domain
-"""
-
-
-def _sql_domain_doc_counts() -> str:
-    from auto_ts_spark.operators.urls import HOST_PATTERN, URL_PATTERN
-
-    # single quotes inside the pattern's character class must be
-    # doubled inside a SQL string literal; both patterns come from the
-    # operator's own constants so the engines cannot drift
-    return _SQL_DOMAIN_DOC_COUNTS.replace(
-        "{url_pat}", URL_PATTERN.replace("'", "''")
-    ).replace("{host_pat}", HOST_PATTERN.replace("'", "''"))
-
-
-_SQL_DOMAIN_DOC_COUNTS = _sql_domain_doc_counts()
-
-
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 neighbors for query vectors vec_id<10
     (broadcast queries; corpus scanned once)."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
     return SIM.brute_force_topk(emb, q, k=5)
-
-
-_SQL_EMBEDDING_TOPK = """
-WITH q AS (
-  SELECT vec_id AS query_id, cast(embedding as double[]) AS qv FROM embeddings WHERE vec_id < 10
-), c AS (
-  SELECT vec_id AS neighbor_id, cast(embedding as double[]) AS cv FROM embeddings
-), scored AS (
-  SELECT query_id, neighbor_id,
-         round(list_dot_product(qv, cv) /
-               (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS cosine
-  FROM c, q WHERE neighbor_id <> query_id
-), ranked AS (
-  SELECT *, cast(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) as int) AS rank
-  FROM scored
-)
-SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
-"""
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1626,32 +809,6 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_b",
         F.round(SIM.cosine(F.col("va"), F.col("vb")), 6).alias("cosine"),
     ).filter(F.col("cosine") >= 0.3)
-
-
-def _sql_embedding_near_dup(pred: str = "") -> str:
-    """Label-blocked cosine near-dup oracle, optionally bounded by a
-    deterministic vec_id predicate (sf10-sweepable form)."""
-    where = f" WHERE {pred}" if pred else ""
-    return f"""
-WITH v AS (SELECT label, vec_id, cast(embedding as double[]) AS ve FROM embeddings{where})
-SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,
-       round(list_dot_product(a.ve, b.ve) /
-             (sqrt(list_dot_product(a.ve, a.ve)) * sqrt(list_dot_product(b.ve, b.ve))), 6) AS cosine
-FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE list_dot_product(a.ve, b.ve) /
-      (sqrt(list_dot_product(a.ve, a.ve)) * sqrt(list_dot_product(b.ve, b.ve))) >= 0.2999995
-  AND round(list_dot_product(a.ve, b.ve) /
-      (sqrt(list_dot_product(a.ve, a.ve)) * sqrt(list_dot_product(b.ve, b.ve))), 6) >= 0.3
-"""
-
-
-_SQL_EMBEDDING_NEAR_DUP = _sql_embedding_near_dup()
-
-# vec_id < 2000 ≈ the whole table at the driver's sf0.01 (~800
-# vectors) but caps the label-blocked quadratic at 2k vectors at any
-# larger sf — the sweepable twin of embedding_near_dup.
-_SLICE_VEC_PRED = "vec_id < 2000"
-_SQL_EMBEDDING_NEAR_DUP_SLICE = _sql_embedding_near_dup(_SLICE_VEC_PRED)
 
 
 def q_embedding_near_dup_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1749,45 +906,6 @@ def q_semantic_dedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_SEMANTIC_DEDUP_IVF = """
-SELECT cast(vec_id AS bigint) AS src_id,
-       cast(2 AS bigint) AS n_copies,
-       cast(2 AS bigint) AS copies_with_src,
-       cast(0 AS bigint) AS copies_kept
-FROM embeddings WHERE vec_id < 20
-"""
-
-
-_SQL_SEMANTIC_DEDUP = """
-WITH RECURSIVE v AS (
-  SELECT label, vec_id, cast(embedding as double[]) AS ve FROM embeddings
-), pr AS (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b
-  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
-  WHERE list_dot_product(a.ve, b.ve) /
-        (sqrt(list_dot_product(a.ve, a.ve)) * sqrt(list_dot_product(b.ve, b.ve))) >= 0.2999995
-    AND round(list_dot_product(a.ve, b.ve) /
-        (sqrt(list_dot_product(a.ve, a.ve)) * sqrt(list_dot_product(b.ve, b.ve))), 6) >= 0.3
-), edges AS (
-  SELECT id_a AS src, id_b AS dst FROM pr
-  UNION ALL
-  SELECT id_b AS src, id_a AS dst FROM pr
-), nodes AS (
-  SELECT DISTINCT src AS id FROM edges
-), reach(id, root) AS (
-  SELECT id, id FROM nodes
-  UNION
-  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.id
-), lab AS (
-  SELECT id AS vec_id, min(root) AS cluster_id FROM reach GROUP BY id
-)
-SELECT vec_id, cluster_id,
-       cast(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
-       vec_id = cluster_id AS is_keep
-FROM lab
-"""
-
-
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (operators/dsir.py::dsir_log_weights):
     hashed unigram+bigram log-likelihood ratio of the English-document
@@ -1798,39 +916,6 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     target = docs.filter(F.col("lang") == "en")
     return DSIR.dsir_log_weights(docs, target, n_buckets=256)
-
-
-_SQL_DSIR_WEIGHTS = f"""
-WITH toks AS (
-  SELECT doc_id, {_SQL_TOKS} AS tk FROM documents
-), grams AS (
-  SELECT doc_id, unnest(tk) AS g FROM toks
-  UNION ALL
-  SELECT doc_id, unnest(list_transform(range(1, len(tk)),
-                                       i -> tk[i] || ' ' || tk[i + 1])) AS g
-  FROM toks
-), rawb AS (
-  SELECT doc_id, {_sql_hash60("g")} % 256 AS bucket FROM grams
-), tgtb AS (
-  SELECT bucket FROM rawb JOIN documents USING (doc_id) WHERE lang = 'en'
-), rc AS (
-  SELECT bucket, count(*) AS cnt_r FROM rawb GROUP BY bucket
-), tc AS (
-  SELECT bucket, count(*) AS cnt_t FROM tgtb GROUP BY bucket
-), tot AS (
-  SELECT (SELECT count(*) FROM rawb) AS tr, (SELECT count(*) FROM tgtb) AS tt
-), lnr AS (
-  SELECT coalesce(rc.bucket, tc.bucket) AS bucket,
-         cast(round(ln(((coalesce(cnt_t, 0) + 1.0) / (tt + 256.0))
-                       / ((coalesce(cnt_r, 0) + 1.0) / (tr + 256.0))), 9)
-              as decimal(28,9)) AS lnr
-  FROM rc FULL JOIN tc ON rc.bucket = tc.bucket, tot
-)
-SELECT doc_id, count(*) AS n_grams,
-       cast(round(sum(lnr), 6) as double) AS log_weight
-FROM rawb JOIN lnr USING (bucket)
-GROUP BY doc_id
-"""
 
 
 def _lm_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1856,52 +941,6 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return LMQ.perplexity_terciles(_lm_scored(spark, sf_dir))
 
 
-# stupid-backoff bigram LM over the en reference; per-token branches:
-# first token → smoothed unigram; seen bigram → conditional MLE;
-# else → alpha(0.4)-discounted smoothed unigram (OOV included via the
-# V+1-class add-one smoothing)
-_SQL_LM_SCORED = f"""
-WITH t AS (
-  SELECT doc_id, list_filter({_SQL_TOKS}, x -> x <> '') AS tk
-  FROM documents WHERE text IS NOT NULL
-), ref AS (
-  SELECT t.tk FROM t JOIN documents USING (doc_id) WHERE lang = 'en'
-), uni AS (
-  SELECT w, count(*) AS c1 FROM (SELECT unnest(tk) AS w FROM ref) GROUP BY w
-), tot AS (
-  SELECT cast(sum(c1) + count(*) + 1 AS double) AS nv1 FROM uni
-), bi AS (
-  SELECT big, count(*) AS c2
-  FROM (SELECT unnest(list_transform(range(1, len(tk)),
-                                     i -> tk[i] || ' ' || tk[i + 1])) AS big
-        FROM ref)
-  GROUP BY big
-), bi2 AS (
-  SELECT big, c2, c1 AS c1_prev
-  FROM bi JOIN uni ON string_split(big, ' ')[1] = w
-), pos AS (
-  SELECT doc_id, tk[i] AS cur,
-         CASE WHEN i = 1 THEN NULL ELSE tk[i - 1] END AS prev
-  FROM (SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS i FROM t)
-), lp AS (
-  SELECT doc_id,
-         cast(round(CASE
-           WHEN prev IS NULL
-             THEN ln((coalesce(c1, 0) + 1.0) / nv1)
-           WHEN c2 IS NOT NULL THEN ln(c2 / c1_prev)
-           ELSE ln(0.4) + ln((coalesce(c1, 0) + 1.0) / nv1)
-         END, 9) AS decimal(28,9)) AS lp9
-  FROM pos
-  LEFT JOIN uni ON pos.cur = uni.w
-  LEFT JOIN bi2 ON pos.prev || ' ' || pos.cur = bi2.big
-  CROSS JOIN tot
-)
-SELECT doc_id, count(*) AS n_tokens,
-       cast(-round(sum(lp9), 6) AS double) AS nlp_sum,
-       cast(-round(sum(lp9), 6) AS double) / count(*) AS avg_nlp
-FROM lp GROUP BY doc_id
-"""
-
 def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fastText/LLaMA-style in-engine quality classifier
     (operators/quality_classifier.py): 3 full-batch gradient steps of
@@ -1920,99 +959,6 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return QC.classify(docs, w, n_buckets=128)
 
 
-def _sql_quality_classifier(n_buckets: int = 128, iters: int = 3) -> str:
-    """Unrolled-training-loop oracle for q_quality_classifier (lr=1).
-
-    Mirrors the operator op-for-op in micro-units: every sum is
-    bigint, every quantization is floor(x * 1e6 + 0.5) over the same
-    IEEE double sequence the Spark side (and the driver's Python
-    update step) executes."""
-    u = "1000000.0"
-    head = f"""
-WITH t AS (
-  SELECT doc_id AS id, list_filter({_SQL_TOKS}, x -> x <> '') AS tk
-  FROM documents WHERE text IS NOT NULL
-), grams AS (
-  SELECT id, {_sql_hash60("w")} % {n_buckets} AS bucket
-  FROM (SELECT id, unnest(tk) AS w FROM t)
-), cnt AS (
-  SELECT id, bucket, count(*) AS c FROM grams GROUP BY id, bucket
-), tot AS (
-  SELECT id, count(*) AS tc FROM grams GROUP BY id
-), feats AS MATERIALIZED (
-  SELECT id, bucket, cast(floor(c / tc * {u} + 0.5) AS bigint) AS x_u
-  FROM cnt JOIN tot USING (id)
-  UNION ALL
-  SELECT id, -1 AS bucket, 1000000 AS x_u FROM tot
-), lab AS MATERIALIZED (
-  SELECT f.id, f.bucket, f.x_u,
-         CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
-  FROM feats f JOIN documents d ON f.id = d.doc_id
-), nn AS (
-  SELECT count(DISTINCT id) AS n FROM lab
-), w0 AS MATERIALIZED (
-  SELECT unnest(range(-1, {n_buckets})) AS bucket, cast(0 AS bigint) AS w_u
-)"""
-    steps = []
-    for i in range(iters):
-        steps.append(f""", c{i} AS MATERIALIZED (
-  SELECT id, bucket, x_u, y,
-         cast(floor(cast(w_u AS double) * (cast(x_u AS double) / {u})
-                    + 0.5) AS bigint) AS wx_u
-  FROM lab JOIN w{i} USING (bucket)
-), z{i} AS MATERIALIZED (
-  SELECT id, y, sum(wx_u) AS z_u FROM c{i} GROUP BY id, y
-), e{i} AS MATERIALIZED (
-  SELECT id,
-         cast(floor(1.0 / (1.0 + exp(-(cast(z_u AS double) / {u}))) * {u}
-                    + 0.5) AS bigint) - y * 1000000 AS e_u
-  FROM z{i}
-), g{i} AS MATERIALIZED (
-  SELECT bucket,
-         sum(cast(floor((cast(x_u AS double) / {u})
-                        * cast(e_u AS double) + 0.5) AS bigint)) AS g_u
-  FROM c{i} JOIN e{i} USING (id) GROUP BY bucket
-), w{i + 1} AS MATERIALIZED (
-  SELECT w{i}.bucket,
-         w{i}.w_u - cast(floor(1.0 * cast(coalesce(g.g_u, 0) AS double)
-                               / nn.n + 0.5) AS bigint) AS w_u
-  FROM w{i} LEFT JOIN g{i} g USING (bucket) CROSS JOIN nn
-)""")
-    tail = f""", sc AS (
-  SELECT id,
-         cast(floor(cast(w_u AS double) * (cast(x_u AS double) / {u})
-                    + 0.5) AS bigint) AS wx_u
-  FROM feats JOIN w{iters} USING (bucket)
-), zz AS (
-  SELECT id AS doc_id, cast(sum(wx_u) AS bigint) AS z_micro
-  FROM sc GROUP BY id
-), pp AS (
-  SELECT doc_id, z_micro,
-         cast(floor(1.0 / (1.0 + exp(-(cast(z_micro AS double) / {u})))
-                    * {u} + 0.5) AS bigint) AS p_u
-  FROM zz
-)
-SELECT doc_id, z_micro, cast(p_u AS double) / {u} AS p,
-       p_u >= 500000 AS keep
-FROM pp
-"""
-    return head + "".join(steps) + tail
-
-
-_SQL_QUALITY_CLASSIFIER = _sql_quality_classifier()
-
-
-_SQL_PERPLEXITY_BUCKETS = f"""
-WITH scored AS ({_SQL_LM_SCORED}), r AS (
-  SELECT avg_nlp, ntile(3) OVER (ORDER BY avg_nlp, doc_id) AS b FROM scored
-)
-SELECT CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
-       count(*) AS n_docs,
-       min(avg_nlp) AS min_avg_nlp, max(avg_nlp) AS max_avg_nlp
-FROM r GROUP BY 1
-"""
-
-
 def q_repeated_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr-approximation repeated-span scrubbing
     (operators/textops.py::scrub_repeated_spans): verbatim 8-token
@@ -2020,41 +966,6 @@ def q_repeated_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     clean text + kept/removed counts value-checked."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     return TOPS.scrub_repeated_spans(docs, window=8)
-
-
-_SQL_REPEATED_SPAN_SCRUB = f"""
-WITH t AS (
-  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
-  FROM documents WHERE text IS NOT NULL
-), spans AS (
-  SELECT doc_id, unnest(range(1, greatest(len(tk) - 8 + 2, 1))) AS s FROM t
-), fp AS (
-  SELECT spans.doc_id, s,
-         {_sql_hash60("array_to_string(tk[s:s+7], ' ')")} AS h
-  FROM spans JOIN t USING (doc_id)
-), dup AS (
-  SELECT h FROM fp GROUP BY h HAVING count(distinct doc_id) >= 2
-), cov AS (
-  SELECT DISTINCT doc_id, u AS p
-  FROM (SELECT doc_id, unnest(range(s, s + 8)) AS u
-        FROM fp JOIN dup USING (h))
-), pos AS (
-  SELECT doc_id, unnest(range(1, len(tk) + 1)) AS p FROM t
-), kept AS (
-  SELECT pos.doc_id, pos.p
-  FROM pos LEFT JOIN cov ON pos.doc_id = cov.doc_id AND pos.p = cov.p
-  WHERE cov.p IS NULL
-), asm AS (
-  SELECT kept.doc_id, string_agg(tk[p], ' ' ORDER BY p) AS clean_text,
-         count(*) AS nk
-  FROM kept JOIN t USING (doc_id) GROUP BY kept.doc_id
-)
-SELECT t.doc_id,
-       coalesce(asm.clean_text, '') AS clean_text,
-       cast(coalesce(asm.nk, 0) AS bigint) AS n_tokens_kept,
-       cast(len(tk) - coalesce(asm.nk, 0) AS bigint) AS n_tokens_removed
-FROM t LEFT JOIN asm ON t.doc_id = asm.doc_id
-"""
 
 
 def q_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2072,13 +983,6 @@ def q_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-
-
-_SQL_HOURLY_ROLLUP = """
-SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
-       round(cast(sum(cast(value as decimal(28,6))) as double), 6) AS sum_value
-FROM events GROUP BY 1, 2
-"""
 
 
 def q_streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2100,18 +1004,6 @@ def q_streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg, sink_table=sink, checkpoint_dir=tempfile.mkdtemp(prefix="ckpt_")
     )
     return spark.table(sink)
-
-
-_SQL_STREAMING_HOURLY_ROLLUP = """
-SELECT date_trunc('hour', ts) AS win_start,
-       date_trunc('hour', ts) + INTERVAL 1 HOUR AS win_end,
-       event_type,
-       count(*) AS n_events,
-       round(cast(sum(cast(value as decimal(28,6))) as double), 6) AS sum_value,
-       cast(sum(cast(value as decimal(28,6))) * 1000000 AS BIGINT)
-           // count(*) AS avg_value_micros
-FROM events GROUP BY 1, 2, 3
-"""
 
 
 def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2137,29 +1029,6 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sink)
 
 
-_SQL_STREAMING_SESSIONIZE = """
-WITH flagged AS (
-  SELECT user_id, ts, value,
-         CASE WHEN lag(ts) OVER win IS NULL THEN 1
-              WHEN epoch(ts) - epoch(lag(ts) OVER win) >= 1800.0 THEN 1
-              ELSE 0 END AS new_s
-  FROM events
-  WINDOW win AS (PARTITION BY user_id ORDER BY ts)
-), sess AS (
-  SELECT user_id, ts, value,
-         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
-                          ROWS UNBOUNDED PRECEDING) AS sid
-  FROM flagged
-)
-SELECT min(ts) AS session_start,
-       max(ts) + INTERVAL 30 MINUTE AS session_end,
-       user_id,
-       count(*) AS n_events,
-       round(cast(sum(cast(value AS decimal(28,6))) AS double), 6) AS sum_value
-FROM sess GROUP BY user_id, sid
-"""
-
-
 def q_streaming_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W19 sliding-window streaming, value-checked: 1-hour windows
     sliding every 15 min (each event lands in exactly 4 windows),
@@ -2178,24 +1047,6 @@ def q_streaming_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg, sink_table=sink, checkpoint_dir=tempfile.mkdtemp(prefix="ckpt_")
     )
     return spark.table(sink)
-
-
-_SQL_STREAMING_SLIDING_ROLLUP = """
-WITH exploded AS (
-  SELECT make_timestamp((epoch_us(ts) // 900000000) * 900000000
-                        - k * 900000000) AS win_start,
-         event_type, value
-  FROM events, (SELECT unnest(generate_series(0, 3)) AS k)
-)
-SELECT win_start,
-       win_start + INTERVAL 1 HOUR AS win_end,
-       event_type,
-       count(*) AS n_events,
-       round(cast(sum(cast(value AS decimal(28,6))) AS double), 6) AS sum_value,
-       cast(sum(cast(value AS decimal(28,6))) * 1000000 AS BIGINT)
-           // count(*) AS avg_value_micros
-FROM exploded GROUP BY 1, 2, 3
-"""
 
 
 def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2225,14 +1076,6 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(28,6)")).cast("double"), 6
         ).alias("sum_value"),
     )
-
-
-_SQL_STREAMING_DEDUP = """
-SELECT count(*) AS n_rows,
-       count(DISTINCT event_id) AS n_keys,
-       round(cast(sum(cast(value AS decimal(28,6))) AS double), 6) AS sum_value
-FROM events
-"""
 
 
 def q_streaming_forecast_state(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2273,40 +1116,6 @@ def q_streaming_forecast_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# the recursive CTE replays stateful_rolling_forecast's fold verbatim:
-# base case n=1 (mean = v, ewma = v), step n+1 joins the next row in
-# (ts, event_id) order; (1 - 0.3) is written as the expression, not
-# 0.7, because the two double literals differ in the last ulp
-_SQL_STREAMING_FORECAST_STATE = """
-WITH RECURSIVE bounded AS (
-  SELECT * FROM (
-    SELECT event_type AS series_id, CAST(value AS DOUBLE) AS v,
-           row_number() OVER (PARTITION BY event_type
-                              ORDER BY ts, event_id) AS rn
-    FROM events WHERE event_id % 20 = 0 AND event_id < 100000)
-), fold AS (
-  SELECT series_id, rn, CAST(1 AS BIGINT) AS n, v AS mean, v AS ewma
-  FROM bounded WHERE rn = 1
-  UNION ALL
-  SELECT b.series_id, b.rn, f.n + 1,
-         f.mean + (b.v - f.mean) / (f.n + 1),
-         0.3 * b.v + (1 - 0.3) * f.ewma
-  FROM fold f JOIN bounded b
-    ON b.series_id = f.series_id AND b.rn = f.rn + 1
-), final AS (
-  SELECT series_id, n, mean, ewma,
-         row_number() OVER (PARTITION BY series_id ORDER BY n DESC) AS rk
-  FROM fold
-)
-SELECT series_id,
-       n AS running_n,
-       round(mean, 6) AS running_mean,
-       round(ewma, 6) AS ewma,
-       round(ewma, 6) AS yhat_next
-FROM final WHERE rk = 1
-"""
-
-
 def q_dedup_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3 value check: duplicate-named column drop (keep-FIRST,
     case-insensitive — reference etl.py de-dup of repeated columns).
@@ -2331,43 +1140,10 @@ def q_dedup_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_DEDUP_COLUMNS = """
-SELECT event_type,
-       round(cast(sum(cast(value AS decimal(28,6))) AS double), 6) AS sum_v,
-       count(*) AS n
-FROM events GROUP BY event_type
-"""
-
-
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization (gap 30 min) per-user session stats."""
     ev = load_table(spark, sf_dir, "events")
     return SESS.session_stats(ev, gap_seconds=1800)
-
-
-_SQL_SESSIONIZE = """
-WITH flagged AS (
-  SELECT user_id, ts,
-         CASE WHEN lag(ts) OVER win IS NULL THEN 0
-              WHEN cast(floor(epoch(ts)) as bigint) - cast(floor(epoch(lag(ts) OVER win)) as bigint) > 1800 THEN 1
-              ELSE 0 END AS new_s
-  FROM events
-  WINDOW win AS (PARTITION BY user_id ORDER BY ts)
-), sess AS (
-  SELECT user_id, ts,
-         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
-  FROM flagged
-), per_session AS (
-  SELECT user_id, session_id, count(*) AS n_events,
-         cast(floor(epoch(max(ts))) as bigint) - cast(floor(epoch(min(ts))) as bigint) AS duration_s
-  FROM sess GROUP BY user_id, session_id
-)
-SELECT user_id, count(*) AS n_sessions,
-       round(avg(n_events), 6) AS avg_events_per_session,
-       round(avg(duration_s), 6) AS avg_session_duration_s
-FROM per_session GROUP BY user_id
-"""
 
 
 def q_fillna_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2389,20 +1165,6 @@ def q_fillna_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_FILLNA_FFILL = """
-WITH sparse AS (
-  SELECT event_id, user_id, ts,
-         CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS value
-  FROM events
-)
-SELECT event_id, user_id,
-       round(last_value(value IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS value,
-       cast(CASE WHEN value IS NULL THEN 1 ELSE 0 END as int) AS value_missing_flag
-FROM sparse
-"""
-
-
 def q_json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar-function family: JSON extraction + conditional + math on
     the events props column."""
@@ -2417,17 +1179,6 @@ def q_json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_JSON_PROPS = """
-SELECT event_id,
-       cast(json_extract(props, '$.k') as int) AS k,
-       CASE WHEN cast(json_extract(props, '$.k') as int) % 2 = 0 THEN 'even' ELSE 'odd' END AS parity,
-       round(ln(value + 1), 6) AS log_value,
-       round(sqrt(abs(value)), 6) AS sqrt_abs_value
-FROM events
-"""
-
-
-
 def q_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W17: autocorrelation of the daily event-value series, lags 1..7
     (one window stage for all lags, one corr agg, unpivot)."""
@@ -2435,60 +1186,6 @@ def q_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return LAGS.acf(series, "y", 7).select(
         "lag", F.round("acf", 6).alias("acf")
     )
-
-
-_SQL_ACF = """
-WITH s AS (
-  """ + _SQL_DAILY + """
-), l AS (
-  SELECT y,
-         """ + ", ".join(f"lag(y,{k}) OVER (ORDER BY ts) AS l{k}" for k in range(1, 8)) + """
-  FROM s
-)
-SELECT lag, round(acf, 6) AS acf FROM (
-""" + " UNION ALL ".join(
-    f"SELECT cast({k} AS int) AS lag, corr(y, l{k}) AS acf FROM l" for k in range(1, 8)
-) + """
-)
-"""
-
-
-# Single source of truth for the PACF depth — q_pacf and every clause
-# of _SQL_PACF derive from it (changing one side can't break parity).
-PACF_MAX_LAG = 7
-
-_SQL_PACF = f"""
-WITH RECURSIVE s AS (
-  """ + _SQL_DAILY + """
-), l AS (
-  SELECT y, """ + ", ".join(
-    f"lag(y,{k}) OVER (ORDER BY ts) AS l{k}" for k in range(1, PACF_MAX_LAG + 1)
-) + """
-  FROM s
-), r AS (
-  SELECT [1.0] || [""" + ", ".join(
-    f"corr(y, l{k})" for k in range(1, PACF_MAX_LAG + 1)
-) + f"""] AS rv FROM l
-), dl(k, phi) AS (
-  -- Durbin-Levinson: phi is the length-k coefficient vector phi_{{k,1..k}};
-  -- rv is 1-indexed with rv[m+1] = r_m. The denominator guard mirrors
-  -- the Spark side (operators/lags.py: den == 0 -> 0.0) so degenerate
-  -- series agree instead of diverging to inf/NULL.
-  SELECT 1, [rv[2]] FROM r
-  UNION ALL
-  SELECT k + 1, list_transform(phi, (p, j) -> p - a * phi[k + 1 - j]) || [a]
-  FROM (
-    SELECT k, phi,
-      CASE WHEN (1 - list_sum(list_transform(phi, (p, j) -> p * rv[j+1]))) = 0
-           THEN 0.0
-           ELSE (rv[k+2] - list_sum(list_transform(phi, (p, j) -> p * rv[k+2-j])))
-                / (1 - list_sum(list_transform(phi, (p, j) -> p * rv[j+1])))
-      END AS a
-    FROM dl, r WHERE k < {PACF_MAX_LAG}
-  )
-)
-SELECT cast(k AS int) AS lag, round(phi[k], 6) AS pacf FROM dl ORDER BY k
-"""
 
 
 def q_zero_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2509,23 +1206,6 @@ def q_zero_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_ZERO_VARIANCE = """
-WITH a AS (
-  SELECT round(stddev_samp(value), 6) AS value,
-         round(stddev_samp(year(ts)), 6) AS year,
-         round(stddev_samp(month(ts)), 6) AS month,
-         round(stddev_samp(1.0), 6) AS const_one
-  FROM events
-)
-SELECT feature, stddev, stddev != 0 AS keep FROM (
-  SELECT 'value' AS feature, value AS stddev FROM a
-  UNION ALL SELECT 'year', year FROM a
-  UNION ALL SELECT 'month', month FROM a
-  UNION ALL SELECT 'const_one', const_one FROM a
-)
-"""
-
-
 def q_problem_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M11: problem-type detection (dtype x distinct-count thresholds)
     for three candidate targets of the events table."""
@@ -2536,24 +1216,6 @@ def q_problem_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         (c, detect_problem_type(ev, c)) for c in ("value", "event_type", "user_id")
     ]
     return spark.createDataFrame(rows, "target string, problem_type string")
-
-
-_SQL_PROBLEM_TYPE = """
-SELECT 'value' AS target,
-       CASE WHEN (SELECT count(DISTINCT value) FROM events) = 2
-            THEN 'Binary_Classification' ELSE 'Regression' END AS problem_type
-UNION ALL
-SELECT 'event_type',
-       CASE WHEN (SELECT count(DISTINCT event_type) FROM events) = 2
-            THEN 'Binary_Classification' ELSE 'Multi_Classification' END
-UNION ALL
-SELECT 'user_id',
-       CASE WHEN (SELECT count(DISTINCT user_id) FROM events) = 2
-            THEN 'Binary_Classification'
-            WHEN (SELECT count(DISTINCT user_id) FROM events) <= 30
-            THEN 'Multi_Classification' ELSE 'Regression' END
-"""
-
 
 
 def q_label_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2578,25 +1240,6 @@ def q_label_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_LABEL_ENCODE = """
-WITH m AS (
-  SELECT value, row_number() OVER (ORDER BY value) - 1 AS code
-  FROM (SELECT DISTINCT event_type AS value FROM events WHERE event_type <> 'error')
-), mx AS (SELECT max(code) AS mc FROM m),
-u AS (
-  SELECT value, mc + row_number() OVER (ORDER BY value) AS code
-  FROM (SELECT DISTINCT event_type AS value FROM events
-        WHERE event_type NOT IN (SELECT value FROM m)) CROSS JOIN mx
-)
-SELECT e.event_type, cast(coalesce(m.code, u.code) AS bigint) AS code,
-       count(*) AS n
-FROM events e LEFT JOIN m ON e.event_type = m.value
-              LEFT JOIN u ON e.event_type = u.value
-GROUP BY 1, 2
-"""
-
-
-
 def q_forecast_viz_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2: full-outer join of daily actuals with a naive lag-7 forecast
     frame carrying yhat / yhat_lower / yhat_upper (the Prophet-style
@@ -2616,20 +1259,6 @@ def q_forecast_viz_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_FORECAST_VIZ_JOIN = """
-WITH daily AS (
-  """ + _SQL_DAILY + """
-), fc AS (
-  SELECT ts + INTERVAL 7 DAY AS ts, round(y, 6) AS yhat,
-         round(y * 0.9, 6) AS yhat_lower, round(y * 1.1, 6) AS yhat_upper
-  FROM daily
-)
-SELECT coalesce(d.ts, fc.ts) AS ts, round(d.y, 6) AS y,
-       fc.yhat, fc.yhat_lower, fc.yhat_upper
-FROM daily d FULL OUTER JOIN fc ON d.ts = fc.ts
-"""
-
-
 def q_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W17 (PACF): distributed ACF agg + driver-side Durbin-Levinson
     (oracle: DuckDB recursive CTE over a list column)."""
@@ -2637,7 +1266,6 @@ def q_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     series = _daily_decimal_series(spark, sf_dir)
     return pacf(series, "y", PACF_MAX_LAG)
-
 
 
 def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2674,20 +1302,6 @@ def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "g_year",
         )
     )
-
-
-_SQL_REVENUE_ROLLUP = """
-SELECT n_name, cast(year(o_orderdate) AS bigint) AS o_year,
-       round(cast(sum(cast(o_totalprice AS decimal(20,2))) AS double), 2) AS revenue,
-       count(*) AS n_orders,
-       cast(grouping(n_name) AS int) AS g_nation,
-       cast(grouping(year(o_orderdate)) AS int) AS g_year
-FROM orders
-JOIN customer ON o_custkey = c_custkey
-JOIN nation ON c_nationkey = n_nationkey
-GROUP BY ROLLUP (n_name, year(o_orderdate))
-"""
-
 
 
 def q_residual_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2756,41 +1370,6 @@ def q_residual_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_RESIDUAL_DIAG = """
-WITH daily AS (
-  """ + _SQL_DAILY + """
-), e AS (
-  SELECT ts, y - lag(y, 1) OVER (ORDER BY ts) AS e FROM daily
-  QUALIFY e IS NOT NULL
-), l AS (
-  SELECT e,
-         lag(e,1) OVER (ORDER BY ts) AS e1, lag(e,2) OVER (ORDER BY ts) AS e2,
-         lag(e,3) OVER (ORDER BY ts) AS e3, lag(e,4) OVER (ORDER BY ts) AS e4,
-         lag(e,5) OVER (ORDER BY ts) AS e5
-  FROM e
-), a AS (
-  SELECT count(*) AS n,
-         sum(pow(e - e1, 2)) AS num_dw,
-         sum(pow(e, 2)) AS ss,
-         avg(e) AS m1, avg(pow(e,2)) AS r2, avg(pow(e,3)) AS r3, avg(pow(e,4)) AS r4,
-         sum(e * e1) AS s1, sum(e * e2) AS s2, sum(e * e3) AS s3,
-         sum(e * e4) AS s4, sum(e * e5) AS s5
-  FROM l
-)
-SELECT n AS n_resid,
-       round(num_dw / ss, 6) AS durbin_watson,
-       round(n / 6.0 * (pow((r3 - 3*m1*r2 + 2*pow(m1,3)) / pow(r2 - pow(m1,2), 1.5), 2)
-             + pow((r4 - 4*m1*r3 + 6*pow(m1,2)*r2 - 3*pow(m1,4)) / pow(r2 - pow(m1,2), 2) - 3, 2) / 4.0), 6)
-         AS jarque_bera,
-       round(n * (n + 2) * (pow(s1/ss,2)/(n-1) + pow(s2/ss,2)/(n-2) + pow(s3/ss,2)/(n-3)
-             + pow(s4/ss,2)/(n-4) + pow(s5/ss,2)/(n-5)), 6) AS ljung_box_q5,
-       round(s1 / ss, 6) AS ar1_phi,
-       abs(s1 / ss) < 1.0 AS ar_root_outside_unit_circle
-FROM a
-"""
-
-
-
 def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Additive seasonal decomposition of the daily series (period 7):
     centered-MA trend, phase-mean seasonal (sum-0), residual — the
@@ -2806,26 +1385,6 @@ def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("seasonal", 6).alias("seasonal"),
         F.round("residual", 6).alias("residual"),
     )
-
-
-_SQL_SEASONAL_DECOMPOSE = """
-WITH s AS (
-  """ + _SQL_DAILY + """
-), t AS (
-  SELECT ts, y,
-         (row_number() OVER (ORDER BY ts) - 1) % 7 AS phase,
-         CASE WHEN count(y) OVER (ORDER BY ts ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) = 7
-              THEN avg(y) OVER (ORDER BY ts ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
-         END AS trend
-  FROM s
-), pm AS (
-  SELECT phase, avg(y - trend) AS pmv FROM t WHERE trend IS NOT NULL GROUP BY phase
-), g AS (SELECT avg(pmv) AS gm FROM pm)
-SELECT t.ts, round(t.y, 6) AS y, round(t.trend, 6) AS trend,
-       round(pm.pmv - g.gm, 6) AS seasonal,
-       round(t.y - t.trend - (pm.pmv - g.gm), 6) AS residual
-FROM t LEFT JOIN pm ON t.phase = pm.phase CROSS JOIN g
-"""
 
 
 def q_quantile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2849,17 +1408,6 @@ def q_quantile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_QUANTILE_PROFILE = """
-SELECT round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
-       round(quantile_cont(l_extendedprice, 0.50), 6) AS p50,
-       round(quantile_cont(l_extendedprice, 0.75), 6) AS p75,
-       round(quantile_cont(l_extendedprice, 0.95), 6) AS p95,
-       round(quantile_cont(l_extendedprice, 0.99), 6) AS p99
-FROM lineitem
-"""
-
-
-
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (scale extension; Spark has no native operator): for
     each purchase event, the same user's most recent click value at or
@@ -2875,17 +1423,6 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "ts", F.round("value", 6).alias("click_value")
     )
     return asof_join(left, right, on="ts", by=["user_id"])
-
-
-_SQL_ASOF_JOIN = """
-SELECT l.user_id, l.ts, l.event_id,
-       r.click_value AS click_value, r.ts AS ts_right
-FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase') l
-ASOF LEFT JOIN (SELECT user_id, ts, round(value, 6) AS click_value
-                FROM events WHERE event_type = 'click') r
-  ON l.user_id = r.user_id AND l.ts >= r.ts
-"""
-
 
 
 def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2905,31 +1442,6 @@ def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_type", "ts", F.round("value", 6).alias("value")
     )
-
-
-_SQL_RESAMPLE_FFILL = """
-WITH src AS (
-  SELECT event_type, ts, round(value, 6) AS value FROM events WHERE value > 19
-), obs AS (
-  SELECT event_type,
-         make_timestamp(cast(floor(epoch(ts) / 3600) * 3600 AS bigint) * 1000000) AS gts,
-         avg(value) AS value
-  FROM src GROUP BY 1, 2
-), bounds AS (
-  SELECT event_type,
-         make_timestamp(cast(floor(epoch(min(ts)) / 3600) * 3600 AS bigint) * 1000000) AS lo,
-         max(ts) AS hi
-  FROM src GROUP BY 1
-), grid AS (
-  SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 3600 SECONDS)) AS gts
-  FROM bounds
-)
-SELECT g.event_type, g.gts AS ts,
-       round(last_value(o.value IGNORE NULLS) OVER (
-         PARTITION BY g.event_type ORDER BY g.gts
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS value
-FROM grid g LEFT JOIN obs o ON g.event_type = o.event_type AND g.gts = o.gts
-"""
 
 
 # ------------------------------------------- non-SQL-expressible queries
@@ -3048,37 +1560,6 @@ def q_ar1_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_AR1_FORECAST = """
-WITH RECURSIVE s AS (
-  SELECT date_trunc('day', ts) AS ts,
-         cast(sum(cast(value AS decimal(28,6))) AS double) AS y,
-         cast(count(*) AS double) AS x
-  FROM events GROUP BY 1
-), l AS (
-  SELECT y, x, lag(y) OVER (ORDER BY ts) AS yl FROM s
-), m AS (  -- population co-moments over the lag-aligned sample
-  SELECT var_pop(yl) AS v1, var_pop(x) AS v2, covar_pop(yl, x) AS c12,
-         covar_pop(y, yl) AS cy1, covar_pop(y, x) AS cy2,
-         avg(y) AS my, avg(yl) AS m1, avg(x) AS m2
-  FROM l WHERE yl IS NOT NULL
-), fit AS (  -- 3-parameter OLS via the demeaned 2x2 normal equations
-  SELECT (cy1 * v2 - cy2 * c12) / (v1 * v2 - c12 * c12) AS phi,
-         (cy2 * v1 - cy1 * c12) / (v1 * v2 - c12 * c12) AS b,
-         my - (cy1 * v2 - cy2 * c12) / (v1 * v2 - c12 * c12) * m1
-            - (cy2 * v1 - cy1 * c12) / (v1 * v2 - c12 * c12) * m2 AS c
-  FROM m
-), lastv AS (
-  SELECT y AS y0, x AS x0, ts AS ts0 FROM s ORDER BY ts DESC LIMIT 1
-), rec(k, yhat) AS (
-  SELECT 1, c + phi * y0 + b * x0 FROM fit, lastv
-  UNION ALL
-  SELECT k + 1, c + phi * yhat + b * x0 FROM rec, fit, lastv WHERE k < 7
-)
-SELECT ts0 + k * INTERVAL 1 DAY AS ts, round(yhat, 4) AS yhat
-FROM rec, lastv ORDER BY ts
-"""
-
-
 def q_fourier1_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M7 value check (r8 verdict "What's missing #1" — the last model
     family without a hash-checked row): the Fourier-trend worker
@@ -3117,56 +1598,6 @@ def q_fourier1_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("ts", F.round("yhat", 4).alias("yhat"))
         .orderBy("ts")
     )
-
-
-# Cramer-rule determinant expansions for the symmetric 4x4 ridge
-# system (a11..a44 = XtX + 1e-8 I, b1..b4 = Xty). Machine-generated
-# permanent-sign expansion (24 terms each) — symbolic, so the SQL is
-# the exact closed form of the same solve numpy performs.
-_DET4 = dict(
-    d0="a11*a22*a33*a44 - a11*a22*a34*a34 - a11*a23*a23*a44 + a11*a23*a34*a24 + a11*a24*a23*a34 - a11*a24*a33*a24 - a12*a12*a33*a44 + a12*a12*a34*a34 + a12*a23*a13*a44 - a12*a23*a34*a14 - a12*a24*a13*a34 + a12*a24*a33*a14 + a13*a12*a23*a44 - a13*a12*a34*a24 - a13*a22*a13*a44 + a13*a22*a34*a14 + a13*a24*a13*a24 - a13*a24*a23*a14 - a14*a12*a23*a34 + a14*a12*a33*a24 + a14*a22*a13*a34 - a14*a22*a33*a14 - a14*a23*a13*a24 + a14*a23*a23*a14",
-    d1="b1*a22*a33*a44 - b1*a22*a34*a34 - b1*a23*a23*a44 + b1*a23*a34*a24 + b1*a24*a23*a34 - b1*a24*a33*a24 - a12*b2*a33*a44 + a12*b2*a34*a34 + a12*a23*b3*a44 - a12*a23*a34*b4 - a12*a24*b3*a34 + a12*a24*a33*b4 + a13*b2*a23*a44 - a13*b2*a34*a24 - a13*a22*b3*a44 + a13*a22*a34*b4 + a13*a24*b3*a24 - a13*a24*a23*b4 - a14*b2*a23*a34 + a14*b2*a33*a24 + a14*a22*b3*a34 - a14*a22*a33*b4 - a14*a23*b3*a24 + a14*a23*a23*b4",
-    d2="a11*b2*a33*a44 - a11*b2*a34*a34 - a11*a23*b3*a44 + a11*a23*a34*b4 + a11*a24*b3*a34 - a11*a24*a33*b4 - b1*a12*a33*a44 + b1*a12*a34*a34 + b1*a23*a13*a44 - b1*a23*a34*a14 - b1*a24*a13*a34 + b1*a24*a33*a14 + a13*a12*b3*a44 - a13*a12*a34*b4 - a13*b2*a13*a44 + a13*b2*a34*a14 + a13*a24*a13*b4 - a13*a24*b3*a14 - a14*a12*b3*a34 + a14*a12*a33*b4 + a14*b2*a13*a34 - a14*b2*a33*a14 - a14*a23*a13*b4 + a14*a23*b3*a14",
-    d3="a11*a22*b3*a44 - a11*a22*a34*b4 - a11*b2*a23*a44 + a11*b2*a34*a24 + a11*a24*a23*b4 - a11*a24*b3*a24 - a12*a12*b3*a44 + a12*a12*a34*b4 + a12*b2*a13*a44 - a12*b2*a34*a14 - a12*a24*a13*b4 + a12*a24*b3*a14 + b1*a12*a23*a44 - b1*a12*a34*a24 - b1*a22*a13*a44 + b1*a22*a34*a14 + b1*a24*a13*a24 - b1*a24*a23*a14 - a14*a12*a23*b4 + a14*a12*b3*a24 + a14*a22*a13*b4 - a14*a22*b3*a14 - a14*b2*a13*a24 + a14*b2*a23*a14",
-    d4="a11*a22*a33*b4 - a11*a22*b3*a34 - a11*a23*a23*b4 + a11*a23*b3*a24 + a11*b2*a23*a34 - a11*b2*a33*a24 - a12*a12*a33*b4 + a12*a12*b3*a34 + a12*a23*a13*b4 - a12*a23*b3*a14 - a12*b2*a13*a34 + a12*b2*a33*a14 + a13*a12*a23*b4 - a13*a12*b3*a24 - a13*a22*a13*b4 + a13*a22*b3*a14 + a13*b2*a13*a24 - a13*b2*a23*a14 - b1*a12*a23*a34 + b1*a12*a33*a24 + b1*a22*a13*a34 - b1*a22*a33*a14 - b1*a23*a13*a24 + b1*a23*a23*a14",
-)
-
-_SQL_FOURIER1_FORECAST = """
-WITH s AS (
-  SELECT date_trunc('day', ts) AS ts,
-         cast(sum(cast(value AS decimal(28,6))) AS double) / count(*) AS y
-  FROM events GROUP BY 1
-), idx AS (
-  SELECT y, cast(row_number() OVER (ORDER BY ts) - 1 AS double) AS t FROM s
-), feat AS (
-  SELECT y, t, sin(2*pi()*t/7) AS s1, cos(2*pi()*t/7) AS c1 FROM idx
-), m AS (  -- the 14 moments of the [1, t, sin, cos] design
-  SELECT cast(count(*) AS double) AS n_, sum(t) AS st, sum(t*t) AS stt,
-         sum(s1) AS ss, sum(c1) AS sc, sum(t*s1) AS sts, sum(t*c1) AS stc,
-         sum(s1*c1) AS ssc, sum(s1*s1) AS hs, sum(c1*c1) AS hc,
-         sum(y) AS sy, sum(y*t) AS sty, sum(y*s1) AS sys_, sum(y*c1) AS syc
-  FROM feat
-), a AS (  -- XtX + 1e-8 I (the worker's _fit_beta ridge), Xty
-  SELECT n_ + 1e-8 AS a11, st AS a12, ss AS a13, sc AS a14,
-         stt + 1e-8 AS a22, sts AS a23, stc AS a24,
-         hs + 1e-8 AS a33, ssc AS a34, hc + 1e-8 AS a44,
-         sy AS b1, sty AS b2, sys_ AS b3, syc AS b4, n_ FROM m
-), beta AS (  -- Cramer's rule on the 4x4 ridge system
-  SELECT ({d1}) / ({d0}) AS beta1,
-         ({d2}) / ({d0}) AS beta2,
-         ({d3}) / ({d0}) AS beta3,
-         ({d4}) / ({d0}) AS beta4, n_ FROM a
-), lastv AS (
-  SELECT ts AS ts0 FROM s ORDER BY ts DESC LIMIT 1
-), steps AS (
-  SELECT unnest(range(1, 8)) AS k
-)
-SELECT ts0 + to_days(cast(k AS int)) AS ts,
-       round(beta1 + beta2 * (n_ - 1 + k)
-             + beta3 * sin(2*pi()*(n_ - 1 + k)/7)
-             + beta4 * cos(2*pi()*(n_ - 1 + k)/7), 4) AS yhat
-FROM steps, beta, lastv ORDER BY ts
-""".format(**_DET4)
 
 
 def q_var1_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3214,47 +1645,6 @@ def q_var1_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_VAR1_FORECAST = """
-WITH RECURSIVE s AS (
-  SELECT date_trunc('day', ts) AS ts,
-         cast(sum(cast(value AS decimal(28,6))) AS double) / count(*) AS y,
-         count(*) / 1000.0 AS x
-  FROM events GROUP BY 1
-), l AS (
-  SELECT y, x,
-         lag(y) OVER (ORDER BY ts) AS yl,
-         lag(x) OVER (ORDER BY ts) AS xl
-  FROM s
-), m AS (  -- population co-moments over the lag-aligned sample
-  SELECT var_pop(yl) AS v1, var_pop(xl) AS v2, covar_pop(yl, xl) AS c12,
-         covar_pop(y, yl) AS cy1, covar_pop(y, xl) AS cy2,
-         covar_pop(x, yl) AS cx1, covar_pop(x, xl) AS cx2,
-         avg(y) AS my, avg(x) AS mx, avg(yl) AS m1, avg(xl) AS m2
-  FROM l WHERE yl IS NOT NULL
-), fit AS (  -- per-equation OLS via the demeaned 2x2 normal equations
-  SELECT (cy1 * v2 - cy2 * c12) / (v1 * v2 - c12 * c12) AS ayy,
-         (cy2 * v1 - cy1 * c12) / (v1 * v2 - c12 * c12) AS ayx,
-         (cx1 * v2 - cx2 * c12) / (v1 * v2 - c12 * c12) AS axy,
-         (cx2 * v1 - cx1 * c12) / (v1 * v2 - c12 * c12) AS axx,
-         my - (cy1 * v2 - cy2 * c12) / (v1 * v2 - c12 * c12) * m1
-            - (cy2 * v1 - cy1 * c12) / (v1 * v2 - c12 * c12) * m2 AS cy,
-         mx - (cx1 * v2 - cx2 * c12) / (v1 * v2 - c12 * c12) * m1
-            - (cx2 * v1 - cx1 * c12) / (v1 * v2 - c12 * c12) * m2 AS cx
-  FROM m
-), lastv AS (
-  SELECT y AS y0, x AS x0, ts AS ts0 FROM s ORDER BY ts DESC LIMIT 1
-), rec(k, yy, xx) AS (
-  SELECT 1, cy + ayy * y0 + ayx * x0, cx + axy * y0 + axx * x0
-  FROM fit, lastv
-  UNION ALL
-  SELECT k + 1, cy + ayy * yy + ayx * xx, cx + axy * yy + axx * xx
-  FROM rec, fit WHERE k < 5
-)
-SELECT ts0 + k * INTERVAL 1 DAY AS ts, round(yy, 4) AS yhat
-FROM rec, lastv ORDER BY ts
-"""
-
-
 def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN scale path: random-hyperplane LSH top-3 (numpy-seeded
     planes; approximate by design → rows-only check)."""
@@ -3280,7 +1670,6 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_b", 6).alias("mean_b"),
         F.round("std_gray", 6).alias("std_gray"),
     )
-
 
 
 def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3311,15 +1700,6 @@ def q_customer_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return both.unionByName(churned).select("o_custkey", "set_op")
 
 
-_SQL_SET_OPS = """
-WITH y95 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
-     y96 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
-SELECT o_custkey, 'both_years' AS set_op FROM (SELECT * FROM y95 INTERSECT SELECT * FROM y96)
-UNION ALL
-SELECT o_custkey, 'churned_1996' AS set_op FROM (SELECT * FROM y95 EXCEPT SELECT * FROM y96)
-"""
-
-
 def q_datetime_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8 date family (auto_ts/utils/etl.py:335-446): the reference
     probes ~100 strptime formats per column; here heterogenous string
@@ -3347,23 +1727,6 @@ def q_datetime_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("parsed_ts"),
     )
     return parsed.filter(F.col("o_orderkey") <= 2000)
-
-
-_SQL_DATETIME_PARSE = """
-WITH raw AS (
-  SELECT o_orderkey,
-         CASE WHEN o_orderkey % 3 = 0 THEN strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')
-              WHEN o_orderkey % 3 = 1 THEN strftime(o_orderdate, '%m/%d/%Y')
-              ELSE strftime(o_orderdate, '%Y%m%d') END AS raw_ts
-  FROM orders
-)
-SELECT o_orderkey, raw_ts,
-       coalesce(try_strptime(raw_ts, '%Y-%m-%d %H:%M:%S'),
-                try_strptime(raw_ts, '%m/%d/%Y'),
-                try_strptime(raw_ts, '%Y%m%d')) AS parsed_ts
-FROM raw
-WHERE o_orderkey <= 2000
-"""
 
 
 def q_bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3409,15 +1772,6 @@ def q_bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_BUCKETED_JOIN = """
-SELECT o_orderpriority,
-       cast(sum(cast(l_extendedprice * (1 - l_discount) as decimal(28,6))) * 1000000 as bigint) AS revenue_micros,
-       count(DISTINCT o_orderkey) AS n_orders
-FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-GROUP BY o_orderpriority
-"""
-
-
 def q_range_join_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.5 scale extension: interval containment join via bin
     bucketing (operators/rangejoin.py). Every ~97th event anchors a
@@ -3443,18 +1797,6 @@ def q_range_join_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value"
         ),
     )
-
-
-_SQL_RANGE_JOIN = """
-WITH anchors AS (
-  SELECT event_id AS anchor_id, ts AS w_start, ts + INTERVAL 10 MINUTE AS w_end
-  FROM events WHERE event_id % 97 = 0
-)
-SELECT anchor_id, count(*) AS n_events,
-       round(cast(sum(cast(value as decimal(28,6))) as double), 6) AS sum_value
-FROM events e JOIN anchors a ON e.ts >= a.w_start AND e.ts < a.w_end
-GROUP BY anchor_id
-"""
 
 
 def q_feature_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3505,32 +1847,6 @@ def q_predict_feature_splice(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_PREDICT_SPLICE = """
-WITH series AS (
-  """ + _SQL_DAILY_PLAIN + """
-), feat AS (
-  SELECT ts, y,
-         lag(y, 1) OVER w AS y_lag_1,
-         lag(y, 2) OVER w AS y_lag_2,
-         lag(y, 3) OVER w AS y_lag_3,
-         row_number() OVER (ORDER BY ts DESC) AS rd
-  FROM series
-  WINDOW w AS (ORDER BY ts)
-)
-SELECT '0' AS series_id, ts,
-       round(y, 6) AS y,
-       round(y_lag_1, 6) AS y_lag_1,
-       round(y_lag_2, 6) AS y_lag_2,
-       round(y_lag_3, 6) AS y_lag_3,
-       cast(month(ts) AS int) AS ts_month,
-       cast(quarter(ts) AS int) AS ts_quarter,
-       cast(isodow(ts) - 1 AS int) AS ts_dayofweek,
-       cast(CASE WHEN isodow(ts) >= 6 THEN 1 ELSE 0 END AS int) AS ts_weekend,
-       cast(day(ts) AS int) AS ts_dayofmonth
-FROM feat WHERE rd <= 8
-"""
-
-
 def q_df_test_stationarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W16's decision core as pure Catalyst aggregates: the (no-
     augmentation) Dickey-Fuller regression Δy = α + β·y_{t-1} + ε
@@ -3566,28 +1882,6 @@ def q_df_test_stationarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(t, 6).alias("df_tstat"),
         (t < F.lit(-2.86)).alias("stationary"),
     )
-
-
-_SQL_DF_TEST = """
-WITH series AS (
-  """ + _SQL_DAILY_PLAIN + """
-), base AS (
-  SELECT y, lag(y) OVER (ORDER BY ts) AS x FROM series
-), d AS (
-  SELECT x, y - x AS dy FROM base WHERE x IS NOT NULL
-), m AS (
-  SELECT cast(count(*) AS BIGINT) AS n,
-         var_pop(x) AS vx, var_pop(dy) AS vd, covar_pop(x, dy) AS cxd
-  FROM d
-)
-SELECT '0' AS series_id, n,
-       round(cxd / vx, 6) AS beta,
-       round((cxd / vx) / sqrt((n * (vd - cxd * cxd / vx) / (n - 2)) / (n * vx)), 6)
-         AS df_tstat,
-       (cxd / vx) / sqrt((n * (vd - cxd * cxd / vx) / (n - 2)) / (n * vx)) < -2.86
-         AS stationary
-FROM m
-"""
 
 
 def q_snaive_forecast_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3632,29 +1926,6 @@ def q_snaive_forecast_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_SNAIVE_INTERVALS = """
-WITH series AS (
-  """ + _SQL_DAILY_PLAIN + """
-), ranked AS (
-  SELECT ts, y, row_number() OVER (ORDER BY ts DESC) AS rd FROM series
-), last AS (SELECT max(ts) AS last_ts FROM series),
-resid AS (
-  SELECT y - lag(y, 7) OVER (ORDER BY ts) AS r FROM series
-), q AS (
-  SELECT quantile_cont(r, 0.025) AS qlo, quantile_cont(r, 0.975) AS qhi
-  FROM resid WHERE r IS NOT NULL
-), steps AS (SELECT cast(unnest(range(1, 8)) AS int) AS step)
-SELECT '0' AS series_id,
-       last_ts + step * INTERVAL 1 DAY AS ts,
-       step,
-       round(y, 6) AS yhat,
-       round(y + qlo, 6) AS yhat_lower,
-       round(y + qhi, 6) AS yhat_upper
-FROM ranked, last, q, steps
-WHERE rd = 8 - step
-"""
-
-
 def q_lsh_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN quality gate as a checkable row (round-2 verdict task 4):
     recall@3 of hyperplane-LSH vs the exact brute-force top-3 over 20
@@ -3677,14 +1948,6 @@ def q_lsh_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(3).cast("int").alias("k"),
         (F.col("_n_hit") / F.col("_n_true") >= 0.5).alias("recall_ok"),
     )
-
-
-_SQL_LSH_RECALL = """
-SELECT cast(count(DISTINCT vec_id) AS BIGINT) AS n_queries,
-       cast(3 AS int) AS k,
-       true AS recall_ok
-FROM embeddings WHERE vec_id < 20
-"""
 
 
 def q_ivf_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3711,14 +1974,6 @@ def q_ivf_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_IVF_RECALL = """
-SELECT cast(count(DISTINCT vec_id) AS BIGINT) AS n_queries,
-       cast(3 AS int) AS k,
-       cast(1.0 AS double) AS recall
-FROM embeddings WHERE vec_id < 5
-"""
-
-
 def q_seasonal_period_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W7 (auto_ts/__init__.py:489-510): the freq→seasonal-period
     table, emitted from the engine's own map with the frequency
@@ -3736,15 +1991,6 @@ def q_seasonal_period_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         (f, seasonal_period(f), f == inferred) for f in sorted(SEASONAL_PERIODS)
     ]
     return spark.createDataFrame(rows, "freq string, m int, inferred boolean")
-
-
-_SQL_SEASONAL_PERIOD_MAP = """
-SELECT freq, cast(m AS int) AS m, freq = 'days' AS inferred
-FROM (VALUES
-  ('days', 30), ('hours', 24), ('minutes', 60), ('months', 12),
-  ('quarters', 4), ('seconds', 60), ('semi', 2), ('weeks', 52), ('years', 1)
-) AS t(freq, m)
-"""
 
 
 def q_automl_leaderboard_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3791,15 +2037,6 @@ def q_automl_leaderboard_contract(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-_SQL_AUTOML_LEADERBOARD_CONTRACT = """
-SELECT cast(3 AS BIGINT) AS n_models,
-       cast(6 AS BIGINT) AS n_folds_total,
-       true AS ranks_ok,
-       true AS scores_positive,
-       true AS rmse_monotone
-"""
-
-
 def q_feature_importance_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Checkable contract for O3 (tree-ensemble internals aren't
     SQL-expressible, their normalization is): the 8-feature lag+
@@ -3821,63 +2058,6 @@ def q_feature_importance_contract(spark: SparkSession, sf_dir: str) -> DataFrame
             == F.array(*[F.lit(i) for i in range(1, n + 1)])
         ).alias("ranks_ok"),
     )
-
-
-_SQL_FEATURE_IMPORTANCE_CONTRACT = """
-SELECT cast(8 AS BIGINT) AS n_features,
-       true AS nonneg,
-       true AS sums_to_one,
-       true AS ranks_ok
-"""
-
-
-# The multimodal decode stub is a declared deterministic fake
-# (operators/multimodal.py:67-73: numpy RandomState seeded from the
-# content bytes) — so its features are platform-stable constants and
-# the plumbing (schema, mapInPandas batching, row routing) gets a real
-# value-checked oracle. Regenerate with the snippet in
-# tests/test_multimodal_oracle.py if the stub ever changes.
-_SQL_MULTIMODAL = """
-SELECT cast(media_id AS BIGINT) AS media_id,
-       cast(mean_r AS double) AS mean_r,
-       cast(mean_g AS double) AS mean_g,
-       cast(mean_b AS double) AS mean_b,
-       cast(std_gray AS double) AS std_gray
-FROM (VALUES
-  (0, 127.279948, 127.591797, 128.250977, 42.127434),
-  (1, 123.975196, 127.24584, 127.629827, 42.02683),
-  (2, 129.618788, 128.117576, 126.422727, 42.542626),
-  (3, 126.407375, 126.635645, 128.273047, 42.872681),
-  (4, 127.912048, 127.996889, 125.791572, 43.188408),
-  (5, 128.283292, 127.559475, 126.352748, 42.745084),
-  (6, 127.162202, 125.727381, 129.49256, 43.043759),
-  (7, 128.110089, 129.662547, 128.268468, 42.458792),
-  (8, 130.194375, 127.470938, 129.20375, 42.945511),
-  (9, 125.790649, 127.703771, 124.782202, 42.495761),
-  (10, 125.992133, 127.917249, 126.069056, 42.352329),
-  (11, 127.196846, 129.640665, 128.641509, 42.928672),
-  (12, 130.101716, 126.393382, 123.846814, 42.044279),
-  (13, 126.7273, 125.500739, 126.55102, 43.292764),
-  (14, 127.403429, 127.398, 129.396, 41.999013),
-  (15, 128.264015, 126.75145, 127.281966, 42.318025),
-  (16, 126.033053, 128.686599, 129.110276, 42.721031),
-  (17, 127.467925, 126.806676, 128.23193, 42.554597),
-  (18, 127.209912, 127.825442, 125.544508, 42.320579),
-  (19, 127.455376, 128.131282, 129.084069, 42.364405),
-  (20, 126.640294, 127.278824, 128.187353, 43.62533),
-  (21, 127.902245, 126.225632, 128.416311, 42.328542),
-  (22, 127.18022, 127.670879, 125.879121, 42.964217),
-  (23, 128.549296, 129.127292, 126.731863, 42.247318),
-  (24, 126.703451, 127.19987, 128.754557, 42.729143),
-  (25, 126.302983, 128.013501, 126.460911, 42.554416),
-  (26, 127.640606, 127.280606, 128.733939, 42.92655),
-  (27, 127.507463, 128.526485, 130.763243, 42.697598),
-  (28, 128.090498, 128.289027, 127.071833, 42.665979),
-  (29, 128.898004, 126.89773, 128.34181, 42.549496),
-  (30, 130.636607, 127.769048, 126.035417, 43.265104),
-  (31, 127.688129, 127.159529, 129.300949, 42.582704)
-) AS t(media_id, mean_r, mean_g, mean_b, std_gray)
-"""
 
 
 def q_c4_line_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3902,30 +2082,6 @@ def q_c4_line_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         "keep",
         F.md5("clean_text").alias("clean_md5"),
     )
-
-
-_SQL_C4_LINE_CLEAN = r"""
-WITH lined AS (
-  SELECT doc_id, replace(text, ' table ', '.' || chr(10)) AS text FROM documents
-), s AS (
-  SELECT doc_id, text, string_split(text, chr(10)) AS lines FROM lined
-), k AS (
-  SELECT doc_id, text, lines,
-         list_filter(lines, l ->
-             len(regexp_split_to_array(trim(l), '\s+')) >= 3
-             AND regexp_matches(trim(l), '[.!?"”]$')
-             AND NOT contains(lower(l), 'javascript')) AS keptl
-  FROM s
-)
-SELECT doc_id,
-       len(lines) AS n_lines_total,
-       len(keptl) AS n_lines_kept,
-       (NOT contains(lower(text), 'lorem ipsum')
-        AND NOT contains(text, '{')
-        AND len(keptl) >= 2) AS keep,
-       md5(coalesce(array_to_string(keptl, chr(10)), '')) AS clean_md5
-FROM k
-"""
 
 
 def q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3956,38 +2112,6 @@ def q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_BOILERPLATE_LINES = r"""
-WITH lined AS (
-  SELECT doc_id, replace(text, ' table ', '.' || chr(10)) AS text FROM documents
-), s AS (
-  SELECT doc_id, string_split(text, chr(10)) AS lines FROM lined
-), ex AS (
-  SELECT doc_id, unnest(lines) AS line FROM s
-), norm AS (  -- the operator fingerprints NORMALIZED line text
-  SELECT doc_id,
-         trim(regexp_replace(lower(trim(line)), '[^a-z0-9]+', ' ', 'g')) AS nline
-  FROM ex WHERE length(trim(line)) >= 10
-), boiler AS (
-  SELECT nline FROM norm
-  GROUP BY nline HAVING count(DISTINCT doc_id) > 2
-), b AS (
-  SELECT coalesce(list(nline), []) AS bl FROM boiler
-), f AS (
-  SELECT s.doc_id, s.lines,
-         list_filter(s.lines, l -> NOT (length(trim(l)) >= 10
-             AND list_contains(b.bl,
-                 trim(regexp_replace(lower(trim(l)), '[^a-z0-9]+', ' ', 'g'))))
-         ) AS keptl
-  FROM s, b
-)
-SELECT doc_id,
-       cast(len(keptl) AS BIGINT) AS n_lines_kept,
-       cast(len(lines) - len(keptl) AS BIGINT) AS n_boilerplate_dropped,
-       md5(coalesce(array_to_string(keptl, chr(10)), '')) AS clean_md5
-FROM f
-"""
-
-
 def q_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-extension: sequence-packing manifest (the GPT-style
     concatenate-and-chunk step, operators/packing.py) — every document
@@ -4000,34 +2124,6 @@ def q_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return pack_sequences(docs, 64).orderBy("seq_id", "doc_id")
-
-
-_SQL_PACK_MANIFEST = f"""
-WITH t AS (
-  SELECT doc_id, coalesce(len({_SQL_TOKS}), 0) AS n_toks FROM documents
-), c AS (
-  SELECT doc_id, n_toks,
-         sum(n_toks) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
-  FROM t
-), spans AS (
-  SELECT doc_id,
-         cast(cum - n_toks AS BIGINT) AS s,
-         cast(cum AS BIGINT) AS e
-  FROM c WHERE n_toks > 0
-), ex AS (
-  SELECT doc_id, s, e,
-         unnest(generate_series(s // 64, (e - 1) // 64)) AS seq_id
-  FROM spans
-)
-SELECT cast(seq_id AS BIGINT) AS seq_id,
-       doc_id,
-       cast(greatest(s, seq_id * 64) - s AS BIGINT) AS doc_tok_start,
-       cast(least(e, (seq_id + 1) * 64) - s AS BIGINT) AS doc_tok_end,
-       cast(greatest(s, seq_id * 64) - seq_id * 64 AS BIGINT) AS seq_tok_start,
-       cast(least(e, (seq_id + 1) * 64) - greatest(s, seq_id * 64) AS BIGINT)
-         AS n_toks
-FROM ex ORDER BY seq_id, doc_id
-"""
 
 
 def q_drift_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4043,52 +2139,6 @@ def q_drift_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     old = ev.filter(F.col("event_id") % 2 == 0)
     new = ev.filter(F.col("event_id") % 2 == 1)
     return drift_profile(old, new, cols=["value", "user_id"], buckets=20)
-
-
-_SQL_DRIFT_PROFILE = """
-WITH src AS (
-  SELECT 'value' AS col, cast(value AS double) AS v, event_id % 2 = 0 AS is_old
-  FROM events WHERE value IS NOT NULL
-  UNION ALL
-  SELECT 'user_id', cast(user_id AS double), event_id % 2 = 0
-  FROM events WHERE user_id IS NOT NULL
-), b AS (
-  SELECT col, min(v) AS mn, max(v) AS mx FROM src WHERE is_old GROUP BY col
-), cuts AS (  -- same association as the operator: mn + i * ((mx-mn)/20)
-  SELECT b.col, b.mn + i * ((b.mx - b.mn) / 20.0) AS cut
-  FROM b, generate_series(1, 19) t(i)
-), bucketed AS (
-  SELECT s.col,
-         (SELECT count(*) FROM cuts c WHERE c.col = s.col AND s.v > c.cut)
-           AS bucket,
-         s.is_old
-  FROM src s
-), counts AS (
-  SELECT col, bucket,
-         sum(CASE WHEN is_old THEN 1 ELSE 0 END) AS c_old,
-         sum(CASE WHEN NOT is_old THEN 1 ELSE 0 END) AS c_new
-  FROM bucketed GROUP BY col, bucket
-), e AS (
-  SELECT col, bucket, c_old, c_new,
-         sum(c_old) OVER (PARTITION BY col) AS n_old,
-         sum(c_new) OVER (PARTITION BY col) AS n_new,
-         sum(c_old) OVER (PARTITION BY col ORDER BY bucket
-                          ROWS UNBOUNDED PRECEDING) AS cum_old,
-         sum(c_new) OVER (PARTITION BY col ORDER BY bucket
-                          ROWS UNBOUNDED PRECEDING) AS cum_new
-  FROM counts
-)
-SELECT col AS "column",
-       cast(max(n_old) AS BIGINT) AS n_old,
-       cast(max(n_new) AS BIGINT) AS n_new,
-       round(max(abs(cum_old / cast(n_old AS double)
-                     - cum_new / cast(n_new AS double))), 6) AS ks,
-       round(sum((c_new / cast(n_new AS double) + 1e-6
-                  - (c_old / cast(n_old AS double) + 1e-6))
-                 * ln((c_new / cast(n_new AS double) + 1e-6)
-                      / (c_old / cast(n_old AS double) + 1e-6))), 6) AS psi
-FROM e GROUP BY col ORDER BY col
-"""
 
 
 def q_categorical_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4109,149 +2159,8 @@ def q_categorical_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_CATEGORICAL_DRIFT = """
-WITH src AS (
-  SELECT 'event_type' AS col,
-         coalesce(cast(event_type AS varchar), '__null__') AS v,
-         event_id % 2 = 0 AS is_old
-  FROM events
-  UNION ALL
-  SELECT 'props', coalesce(cast(props AS varchar), '__null__'),
-         event_id % 2 = 0
-  FROM events
-), counts AS (
-  SELECT col, v,
-         sum(CASE WHEN is_old THEN 1 ELSE 0 END) AS c_old,
-         sum(CASE WHEN NOT is_old THEN 1 ELSE 0 END) AS c_new
-  FROM src GROUP BY col, v
-), ranked AS (
-  SELECT *, row_number() OVER (PARTITION BY col
-                               ORDER BY c_old + c_new DESC, v ASC) AS rk
-  FROM counts
-), bucketed AS (
-  SELECT col, CASE WHEN rk <= 10 THEN v ELSE '__other__' END AS cat,
-         sum(c_old) AS c_old, sum(c_new) AS c_new
-  FROM ranked GROUP BY 1, 2
-), e AS (
-  SELECT col, cat, c_old, c_new,
-         sum(c_old) OVER (PARTITION BY col) AS n_old,
-         sum(c_new) OVER (PARTITION BY col) AS n_new
-  FROM bucketed
-)
-SELECT col AS "column",
-       cast(max(n_old) AS BIGINT) AS n_old,
-       cast(max(n_new) AS BIGINT) AS n_new,
-       -- exact-integer numerator (matches the operator): immune to
-       -- float-summation order across engines
-       round(cast(sum(abs(c_old * n_new - c_new * n_old)) AS double)
-             / (2.0 * max(n_old) * max(n_new)), 6) AS tv,
-       round(sum((c_new / cast(n_new AS double) + 1e-6
-                  - (c_old / cast(n_old AS double) + 1e-6))
-                 * ln((c_new / cast(n_new AS double) + 1e-6)
-                      / (c_old / cast(n_old AS double) + 1e-6))), 6) AS psi
-FROM e GROUP BY col ORDER BY col
-"""
-
-
 # ---------------------------------------------------------------- contract
 
-_ORACLE: dict[str, str] = {
-    "resample_ffill": _SQL_RESAMPLE_FFILL,
-    "asof_join": _SQL_ASOF_JOIN,
-    "seasonal_decompose": _SQL_SEASONAL_DECOMPOSE,
-    "quantile_profile": _SQL_QUANTILE_PROFILE,
-    "residual_diagnostics": _SQL_RESIDUAL_DIAG,
-    "revenue_rollup": _SQL_REVENUE_ROLLUP,
-    "forecast_viz_join": _SQL_FORECAST_VIZ_JOIN,
-    "label_encode": _SQL_LABEL_ENCODE,
-    "acf": _SQL_ACF,
-    "zero_variance": _SQL_ZERO_VARIANCE,
-    "problem_type": _SQL_PROBLEM_TYPE,
-    "tpch_pricing_summary": _SQL_TPCH_Q1,
-    "shipping_priority": _SQL_SHIPPING_PRIORITY,
-    "lag_matrix": _SQL_LAG_MATRIX,
-    "difference": _SQL_DIFFERENCE,
-    "cumsum": _SQL_CUMSUM,
-    "rolling_stats": _SQL_ROLLING,
-    "calendar_features": _SQL_CALENDAR,
-    "frequency_inference": _SQL_FREQ,
-    "future_index": _SQL_FUTURE_INDEX,
-    "expanding_folds": _SQL_EXPANDING_FOLDS,
-    "sliding_folds": _SQL_SLIDING_FOLDS,
-    "naive_forecast_metrics": _SQL_NAIVE_METRICS,
-    "weighted_cv_rmse": _SQL_WEIGHTED_CV,
-    "column_profile": _SQL_COLUMN_PROFILE,
-    "frequency_table": _SQL_FREQ_TABLE,
-    "class_weights": _SQL_CLASS_WEIGHTS,
-    "token_explode": _SQL_TOKEN_EXPLODE,
-    "actual_vs_predicted_join": _SQL_ACTUAL_PRED_JOIN,
-    "train_tail_splice": _SQL_TRAIN_TAIL_SPLICE,
-    "leaderboard": _SQL_LEADERBOARD,
-    "topk_suppliers": _SQL_TOPK_SUPPLIERS,
-    "top_correlations": _SQL_TOP_CORR,
-    "minmax_profile": _SQL_MINMAX,
-    "text_profile": _SQL_TEXT_PROFILE,
-    "repetition_profile": _SQL_REPETITION_PROFILE,
-    "corpus_vocabulary": _SQL_CORPUS_VOCAB,
-    "dataset_split": _SQL_DATASET_SPLIT,
-    "language_id": _SQL_LANGUAGE_ID,
-    "exact_dedup_stats": _SQL_EXACT_DEDUP,
-    "ngram_jaccard_pairs": _SQL_NGRAM_JACCARD,
-    "minhash_lsh_pairs": _SQL_MINHASH_LSH,
-    "dedup_clusters": _SQL_DEDUP_CLUSTERS,
-    "simhash_fingerprints": _SQL_SIMHASH,
-    "winnow_overlap_pairs": _SQL_WINNOW_OVERLAP,
-    "pii_redaction": _SQL_PII_REDACTION,
-    "decontaminate": _SQL_DECONTAMINATE,
-    "domain_doc_counts": _SQL_DOMAIN_DOC_COUNTS,
-    "mixture_sample": _SQL_MIXTURE_SAMPLE,
-    "budget_select": _SQL_BUDGET_SELECT,
-    "quality_filter": _SQL_QUALITY_FILTER,
-    "embedding_topk": _SQL_EMBEDDING_TOPK,
-    "embedding_near_dup": _SQL_EMBEDDING_NEAR_DUP,
-    "semantic_dedup": _SQL_SEMANTIC_DEDUP,
-    "semantic_dedup_ivf": _SQL_SEMANTIC_DEDUP_IVF,
-    "minhash_lsh_slice": _SQL_MINHASH_LSH_SLICE,
-    "dedup_clusters_slice": _SQL_DEDUP_CLUSTERS_SLICE,
-    "embedding_near_dup_slice": _SQL_EMBEDDING_NEAR_DUP_SLICE,
-    "dsir_weights": _SQL_DSIR_WEIGHTS,
-    "repeated_span_scrub": _SQL_REPEATED_SPAN_SCRUB,
-    "lm_perplexity": _SQL_LM_SCORED,
-    "perplexity_buckets": _SQL_PERPLEXITY_BUCKETS,
-    "quality_classifier": _SQL_QUALITY_CLASSIFIER,
-    "hourly_rollup": _SQL_HOURLY_ROLLUP,
-    "streaming_hourly_rollup": _SQL_STREAMING_HOURLY_ROLLUP,
-    "sessionize": _SQL_SESSIONIZE,
-    "fillna_ffill": _SQL_FILLNA_FFILL,
-    "json_props_extract": _SQL_JSON_PROPS,
-    "customer_set_ops": _SQL_SET_OPS,
-    "datetime_parse": _SQL_DATETIME_PARSE,
-    "bucketed_join_revenue": _SQL_BUCKETED_JOIN,
-    "range_join_window": _SQL_RANGE_JOIN,
-    "pacf": _SQL_PACF,
-    "predict_feature_splice": _SQL_PREDICT_SPLICE,
-    "df_test_stationarity": _SQL_DF_TEST,
-    "snaive_forecast_intervals": _SQL_SNAIVE_INTERVALS,
-    "lsh_ann_recall": _SQL_LSH_RECALL,
-    "ivf_ann_recall": _SQL_IVF_RECALL,
-    "multimodal_features": _SQL_MULTIMODAL,
-    "automl_leaderboard_contract": _SQL_AUTOML_LEADERBOARD_CONTRACT,
-    "feature_importance_contract": _SQL_FEATURE_IMPORTANCE_CONTRACT,
-    "seasonal_period_map": _SQL_SEASONAL_PERIOD_MAP,
-    "ar1_forecast": _SQL_AR1_FORECAST,
-    "var1_forecast": _SQL_VAR1_FORECAST,
-    "fourier1_forecast": _SQL_FOURIER1_FORECAST,
-    "streaming_sessionize": _SQL_STREAMING_SESSIONIZE,
-    "dedup_columns": _SQL_DEDUP_COLUMNS,
-    "streaming_sliding_rollup": _SQL_STREAMING_SLIDING_ROLLUP,
-    "streaming_dedup": _SQL_STREAMING_DEDUP,
-    "streaming_forecast_state": _SQL_STREAMING_FORECAST_STATE,
-    "c4_line_clean": _SQL_C4_LINE_CLEAN,
-    "boilerplate_lines": _SQL_BOILERPLATE_LINES,
-    "pack_manifest": _SQL_PACK_MANIFEST,
-    "drift_profile": _SQL_DRIFT_PROFILE,
-    "categorical_drift": _SQL_CATEGORICAL_DRIFT,
-}
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Registration order is deliberate: the driver correctness check
@@ -4375,7 +2284,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters_slice": q_dedup_clusters_slice,
     "embedding_near_dup_slice": q_embedding_near_dup_slice,
 }
-
 
 
 def entry(spark: SparkSession) -> DataFrame:

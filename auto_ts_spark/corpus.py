@@ -427,6 +427,7 @@ def curate_stream(
     redact: bool = True,
     dedup: bool = True,
     watermark: str = "2 hours",
+    **batch_only,
 ) -> DataFrame:
     """Streaming ingestion form of the curation chain — the subset of
     stages that are per-row stateless (C4 line cleaning, quality gate,
@@ -439,17 +440,36 @@ def curate_stream(
     expires with the watermark — bounded by arrival rate × horizon);
     without a time column it falls back to global
     ``dropDuplicates`` state (unbounded — only for bounded backfills).
-    Corpus-wide stages (near-dup clustering, decontamination, mixture,
-    budget) need the whole corpus and stay batch — run them on the
-    landed output. The LM-perplexity gate also stays batch: its
-    terciles are corpus-relative AND scoring needs a per-document
-    re-aggregation after the token explode, which would be unbounded
-    streaming state. Same operators as ``curate``, so streaming ≡ batch
-    on identical input (tested)."""
+
+    **Batch-only stages — rejected loudly, not silently weakened.**
+    Corpus-wide stages (near-dup/semantic dedup, cross-doc span scrub,
+    boilerplate removal, decontamination, DSIR, mixture sampling,
+    token budget) need the whole corpus and stay batch; the
+    LM-perplexity and classifier gates also stay batch (corpus-
+    relative terciles / a corpus-trained model, plus per-document
+    re-aggregation that would be unbounded streaming state). Passing
+    any ``curate()`` kwarg for those stages here raises a TypeError
+    naming the handoff instead of silently running a weaker recipe.
+    The production wiring is stream → land → batch-curate:
+    ``curate_stream(...)`` cleans the live feed as it lands
+    (``writeStream`` to parquet), then ``curate()`` runs the
+    corpus-wide stages on the landed table per ingestion window —
+    see README "Streaming vs batch curation". Same operators as
+    ``curate``, so streaming ≡ batch on identical input (tested)."""
     from auto_ts_spark.functions import text as TX
     from auto_ts_spark.operators.pii import redact_documents
     from auto_ts_spark.operators.textops import c4_line_clean, quality_keep_expr
 
+    if batch_only:
+        raise TypeError(
+            f"curate_stream() got batch-only curation stage kwargs "
+            f"{sorted(batch_only)}: corpus-wide stages (near-dup/semantic "
+            "dedup, span scrub, boilerplate, decontamination, perplexity/"
+            "classifier gates, DSIR, mixture, token budget) cannot run on "
+            "an unbounded stream. Land the cleaned stream first "
+            "(writeStream to parquet), then run curate() on the landed "
+            "table — see README 'Streaming vs batch curation'."
+        )
     out = stream
     if line_clean:
         # one shuffle-free map — streams as a plain filter+project

@@ -45,6 +45,34 @@ def test_curate_full_chain_on_testdata(spark, sf_dir):
     assert again.exceptAll(out).count() == 0
 
 
+def test_curate_stream_rejects_batch_only_stage_kwargs(spark):
+    """r9 pin (r7 verdict #7): a batch curate() recipe ported to
+    curate_stream must fail LOUDLY on corpus-wide stages (near-dup,
+    perplexity/classifier gates, DSIR, mixture, budget, span scrub)
+    instead of silently running the weaker streaming subset — the
+    error names the stream -> land -> batch-curate handoff."""
+    import pytest as _pytest
+
+    from auto_ts_spark.corpus import curate_stream
+
+    docs = spark.createDataFrame(
+        [(1, "some words here")], "doc_id long, text string"
+    )
+    for kw in (
+        {"near_dedup": True},
+        {"near_dedup_method": "semantic"},
+        {"perplexity_ref": docs},
+        {"classifier_ref": docs},
+        {"dsir_target": docs},
+        {"mixture": {"a": 1.0}},
+        {"token_budget": 100},
+        {"scrub_spans": True},
+        {"benchmark": docs},
+    ):
+        with _pytest.raises(TypeError, match="batch-only|curate\\(\\)"):
+            curate_stream(docs, **kw)
+
+
 def test_curate_stream_equals_batch(spark, tmp_path):
     """The streaming ingestion chain (inline quality gate → PII scrub
     → watermarked fingerprint dedup) must produce the same surviving

@@ -46,11 +46,11 @@ def _expected_rows():
 
 
 def test_multimodal_oracle_constants_match_stub():
-    import __spark_entry__ as E
+    from auto_ts_spark import oracles as ORC
 
     values = re.findall(
         r"\(\s*(\d+),\s*([\d.]+),\s*([\d.]+),\s*([\d.]+),\s*([\d.]+)\s*\)",
-        E._SQL_MULTIMODAL,
+        ORC._SQL_MULTIMODAL,
     )
     got = [(int(a), float(b), float(c), float(d), float(e)) for a, b, c, d, e in values]
     assert got == _expected_rows(), (
