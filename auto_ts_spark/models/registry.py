@@ -162,9 +162,18 @@ def score_predictions(
     preds: DataFrame, actuals: DataFrame, *, target: str = "y"
 ) -> DataFrame:
     """J1 + A6-A9: join CV test predictions to actuals, score per
-    (model, series_id, fold)."""
+    (model, series_id, fold).
+
+    The actuals side is the caller's FULL input panel — at scale never
+    broadcastable — but compile-time size estimates for generated
+    inputs (range → sequence/explode pipelines keep the tiny pre-
+    explode estimate) can claim it is: the r9 500k-series probe had
+    Spark try to broadcast a 100M-row panel and OOM the driver. The
+    merge hint pins a shuffle plan at compile time; AQE's RUNTIME
+    stats (which are exact) still convert to broadcast when a side is
+    genuinely small, so small panels lose nothing."""
     joined = preds.filter(F.col("fold") >= 0).join(
-        actuals.select("series_id", "ts", F.col(target).alias("y")),
+        actuals.select("series_id", "ts", F.col(target).alias("y")).hint("merge"),
         ["series_id", "ts"],
     )
     return joined.groupBy("model", "series_id", "fold").agg(
@@ -219,18 +228,27 @@ def with_prediction_intervals(
     spread is the empirical out-of-fold residual std, the model-free
     estimator that works for every family).
 
-    One join + one tiny broadcast: sigma is a per-(model, series)
-    aggregate, so the future rows never shuffle."""
+    Join strategy (r9): both joins are pinned to shuffle plans at
+    compile time and left to AQE's exact runtime stats to up-convert
+    to broadcast when a side is genuinely small. The actuals panel is
+    never broadcastable at scale but generated inputs can carry tiny
+    compile-time size estimates (the 500k-series probe OOM), and
+    ``resid`` is a per-(model, series) aggregate — it GROWS with the
+    series count (1.5M rows at 500k series × 3 models), so a forced
+    broadcast is a scale ceiling, not an optimization."""
     resid = (
         preds.filter(F.col("fold") >= 0)
         .join(
-            actuals.select("series_id", "ts", F.col(target).alias("_y")), ["series_id", "ts"]
+            actuals.select(
+                "series_id", "ts", F.col(target).alias("_y")
+            ).hint("merge"),
+            ["series_id", "ts"],
         )
         .groupBy("model", "series_id")
         .agg(F.stddev_samp(F.col("_y") - F.col("yhat")).alias("mean_se"))
     )
     fut = preds.filter(F.col("fold") == -1).join(
-        F.broadcast(resid), ["model", "series_id"], "left"
+        resid.hint("merge"), ["model", "series_id"], "left"
     )
     return fut.select(
         "model",
