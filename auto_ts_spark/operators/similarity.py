@@ -477,19 +477,20 @@ def ivf_assign_bounded(
     fall through to the next (or to the hash-split fallback) — the
     bound still holds; only the split geometry is coarser there.
 
-    Caching: levels are persisted (MEMORY_AND_DISK) ONLY when over-cap
-    cells actually exist — the common no-hot-cell case costs one
-    counting pass over the lazy assignment and persists nothing, so
-    small corpora pay no materialization tax. When splitting did
-    happen, the final assignment stays persisted for the caller's
-    downstream joins: pass ``release_handles`` (a list; every
-    still-persisted frame is appended) and unpersist them when done —
-    or use the :func:`bounded_assignment` context manager, which does
-    that for you. With ``release_handles=None`` nothing is left
-    persisted: the result is eagerly ``localCheckpoint``-ed and the
-    internal persists are released before returning (the checkpoint
-    blocks are owned by the returned frame and cleaned up when it is
-    garbage-collected — no session-lifetime leak).
+    Caching follows the release contract. With ``release_handles`` (a
+    list; every still-persisted frame is appended — or use the
+    :func:`bounded_assignment` context manager, which releases on
+    exit) each level is persisted (MEMORY_AND_DISK): the hot-cell
+    count materializes it once and the caller's downstream joins —
+    semantic dedup consumes the assignment TWICE in its pair
+    self-join — read the cache instead of recomputing the
+    Arrow-batched assignment. With ``release_handles=None`` nothing
+    is left persisted: the common no-hot-cell case counts the lazy
+    frame and returns it un-persisted (zero materialization tax), and
+    the splitting case returns an eager ``localCheckpoint`` with all
+    internal persists released (checkpoint blocks are owned by the
+    returned frame and cleaned up when it is garbage-collected — no
+    session-lifetime leak).
     """
     from pyspark import StorageLevel
 
@@ -512,23 +513,27 @@ def ivf_assign_bounded(
             .collect()
         )
 
-    # level-0 count runs on the UN-persisted frame: if no cell is over
-    # cap (the overwhelmingly common case below ~524k vectors) the
-    # lazy assignment is returned as-is — no persist, nothing to leak,
-    # no materialization beyond the one counting pass.
-    hot_rows = _hot(assigned)
-    if not hot_rows:
-        return assigned
+    # Persist strategy depends on the release contract. WITH a
+    # ``release_handles`` list (the semantic_dedup path) level 0 is
+    # persisted up front: the hot-cell count materializes it once and
+    # the caller's downstream self-join reads the cache instead of
+    # recomputing the Arrow-batched assignment per consumer — the
+    # caller releases it when done. WITHOUT a contract nothing may
+    # stay persisted, so the count runs on the UN-persisted frame
+    # first: if no cell is over cap (the common case below ~524k
+    # vectors) the lazy assignment is returned as-is — zero persists,
+    # nothing to leak, the caller's plan recomputes it like any
+    # other lazy frame.
+    if release_handles is None:
+        hot_rows = _hot(assigned)
+        if not hot_rows:
+            return assigned
     prev = None
+    hot_rows: list = []
     for level in range(max_levels + 1):
         assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
         internal.append(assigned)
-        if level > 0:
-            hot_rows = _hot(assigned)
-        else:
-            # level 0 was counted above; touch the persist so the
-            # parent-release below always sees materialized children
-            assigned.count()
+        hot_rows = _hot(assigned)
         if prev is not None:
             # the action above materialized the child's persist, so
             # the parent level's blocks are no longer needed
