@@ -104,6 +104,47 @@ def test_connected_components_chain_converges(spark):
     assert lab == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
 
 
+def test_connected_components_strategies_agree(spark):
+    """r9 adaptive CC: the distributed pointer-jumping propagation and
+    the small-graph union-find must produce IDENTICAL labels on the
+    same graph — long chains (the jumping stressor), cliques, isolated
+    pairs, and string-keyed ids."""
+    import random
+
+    rng = random.Random(7)
+    edges = [(i, i + 1) for i in range(200)]  # diameter-200 chain
+    edges += [(1000 + a, 1000 + b) for a in range(10) for b in range(a)]
+    edges += [(2000, 2001), (3000, 3001)]
+    edges += [(rng.randrange(4000, 4400), rng.randrange(4000, 4400)) for _ in range(300)]
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    uf = {
+        r["id"]: r["cluster_id"]
+        for r in dedup.connected_components(pairs).collect()
+    }
+    st: dict = {}
+    dist = {
+        r["id"]: r["cluster_id"]
+        for r in dedup.connected_components(
+            pairs, driver_max_edges=0, stats=st
+        ).collect()
+    }
+    assert uf == dist
+    # O(log diameter): log2(200) ≈ 8 plus a few min-redirect rounds
+    # and the convergence detect — NOT ~200 (pure propagation)
+    assert st["rounds"] <= 15
+    # string ids: min is lexicographic on both paths
+    spairs = spark.createDataFrame(
+        [("b", "c"), ("a", "b"), ("x", "y")], "id_a string, id_b string"
+    )
+    ufs = {r["id"]: r["cluster_id"] for r in dedup.connected_components(spairs).collect()}
+    dss = {
+        r["id"]: r["cluster_id"]
+        for r in dedup.connected_components(spairs, driver_max_edges=0).collect()
+    }
+    assert ufs == dss == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
 def test_dedup_clusters_keep_one_per_component(planted_docs):
     """0∼1, 0∼2 (and maybe 1∼2): all three land in ONE cluster with a
     single canonical keeper — pairwise output alone would keep two."""
