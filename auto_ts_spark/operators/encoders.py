@@ -91,6 +91,15 @@ def distributed_rank(
     return out_df.localCheckpoint(eager=True)
 
 
+# mapping-side join strategy cutover: a label mapping is usually a
+# bounded categorical (broadcast is right), but nothing stops a caller
+# from encoding a billion-distinct key column — past this many codes
+# the mapping joins shuffle on the key instead (the same size-aware
+# rule as lm_quality.BROADCAST_MAX_ROWS; a forced broadcast of an
+# unbounded side is a scale ceiling, not an optimization)
+BROADCAST_MAX_CODES = 1_000_000
+
+
 class LabelEncoder:
     """Fit/transform/inverse label encoder backed by a mapping DataFrame."""
 
@@ -128,8 +137,11 @@ class LabelEncoder:
             new_codes = distributed_rank(unseen, "value", offset=self.max_code + 1)
             self.mapping = self.mapping.unionByName(new_codes)
             self.max_code = self.mapping.agg(F.max("code")).collect()[0][0]
+        m = self.mapping.withColumnRenamed("value", "_key")
         joined = keyed.join(
-            F.broadcast(self.mapping.withColumnRenamed("value", "_key")),
+            F.broadcast(m)
+            if (self.max_code or 0) < BROADCAST_MAX_CODES
+            else m.hint("merge"),
             "_key",
             "left",
         )
@@ -146,7 +158,13 @@ class LabelEncoder:
             .otherwise(F.col("value"))
             .alias(f"{code_col}_value"),
         )
-        return df.join(F.broadcast(inv), code_col, "left")
+        return df.join(
+            F.broadcast(inv)
+            if (self.max_code or 0) < BROADCAST_MAX_CODES
+            else inv.hint("merge"),
+            code_col,
+            "left",
+        )
 
 
 def label_encode(
