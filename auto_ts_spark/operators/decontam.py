@@ -21,6 +21,11 @@ from pyspark.sql import functions as F
 from auto_ts_spark.functions import text as TX
 from auto_ts_spark.operators.partitioning import ensure_parallelism
 
+# benchmark-gram join cutover (same size-aware rule as
+# lm_quality.BROADCAST_MAX_ROWS / encoders.BROADCAST_MAX_CODES):
+# ~5M grams ≈ low hundreds of MB broadcast — beyond it, shuffle
+BROADCAST_MAX_GRAMS = 5_000_000
+
 
 def _doc_ngrams(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
     """(id, gram) — distinct word n-grams per document; documents
@@ -56,18 +61,28 @@ def contamination_hits(
     contaminated n-grams and ``first_gram`` is the lexicographically
     smallest one (deterministic evidence sample).
 
-    The benchmark gram set is globally distinct and broadcast — the
-    corpus side is the only large scan and it shuffles once, on
-    ``doc_id``, for the final per-doc aggregate."""
+    The benchmark gram set is globally distinct and joined size-aware
+    (r9): broadcast below ``BROADCAST_MAX_GRAMS`` (the typical case —
+    benchmark suites are tiny next to the corpus), shuffle-join on the
+    gram key above it (a full eval-suite union can reach tens of
+    millions of grams; a forced broadcast of an unbounded side is a
+    scale ceiling). The corpus side is the only large scan either way
+    and it shuffles once, on ``doc_id``, for the final per-doc
+    aggregate; the sizing count is one cheap job over the small side."""
     bench_grams = (
         _doc_ngrams(benchmark, text_col, id_col, n).select("gram").distinct()
+    )
+    bench_grams = (
+        F.broadcast(bench_grams)
+        if bench_grams.count() < BROADCAST_MAX_GRAMS
+        else bench_grams.hint("merge")
     )
     # the shingle explode is the CPU-bound stage: spread an
     # under-partitioned corpus (one small file locally) across cores —
     # a no-op at scale where the scan already has enough partitions
     corp = _doc_ngrams(ensure_parallelism(corpus), text_col, id_col, n)
     return (
-        corp.join(F.broadcast(bench_grams), "gram")
+        corp.join(bench_grams, "gram")
         .groupBy("id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_hits"),
