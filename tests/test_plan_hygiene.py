@@ -225,3 +225,42 @@ def test_classifier_features_single_scan(spark):
     )
     assert plan.count("split(") == 1, plan
     assert plan.count("md5(") == 1, plan
+
+
+def test_scoring_join_never_broadcasts_actuals(spark):
+    """r9 probe finding: compile-time stats for generated inputs
+    (range -> sequence/explode) keep the tiny pre-explode estimate, so
+    Spark chose a broadcast build over a 100M-row actuals panel and
+    OOM'd the driver. score_predictions must plan a NON-broadcast join
+    for the panel even when the estimate says 'small'."""
+    from pyspark.sql import functions as F
+
+    from auto_ts_spark.models.registry import score_predictions
+
+    panel = (
+        spark.range(50)
+        .select(
+            F.concat(F.lit("s"), F.col("id")).alias("series_id"),
+            F.explode(F.sequence(F.lit(0), F.lit(39))).alias("_t"),
+        )
+        .select(
+            "series_id",
+            F.expr("date_add(date '2023-01-01', _t)").cast("timestamp").alias("ts"),
+            (F.col("_t") * 1.0).alias("y"),
+        )
+    )
+    preds = panel.select(
+        "series_id", "ts", F.lit(0).alias("fold"), F.col("y").alias("yhat"),
+        F.lit("m").alias("model"),
+    )
+    plan = (
+        score_predictions(preds, panel)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the preds<->actuals equi-join must not build a broadcast side
+    # (AQE may still convert at RUNTIME from exact stats - this pins
+    # the compile-time plan, which is what the misestimate corrupted)
+    head = plan.split("HashAggregate")[0]
+    assert "BroadcastHashJoin" not in head, head
