@@ -72,9 +72,18 @@ def contamination_hits(
     bench_grams = (
         _doc_ngrams(benchmark, text_col, id_col, n).select("gram").distinct()
     )
+    # sizing probe: distinct grams <= total tokens, and the token sum
+    # is one shuffle-free scan of the small side (counting the grams
+    # themselves would pay the explode+distinct shuffle twice)
+    n_tok_bound = (
+        benchmark.select(
+            F.sum(F.size(F.split(F.col(text_col), r"\s+"))).alias("t")
+        ).first()["t"]
+        or 0
+    )
     bench_grams = (
         F.broadcast(bench_grams)
-        if bench_grams.count() < BROADCAST_MAX_GRAMS
+        if n_tok_bound < BROADCAST_MAX_GRAMS
         else bench_grams.hint("merge")
     )
     # the shingle explode is the CPU-bound stage: spread an
