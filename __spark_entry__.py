@@ -1654,8 +1654,10 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: binary media + mapInPandas feature
-    extraction (decode kernel stubbed; Spark-side shape is real)."""
+    """Multimodal pipeline: binary media columns + mapInPandas feature
+    extraction over REAL BMP payloads (struct+numpy 24-bit BI_RGB
+    decode — no codec libs needed; compressed formats fall back to a
+    documented deterministic fake)."""
     from auto_ts_spark.operators.multimodal import (
         decode_and_featurize,
         synthetic_media,

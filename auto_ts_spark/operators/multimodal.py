@@ -1,21 +1,24 @@
-"""Multimodal column plumbing: image/audio/video as opaque binary
-columns with typed metadata.
+"""Multimodal columns: image/audio/video as opaque binary columns with
+typed metadata, decoded and featurized Spark-side via ``mapInPandas``.
 
-The container has no image/audio codecs, so the decode kernels are
-STUBBED behind deterministic fakes (clearly marked); everything
-Spark-side — schema, batching, partition sizing, UDF signatures — is
-real and tested. Swapping a stub for a real decoder (PIL/librosa/av)
-changes only the numpy body of the worker function.
+Decode kernels are REAL for every container a bare numpy/stdlib stack
+can parse — BMP (24-bit BI_RGB), PPM (P6), and WAV (RIFF PCM 8/16-bit
+mono) — implemented below with struct offsets + ``np.frombuffer`` (no
+codec libraries needed, none exist in this container). Compressed
+formats (JPEG/PNG/MP3/…) fall back to a clearly-marked deterministic
+fake so the pipeline shape stays testable; a real deployment swaps
+only that fallback body for PIL/soundfile.
 
 Scale notes: media bytes ride in parquet binary columns;
 ``mapInPandas`` streams Arrow record batches so a partition never
 materializes fully in Python memory. Metadata-only transforms
-(filtering by width, codec, duration) never touch the bytes — column
-pruning keeps them out of the scan entirely.
+(filtering by width, codec, duration; video frame sampling) never
+touch the bytes — column pruning keeps them out of the scan entirely.
 """
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import numpy as np
@@ -46,38 +49,229 @@ MEDIA_SCHEMA = T.StructType(
 )
 
 
-def synthetic_media(spark, n: int = 64, kind: str = "image") -> DataFrame:
-    """Deterministic fake media table for tests (seeded bytes)."""
-    rng = np.random.RandomState(7)
-    rows = []
-    for i in range(n):
-        payload = rng.bytes(256)
-        rows.append(
-            (
-                i,
-                kind,
-                bytearray(payload),
-                f"{kind}/fake",
-                (64 + i % 8, 48 + i % 6, 1000 + i, 16000),
-            )
+# --------------------------------------------------------------------------
+# Real containers — encode + decode with struct/numpy only.
+# --------------------------------------------------------------------------
+
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a 24-bit uncompressed
+    BMP (BITMAPINFOHEADER, BI_RGB, bottom-up rows, 4-byte row pad)."""
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError(f"expected (h, w, 3) RGB array, got {arr.shape}")
+    h, w = arr.shape[:2]
+    stride = (w * 3 + 3) // 4 * 4
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    # RGB -> BGR, bottom-up
+    rows[:, : w * 3] = arr[::-1, :, ::-1].reshape(h, w * 3)
+    pixels = rows.tobytes()
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(pixels), 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixels), 2835, 2835, 0, 0)
+    return header + dib + pixels
+
+
+def decode_bmp(content: bytes) -> np.ndarray:
+    """Decode a 24-bit uncompressed bottom-up BMP to (h, w, 3) RGB
+    uint8. Only the BI_RGB/24bpp subset `encode_bmp` writes (the
+    universal lowest-common-denominator BMP) is supported."""
+    if content[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (offset,) = struct.unpack_from("<I", content, 10)
+    dib_size, w, h = struct.unpack_from("<Iii", content, 14)
+    planes, bpp = struct.unpack_from("<HH", content, 26)
+    (compression,) = struct.unpack_from("<I", content, 30)
+    if bpp != 24 or compression != 0 or h <= 0 or dib_size < 40:
+        raise ValueError(
+            f"unsupported BMP variant (bpp={bpp}, compression={compression}, h={h})"
         )
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    stride = (w * 3 + 3) // 4 * 4
+    rows = np.frombuffer(content, dtype=np.uint8, count=h * stride, offset=offset)
+    # bottom-up BGR -> top-down RGB
+    return rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)[::-1, :, ::-1].copy()
+
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as binary PPM (P6)."""
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError(f"expected (h, w, 3) RGB array, got {arr.shape}")
+    h, w = arr.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.tobytes()
+
+
+def decode_ppm(content: bytes) -> np.ndarray:
+    """Decode a binary PPM (P6, maxval 255) to (h, w, 3) RGB uint8."""
+    if content[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    # header = magic, width, height, maxval — whitespace separated
+    fields: list[bytes] = []
+    pos = 2
+    while len(fields) < 3:
+        while pos < len(content) and content[pos : pos + 1].isspace():
+            pos += 1
+        if content[pos : pos + 1] == b"#":  # comment to end-of-line
+            pos = content.index(b"\n", pos) + 1
+            continue
+        start = pos
+        while pos < len(content) and not content[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(content[start:pos])
+    pos += 1  # single whitespace after maxval, then raster
+    w, h, maxval = int(fields[0]), int(fields[1]), int(fields[2])
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    return (
+        np.frombuffer(content, dtype=np.uint8, count=h * w * 3, offset=pos)
+        .reshape(h, w, 3)
+        .copy()
+    )
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Encode a float waveform in [-1, 1] as RIFF WAV, PCM 16-bit
+    mono."""
+    pcm = np.clip(np.asarray(samples, dtype=np.float64), -1.0, 1.0)
+    data = np.round(pcm * 32767.0).astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    return (
+        struct.pack("<4sI4s", b"RIFF", 4 + 8 + len(fmt) + 8 + len(data), b"WAVE")
+        + struct.pack("<4sI", b"fmt ", len(fmt))
+        + fmt
+        + struct.pack("<4sI", b"data", len(data))
+        + data
+    )
+
+
+def decode_wav(content: bytes) -> tuple[np.ndarray, int]:
+    """Decode a RIFF WAV (PCM, 8 or 16-bit, any channel count →
+    channel 0) to (float32 waveform in [-1, 1], sample_rate). Walks
+    the chunk list, so extra chunks (LIST, fact, …) are tolerated."""
+    if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(content):
+        cid, size = struct.unpack_from("<4sI", content, pos)
+        body = content[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, n_channels, sample_rate, _, _, bits = fmt
+    if audio_format != 1 or bits not in (8, 16):
+        raise ValueError(f"unsupported WAV (format={audio_format}, bits={bits})")
+    if bits == 16:
+        raw = np.frombuffer(data, dtype="<i2")
+        wave = raw.astype(np.float32) / 32767.0
+    else:  # 8-bit PCM is unsigned, midpoint 128
+        raw = np.frombuffer(data, dtype=np.uint8)
+        wave = (raw.astype(np.float32) - 128.0) / 127.0
+    if n_channels > 1:
+        wave = wave[::n_channels]
+    return wave, sample_rate
+
+
+# --------------------------------------------------------------------------
+# Sniffing decoders: real containers decode for real; compressed
+# formats (absent codecs) fall back to the declared deterministic fake.
+# --------------------------------------------------------------------------
 
 
 def _fake_decode_image(content: bytes, width: int, height: int) -> np.ndarray:
-    """STUB decoder — container has no codec libs. Deterministic fake:
-    reshape a seeded-by-content byte stream to (h, w, 3). A real
-    deployment replaces this body with PIL/turbojpeg."""
+    """FALLBACK for compressed formats (JPEG/PNG — no codec libs in
+    this container): deterministic fake seeded by the content bytes. A
+    real deployment replaces this body with PIL/turbojpeg; BMP/PPM
+    payloads never reach it (see ``decode_image``)."""
     seed = int.from_bytes(content[:4], "little") if content else 0
     rng = np.random.RandomState(seed)
     return rng.randint(0, 256, size=(height, width, 3), dtype=np.uint8)
+
+
+def _fake_decode_audio(content: bytes, n_samples: int) -> np.ndarray:
+    """FALLBACK for compressed audio (MP3/AAC — no codec libs in this
+    container): deterministic fake waveform seeded by the content
+    bytes. WAV payloads never reach it (see ``decode_audio``)."""
+    seed = int.from_bytes(content[:4], "little") if content else 0
+    rng = np.random.RandomState(seed)
+    return (rng.rand(n_samples).astype(np.float32) * 2.0) - 1.0
+
+
+def decode_image(content: bytes, width: int = 0, height: int = 0) -> np.ndarray:
+    """Decode an image payload to (h, w, 3) RGB uint8: real parse for
+    BMP/PPM (magic-sniffed), deterministic fake (at the metadata
+    dimensions) for anything else."""
+    if content:
+        if content[:2] == b"BM":
+            return decode_bmp(content)
+        if content[:2] == b"P6":
+            return decode_ppm(content)
+    return _fake_decode_image(content, width, height)
+
+
+def decode_audio(content: bytes, n_samples: int = 0) -> np.ndarray:
+    """Decode an audio payload to a float32 waveform: real parse for
+    RIFF/WAV, deterministic fake (metadata-sized) for anything else."""
+    if content and content[:4] == b"RIFF":
+        return decode_wav(content)[0]
+    return _fake_decode_audio(content, n_samples)
+
+
+# --------------------------------------------------------------------------
+# Synthetic media + the mapInPandas operators.
+# --------------------------------------------------------------------------
+
+
+def _image_array(i: int) -> np.ndarray:
+    """Deterministic per-item test image: (48 + i%6, 64 + i%8, 3)
+    uint8, seeded independently per item so tests and the embedded
+    VALUES oracle can regenerate any row without replaying the whole
+    sequence."""
+    w, h = 64 + i % 8, 48 + i % 6
+    return np.random.RandomState(7000 + i).randint(
+        0, 256, size=(h, w, 3), dtype=np.uint8
+    )
+
+
+def _audio_wave(i: int, n: int, sample_rate: int) -> np.ndarray:
+    """Deterministic per-item test waveform: a 220+10i Hz half-scale
+    sine."""
+    t = np.arange(n, dtype=np.float64) / sample_rate
+    return 0.5 * np.sin(2.0 * np.pi * (220.0 + 10.0 * i) * t)
+
+
+def synthetic_media(spark, n: int = 64, kind: str = "image", real: bool = True) -> DataFrame:
+    """Deterministic media table for tests. With ``real=True`` (the
+    default) the payloads are genuine containers — BMP for images, WAV
+    (PCM16) for audio — so the decode path under test is the real
+    parser. ``real=False`` emits opaque seeded bytes with a fake mime,
+    exercising the compressed-format fallback."""
+    rng = np.random.RandomState(7)
+    rows = []
+    for i in range(n):
+        w, h = 64 + i % 8, 48 + i % 6
+        duration_ms, sample_rate = 1000 + i, 16000
+        if not real or kind == "video":  # no raw video container exists
+            payload, mime = rng.bytes(256), f"{kind}/fake"
+        elif kind == "image":
+            payload, mime = encode_bmp(_image_array(i)), "image/bmp"
+        elif kind == "audio":
+            n_samp = sample_rate * duration_ms // 1000
+            payload = encode_wav(_audio_wave(i, n_samp, sample_rate), sample_rate)
+            mime = "audio/wav"
+        else:
+            raise ValueError(f"unknown kind {kind!r}")
+        rows.append((i, kind, bytearray(payload), mime, (w, h, duration_ms, sample_rate)))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
 def decode_and_featurize(df: DataFrame) -> DataFrame:
     """image → per-channel mean/std features via mapInPandas.
 
     Output: (media_id, mean_r, mean_g, mean_b, std_gray). The Arrow
-    batch iterator bounds Python memory regardless of partition size.
+    batch iterator bounds Python memory regardless of partition size;
+    BMP/PPM decode is a real numpy parse, anything else hits the
+    documented fake fallback at the metadata dimensions.
     """
     out_schema = (
         "media_id long, mean_r double, mean_g double, mean_b double, std_gray double"
@@ -86,14 +280,14 @@ def decode_and_featurize(df: DataFrame) -> DataFrame:
     def worker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = []
-            for _, row in pdf.iterrows():
-                meta = row["meta"]
-                img = _fake_decode_image(
-                    row["content"], meta["width"], meta["height"]
+            for row in pdf.itertuples(index=False):
+                meta = row.meta
+                img = decode_image(
+                    row.content, meta["width"], meta["height"]
                 ).astype(np.float64)
                 feats.append(
                     (
-                        row["media_id"],
+                        row.media_id,
                         img[:, :, 0].mean(),
                         img[:, :, 1].mean(),
                         img[:, :, 2].mean(),
@@ -108,26 +302,33 @@ def decode_and_featurize(df: DataFrame) -> DataFrame:
 
 
 def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
-    """STUB resize: re-encodes the deterministic fake at a new size;
-    real deployments swap the worker body. Shows the binary-in /
-    binary-out mapInPandas shape."""
+    """Real nearest-neighbor resize: decode (BMP/PPM real, fallback
+    fake), index-sample to (height, width), re-encode as BMP. Binary-in
+    / binary-out mapInPandas shape; output payloads are themselves
+    decodable BMPs."""
     out_schema = "media_id long, content binary, width int, height int"
 
     def worker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, row in pdf.iterrows():
-                img = _fake_decode_image(row["content"], width, height)
-                rows.append((row["media_id"], img.tobytes(), width, height))
+            for row in pdf.itertuples(index=False):
+                meta = row.meta
+                img = decode_image(row.content, meta["width"], meta["height"])
+                ys = (np.arange(height) * img.shape[0]) // height
+                xs = (np.arange(width) * img.shape[1]) // width
+                resized = img[ys][:, xs]
+                rows.append((row.media_id, encode_bmp(resized), width, height))
             yield pd.DataFrame(rows, columns=["media_id", "content", "width", "height"])
 
-    return df.select("media_id", "content").mapInPandas(worker, out_schema)
+    return df.select("media_id", "content", "meta").mapInPandas(worker, out_schema)
 
 
 def frame_sample(df: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """STUB video frame sampler: emits (media_id, frame_idx, ts_ms) rows
+    """Video frame sampler: emits (media_id, frame_idx, ts_ms) rows
     from duration metadata — metadata-only, never decodes bytes, so the
-    scan prunes the content column entirely."""
+    scan prunes the content column entirely. (Raw video containers
+    need codec libs, so the per-frame decode stays out of scope; the
+    sampling plan is the real Spark-side shape.)"""
     return (
         df.filter(F.col("kind") == "video")
         .select(
@@ -145,31 +346,23 @@ def frame_sample(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
-def _fake_decode_audio(content: bytes, n_samples: int) -> np.ndarray:
-    """STUB PCM decoder (no codec libs in container): deterministic
-    float32 waveform seeded by content. Real deployments use
-    librosa/soundfile here."""
-    seed = int.from_bytes(content[:4], "little") if content else 0
-    rng = np.random.RandomState(seed)
-    return (rng.rand(n_samples).astype(np.float32) * 2.0) - 1.0
-
-
 def audio_features(df: DataFrame, *, frame_ms: int = 250) -> DataFrame:
     """audio → (media_id, rms, zero_crossing_rate, n_samples) via
-    mapInPandas; sample count derives from (duration_ms, sample_rate)
-    metadata, so batching cost is predictable before decode."""
+    mapInPandas. WAV payloads are really parsed (sample count and rate
+    from the file itself); compressed formats fall back to the
+    metadata-sized fake."""
     out_schema = "media_id long, rms double, zero_crossing_rate double, n_samples long"
 
     def worker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, row in pdf.iterrows():
-                meta = row["meta"]
-                n = max(int(meta["duration_ms"] * meta["sample_rate"] / 1000), 1)
-                wave = _fake_decode_audio(row["content"], n)
+            for row in pdf.itertuples(index=False):
+                meta = row.meta
+                hint = max(int(meta["duration_ms"] * meta["sample_rate"] / 1000), 1)
+                wave = decode_audio(row.content, hint)
                 zc = float(np.mean(np.abs(np.diff(np.signbit(wave).astype(np.int8)))))
                 rows.append(
-                    (row["media_id"], float(np.sqrt((wave**2).mean())), zc, n)
+                    (row.media_id, float(np.sqrt((wave**2).mean())), zc, len(wave))
                 )
             yield pd.DataFrame(
                 rows,

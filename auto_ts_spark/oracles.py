@@ -1689,12 +1689,13 @@ SELECT cast(8 AS BIGINT) AS n_features,
        true AS ranks_ok
 """
 
-# The multimodal decode stub is a declared deterministic fake
-# (operators/multimodal.py:67-73: numpy RandomState seeded from the
-# content bytes) — so its features are platform-stable constants and
-# the plumbing (schema, mapInPandas batching, row routing) gets a real
-# value-checked oracle. Regenerate with the snippet in
-# tests/test_multimodal_oracle.py if the stub ever changes.
+# The multimodal query decodes REAL BMP payloads (operators/
+# multimodal.py: struct+numpy BI_RGB parser; synthetic_media encodes
+# deterministic per-item images with encode_bmp) — the features are
+# exact platform-stable constants, so the full path (real container
+# decode, mapInPandas batching, row routing) gets a value-checked
+# oracle. Regenerate with the snippet in tests/test_multimodal_oracle.py
+# if the image generator or codec changes.
 _SQL_MULTIMODAL = """
 SELECT cast(media_id AS BIGINT) AS media_id,
        cast(mean_r AS double) AS mean_r,
@@ -1702,38 +1703,38 @@ SELECT cast(media_id AS BIGINT) AS media_id,
        cast(mean_b AS double) AS mean_b,
        cast(std_gray AS double) AS std_gray
 FROM (VALUES
-  (0, 127.279948, 127.591797, 128.250977, 42.127434),
-  (1, 123.975196, 127.24584, 127.629827, 42.02683),
-  (2, 129.618788, 128.117576, 126.422727, 42.542626),
-  (3, 126.407375, 126.635645, 128.273047, 42.872681),
-  (4, 127.912048, 127.996889, 125.791572, 43.188408),
-  (5, 128.283292, 127.559475, 126.352748, 42.745084),
-  (6, 127.162202, 125.727381, 129.49256, 43.043759),
-  (7, 128.110089, 129.662547, 128.268468, 42.458792),
-  (8, 130.194375, 127.470938, 129.20375, 42.945511),
-  (9, 125.790649, 127.703771, 124.782202, 42.495761),
-  (10, 125.992133, 127.917249, 126.069056, 42.352329),
-  (11, 127.196846, 129.640665, 128.641509, 42.928672),
-  (12, 130.101716, 126.393382, 123.846814, 42.044279),
-  (13, 126.7273, 125.500739, 126.55102, 43.292764),
-  (14, 127.403429, 127.398, 129.396, 41.999013),
-  (15, 128.264015, 126.75145, 127.281966, 42.318025),
-  (16, 126.033053, 128.686599, 129.110276, 42.721031),
-  (17, 127.467925, 126.806676, 128.23193, 42.554597),
-  (18, 127.209912, 127.825442, 125.544508, 42.320579),
-  (19, 127.455376, 128.131282, 129.084069, 42.364405),
-  (20, 126.640294, 127.278824, 128.187353, 43.62533),
-  (21, 127.902245, 126.225632, 128.416311, 42.328542),
-  (22, 127.18022, 127.670879, 125.879121, 42.964217),
-  (23, 128.549296, 129.127292, 126.731863, 42.247318),
-  (24, 126.703451, 127.19987, 128.754557, 42.729143),
-  (25, 126.302983, 128.013501, 126.460911, 42.554416),
-  (26, 127.640606, 127.280606, 128.733939, 42.92655),
-  (27, 127.507463, 128.526485, 130.763243, 42.697598),
-  (28, 128.090498, 128.289027, 127.071833, 42.665979),
-  (29, 128.898004, 126.89773, 128.34181, 42.549496),
-  (30, 130.636607, 127.769048, 126.035417, 43.265104),
-  (31, 127.688129, 127.159529, 129.300949, 42.582704)
+  (0, 127.332357, 127.109375, 126.404622, 41.960298),
+  (1, 127.843642, 125.723077, 125.579278, 42.571173),
+  (2, 127.934545, 127.343636, 127.726061, 43.169497),
+  (3, 127.985075, 127.697981, 125.82909, 42.038981),
+  (4, 127.93043, 129.518665, 128.768665, 42.071937),
+  (5, 126.805305, 128.365327, 127.173913, 42.88683),
+  (6, 129.420833, 126.116071, 125.247619, 42.829136),
+  (7, 128.105778, 127.87209, 127.807703, 43.234657),
+  (8, 128.577813, 124.475938, 128.701563, 42.643517),
+  (9, 128.728808, 125.713122, 126.042836, 42.348339),
+  (10, 128.880828, 127.362471, 128.081002, 42.840079),
+  (11, 127.623486, 127.813292, 127.80766, 42.048969),
+  (12, 126.782782, 126.381434, 127.95527, 42.544935),
+  (13, 128.992902, 127.932269, 129.211476, 43.336232),
+  (14, 128.150857, 128.617714, 127.672, 43.403336),
+  (15, 127.421154, 130.251036, 127.579674, 42.749123),
+  (16, 126.419471, 126.316406, 129.710938, 43.079959),
+  (17, 126.68447, 127.592163, 128.737591, 42.409637),
+  (18, 127.540088, 125.056503, 127.416982, 42.601911),
+  (19, 127.72647, 128.096863, 127.777642, 42.94193),
+  (20, 127.666471, 127.845, 125.829706, 42.293903),
+  (21, 127.412901, 128.805627, 126.760443, 42.747164),
+  (22, 129.125824, 126.567582, 126.59011, 42.76676),
+  (23, 125.897422, 129.192134, 129.103641, 42.863509),
+  (24, 128.545898, 129.206055, 127.60026, 42.482748),
+  (25, 128.24113, 128.91146, 127.147881, 42.879652),
+  (26, 128.074545, 129.202727, 126.341515, 42.51095),
+  (27, 128.861574, 127.496049, 127.998244, 42.855683),
+  (28, 129.044118, 127.175339, 127.26612, 43.138487),
+  (29, 127.480722, 125.891715, 127.2863, 43.859163),
+  (30, 124.941964, 126.238095, 127.433036, 42.106271),
+  (31, 127.228227, 129.257545, 125.951423, 43.031681)
 ) AS t(media_id, mean_r, mean_g, mean_b, std_gray)
 """
 

@@ -244,13 +244,65 @@ def test_audio_features_shape(spark):
     media = synthetic_media(spark, 16, kind="audio")
     out = audio_features(media).toPandas()
     assert len(out) == 16
-    assert (out["rms"] > 0).all() and (out["rms"] < 1.2).all()
-    assert (out["n_samples"] > 0).all()
+    # real WAV path: payloads are 0.5-amplitude sines, so rms is within
+    # quantization error of 0.5/sqrt(2); sample count comes from the
+    # RIFF data chunk and must match duration_ms * sample_rate / 1000
+    assert (abs(out["rms"] - 0.5 / np.sqrt(2)) < 1e-3).all()
+    expected_n = 16000 * (1000 + out["media_id"]) // 1000
+    assert (out["n_samples"] == expected_n).all()
     # deterministic across runs
     out2 = audio_features(media).toPandas()
     pd.testing.assert_frame_equal(
         out.sort_values("media_id").reset_index(drop=True),
         out2.sort_values("media_id").reset_index(drop=True),
+    )
+
+
+def test_resize_images_real_nearest_neighbor(spark):
+    """resize_images on real BMP payloads: output is itself a decodable
+    BMP whose pixels are the exact nearest-neighbor index sample of the
+    source image (2x upscale of the top-left pixel block)."""
+    from auto_ts_spark.operators.multimodal import (
+        _image_array,
+        decode_bmp,
+        resize_images,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, 4, kind="image")
+    out = resize_images(media, width=16, height=12).toPandas()
+    assert len(out) == 4 and (out["width"] == 16).all()
+    for row in out.itertuples(index=False):
+        src = _image_array(row.media_id)
+        img = decode_bmp(bytes(row.content))
+        ys = (np.arange(12) * src.shape[0]) // 12
+        xs = (np.arange(16) * src.shape[1]) // 16
+        assert np.array_equal(img, src[ys][:, xs])
+
+
+def test_decode_and_featurize_real_vs_fake_paths(spark):
+    """The featurizer decodes real BMPs bit-exactly (means match the
+    source arrays) while real=False payloads route to the documented
+    fake fallback."""
+    from auto_ts_spark.operators.multimodal import (
+        _image_array,
+        decode_and_featurize,
+        synthetic_media,
+    )
+
+    real = decode_and_featurize(synthetic_media(spark, 3, kind="image")).toPandas()
+    for row in real.itertuples(index=False):
+        src = _image_array(row.media_id).astype(np.float64)
+        assert abs(row.mean_r - src[:, :, 0].mean()) < 1e-12
+        assert abs(row.std_gray - src.mean(axis=2).std()) < 1e-12
+    fake = decode_and_featurize(
+        synthetic_media(spark, 3, kind="image", real=False)
+    ).toPandas()
+    # fallback produces different (seeded-fake) features, same schema
+    assert set(fake.columns) == set(real.columns) and len(fake) == 3
+    assert not np.allclose(
+        fake.sort_values("media_id")["mean_r"].to_numpy(),
+        real.sort_values("media_id")["mean_r"].to_numpy(),
     )
 
 
