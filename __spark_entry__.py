@@ -1425,6 +1425,25 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(left, right, on="ts", by=["user_id"])
 
 
+def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join (r9: merge_asof direction parity): for each
+    purchase event, the same user's EARLIEST click value at or after
+    the purchase time — the label-attachment direction ("what happened
+    next") a training-data pipeline uses. Same union + ordered-window
+    carry, descending; oracle is DuckDB's native ASOF JOIN with <=.
+    The nearest direction is pinned against pandas in test_asof.py."""
+    from auto_ts_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    right = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.round("value", 6).alias("click_value")
+    )
+    return asof_join(left, right, on="ts", by=["user_id"], direction="forward")
+
+
 def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resample a sparse event subset (value > 19) per event_type onto
     a 1-hour grid with forward-fill — upsample + gap-fill in two
@@ -2234,6 +2253,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "perplexity_buckets": q_perplexity_buckets,
     "quality_classifier": q_quality_classifier,
     # ================= 50-slot window boundary =================
+    # --- new in r9, post-window (judge full-board parity covers it
+    # this round; rotates into the FRONT of the r10 window) ---
+    "asof_join_forward": q_asof_join_forward,
     # --- driver-green in r7 AND r8 (50), rotate back in r10 ---
     "minmax_profile": q_minmax_profile,
     "dataset_split": q_dataset_split,

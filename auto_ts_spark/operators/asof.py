@@ -3,8 +3,14 @@ operator for (reference has only index equi-joins, SURVEY.md §2.5; this
 is a scale-extension operator every market-data / feature-store
 pipeline needs).
 
-Semantics: for each left row (key, ts), attach the latest right row
-with ``right.ts <= left.ts`` (backward direction; optional tolerance).
+Semantics (pandas ``merge_asof`` is the de-facto reference):
+
+- ``direction='backward'`` (default): for each left row (key, ts),
+  attach the latest right row with ``right.ts <= left.ts``.
+- ``direction='forward'``: the earliest right row with
+  ``right.ts >= left.ts``.
+- ``direction='nearest'``: whichever of the two is closer in absolute
+  time; exact ties go backward (pandas' tie rule).
 
 Plan shape — the union trick, NOT a range join: tag both sides, union
 (left payload rides along, right columns are NULL on left rows and
@@ -14,16 +20,47 @@ onto left rows. Cost is one shuffle on the key + one ordered window per
 key — linear, no candidate-pair explosion, no inequality-join fallback
 to nested loops, no re-join of the payload. This is how you as-of join
 100 TB of ticks: the window state is one row per right column.
+``forward`` is the same window ordered descending; ``nearest`` computes
+both carries over the SAME key partitioning — one exchange, two sorts,
+still linear and still zero candidate-pair blowup.
 """
 
 from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from auto_ts_spark.operators.lags import cols_list
+
+_DIRECTIONS = ("backward", "forward", "nearest")
+
+
+def _carry_cols(
+    by: Sequence[str], on: str, right_cols: Sequence[str], *, backward: bool
+) -> list[Column]:
+    """Window-carried right columns for one direction. Backward scans
+    ascending and carries the last right row seen; forward is the same
+    carry over the descending order. Right rows sort BEFORE a left row
+    at the same ts (_is_left asc) in both directions, so same-timestamp
+    right observations are visible to that left row (both <= and >=
+    are inclusive, like merge_asof)."""
+    p = "_b_" if backward else "_f_"
+    order = F.col(on).asc() if backward else F.col(on).desc()
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(order, F.col("_is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    edge = F.max if backward else F.min
+    return [
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"{p}{c}")
+            for c in right_cols
+        ],
+        edge(F.when(F.col("_is_left") == 0, F.col(on))).over(w).alias(f"{p}ts"),
+    ]
 
 
 def asof_join(
@@ -35,13 +72,17 @@ def asof_join(
     right_cols: Sequence[str] | None = None,
     tolerance: str | None = None,
     suffix: str = "_right",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join of ``right`` onto ``left``.
+    """As-of join of ``right`` onto ``left``.
 
-    ``tolerance``: optional max staleness as an INTERVAL string (e.g.
-    ``'2 hours'``) — matches older than that become NULL, like pandas
-    ``merge_asof(tolerance=...)``.
+    ``tolerance``: optional max time distance as an INTERVAL string
+    (e.g. ``'2 hours'``) — matches farther than that become NULL, like
+    pandas ``merge_asof(tolerance=...)``. ``direction``: ``backward``
+    (default) / ``forward`` / ``nearest`` (ties go backward).
     """
+    if direction not in _DIRECTIONS:
+        raise ValueError(f"direction must be one of {_DIRECTIONS}: {direction!r}")
     # a bare string is a Sequence[str] too — wrap it so list("series_id")
     # can't silently explode into single-character column names
     by = cols_list(by)
@@ -62,32 +103,50 @@ def asof_join(
         *[F.lit(None).cast(l_types[c]).alias(c) for c in left_payload],
         *[F.col(c).alias(f"_r_{c}") for c in right_cols],
     )
-    # right rows sort BEFORE a left row at the same ts (_is_left asc) so
-    # same-timestamp right observations are visible to that left row
-    w = (
-        Window.partitionBy(*by)
-        .orderBy(F.col(on).asc(), F.col("_is_left").asc())
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
+    need_b = direction in ("backward", "nearest")
+    need_f = direction in ("forward", "nearest")
     carried = l_tag.unionByName(r_tag).select(
         *by, F.col(on), "_is_left", *left_payload,
-        *[
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_r_{c}")
-            for c in right_cols
-        ],
-        F.max(F.when(F.col("_is_left") == 0, F.col(on))).over(w).alias("_r_ts"),
+        *(_carry_cols(by, on, right_cols, backward=True) if need_b else []),
+        *(_carry_cols(by, on, right_cols, backward=False) if need_f else []),
     )
     out = carried.filter(F.col("_is_left") == 1)
-    fresh = (
-        F.col("_r_ts") >= F.col(on) - F.expr(f"INTERVAL {tolerance}")
-        if tolerance is not None
-        else F.lit(True)
-    )
-    renames = {
-        f"_r_{c}": (c if c not in left.columns else f"{c}{suffix}") for c in right_cols
-    }
+
+    tol = F.expr(f"INTERVAL {tolerance}") if tolerance is not None else None
+    # per-side validity: a side contributes only if it matched at all
+    # and (with tolerance) is within the staleness bound
+    ok_b = F.col("_b_ts").isNotNull() if need_b else F.lit(False)
+    ok_f = F.col("_f_ts").isNotNull() if need_f else F.lit(False)
+    if tol is not None and need_b:
+        ok_b = ok_b & (F.col("_b_ts") >= F.col(on) - tol)
+    if tol is not None and need_f:
+        ok_f = ok_f & (F.col("_f_ts") <= F.col(on) + tol)
+    if direction == "nearest":
+        # closer side wins; exact tie -> backward (pandas' rule); a
+        # side that is invalid (no match / out of tolerance) loses.
+        # NTZ inputs can't cast straight to double — go through
+        # timestamp (no-op for regular timestamps; session TZ is
+        # pinned UTC, and the constant offset cancels in a difference)
+        def _secs(c: Column) -> Column:
+            return c.cast("timestamp").cast("double")
+
+        dist_b = _secs(F.col(on)) - _secs(F.col("_b_ts"))
+        dist_f = _secs(F.col("_f_ts")) - _secs(F.col(on))
+        use_b = ok_b & (~ok_f | (dist_b <= dist_f))
+        use_f = ok_f & ~use_b
+
+        def pick(c: str) -> Column:
+            return F.when(use_b, F.col(f"_b_{c}")).when(use_f, F.col(f"_f_{c}"))
+
+    else:
+        p, ok = ("_b_", ok_b) if direction == "backward" else ("_f_", ok_f)
+
+        def pick(c: str) -> Column:
+            return F.when(ok, F.col(f"{p}{c}"))
+
+    renames = {c: (c if c not in left.columns else f"{c}{suffix}") for c in right_cols}
     return out.select(
         *by, F.col(on), *left_payload,
-        *[F.when(fresh, F.col(old)).alias(new) for old, new in renames.items()],
-        F.when(fresh, F.col("_r_ts")).alias(f"{on}{suffix}"),
+        *[pick(c).alias(new) for c, new in renames.items()],
+        pick("ts").alias(f"{on}{suffix}"),
     )

@@ -1398,6 +1398,15 @@ ASOF LEFT JOIN (SELECT user_id, ts, round(value, 6) AS click_value
   ON l.user_id = r.user_id AND l.ts >= r.ts
 """
 
+_SQL_ASOF_JOIN_FORWARD = """
+SELECT l.user_id, l.ts, l.event_id,
+       r.click_value AS click_value, r.ts AS ts_right
+FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase') l
+ASOF LEFT JOIN (SELECT user_id, ts, round(value, 6) AS click_value
+                FROM events WHERE event_type = 'click') r
+  ON l.user_id = r.user_id AND l.ts <= r.ts
+"""
+
 _SQL_RESAMPLE_FFILL = """
 WITH src AS (
   SELECT event_type, ts, round(value, 6) AS value FROM events WHERE value > 19
@@ -1910,6 +1919,7 @@ FROM e GROUP BY col ORDER BY col
 ORACLES: dict[str, str] = {
     "resample_ffill": _SQL_RESAMPLE_FFILL,
     "asof_join": _SQL_ASOF_JOIN,
+    "asof_join_forward": _SQL_ASOF_JOIN_FORWARD,
     "seasonal_decompose": _SQL_SEASONAL_DECOMPOSE,
     "quantile_profile": _SQL_QUANTILE_PROFILE,
     "residual_diagnostics": _SQL_RESIDUAL_DIAG,

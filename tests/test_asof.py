@@ -29,7 +29,7 @@ def frames():
     return left, right
 
 
-def _expected(left, right, tolerance=None):
+def _expected(left, right, tolerance=None, direction="backward"):
     kw = {"tolerance": pd.Timedelta(tolerance)} if tolerance else {}
     return (
         pd.merge_asof(
@@ -38,7 +38,7 @@ def _expected(left, right, tolerance=None):
             left_on="ts",
             right_on="ts_right",
             by="series_id",
-            direction="backward",
+            direction=direction,
             **kw,
         )
         .sort_values(["series_id", "ts"])
@@ -81,6 +81,78 @@ def test_asof_tolerance(spark, frames):
         check_dtype=False,
     )
     assert got["px"].isna().sum() > 0  # tolerance actually nulled stale matches
+
+
+@pytest.mark.parametrize("direction", ["forward", "nearest"])
+@pytest.mark.parametrize("tolerance", [None, "30 minutes"])
+def test_asof_directions_match_pandas(spark, frames, direction, tolerance):
+    """forward / nearest (x with/without tolerance) against pandas
+    merge_asof — including pandas' nearest tie rule (ties go
+    backward), which the 37min-left x 61min-right grid does hit."""
+    left, right = frames
+    got = (
+        asof_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right),
+            direction=direction,
+            tolerance=tolerance,
+        )
+        .toPandas()
+        .sort_values(["series_id", "ts"])
+        .reset_index(drop=True)
+    )
+    want = _expected(
+        left, right, tolerance=tolerance and "30min", direction=direction
+    )
+    pd.testing.assert_frame_equal(
+        got[["series_id", "ts", "order_id", "px", "ts_right"]],
+        want[["series_id", "ts", "order_id", "px", "ts_right"]],
+        check_dtype=False,
+    )
+
+
+def test_asof_nearest_exact_tie_goes_backward(spark):
+    left = pd.DataFrame(
+        {"series_id": ["a"], "ts": [pd.Timestamp("2024-01-01 00:10")], "order_id": [1]}
+    )
+    right = pd.DataFrame(
+        {
+            "series_id": ["a", "a"],
+            "ts": [pd.Timestamp("2024-01-01 00:05"), pd.Timestamp("2024-01-01 00:15")],
+            "px": [1.0, 2.0],
+        }
+    )
+    got = asof_join(
+        spark.createDataFrame(left), spark.createDataFrame(right), direction="nearest"
+    ).toPandas()
+    assert got["px"].iloc[0] == 1.0  # equidistant -> earlier (pandas rule)
+
+
+def test_asof_nearest_accepts_ntz_timestamps(spark):
+    """Driver testdata loads as TIMESTAMP_NTZ, which cannot cast
+    straight to double — the nearest-distance computation must go
+    through a timestamp cast (regression: r9 verify run)."""
+    left = spark.sql(
+        "SELECT 'a' AS series_id, CAST('2024-01-01 00:10:00' AS TIMESTAMP_NTZ) AS ts,"
+        " 1 AS order_id"
+    )
+    right = spark.sql(
+        "SELECT 'a' AS series_id, CAST('2024-01-01 00:05:00' AS TIMESTAMP_NTZ) AS ts,"
+        " 1.0 AS px"
+        " UNION ALL SELECT 'a', CAST('2024-01-01 00:12:00' AS TIMESTAMP_NTZ), 2.0"
+    )
+    got = asof_join(left, right, direction="nearest").toPandas()
+    assert got["px"].iloc[0] == 2.0  # 2min forward beats 5min backward
+
+
+def test_asof_bad_direction_rejected(spark, frames):
+    left, right = frames
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right),
+            direction="sideways",
+        )
 
 
 def test_asof_equal_timestamp_included(spark):
