@@ -38,19 +38,27 @@ _DIRECTIONS = ("backward", "forward", "nearest")
 
 
 def _carry_cols(
-    by: Sequence[str], on: str, right_cols: Sequence[str], *, backward: bool
+    by: Sequence[str],
+    on: str,
+    right_cols: Sequence[str],
+    *,
+    backward: bool,
+    exact: bool,
 ) -> list[Column]:
     """Window-carried right columns for one direction. Backward scans
     ascending and carries the last right row seen; forward is the same
-    carry over the descending order. Right rows sort BEFORE a left row
-    at the same ts (_is_left asc) in both directions, so same-timestamp
-    right observations are visible to that left row (both <= and >=
-    are inclusive, like merge_asof)."""
+    carry over the descending order. Exact-match inclusion is purely a
+    tie order: with ``exact`` right rows sort BEFORE a left row at the
+    same ts (_is_left asc) so same-timestamp right observations are
+    visible to it (inclusive <= / >=, merge_asof's default); without,
+    they sort AFTER it and the carry at the left row excludes them
+    (strict < / >, ``allow_exact_matches=False``)."""
     p = "_b_" if backward else "_f_"
     order = F.col(on).asc() if backward else F.col(on).desc()
+    tie = F.col("_is_left").asc() if exact else F.col("_is_left").desc()
     w = (
         Window.partitionBy(*by)
-        .orderBy(order, F.col("_is_left").asc())
+        .orderBy(order, tie)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     edge = F.max if backward else F.min
@@ -73,6 +81,7 @@ def asof_join(
     tolerance: str | None = None,
     suffix: str = "_right",
     direction: str = "backward",
+    allow_exact_matches: bool = True,
 ) -> DataFrame:
     """As-of join of ``right`` onto ``left``.
 
@@ -80,6 +89,8 @@ def asof_join(
     (e.g. ``'2 hours'``) — matches farther than that become NULL, like
     pandas ``merge_asof(tolerance=...)``. ``direction``: ``backward``
     (default) / ``forward`` / ``nearest`` (ties go backward).
+    ``allow_exact_matches=False`` makes the match strict (< / >),
+    e.g. "the last trade strictly before the quote".
     """
     if direction not in _DIRECTIONS:
         raise ValueError(f"direction must be one of {_DIRECTIONS}: {direction!r}")
@@ -107,8 +118,16 @@ def asof_join(
     need_f = direction in ("forward", "nearest")
     carried = l_tag.unionByName(r_tag).select(
         *by, F.col(on), "_is_left", *left_payload,
-        *(_carry_cols(by, on, right_cols, backward=True) if need_b else []),
-        *(_carry_cols(by, on, right_cols, backward=False) if need_f else []),
+        *(
+            _carry_cols(by, on, right_cols, backward=True, exact=allow_exact_matches)
+            if need_b
+            else []
+        ),
+        *(
+            _carry_cols(by, on, right_cols, backward=False, exact=allow_exact_matches)
+            if need_f
+            else []
+        ),
     )
     out = carried.filter(F.col("_is_left") == 1)
 

@@ -111,6 +111,46 @@ def test_asof_directions_match_pandas(spark, frames, direction, tolerance):
     )
 
 
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+def test_asof_strict_matches_pandas(spark, frames, direction):
+    """allow_exact_matches=False (strict < / >) against pandas, for
+    all three directions — the right grid's 00:05 offsets plus the
+    equal-timestamp fixtures give exact-ts collisions to exclude."""
+    left, right = frames
+    # plant exact-ts collisions so strictness is actually exercised
+    collide = right.copy()
+    collide.loc[collide.index[:10], "ts"] = left["ts"].iloc[:10].values
+    got = (
+        asof_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(collide),
+            direction=direction,
+            allow_exact_matches=False,
+        )
+        .toPandas()
+        .sort_values(["series_id", "ts"])
+        .reset_index(drop=True)
+    )
+    want = (
+        pd.merge_asof(
+            left.sort_values("ts"),
+            collide.sort_values("ts").rename(columns={"ts": "ts_right"}),
+            left_on="ts",
+            right_on="ts_right",
+            by="series_id",
+            direction=direction,
+            allow_exact_matches=False,
+        )
+        .sort_values(["series_id", "ts"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["series_id", "ts", "order_id", "px", "ts_right"]],
+        want[["series_id", "ts", "order_id", "px", "ts_right"]],
+        check_dtype=False,
+    )
+
+
 def test_asof_nearest_exact_tie_goes_backward(spark):
     left = pd.DataFrame(
         {"series_id": ["a"], "ts": [pd.Timestamp("2024-01-01 00:10")], "order_id": [1]}
