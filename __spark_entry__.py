@@ -2251,6 +2251,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repeated_span_scrub": q_repeated_span_scrub,
     "lm_perplexity": q_lm_perplexity,
     "perplexity_buckets": q_perplexity_buckets,
+    # 51 candidates (1 new + 50 stale) for 50 slots: quality_classifier
+    # is the overflow — last in driver r6, judge-replica green r7/r8,
+    # local 3-scale parity green r9; FIRST slot of the r10 window.
     "quality_classifier": q_quality_classifier,
     # ================= 50-slot window boundary =================
     # --- new in r9, post-window (judge full-board parity covers it
