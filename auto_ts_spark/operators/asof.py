@@ -14,15 +14,27 @@ Semantics (pandas ``merge_asof`` is the de-facto reference):
 
 Plan shape — the union trick, NOT a range join: tag both sides, union
 (left payload rides along, right columns are NULL on left rows and
-vice versa), one window sorted by (key, ts) with ``last(right_val,
-ignorenulls=True)`` carries the most recent right observation forward
-onto left rows. Cost is one shuffle on the key + one ordered window per
-key — linear, no candidate-pair explosion, no inequality-join fallback
-to nested loops, no re-join of the payload. This is how you as-of join
-100 TB of ticks: the window state is one row per right column.
-``forward`` is the same window ordered descending; ``nearest`` computes
-both carries over the SAME key partitioning — one exchange, two sorts,
-still linear and still zero candidate-pair blowup.
+vice versa), one window sorted by (key, ts) carries the most recent
+right observation forward onto left rows. Cost is one shuffle on the
+key + one ordered window per key — linear, no candidate-pair
+explosion, no inequality-join fallback to nested loops, no re-join of
+the payload. This is how you as-of join 100 TB of ticks: the window
+state is one row per right column. ``forward`` is the same window
+ordered descending; ``nearest`` computes both carries over the SAME
+key partitioning — one exchange, two sorts, still linear and still
+zero candidate-pair blowup.
+
+The carry is ONE struct of (match ts, all right payload columns) per
+direction, not per-column ``last(...)`` calls: the matched right row
+travels as a unit, so a right row whose payload column is genuinely
+NULL stays NULL (it is never backfilled from an older right row), the
+emitted row can never mix columns from different right rows, and in
+``nearest`` the payload always corresponds to the timestamp the
+distance pick used. Struct fields are namespaced, so a right column
+literally named ``ts`` cannot collide with the internal match-ts
+field. Nearest distances compare the raw timestamp difference (a
+day-time interval) — no cast through the session timezone, so
+TIMESTAMP_NTZ inputs are safe even in a DST-observing session TZ.
 """
 
 from __future__ import annotations
@@ -36,24 +48,28 @@ from auto_ts_spark.operators.lags import cols_list
 
 _DIRECTIONS = ("backward", "forward", "nearest")
 
+# struct field holding the matched right row's timestamp; reserved
+_MATCH_TS = "__match_ts"
 
-def _carry_cols(
+
+def _carry_struct(
     by: Sequence[str],
     on: str,
     right_cols: Sequence[str],
     *,
     backward: bool,
     exact: bool,
-) -> list[Column]:
-    """Window-carried right columns for one direction. Backward scans
-    ascending and carries the last right row seen; forward is the same
-    carry over the descending order. Exact-match inclusion is purely a
-    tie order: with ``exact`` right rows sort BEFORE a left row at the
-    same ts (_is_left asc) so same-timestamp right observations are
-    visible to it (inclusive <= / >=, merge_asof's default); without,
-    they sort AFTER it and the carry at the left row excludes them
-    (strict < / >, ``allow_exact_matches=False``)."""
-    p = "_b_" if backward else "_f_"
+) -> Column:
+    """Window-carried matched right row (one struct: match ts + every
+    right payload column) for one direction. Backward scans ascending
+    and carries the last right row seen; forward is the same carry over
+    the descending order. Exact-match inclusion is purely a tie order:
+    with ``exact`` right rows sort BEFORE a left row at the same ts
+    (_is_left asc) so same-timestamp right observations are visible to
+    it (inclusive <= / >=, merge_asof's default); without, they sort
+    AFTER it and the carry at the left row excludes them (strict < / >,
+    ``allow_exact_matches=False``)."""
+    p = "_b" if backward else "_f"
     order = F.col(on).asc() if backward else F.col(on).desc()
     tie = F.col("_is_left").asc() if exact else F.col("_is_left").desc()
     w = (
@@ -61,14 +77,14 @@ def _carry_cols(
         .orderBy(order, tie)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    edge = F.max if backward else F.min
-    return [
-        *[
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"{p}{c}")
-            for c in right_cols
-        ],
-        edge(F.when(F.col("_is_left") == 0, F.col(on))).over(w).alias(f"{p}ts"),
-    ]
+    row = F.when(
+        F.col("_is_left") == 0,
+        F.struct(
+            F.col(on).alias(_MATCH_TS),
+            *[F.col(f"_r_{c}").alias(c) for c in right_cols],
+        ),
+    )
+    return F.last(row, ignorenulls=True).over(w).alias(p)
 
 
 def asof_join(
@@ -100,6 +116,8 @@ def asof_join(
     if right_cols is not None:
         right_cols = cols_list(right_cols)
     right_cols = [c for c in (right_cols or right.columns) if c not in by + [on]]
+    if _MATCH_TS in right_cols:
+        raise ValueError(f"right column name {_MATCH_TS!r} is reserved by asof_join")
     left_payload = [c for c in left.columns if c not in by + [on]]
     r_types = dict(right.dtypes)
     l_types = dict(left.dtypes)
@@ -119,53 +137,54 @@ def asof_join(
     carried = l_tag.unionByName(r_tag).select(
         *by, F.col(on), "_is_left", *left_payload,
         *(
-            _carry_cols(by, on, right_cols, backward=True, exact=allow_exact_matches)
+            [_carry_struct(by, on, right_cols, backward=True, exact=allow_exact_matches)]
             if need_b
             else []
         ),
         *(
-            _carry_cols(by, on, right_cols, backward=False, exact=allow_exact_matches)
+            [_carry_struct(by, on, right_cols, backward=False, exact=allow_exact_matches)]
             if need_f
             else []
         ),
     )
     out = carried.filter(F.col("_is_left") == 1)
 
+    ts_b = F.col("_b").getField(_MATCH_TS)
+    ts_f = F.col("_f").getField(_MATCH_TS)
     tol = F.expr(f"INTERVAL {tolerance}") if tolerance is not None else None
     # per-side validity: a side contributes only if it matched at all
     # and (with tolerance) is within the staleness bound
-    ok_b = F.col("_b_ts").isNotNull() if need_b else F.lit(False)
-    ok_f = F.col("_f_ts").isNotNull() if need_f else F.lit(False)
+    ok_b = ts_b.isNotNull() if need_b else F.lit(False)
+    ok_f = ts_f.isNotNull() if need_f else F.lit(False)
     if tol is not None and need_b:
-        ok_b = ok_b & (F.col("_b_ts") >= F.col(on) - tol)
+        ok_b = ok_b & (ts_b >= F.col(on) - tol)
     if tol is not None and need_f:
-        ok_f = ok_f & (F.col("_f_ts") <= F.col(on) + tol)
+        ok_f = ok_f & (ts_f <= F.col(on) + tol)
     if direction == "nearest":
         # closer side wins; exact tie -> backward (pandas' rule); a
         # side that is invalid (no match / out of tolerance) loses.
-        # NTZ inputs can't cast straight to double — go through
-        # timestamp (no-op for regular timestamps; session TZ is
-        # pinned UTC, and the constant offset cancels in a difference)
-        def _secs(c: Column) -> Column:
-            return c.cast("timestamp").cast("double")
-
-        dist_b = _secs(F.col(on)) - _secs(F.col("_b_ts"))
-        dist_f = _secs(F.col("_f_ts")) - _secs(F.col(on))
+        # Distances are raw timestamp differences (day-time intervals,
+        # directly comparable) — no session-TZ cast, so TIMESTAMP_NTZ
+        # is safe even when the session TZ observes DST.
+        dist_b = F.col(on) - ts_b
+        dist_f = ts_f - F.col(on)
         use_b = ok_b & (~ok_f | (dist_b <= dist_f))
         use_f = ok_f & ~use_b
 
-        def pick(c: str) -> Column:
-            return F.when(use_b, F.col(f"_b_{c}")).when(use_f, F.col(f"_f_{c}"))
+        def pick(field: str) -> Column:
+            return F.when(use_b, F.col("_b").getField(field)).when(
+                use_f, F.col("_f").getField(field)
+            )
 
     else:
-        p, ok = ("_b_", ok_b) if direction == "backward" else ("_f_", ok_f)
+        side, ok = ("_b", ok_b) if direction == "backward" else ("_f", ok_f)
 
-        def pick(c: str) -> Column:
-            return F.when(ok, F.col(f"{p}{c}"))
+        def pick(field: str) -> Column:
+            return F.when(ok, F.col(side).getField(field))
 
     renames = {c: (c if c not in left.columns else f"{c}{suffix}") for c in right_cols}
     return out.select(
         *by, F.col(on), *left_payload,
         *[pick(c).alias(new) for c, new in renames.items()],
-        pick("ts").alias(f"{on}{suffix}"),
+        pick(_MATCH_TS).alias(f"{on}{suffix}"),
     )

@@ -74,10 +74,14 @@ def contamination_hits(
     )
     # sizing probe: distinct grams <= total tokens, and the token sum
     # is one shuffle-free scan of the small side (counting the grams
-    # themselves would pay the explode+distinct shuffle twice)
+    # themselves would pay the explode+distinct shuffle twice). The
+    # count MUST use the same normalization as the gram path
+    # (TX.tokens' [^a-z0-9]+ split): whitespace-splitting undercounts
+    # punctuation-joined text ("a,b" is two grams but one \s+ token),
+    # which would broadcast punctuation-heavy suites past the cutoff.
     n_tok_bound = (
         benchmark.select(
-            F.sum(F.size(F.split(F.col(text_col), r"\s+"))).alias("t")
+            F.sum(F.size(TX.tokens(F.col(text_col)))).alias("t")
         ).first()["t"]
         or 0
     )

@@ -524,16 +524,21 @@ def ivf_assign_bounded(
     # vectors) the lazy assignment is returned as-is — zero persists,
     # nothing to leak, the caller's plan recomputes it like any
     # other lazy frame.
+    pre_hot: list | None = None
     if release_handles is None:
-        hot_rows = _hot(assigned)
-        if not hot_rows:
+        pre_hot = _hot(assigned)
+        if not pre_hot:
             return assigned
     prev = None
     hot_rows: list = []
     for level in range(max_levels + 1):
         assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
         internal.append(assigned)
-        hot_rows = _hot(assigned)
+        # level 0 on the no-contract path already counted this exact
+        # frame pre-persist — reuse it instead of a second full pass
+        # (the persist is materialized lazily by the sub-quantizer
+        # sample below, or by the level-1 count)
+        hot_rows = pre_hot if (level == 0 and pre_hot is not None) else _hot(assigned)
         if prev is not None:
             # the action above materialized the child's persist, so
             # the parent level's blocks are no longer needed

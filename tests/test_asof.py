@@ -185,6 +185,63 @@ def test_asof_nearest_accepts_ntz_timestamps(spark):
     assert got["px"].iloc[0] == 2.0  # 2min forward beats 5min backward
 
 
+def test_asof_null_payload_not_backfilled(spark):
+    """A right row whose payload column is genuinely NULL must carry
+    that NULL (merge_asof semantics) — not backfill it from an older
+    right row. Guards the struct-carry design: the matched row travels
+    as a unit (regression: r9 ADVICE, per-column last(ignorenulls))."""
+    left = pd.DataFrame(
+        {
+            "series_id": ["a"],
+            "ts": [pd.Timestamp("2024-01-01 00:20")],
+            "order_id": [1],
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "series_id": ["a", "a"],
+            "ts": [pd.Timestamp("2024-01-01 00:05"), pd.Timestamp("2024-01-01 00:10")],
+            "px": [1.0, None],
+            "qty": [10.0, 20.0],
+        }
+    )
+    for direction in ("backward", "nearest"):
+        got = asof_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right),
+            direction=direction,
+        ).toPandas()
+        # the 00:10 row is the match; its px is NULL and must stay NULL
+        assert pd.isna(got["px"].iloc[0]), direction
+        assert got["qty"].iloc[0] == 20.0, direction
+        assert got["ts_right"].iloc[0] == pd.Timestamp("2024-01-01 00:10"), direction
+    # no right row at/after 00:20 -> forward matches nothing at all
+    fwd = asof_join(
+        spark.createDataFrame(left),
+        spark.createDataFrame(right),
+        direction="forward",
+    ).toPandas()
+    assert pd.isna(fwd["qty"].iloc[0]) and pd.isna(fwd["ts_right"].iloc[0])
+
+
+def test_asof_right_column_named_ts_with_other_on(spark):
+    """A right payload column literally named 'ts' (while joining on a
+    different column) must come through intact — no collision with the
+    internal match-timestamp alias (regression: r9 ADVICE)."""
+    left = spark.sql(
+        "SELECT 'a' AS series_id, CAST('2024-01-01 00:10:00' AS TIMESTAMP) AS t,"
+        " 1 AS order_id"
+    )
+    right = spark.sql(
+        "SELECT 'a' AS series_id, CAST('2024-01-01 00:05:00' AS TIMESTAMP) AS t,"
+        " CAST('2030-06-06 06:06:06' AS TIMESTAMP) AS ts, 1.5 AS px"
+    )
+    got = asof_join(left, right, on="t", by=["series_id"]).toPandas()
+    assert got["px"].iloc[0] == 1.5
+    assert got["ts"].iloc[0] == pd.Timestamp("2030-06-06 06:06:06")
+    assert got["t_right"].iloc[0] == pd.Timestamp("2024-01-01 00:05")
+
+
 def test_asof_bad_direction_rejected(spark, frames):
     left, right = frames
     with pytest.raises(ValueError, match="direction"):

@@ -88,3 +88,30 @@ def test_benchmark_side_broadcasts(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_sizing_bound_covers_punctuation_heavy_text(spark):
+    """The broadcast-sizing token bound must use the gram path's
+    normalization: 'a,b,c' is one \\s+ token but three gram-path
+    tokens, so a whitespace count is NOT an upper bound on distinct
+    grams (regression: r9 ADVICE)."""
+    from auto_ts_spark.functions import text as TX
+    from auto_ts_spark.operators.decontam import _doc_ngrams
+
+    bench = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [0, 1], "text": ["alpha,beta,gamma,delta", "x;y;z w.q"]}
+        )
+    )
+    n_tok_bound = bench.select(
+        F.sum(F.size(TX.tokens(F.col("text")))).alias("t")
+    ).first()["t"]
+    n_grams = (
+        _doc_ngrams(bench, "text", "doc_id", 2).select("gram").distinct().count()
+    )
+    assert n_tok_bound >= n_grams  # 9 tokens >= 7 distinct 2-grams
+    # and the old whitespace count would NOT have been a bound
+    ws = bench.select(
+        F.sum(F.size(F.split(F.col("text"), r"\s+"))).alias("t")
+    ).first()["t"]
+    assert ws < n_grams
