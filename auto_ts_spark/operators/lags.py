@@ -27,8 +27,11 @@ Measured crossover (BASELINE.md r3 probe): sharding costs ~3 shuffles
 vs the global path's one, so the global single-task sort wins at 2M
 rows (3.8 s vs 9.8 s) and breaks even around 10M (9.2 s vs 10.5 s on
 local[32]). Past that the single sort task degrades super-linearly
-and eventually spills/OOMs — reach for ``sharded_*`` there; it stays
-n/shard_rows-parallel at any size.
+and eventually spills/OOMs — it stays n/shard_rows-parallel at any
+size. Since r10 the plain ops pick the sharded variant AUTOMATICALLY
+past the crossover (:func:`needs_sharding` — a zero-job compile-time
+size gate, then a one-scan per-series count probe); ``sharded_*``
+remain callable directly and ``shard_threshold=None`` opts out.
 """
 
 from __future__ import annotations
@@ -53,6 +56,52 @@ _cols_list = cols_list
 
 def series_window(order_col: str = "ts", series_col: str = "series_id"):
     return Window.partitionBy(series_col).orderBy(F.col(order_col))
+
+
+# measured global-window vs sharded crossover (BASELINE.md r3 probe:
+# break-even ~10M rows/series on local[32]; past it the single sort
+# task degrades super-linearly and eventually spills)
+GIANT_SERIES_ROWS = 10_000_000
+# compressed parquet rarely goes below ~4 bytes/row for (key, ts,
+# value) rows — a frame smaller than threshold*4 bytes cannot hold a
+# threshold-row series, so the probe job is skipped outright
+_PROBE_MIN_BYTES_PER_ROW = 4
+
+
+def needs_sharding(
+    df: DataFrame, series_col: str, threshold: int | None
+) -> bool:
+    """True iff some series exceeds ``threshold`` rows — the adaptive
+    strategy pick for the window operators (same AQE-style
+    measure-then-choose as ``dedup.connected_components``'
+    union-find cutover).
+
+    Two-stage so the common case costs nothing: (1) the optimizer's
+    compile-time ``sizeInBytes`` — no job — rules out frames too small
+    to hold a giant series (conservative 4 bytes/row floor; join-stat
+    overestimates merely fall through to the probe); (2) only then one
+    map-side-combined per-series count (one scan, the shuffle is a
+    handful of rows per series). A missed borderline case near the
+    crossover costs a slightly slower single-task sort, never a wrong
+    answer — both paths are parity-tested bit-identical.
+    """
+    if not threshold:
+        return False
+    try:
+        size = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes().toString()
+        )
+        if size < threshold * _PROBE_MIN_BYTES_PER_ROW:
+            return False
+    except Exception:
+        pass  # stats unavailable (e.g. Connect) — fall through to the probe
+    mx = (
+        df.groupBy(series_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n").alias("mx"))
+        .first()["mx"]
+    )
+    return (mx or 0) > threshold
 
 
 def shift(
@@ -86,6 +135,8 @@ def supervised_lag_matrix(
     order_col: str = "ts",
     series_col: str = "series_id",
     dropnan: bool = True,
+    shard_threshold: int | None = GIANT_SERIES_ROWS,
+    shard_rows: int = 1 << 20,
 ) -> DataFrame:
     """Lag/lead matrix: for each var, ``var(t-n_in)..var(t-1), var(t),
     var(t+1)..var(t+n_out-1)``.
@@ -94,8 +145,24 @@ def supervised_lag_matrix(
     convention but uses SQL-safe names ``var_lag_i`` / ``var_lead_i``.
     One ``select`` → one Window node → one shuffle regardless of lag
     count.
+
+    Adaptive (r10): lag-only calls (``n_out == 1``) on a frame where
+    some series exceeds ``shard_threshold`` rows (:func:`needs_sharding`)
+    route to :func:`sharded_lag_matrix` automatically — a naive user
+    with one 10⁹-row series no longer lands on a single sort task.
+    ``shard_threshold=None`` forces the global window.
     """
     value_cols = _cols_list(value_cols)
+    if n_out == 1 and needs_sharding(df, series_col, shard_threshold):
+        return sharded_lag_matrix(
+            df,
+            value_cols,
+            n_in,
+            shard_rows=shard_rows,
+            order_col=order_col,
+            series_col=series_col,
+            dropnan=dropnan,
+        )
     w = series_window(order_col, series_col)
     exprs: list[Column] = [F.col(c) for c in df.columns]
     new_names: list[str] = []
@@ -138,14 +205,30 @@ def difference(
     order_col: str = "ts",
     series_col: str = "series_id",
     drop_null: bool = True,
+    shard_threshold: int | None = GIANT_SERIES_ROWS,
+    shard_rows: int = 1 << 20,
 ) -> DataFrame:
     """Apply ``order`` rounds of first-differencing to ``cols``.
 
     ``order`` stacked differences compose into one Window stage: Catalyst
     collapses the chained ``col - lag(col,1)`` projections over the same
     window spec, so this stays a single shuffle.
+
+    Adaptive (r10): giant series route to :func:`sharded_difference`
+    (see :func:`supervised_lag_matrix`); ``shard_threshold=None``
+    forces the global window.
     """
     cols = _cols_list(cols)
+    if needs_sharding(df, series_col, shard_threshold):
+        return sharded_difference(
+            df,
+            cols,
+            order,
+            shard_rows=shard_rows,
+            order_col=order_col,
+            series_col=series_col,
+            drop_null=drop_null,
+        )
     out = df
     for _ in range(order):
         w = series_window(order_col, series_col)
@@ -184,12 +267,29 @@ def rolling_stats(
     order_col: str = "ts",
     series_col: str = "series_id",
     min_periods: bool = True,
+    shard_threshold: int | None = GIANT_SERIES_ROWS,
+    shard_rows: int = 1 << 20,
 ) -> DataFrame:
     """Trailing rolling statistics over the previous ``window_size`` rows.
 
     With ``min_periods`` False, rows with fewer than ``window_size``
     trailing rows get NULL (pandas ``rolling(w).mean()`` semantics).
+
+    Adaptive (r10): giant series route to :func:`sharded_rolling_stats`
+    (see :func:`supervised_lag_matrix`); ``shard_threshold=None``
+    forces the global window.
     """
+    if needs_sharding(df, series_col, shard_threshold):
+        return sharded_rolling_stats(
+            df,
+            col,
+            window_size,
+            stats=stats,
+            shard_rows=shard_rows,
+            order_col=order_col,
+            series_col=series_col,
+            min_periods=min_periods,
+        )
     w = series_window(order_col, series_col).rowsBetween(-(window_size - 1), 0)
     stat_fns = {
         "mean": F.avg,

@@ -108,3 +108,60 @@ def test_sharded_multi_series(spark):
     assert len(base) == len(sh)
     for c in ("y_lag_1", "y_lag_2"):
         assert np.allclose(base[c], sh[c], equal_nan=True)
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_adaptive_routes_giant_series_to_sharded(spark, giant):
+    """r10 (r9 verdict #1): the PLAIN ops must auto-select their
+    sharded variants when a series crosses the threshold — the naive
+    user with one giant series gets >1 task without opting in."""
+    plain = LAGS.supervised_lag_matrix(
+        giant, ["y"], n_in=2, shard_threshold=500, shard_rows=1000
+    )
+    assert "_shard" in _plan(plain)  # sharded plan, not a single sort task
+    base = _sorted(
+        LAGS.supervised_lag_matrix(giant, ["y"], n_in=2, shard_threshold=None).toPandas()
+    )
+    got = _sorted(plain.toPandas())
+    assert list(base.columns) == list(got.columns)
+    for c in ("y_lag_1", "y_lag_2"):
+        assert np.allclose(base[c], got[c], equal_nan=True)
+
+    roll = LAGS.rolling_stats(giant, "y", 5, shard_threshold=500, shard_rows=1000)
+    assert "_shard" in _plan(roll)
+    base_r = _sorted(LAGS.rolling_stats(giant, "y", 5, shard_threshold=None).toPandas())
+    got_r = _sorted(roll.toPandas())
+    assert np.allclose(
+        base_r["rolling_mean_5_y"], got_r["rolling_mean_5_y"], equal_nan=True
+    )
+
+    diff = LAGS.difference(giant, ["y"], shard_threshold=500, shard_rows=1000)
+    assert "_shard" in _plan(diff)
+    base_d = _sorted(LAGS.difference(giant, ["y"], shard_threshold=None).toPandas())
+    got_d = _sorted(diff.toPandas())
+    assert len(base_d) == len(got_d)
+    assert np.allclose(base_d["y"], got_d["y"], equal_nan=True)
+
+
+def test_adaptive_default_keeps_global_window(spark, giant):
+    """Below the (default 1e7-row) threshold the plain ops keep the
+    single-shuffle global window — and the compile-time size gate
+    means no probe job ever runs for small frames."""
+    out = LAGS.supervised_lag_matrix(giant, ["y"], n_in=2)
+    assert "_shard" not in _plan(out)
+    assert "_shard" not in _plan(LAGS.rolling_stats(giant, "y", 5))
+    assert "_shard" not in _plan(LAGS.difference(giant, ["y"]))
+    # lead columns (n_out > 1) are global-only: sharding covers lags
+    assert "_shard" not in _plan(
+        LAGS.supervised_lag_matrix(giant, ["y"], n_in=1, n_out=2, shard_threshold=500)
+    )
+
+
+def test_needs_sharding_stages(spark, giant):
+    assert not LAGS.needs_sharding(giant, "series_id", None)
+    assert not LAGS.needs_sharding(giant, "series_id", LAGS.GIANT_SERIES_ROWS)
+    assert LAGS.needs_sharding(giant, "series_id", 500)
+    assert not LAGS.needs_sharding(giant, "series_id", 10_000)  # == rows, not >
