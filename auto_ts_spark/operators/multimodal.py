@@ -2,12 +2,14 @@
 typed metadata, decoded and featurized Spark-side via ``mapInPandas``.
 
 Decode kernels are REAL for every container a bare numpy/stdlib stack
-can parse — BMP (24-bit BI_RGB), PPM (P6), and WAV (RIFF PCM 8/16-bit
-mono) — implemented below with struct offsets + ``np.frombuffer`` (no
-codec libraries needed, none exist in this container). Compressed
-formats (JPEG/PNG/MP3/…) fall back to a clearly-marked deterministic
-fake so the pipeline shape stays testable; a real deployment swaps
-only that fallback body for PIL/soundfile.
+can parse — BMP (24-bit BI_RGB), PPM (P6), PNG (8-bit gray/RGB/RGBA,
+zlib inflate + all five scanline filters — r10), and WAV (RIFF PCM
+8/16-bit mono) — implemented below with struct offsets +
+``np.frombuffer`` (no codec libraries needed, none exist in this
+container). Formats that genuinely need a codec library (JPEG/MP3/…)
+fall back to a clearly-marked deterministic fake so the pipeline shape
+stays testable; a real deployment swaps only that fallback body for
+PIL/soundfile.
 
 Scale notes: media bytes ride in parquet binary columns;
 ``mapInPandas`` streams Arrow record batches so a partition never
@@ -126,6 +128,141 @@ def decode_ppm(content: bytes) -> np.ndarray:
     )
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+# color type -> channel count (8-bit depth only)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """Encode an (h, w), (h, w, 3) or (h, w, 4) uint8 array as a real
+    PNG (8-bit gray/RGB/RGBA, zlib DEFLATE, filter 0 rows, no
+    interlace) — pure stdlib ``zlib`` + ``struct``, no codec library."""
+    import zlib
+
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        color, channels = 0, 1
+        arr = arr[:, :, None]
+    elif arr.ndim == 3 and arr.shape[2] == 3:
+        color, channels = 2, 3
+    elif arr.ndim == 3 and arr.shape[2] == 4:
+        color, channels = 6, 4
+    else:
+        raise ValueError(f"expected (h,w[,3|4]) uint8 array, got {arr.shape}")
+    h, w = arr.shape[:2]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    # filter byte 0 (None) prepended to each raw scanline
+    raw = np.concatenate(
+        [np.zeros((h, 1), dtype=np.uint8), arr.reshape(h, w * channels)], axis=1
+    ).tobytes()
+    return (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_unfilter(raw: bytes, h: int, w: int, channels: int) -> np.ndarray:
+    """Undo per-scanline PNG filtering (types 0-4: None/Sub/Up/
+    Average/Paeth). Up is vectorized; Sub/Average/Paeth are inherently
+    sequential along the row (each byte depends on the reconstructed
+    left neighbor), so those rows run a plain byte loop — this executes
+    inside an Arrow-batched mapInPandas worker, bounded per image."""
+    stride = w * channels
+    out = np.zeros((h, stride), dtype=np.uint8)
+    bpp = channels
+    pos = 0
+    for y in range(h):
+        ftype = raw[pos]
+        row = bytearray(raw[pos + 1 : pos + 1 + stride])
+        pos += 1 + stride
+        prev = out[y - 1] if y > 0 else np.zeros(stride, dtype=np.uint8)
+        if ftype == 0:
+            out[y] = np.frombuffer(bytes(row), dtype=np.uint8)
+        elif ftype == 1:  # Sub
+            for x in range(bpp, stride):
+                row[x] = (row[x] + row[x - bpp]) & 0xFF
+            out[y] = np.frombuffer(bytes(row), dtype=np.uint8)
+        elif ftype == 2:  # Up
+            out[y] = (
+                np.frombuffer(bytes(row), dtype=np.uint8).astype(np.int16)
+                + prev
+            ).astype(np.uint8)
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                left = row[x - bpp] if x >= bpp else 0
+                row[x] = (row[x] + ((left + int(prev[x])) >> 1)) & 0xFF
+            out[y] = np.frombuffer(bytes(row), dtype=np.uint8)
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                a = row[x - bpp] if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[x] = (row[x] + pred) & 0xFF
+            out[y] = np.frombuffer(bytes(row), dtype=np.uint8)
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype} at row {y}")
+    return out.reshape(h, w, channels)
+
+
+def decode_png(content: bytes) -> np.ndarray:
+    """Decode a PNG (8-bit depth, gray/gray+alpha/RGB/RGBA, no
+    interlace) to an (h, w, channels) uint8 array — pure stdlib zlib
+    inflate + per-row unfilter, all five standard filters. Palette
+    (color type 3), 16-bit depth and Adam7 interlace raise (out of
+    scope; the honest-fallback path in :func:`decode_image` never
+    routes those here because the magic check passes — so they
+    surface as a clear error, not silent garbage)."""
+    import zlib
+
+    if content[: len(_PNG_MAGIC)] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos = len(_PNG_MAGIC)
+    w = h = None
+    channels = 0
+    idat = bytearray()
+    while pos + 8 <= len(content):
+        (size,) = struct.unpack_from(">I", content, pos)
+        ctype = content[pos + 4 : pos + 8]
+        body = content[pos + 8 : pos + 8 + size]
+        pos += 12 + size  # length + type + body + crc
+        if ctype == b"IHDR":
+            w, h, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8 or color not in _PNG_CHANNELS or interlace != 0:
+                raise ValueError(
+                    f"unsupported PNG (depth={depth}, color={color}, "
+                    f"interlace={interlace}) — 8-bit gray/RGB/RGBA only"
+                )
+            channels = _PNG_CHANNELS[color]
+        elif ctype == b"IDAT":
+            idat.extend(body)
+        elif ctype == b"IEND":
+            break
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT chunk")
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (1 + w * channels):
+        raise ValueError("PNG raster size mismatch")
+    return _png_unfilter(raw, h, w, channels)
+
+
 def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
     """Encode a float waveform in [-1, 1] as RIFF WAV, PCM 16-bit
     mono."""
@@ -199,13 +336,21 @@ def _fake_decode_audio(content: bytes, n_samples: int) -> np.ndarray:
 
 def decode_image(content: bytes, width: int = 0, height: int = 0) -> np.ndarray:
     """Decode an image payload to (h, w, 3) RGB uint8: real parse for
-    BMP/PPM (magic-sniffed), deterministic fake (at the metadata
-    dimensions) for anything else."""
+    BMP/PPM/PNG (magic-sniffed; PNG gray broadcasts to 3 channels and
+    RGBA drops alpha), deterministic fake (at the metadata dimensions)
+    for anything else."""
     if content:
         if content[:2] == b"BM":
             return decode_bmp(content)
         if content[:2] == b"P6":
             return decode_ppm(content)
+        if content[: len(_PNG_MAGIC)] == _PNG_MAGIC:
+            img = decode_png(content)
+            if img.shape[2] == 1:  # gray
+                return np.repeat(img, 3, axis=2)
+            if img.shape[2] == 2:  # gray+alpha
+                return np.repeat(img[:, :, :1], 3, axis=2)
+            return img[:, :, :3]  # RGB / RGBA minus alpha
     return _fake_decode_image(content, width, height)
 
 
@@ -242,10 +387,12 @@ def _audio_wave(i: int, n: int, sample_rate: int) -> np.ndarray:
 
 def synthetic_media(spark, n: int = 64, kind: str = "image", real: bool = True) -> DataFrame:
     """Deterministic media table for tests. With ``real=True`` (the
-    default) the payloads are genuine containers — BMP for images, WAV
-    (PCM16) for audio — so the decode path under test is the real
-    parser. ``real=False`` emits opaque seeded bytes with a fake mime,
-    exercising the compressed-format fallback."""
+    default) the payloads are genuine containers — BMP and PNG for
+    images (every third image is PNG-encoded: the pixels are identical
+    since PNG is lossless, so the value-checked feature oracle covers
+    BOTH decode paths), WAV (PCM16) for audio — so the decode path
+    under test is the real parser. ``real=False`` emits opaque seeded
+    bytes with a fake mime, exercising the no-codec fallback."""
     rng = np.random.RandomState(7)
     rows = []
     for i in range(n):
@@ -253,6 +400,8 @@ def synthetic_media(spark, n: int = 64, kind: str = "image", real: bool = True) 
         duration_ms, sample_rate = 1000 + i, 16000
         if not real or kind == "video":  # no raw video container exists
             payload, mime = rng.bytes(256), f"{kind}/fake"
+        elif kind == "image" and i % 3 == 2:
+            payload, mime = encode_png(_image_array(i)), "image/png"
         elif kind == "image":
             payload, mime = encode_bmp(_image_array(i)), "image/bmp"
         elif kind == "audio":
