@@ -1407,6 +1407,37 @@ ASOF LEFT JOIN (SELECT user_id, ts, round(value, 6) AS click_value
   ON l.user_id = r.user_id AND l.ts <= r.ts
 """
 
+# Nearest = compose DuckDB's native backward and forward ASOF joins,
+# then apply merge_asof's pick rule (closer side wins; exact tie ->
+# backward; a side out of tolerance loses) — the same decision the
+# Spark plan makes after its two window carries.
+_SQL_ASOF_JOIN_NEAREST = """
+WITH l AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
+     r AS (SELECT user_id, ts, round(value, 6) AS click_value
+           FROM events WHERE event_type = 'click'),
+     b AS (SELECT l.user_id, l.ts, l.event_id, r.click_value AS bv, r.ts AS bts
+           FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts),
+     f AS (SELECT l.event_id, r.click_value AS fv, r.ts AS fts
+           FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts),
+     j AS (SELECT b.user_id, b.ts, b.event_id, bv, bts, fv, fts,
+                  (bts IS NOT NULL AND bts >= b.ts - INTERVAL 2 HOUR) AS ok_b,
+                  (fts IS NOT NULL AND fts <= b.ts + INTERVAL 2 HOUR) AS ok_f
+           FROM b JOIN f ON b.event_id = f.event_id),
+     p AS (SELECT *, (ok_b AND (NOT ok_f OR (ts - bts) <= (fts - ts))) AS use_b
+           FROM j)
+SELECT user_id, ts, event_id,
+       CASE WHEN use_b THEN bv WHEN ok_f THEN fv END AS click_value,
+       CASE WHEN use_b THEN bts WHEN ok_f THEN fts END AS ts_right
+FROM p
+"""
+
+_SQL_ASOF_JOIN_STRICT = """
+WITH c AS (SELECT user_id, ts, event_id, round(value, 6) AS v
+           FROM events WHERE event_type = 'click')
+SELECT l.user_id, l.ts, l.event_id, r.v AS prev_click_value, r.ts AS ts_right
+FROM c l ASOF LEFT JOIN c r ON l.user_id = r.user_id AND l.ts > r.ts
+"""
+
 _SQL_RESAMPLE_FFILL = """
 WITH src AS (
   SELECT event_type, ts, round(value, 6) AS value FROM events WHERE value > 19
@@ -1920,6 +1951,8 @@ ORACLES: dict[str, str] = {
     "resample_ffill": _SQL_RESAMPLE_FFILL,
     "asof_join": _SQL_ASOF_JOIN,
     "asof_join_forward": _SQL_ASOF_JOIN_FORWARD,
+    "asof_join_nearest": _SQL_ASOF_JOIN_NEAREST,
+    "asof_join_strict": _SQL_ASOF_JOIN_STRICT,
     "seasonal_decompose": _SQL_SEASONAL_DECOMPOSE,
     "quantile_profile": _SQL_QUANTILE_PROFILE,
     "residual_diagnostics": _SQL_RESIDUAL_DIAG,
