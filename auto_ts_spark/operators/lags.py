@@ -88,9 +88,8 @@ def needs_sharding(
     if not threshold:
         return False
     try:
-        size = int(
-            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes().toString()
-        )
+        raw = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        size = int(raw if isinstance(raw, int) else raw.toString())
         if size < threshold * _PROBE_MIN_BYTES_PER_ROW:
             return False
     except Exception:

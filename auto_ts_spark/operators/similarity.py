@@ -427,6 +427,41 @@ def ivf_assign(
     return base.withColumn("cell", nearest_cell("vec"))
 
 
+# Vector-carrying frames (one wide float array per row) cost several
+# times their parquet bytes as heap once cached: UnsafeArrayData rows
+# + columnar batch builders, concurrently across every executor
+# thread. Past ~1 GB of estimated source bytes on a single JVM that
+# transient pressure can OOM the heap outright instead of spilling
+# (measured: 5M x 64-dim float32 vectors killed an 8g local[32] JVM in
+# UnsafeArrayData.copy while materializing the MEMORY_AND_DISK cache;
+# 2M was fine). DISK_ONLY writes batches through instead of retaining
+# them, so peak heap stays bounded by in-flight batches — the right
+# trade for a frame that is re-READ a handful of times but must never
+# dominate memory. On a real cluster the per-executor share of the
+# same frame is tiny and the estimate stays under the gate, so the
+# fast in-memory cache is kept there.
+DISK_PERSIST_BYTES = 1 << 30
+
+
+def vec_storage_level(df: DataFrame):
+    """Size-aware persist level for frames carrying embedding arrays:
+    MEMORY_AND_DISK below ``DISK_PERSIST_BYTES`` of compile-time
+    estimated size, DISK_ONLY above (stats unavailable -> in-memory,
+    the small-frame default)."""
+    from pyspark import StorageLevel
+
+    try:
+        raw = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        size = int(raw if isinstance(raw, int) else raw.toString())
+    except Exception:
+        return StorageLevel.MEMORY_AND_DISK
+    return (
+        StorageLevel.DISK_ONLY
+        if size > DISK_PERSIST_BYTES
+        else StorageLevel.MEMORY_AND_DISK
+    )
+
+
 def ivf_assign_bounded(
     df: DataFrame,
     *,
@@ -480,21 +515,20 @@ def ivf_assign_bounded(
     Caching follows the release contract. With ``release_handles`` (a
     list; every still-persisted frame is appended — or use the
     :func:`bounded_assignment` context manager, which releases on
-    exit) each level is persisted (MEMORY_AND_DISK): the hot-cell
-    count materializes it once and the caller's downstream joins —
-    semantic dedup consumes the assignment TWICE in its pair
-    self-join — read the cache instead of recomputing the
-    Arrow-batched assignment. With ``release_handles=None`` nothing
-    is left persisted: the common no-hot-cell case counts the lazy
-    frame and returns it un-persisted (zero materialization tax), and
-    the splitting case returns an eager ``localCheckpoint`` with all
-    internal persists released (checkpoint blocks are owned by the
-    returned frame and cleaned up when it is garbage-collected — no
-    session-lifetime leak).
+    exit) each level is persisted (size-aware level, see
+    :func:`vec_storage_level`): the hot-cell count materializes it
+    once and the caller's downstream joins — semantic dedup consumes
+    the assignment TWICE in its pair self-join — read the cache
+    instead of recomputing the Arrow-batched assignment. With
+    ``release_handles=None`` nothing is left persisted: the common
+    no-hot-cell case counts the lazy frame and returns it un-persisted
+    (zero materialization tax), and the splitting case returns an
+    eager ``localCheckpoint`` with all internal persists released
+    (checkpoint blocks are owned by the returned frame and cleaned up
+    when it is garbage-collected — no session-lifetime leak).
     """
-    from pyspark import StorageLevel
-
     spark = df.sparkSession
+    level = vec_storage_level(df)
     assigned = ivf_assign(
         df,
         id_col=id_col,
@@ -531,23 +565,23 @@ def ivf_assign_bounded(
             return assigned
     prev = None
     hot_rows: list = []
-    for level in range(max_levels + 1):
-        assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
+    for lvl in range(max_levels + 1):
+        assigned = assigned.persist(level)
         internal.append(assigned)
         # level 0 on the no-contract path already counted this exact
         # frame pre-persist — reuse it instead of a second full pass
         # (the persist is materialized lazily by the sub-quantizer
         # sample below, or by the level-1 count)
-        hot_rows = pre_hot if (level == 0 and pre_hot is not None) else _hot(assigned)
+        hot_rows = pre_hot if (lvl == 0 and pre_hot is not None) else _hot(assigned)
         if prev is not None:
             # the action above materialized the child's persist, so
             # the parent level's blocks are no longer needed
             prev.unpersist()
             internal.remove(prev)
         prev = assigned
-        if not hot_rows or level == max_levels:
+        if not hot_rows or lvl == max_levels:
             break
-        lseed = seed + 1000 * (level + 1)
+        lseed = seed + 1000 * (lvl + 1)
         hot_set = F.broadcast(
             spark.createDataFrame([(r["cell"],) for r in hot_rows], "cell bigint")
         )
@@ -680,7 +714,6 @@ def semantic_dedup(
     """
     from contextlib import nullcontext
 
-    from pyspark import StorageLevel
     from pyspark.sql import Window
 
     from auto_ts_spark.operators.dedup import clusters_from_pairs
@@ -711,7 +744,7 @@ def semantic_dedup(
     tagged = (
         src.withColumn("_rep", F.min("id").over(wv))
         .withColumn("_nz", norm(F.col("vec")) > 0)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .persist(vec_storage_level(src))
     )
     try:
         star = (

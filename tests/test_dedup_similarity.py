@@ -403,3 +403,18 @@ def test_ivf_auto_sizes_centroids(spark):
     }
     # ceil(20000/512) = 40 target cells; k-means may leave a few empty
     assert len(cells_big) > 20
+
+
+def test_vec_storage_level_is_size_aware(spark):
+    """r10: frames past ~1 GB estimated persist DISK_ONLY (bounded
+    heap while materializing wide-array caches — the 5M-vector probe
+    OOM'd an 8g JVM on the in-memory level); small frames keep the
+    fast MEMORY_AND_DISK cache. Compile-time stats only, no job."""
+    from pyspark import StorageLevel
+
+    from auto_ts_spark.operators.similarity import vec_storage_level
+
+    small = spark.range(10)
+    big = spark.range(500_000_000)  # 8 B/row estimate -> ~4 GB, never executed
+    assert vec_storage_level(small) == StorageLevel.MEMORY_AND_DISK
+    assert vec_storage_level(big) == StorageLevel.DISK_ONLY
