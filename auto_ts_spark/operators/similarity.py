@@ -473,10 +473,17 @@ def ivf_assign_bounded(
     max_cell_size: int = 1024,
     max_levels: int = 3,
     release_handles: list | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """``(id, vec, cell)`` with every cell bounded to ``max_cell_size``
     members — the scale-safe blocking assignment for SemDeDup-style
     pairwise work.
+
+    ``stats`` (optional dict) receives ``{"sub_levels": n, "hash_split_
+    cells": m}`` — how many recursive sub-quantization levels actually
+    fired and how many stubborn cells fell through to the hash-split
+    fallback — so scale probes can confirm which machinery a given
+    corpus size exercises.
 
     Level 0 is :func:`ivf_assign` (auto-sized quantizer, k capped at
     1024 by the driver-sample training budget). Past ~524k vectors
@@ -559,6 +566,9 @@ def ivf_assign_bounded(
     # nothing to leak, the caller's plan recomputes it like any
     # other lazy frame.
     pre_hot: list | None = None
+    if stats is not None:
+        stats["sub_levels"] = 0
+        stats["hash_split_cells"] = 0
     if release_handles is None:
         pre_hot = _hot(assigned)
         if not pre_hot:
@@ -590,6 +600,8 @@ def ivf_assign_bounded(
         n_hot = sum(r["n"] for r in hot_rows)
         k2 = max(16, min(1024, -(-n_hot // 512)))
         s2 = min(max(sample_size, 8 * k2), 16384)
+        if stats is not None:
+            stats["sub_levels"] = lvl + 1
         sub_sample = _quantizer_sample(hot, "id", "vec", s2, lseed)
         cents = kmeans_centroids(sub_sample, k2, seed=lseed)
         nearest_sub = _nearest_cell_udf(spark.sparkContext.broadcast(cents))
@@ -598,6 +610,8 @@ def ivf_assign_bounded(
         )
         assigned = cold.unionByName(hot2)
     if hot_rows:
+        if stats is not None:
+            stats["hash_split_cells"] = len(hot_rows)
         # last resort: hash-split the stubborn cells (near-identical
         # vectors the sub-quantizer can't separate) by vector value,
         # with 2x slack parts so overshoot past the cap is negligible

@@ -418,3 +418,28 @@ def test_vec_storage_level_is_size_aware(spark):
     big = spark.range(500_000_000)  # 8 B/row estimate -> ~4 GB, never executed
     assert vec_storage_level(small) == StorageLevel.MEMORY_AND_DISK
     assert vec_storage_level(big) == StorageLevel.DISK_ONLY
+
+
+def test_ivf_bounded_stats_contract(spark):
+    """stats reports fired sub-levels and hash-split fallback counts
+    (r10 — probes use this to confirm which machinery a corpus size
+    exercises)."""
+    import pandas as pd
+
+    from auto_ts_spark.operators.similarity import ivf_assign_bounded
+
+    rng = np.random.RandomState(3)
+    n = 3000
+    vecs = rng.randn(n, 8).astype("float32")
+    vecs[1000:] = vecs[:2000]  # heavy duplication -> stubborn cells
+    pdf = pd.DataFrame({"vec_id": range(n), "embedding": list(map(list, vecs))})
+    df = spark.createDataFrame(pdf)
+    st: dict = {}
+    out = ivf_assign_bounded(df, max_cell_size=64, n_centroids=4, stats=st)
+    assert out.count() == n
+    assert st["sub_levels"] >= 1  # 4 coarse cells of ~750 rows must split
+    assert st["hash_split_cells"] >= 0
+    st2: dict = {}
+    small = spark.createDataFrame(pdf.head(50))
+    ivf_assign_bounded(small, max_cell_size=64, n_centroids=4, stats=st2)
+    assert st2 == {"sub_levels": 0, "hash_split_cells": 0}

@@ -76,8 +76,9 @@ def probe(spark, n: int, workdir: str, max_cell_size: int = 1024) -> dict:
     # --- blocking shape: candidate pair work after bounding ---------
     t0 = time.perf_counter()
     handles: list = []
+    bstats: dict = {}
     assigned = ivf_assign_bounded(
-        df, max_cell_size=max_cell_size, release_handles=handles
+        df, max_cell_size=max_cell_size, release_handles=handles, stats=bstats
     )
     hist = (
         assigned.groupBy("cell")
@@ -117,6 +118,8 @@ def probe(spark, n: int, workdir: str, max_cell_size: int = 1024) -> dict:
         "max_cell": int(hist["max_cell"]),
         "n_cells": int(hist["n_cells"]),
         "assign_wall_s": round(assign_wall, 2),
+        "sub_levels": bstats.get("sub_levels"),
+        "hash_split_cells": bstats.get("hash_split_cells"),
         "dedup_wall_s": round(dedup_wall, 2),
         "cc_rounds": cc.get("rounds"),
         "n_clustered": n_clustered,
