@@ -284,3 +284,27 @@ def test_asof_string_by_and_empty_right(spark):
     out = asof_join(left, right, on="ts", by="series_id").toPandas()
     assert len(out) == 3
     assert out["q"].isna().all()
+
+
+def test_asof_nearest_plan_one_exchange_two_sorts(spark, frames):
+    """The nearest direction must stay ONE hash exchange + two ordered
+    window passes (the struct-carry rewrite must not re-shuffle per
+    direction or fall back to a range/nested-loop join)."""
+    import re
+
+    left, right = frames
+    plan = (
+        asof_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right),
+            direction="nearest",
+            tolerance="2 hours",
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert len(re.findall(r"Window ", plan)) == 2
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
