@@ -1713,9 +1713,11 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal pipeline: binary media columns + mapInPandas feature
-    extraction over REAL BMP payloads (struct+numpy 24-bit BI_RGB
-    decode — no codec libs needed; compressed formats fall back to a
-    documented deterministic fake)."""
+    extraction over REAL payloads — BMP, PNG (stdlib zlib + unfilter)
+    and baseline JPEG (pure numpy Huffman+IDCT, operators/jpeg.py, r10)
+    on a deterministic schedule; no codec libs needed. Only formats
+    that truly require codec libraries (MP3/AAC, progressive JPEG,
+    video) fall back to a documented deterministic fake."""
     from auto_ts_spark.operators.multimodal import (
         decode_and_featurize,
         synthetic_media,

@@ -1,0 +1,674 @@
+"""Baseline JPEG (ITU-T T.81, JFIF container) codec — pure numpy +
+stdlib ``struct``, no codec library.
+
+Scope: what a training-data pipeline actually meets in the wild as
+"a JPEG" — baseline sequential DCT (SOF0, and SOF1 extended-sequential
+which decodes identically at 8-bit), Huffman entropy coding, grayscale
+or YCbCr with 4:4:4 / 4:2:2 / 4:2:0 chroma subsampling, restart
+markers. Progressive (SOF2), arithmetic coding, 12-bit precision and
+hierarchical modes raise a clear error instead of producing garbage —
+the honest-fallback contract of ``multimodal.decode_image``.
+
+Encoder: standard Annex-K quantization tables scaled by the libjpeg
+quality formula, standard Annex-K Huffman tables, selectable 4:4:4 or
+4:2:0, optional restart interval. Decoder: reads DQT/DHT from the
+stream (so it decodes third-party baseline files, not just our own),
+vectorized numpy IDCT over all blocks of a component at once; only the
+entropy decode is a per-symbol Python loop, and it runs inside the
+Arrow-batched ``mapInPandas`` workers, bounded per image.
+
+All tables and formulas are from the public spec (ITU-T T.81 Annex K)
+and the public libjpeg quality convention. Reference parity: the
+reference engine has no media codecs at all (multimodal columns are a
+scale extension, SURVEY.md §2.9); this closes the "JPEG needs a codec
+library" gap for baseline files.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# --------------------------------------------------------------------------
+# Tables (ITU-T T.81 Annex K) and derived constants
+# --------------------------------------------------------------------------
+
+Q_LUMA = np.array(
+    [
+        [16, 11, 10, 16, 24, 40, 51, 61],
+        [12, 12, 14, 19, 26, 58, 60, 55],
+        [14, 13, 16, 24, 40, 57, 69, 56],
+        [14, 17, 22, 29, 51, 87, 80, 62],
+        [18, 22, 37, 56, 68, 109, 103, 77],
+        [24, 35, 55, 64, 81, 104, 113, 92],
+        [49, 64, 78, 87, 103, 121, 120, 101],
+        [72, 92, 95, 98, 112, 100, 103, 99],
+    ],
+    dtype=np.float64,
+)
+
+Q_CHROMA = np.array(
+    [
+        [17, 18, 24, 47, 99, 99, 99, 99],
+        [18, 21, 26, 66, 99, 99, 99, 99],
+        [24, 26, 56, 99, 99, 99, 99, 99],
+        [47, 66, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+    ],
+    dtype=np.float64,
+)
+
+
+def _zigzag() -> np.ndarray:
+    """Zigzag scan order as indices into a row-major flattened 8x8
+    block (generated, not hand-typed — the diagonal walk of T.81
+    Figure 5)."""
+    order = []
+    for s in range(15):
+        diag = [(i, s - i) for i in range(s + 1)]
+        if s % 2 == 0:
+            diag.reverse()
+        order.extend(i * 8 + j for i, j in diag if i < 8 and j < 8)
+    return np.array(order, dtype=np.int64)
+
+
+ZIGZAG = _zigzag()
+_UNZIGZAG = np.argsort(ZIGZAG)
+
+# Annex K Huffman specs: (BITS[1..16] code-length histogram, HUFFVAL).
+DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_LUMA_VALS = list(range(12))
+DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_CHROMA_VALS = list(range(12))
+AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+# a mistyped table would mis-encode silently; the canonical-code
+# invariant (histogram total == symbol count) catches transposition
+for _bits, _vals in (
+    (DC_LUMA_BITS, DC_LUMA_VALS),
+    (DC_CHROMA_BITS, DC_CHROMA_VALS),
+    (AC_LUMA_BITS, AC_LUMA_VALS),
+    (AC_CHROMA_BITS, AC_CHROMA_VALS),
+):
+    assert sum(_bits) == len(_vals), "corrupt Annex-K Huffman table"
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal 8-point DCT-II matrix C: forward F = C @ B @ C.T,
+    inverse B = C.T @ F @ C — exactly the T.81 FDCT/IDCT pair."""
+    n = np.arange(8, dtype=np.float64)
+    c = np.cos((2.0 * n[None, :] + 1.0) * n[:, None] * np.pi / 16.0)
+    c *= np.sqrt(2.0 / 8.0)
+    c[0] = np.sqrt(1.0 / 8.0)
+    return c
+
+
+_DCT = _dct_matrix()
+
+
+def quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    """Annex-K tables scaled by the public libjpeg quality convention
+    (quality_scaling in jcparam.c: 1-100 → 5000/q below 50, 200-2q
+    above; entries clamped to [1, 255])."""
+    q = min(max(int(quality), 1), 100)
+    scale = 5000.0 / q if q < 50 else 200.0 - 2.0 * q
+    out = []
+    for tbl in (Q_LUMA, Q_CHROMA):
+        t = np.floor((tbl * scale + 50.0) / 100.0)
+        out.append(np.clip(t, 1, 255))
+    return out[0], out[1]
+
+
+# --------------------------------------------------------------------------
+# Bit I/O + Huffman code construction
+# --------------------------------------------------------------------------
+
+
+class _BitWriter:
+    """MSB-first bit accumulator with JPEG byte stuffing (0xFF → 0xFF
+    0x00); final byte is 1-padded per the spec."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def put(self, bits: int, length: int) -> None:
+        if length == 0:
+            return
+        self._acc = (self._acc << length) | (bits & ((1 << length) - 1))
+        self._n += length
+        while self._n >= 8:
+            self._n -= 8
+            byte = (self._acc >> self._n) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)
+        self._acc &= (1 << self._n) - 1
+
+    def flush(self) -> None:
+        if self._n:
+            pad = 8 - self._n
+            self.put((1 << pad) - 1, pad)
+
+
+def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol → (code, length) under T.81 canonical assignment
+    (Annex C: codes of each length are consecutive, lengths ascending)."""
+    table: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[vals[k]] = (code, length)
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+def _decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) → symbol, the decode-side view of the same
+    canonical assignment."""
+    table: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+def _category(v: int) -> int:
+    """SSSS magnitude category: bit length of |v| (0 for 0)."""
+    return int(abs(v)).bit_length()
+
+
+# --------------------------------------------------------------------------
+# Encoder
+# --------------------------------------------------------------------------
+
+
+def _rgb_to_ycbcr(arr: np.ndarray) -> np.ndarray:
+    """JFIF full-range BT.601 RGB → YCbCr, float64 (h, w, 3)."""
+    f = arr.astype(np.float64)
+    r, g, b = f[..., 0], f[..., 1], f[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def _ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.stack([r, g, b], axis=-1).round(), 0, 255).astype(np.uint8)
+
+
+def _blockize(plane: np.ndarray) -> np.ndarray:
+    """(H, W) with H, W multiples of 8 → (H//8, W//8, 8, 8)."""
+    bh, bw = plane.shape[0] // 8, plane.shape[1] // 8
+    return plane.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
+
+
+def _fdct_quant(plane: np.ndarray, qtbl: np.ndarray) -> np.ndarray:
+    """Level-shift, forward-DCT and quantize every 8x8 block of a
+    component plane at once → int32 (bh, bw, 8, 8)."""
+    blocks = _blockize(plane.astype(np.float64) - 128.0)
+    coeffs = np.einsum("ki,yxij,lj->yxkl", _DCT, blocks, _DCT)
+    return np.round(coeffs / qtbl).astype(np.int32)
+
+
+def _pad_edge(plane: np.ndarray, mh: int, mw: int) -> np.ndarray:
+    """Edge-replicate pad to multiples of (mh, mw) — replication keeps
+    the padded blocks' high-frequency energy (and thus file size) low."""
+    h, w = plane.shape
+    return np.pad(
+        plane, ((0, (-h) % mh), (0, (-w) % mw)), mode="edge"
+    )
+
+
+def _encode_block(
+    writer: _BitWriter,
+    zz: np.ndarray,
+    prev_dc: int,
+    dc_codes: dict[int, tuple[int, int]],
+    ac_codes: dict[int, tuple[int, int]],
+) -> int:
+    """Entropy-encode one zigzagged quantized block; returns its DC for
+    the next block's differential."""
+    dc = int(zz[0])
+    diff = dc - prev_dc
+    size = _category(diff)
+    code, length = dc_codes[size]
+    writer.put(code, length)
+    if size:
+        writer.put(diff if diff >= 0 else diff + (1 << size) - 1, size)
+    nz = np.nonzero(zz[1:])[0]
+    pos = 0
+    for idx in nz:
+        run = int(idx) - pos
+        while run >= 16:
+            zrl, zlen = ac_codes[0xF0]
+            writer.put(zrl, zlen)
+            run -= 16
+        v = int(zz[1 + idx])
+        size = _category(v)
+        code, length = ac_codes[(run << 4) | size]
+        writer.put(code, length)
+        writer.put(v if v >= 0 else v + (1 << size) - 1, size)
+        pos = int(idx) + 1
+    if pos != 63:
+        eob, elen = ac_codes[0x00]
+        writer.put(eob, elen)
+    return dc
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return struct.pack(">HH", marker, len(body) + 2) + body
+
+
+def _dht_body(tc: int, th: int, bits: list[int], vals: list[int]) -> bytes:
+    return bytes([tc << 4 | th] + bits + vals)
+
+
+def encode_jpeg(
+    arr: np.ndarray,
+    quality: int = 90,
+    subsampling: str = "4:4:4",
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode an (h, w) grayscale or (h, w, 3) RGB uint8 array as a
+    baseline JFIF JPEG. ``subsampling``: "4:4:4" or "4:2:0" (ignored
+    for grayscale). ``restart_interval`` > 0 emits DRI + RSTn markers
+    every that many MCUs."""
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    gray = arr.ndim == 2
+    if not gray and (arr.ndim != 3 or arr.shape[2] != 3):
+        raise ValueError(f"expected (h,w) gray or (h,w,3) RGB, got {arr.shape}")
+    if subsampling not in ("4:4:4", "4:2:0"):
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    h, w = arr.shape[:2]
+    if h == 0 or w == 0 or h > 65535 or w > 65535:
+        raise ValueError(f"bad image dimensions {(h, w)}")
+    qy, qc = quality_tables(quality)
+
+    if gray:
+        hv = [(1, 1)]
+        planes = [arr.astype(np.float64)]
+        qtbls = [qy]
+    else:
+        ycc = _rgb_to_ycbcr(arr)
+        if subsampling == "4:2:0":
+            hv = [(2, 2), (1, 1), (1, 1)]
+            planes = [ycc[..., 0]]
+            for c in (1, 2):
+                full = _pad_edge(ycc[..., c], 2, 2)  # 2x2 means need even dims
+                sub = full.reshape(full.shape[0] // 2, 2, full.shape[1] // 2, 2)
+                planes.append(sub.mean(axis=(1, 3)))
+        else:
+            hv = [(1, 1), (1, 1), (1, 1)]
+            planes = [ycc[..., 0], ycc[..., 1], ycc[..., 2]]
+        qtbls = [qy, qc, qc]
+    hmax = max(x for x, _ in hv)
+    vmax = max(y for _, y in hv)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+
+    quant_blocks = []
+    for (ch, cv), plane, qtbl in zip(hv, planes, qtbls):
+        # each component plane must cover the full MCU grid:
+        # mcus_y*cv x mcus_x*ch blocks of 8x8
+        target_h, target_w = mcus_y * cv * 8, mcus_x * ch * 8
+        padded = np.pad(
+            plane,
+            ((0, target_h - plane.shape[0]), (0, target_w - plane.shape[1])),
+            mode="edge",
+        )
+        quant_blocks.append(_fdct_quant(padded, qtbl))
+
+    dc_specs = [(DC_LUMA_BITS, DC_LUMA_VALS)]
+    ac_specs = [(AC_LUMA_BITS, AC_LUMA_VALS)]
+    if not gray:
+        dc_specs.append((DC_CHROMA_BITS, DC_CHROMA_VALS))
+        ac_specs.append((AC_CHROMA_BITS, AC_CHROMA_VALS))
+    dc_codes = [_canonical_codes(*s) for s in dc_specs]
+    ac_codes = [_canonical_codes(*s) for s in ac_specs]
+    tbl_of = [0] + [1, 1][: max(0, len(hv) - 1)]
+
+    # ---- headers ----
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += _seg(
+        0xFFE0, b"JFIF\x00" + struct.pack(">BBBHHBB", 1, 1, 0, 1, 1, 0, 0)
+    )
+    # DQT bodies carry the table in zigzag order
+    zz_y = qy.reshape(64)[ZIGZAG].astype(np.uint8)
+    body = bytes([0x00]) + zz_y.tobytes()
+    if not gray:
+        zz_c = qc.reshape(64)[ZIGZAG].astype(np.uint8)
+        body += bytes([0x01]) + zz_c.tobytes()
+    out += _seg(0xFFDB, body)
+    ncomp = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, hv[ci][0] << 4 | hv[ci][1], tbl_of[ci]])
+    out += _seg(0xFFC0, sof)
+    dht = _dht_body(0, 0, *dc_specs[0]) + _dht_body(1, 0, *ac_specs[0])
+    if not gray:
+        dht += _dht_body(0, 1, *dc_specs[1]) + _dht_body(1, 1, *ac_specs[1])
+    out += _seg(0xFFC4, dht)
+    if restart_interval:
+        out += _seg(0xFFDD, struct.pack(">H", restart_interval))
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, tbl_of[ci] << 4 | tbl_of[ci]])
+    sos += bytes([0, 63, 0])
+    out += _seg(0xFFDA, sos)
+
+    # ---- entropy-coded scan ----
+    writer = _BitWriter()
+    prev_dc = [0] * ncomp
+    rst = 0
+    since_restart = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and since_restart == restart_interval:
+                writer.flush()
+                out += writer.out
+                writer = _BitWriter()
+                out += struct.pack(">H", 0xFFD0 + (rst & 7))
+                rst += 1
+                since_restart = 0
+                prev_dc = [0] * ncomp
+            for ci in range(ncomp):
+                ch, cv = hv[ci]
+                t = tbl_of[ci]
+                for by in range(cv):
+                    for bx in range(ch):
+                        blk = quant_blocks[ci][my * cv + by, mx * ch + bx]
+                        zz = blk.reshape(64)[ZIGZAG]
+                        prev_dc[ci] = _encode_block(
+                            writer, zz, prev_dc[ci], dc_codes[t], ac_codes[t]
+                        )
+            since_restart += 1
+    writer.flush()
+    out += writer.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# Decoder
+# --------------------------------------------------------------------------
+
+
+class _BitReader:
+    """MSB-first reader over already-unstuffed entropy bytes."""
+
+    __slots__ = ("data", "pos", "acc", "n")
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def read_bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.data):
+                return 0  # only reachable past a final EOB-terminated block
+            self.acc = self.data[self.pos]
+            self.pos += 1
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def read(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _extend(v: int, size: int) -> int:
+    """T.81 EXTEND: map a size-bit magnitude code to its signed value."""
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def _decode_sym(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG: bad Huffman code in scan")
+
+
+def _split_scan(data: bytes, start: int) -> tuple[list[bytes], int]:
+    """Split the entropy-coded scan into unstuffed segments between
+    restart markers; returns (segments, index of the terminating
+    marker's 0xFF)."""
+    segs: list[bytes] = []
+    cur = bytearray()
+    i = start
+    n = len(data)
+    while i < n:
+        b = data[i]
+        if b != 0xFF:
+            cur.append(b)
+            i += 1
+            continue
+        nxt = data[i + 1] if i + 1 < n else 0xD9
+        if nxt == 0x00:
+            cur.append(0xFF)
+            i += 2
+        elif 0xD0 <= nxt <= 0xD7:  # RSTn
+            segs.append(bytes(cur))
+            cur = bytearray()
+            i += 2
+        else:
+            break
+    segs.append(bytes(cur))
+    return segs, i
+
+
+def decode_jpeg(content: bytes) -> np.ndarray:
+    """Decode a baseline sequential JPEG to uint8 — (h, w, 3) RGB for
+    color, (h, w) for grayscale. Raises ValueError on progressive /
+    arithmetic / 12-bit streams rather than mis-decoding them."""
+    if content[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    frame = None
+    restart_interval = 0
+    i = 2
+    n = len(content)
+    scan = None
+    while i < n:
+        if content[i] != 0xFF:
+            i += 1
+            continue
+        marker = content[i + 1]
+        if marker in (0xFF, 0x00) or 0xD0 <= marker <= 0xD7:
+            i += 2 if marker != 0xFF else 1
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack_from(">H", content, i + 2)
+        body = content[i + 4 : i + 2 + seglen]
+        i += 2 + seglen
+        if marker == 0xDB:  # DQT — possibly several tables per segment
+            p = 0
+            while p < len(body):
+                pq, tq = body[p] >> 4, body[p] & 0x0F
+                p += 1
+                if pq:
+                    vals = np.frombuffer(body, ">u2", count=64, offset=p)
+                    p += 128
+                else:
+                    vals = np.frombuffer(body, np.uint8, count=64, offset=p)
+                    p += 64
+                tbl = np.zeros(64, dtype=np.float64)
+                tbl[ZIGZAG] = vals.astype(np.float64)
+                qtables[tq] = tbl.reshape(8, 8)
+        elif marker == 0xC4:  # DHT — possibly several tables
+            p = 0
+            while p < len(body):
+                tc, th = body[p] >> 4, body[p] & 0x0F
+                bits = list(body[p + 1 : p + 17])
+                nv = sum(bits)
+                vals = list(body[p + 17 : p + 17 + nv])
+                htables[(tc, th)] = _decode_table(bits, vals)
+                p += 17 + nv
+        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext. sequential
+            prec, fh, fw, ncomp = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise ValueError(f"unsupported JPEG precision {prec} (8-bit only)")
+            comps = []
+            for c in range(ncomp):
+                cid, hvb, tq = body[6 + 3 * c : 9 + 3 * c]
+                comps.append((cid, hvb >> 4, hvb & 0x0F, tq))
+            frame = (fh, fw, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"unsupported JPEG mode (SOF marker 0xFF{marker:02X}) — "
+                "baseline/extended-sequential Huffman only"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            scan = [(body[1 + 2 * c], body[2 + 2 * c] >> 4, body[2 + 2 * c] & 0x0F) for c in range(ns)]
+            break
+        # APPn / COM / others: skipped via seglen
+    if frame is None or scan is None:
+        raise ValueError("invalid JPEG: missing SOF/SOS")
+    fh, fw, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-fw // (8 * hmax))
+    mcus_y = -(-fh // (8 * vmax))
+    by_id = {c[0]: c for c in comps}
+    order = []  # (h, v, qtbl, dc_table, ac_table, coeff array)
+    coeffs = []
+    for cid, td, ta in scan:
+        _, ch, cv, tq = by_id[cid]
+        arr = np.zeros((mcus_y * cv, mcus_x * ch, 64), dtype=np.float64)
+        order.append((ch, cv, qtables[tq], htables[(0, td)], htables[(1, ta)]))
+        coeffs.append(arr)
+
+    segs, _end = _split_scan(content, i)
+    seg_idx = 0
+    reader = _BitReader(segs[0])
+    prev_dc = [0] * len(order)
+    since_restart = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and since_restart == restart_interval:
+                seg_idx += 1
+                if seg_idx >= len(segs):
+                    raise ValueError("invalid JPEG: missing restart segment")
+                reader = _BitReader(segs[seg_idx])
+                prev_dc = [0] * len(order)
+                since_restart = 0
+            for ci, (ch, cv, _q, dct_t, act_t) in enumerate(order):
+                for by in range(cv):
+                    for bx in range(ch):
+                        zz = np.zeros(64, dtype=np.float64)
+                        size = _decode_sym(reader, dct_t)
+                        diff = _extend(reader.read(size), size) if size else 0
+                        prev_dc[ci] += diff
+                        zz[0] = prev_dc[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _decode_sym(reader, act_t)
+                            run, size = rs >> 4, rs & 0x0F
+                            if size == 0:
+                                if run == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += run
+                            if k > 63:
+                                raise ValueError("invalid JPEG: AC index overflow")
+                            zz[k] = _extend(reader.read(size), size)
+                            k += 1
+                        coeffs[ci][my * cv + by, mx * ch + bx] = zz
+            since_restart += 1
+
+    planes = []
+    for (ch, cv, qtbl, _d, _a), arr in zip(order, coeffs):
+        bh, bw = arr.shape[0], arr.shape[1]
+        blocks = np.zeros((bh, bw, 8, 8), dtype=np.float64)
+        # inverse zigzag: encoder gathered zz[i] = natural[ZIGZAG[i]],
+        # so scatter back with the same index array
+        blocks.reshape(bh, bw, 64)[:, :, ZIGZAG] = arr
+        blocks *= qtbl
+        pix = np.einsum("ik,yxkl,jl->yxij", _DCT.T, blocks, _DCT.T)
+        plane = pix.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8) + 128.0
+        # upsample to full MCU-grid resolution (nearest — the JFIF
+        # baseline convention; smooth upsampling is a decoder choice)
+        plane = np.repeat(np.repeat(plane, vmax // cv, axis=0), hmax // ch, axis=1)
+        planes.append(plane[:fh, :fw])
+    if len(planes) == 1:
+        return np.clip(planes[0].round(), 0, 255).astype(np.uint8)
+    if len(planes) != 3:
+        raise ValueError(f"unsupported JPEG component count {len(planes)}")
+    return _ycbcr_to_rgb(planes[0], planes[1], planes[2])

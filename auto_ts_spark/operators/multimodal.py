@@ -3,13 +3,15 @@ typed metadata, decoded and featurized Spark-side via ``mapInPandas``.
 
 Decode kernels are REAL for every container a bare numpy/stdlib stack
 can parse — BMP (24-bit BI_RGB), PPM (P6), PNG (8-bit gray/RGB/RGBA,
-zlib inflate + all five scanline filters — r10), and WAV (RIFF PCM
-8/16-bit mono) — implemented below with struct offsets +
-``np.frombuffer`` (no codec libraries needed, none exist in this
-container). Formats that genuinely need a codec library (JPEG/MP3/…)
-fall back to a clearly-marked deterministic fake so the pipeline shape
-stays testable; a real deployment swaps only that fallback body for
-PIL/soundfile.
+zlib inflate + all five scanline filters — r10), baseline JPEG
+(SOF0/SOF1 Huffman, 4:4:4/4:2:2/4:2:0, restart markers — see
+``operators/jpeg.py``, r10), and WAV (RIFF PCM 8/16-bit mono) —
+implemented with struct offsets + ``np.frombuffer`` + a vectorized
+numpy IDCT (no codec libraries needed, none exist in this container).
+Formats that genuinely need a codec library (MP3/AAC, progressive
+JPEG, video codecs) fall back to a clearly-marked deterministic fake
+so the pipeline shape stays testable; a real deployment swaps only
+that fallback body for PIL/soundfile/ffmpeg.
 
 Scale notes: media bytes ride in parquet binary columns;
 ``mapInPandas`` streams Arrow record batches so a partition never
@@ -28,6 +30,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from auto_ts_spark.operators.jpeg import decode_jpeg, encode_jpeg
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -316,10 +320,11 @@ def decode_wav(content: bytes) -> tuple[np.ndarray, int]:
 
 
 def _fake_decode_image(content: bytes, width: int, height: int) -> np.ndarray:
-    """FALLBACK for compressed formats (JPEG/PNG — no codec libs in
-    this container): deterministic fake seeded by the content bytes. A
-    real deployment replaces this body with PIL/turbojpeg; BMP/PPM
-    payloads never reach it (see ``decode_image``)."""
+    """FALLBACK for image containers the pure-numpy stack cannot parse
+    (progressive/arithmetic JPEG, WebP, TIFF, …): deterministic fake
+    seeded by the content bytes. A real deployment replaces this body
+    with PIL/turbojpeg; BMP/PPM/PNG/baseline-JPEG payloads never reach
+    it (see ``decode_image``)."""
     seed = int.from_bytes(content[:4], "little") if content else 0
     rng = np.random.RandomState(seed)
     return rng.randint(0, 256, size=(height, width, 3), dtype=np.uint8)
@@ -336,9 +341,11 @@ def _fake_decode_audio(content: bytes, n_samples: int) -> np.ndarray:
 
 def decode_image(content: bytes, width: int = 0, height: int = 0) -> np.ndarray:
     """Decode an image payload to (h, w, 3) RGB uint8: real parse for
-    BMP/PPM/PNG (magic-sniffed; PNG gray broadcasts to 3 channels and
-    RGBA drops alpha), deterministic fake (at the metadata dimensions)
-    for anything else."""
+    BMP/PPM/PNG/baseline-JPEG (magic-sniffed; gray broadcasts to 3
+    channels and RGBA drops alpha), deterministic fake (at the metadata
+    dimensions) for anything else — including non-baseline JPEG, which
+    ``decode_jpeg`` rejects with a clear error rather than
+    mis-decoding."""
     if content:
         if content[:2] == b"BM":
             return decode_bmp(content)
@@ -351,6 +358,15 @@ def decode_image(content: bytes, width: int = 0, height: int = 0) -> np.ndarray:
             if img.shape[2] == 2:  # gray+alpha
                 return np.repeat(img[:, :, :1], 3, axis=2)
             return img[:, :, :3]  # RGB / RGBA minus alpha
+        if content[:2] == b"\xff\xd8":
+            try:
+                img = decode_jpeg(content)
+            except ValueError:
+                # progressive/arithmetic/12-bit: documented fake, not garbage
+                return _fake_decode_image(content, width, height)
+            if img.ndim == 2:  # grayscale JPEG
+                return np.repeat(img[:, :, None], 3, axis=2)
+            return img
     return _fake_decode_image(content, width, height)
 
 
@@ -385,14 +401,31 @@ def _audio_wave(i: int, n: int, sample_rate: int) -> np.ndarray:
     return 0.5 * np.sin(2.0 * np.pi * (220.0 + 10.0 * i) * t)
 
 
+def _image_payload(i: int) -> tuple[bytes, str]:
+    """Deterministic container schedule for synthetic test images:
+    i%3==2 → PNG (lossless), i%3==1 → baseline JPEG (REAL lossy codec;
+    alternating 4:4:4 and 4:2:0 so both decode paths are value-checked
+    by the embedded oracle), else BMP. The multimodal VALUES oracle in
+    ``oracles.py`` is generated from ``decode_image`` over these exact
+    payloads — regenerate it if this schedule or any codec changes."""
+    arr = _image_array(i)
+    if i % 3 == 2:
+        return encode_png(arr), "image/png"
+    if i % 3 == 1:
+        sub = "4:2:0" if i % 6 == 4 else "4:4:4"
+        return encode_jpeg(arr, quality=92, subsampling=sub), "image/jpeg"
+    return encode_bmp(arr), "image/bmp"
+
+
 def synthetic_media(spark, n: int = 64, kind: str = "image", real: bool = True) -> DataFrame:
     """Deterministic media table for tests. With ``real=True`` (the
-    default) the payloads are genuine containers — BMP and PNG for
-    images (every third image is PNG-encoded: the pixels are identical
-    since PNG is lossless, so the value-checked feature oracle covers
-    BOTH decode paths), WAV (PCM16) for audio — so the decode path
-    under test is the real parser. ``real=False`` emits opaque seeded
-    bytes with a fake mime, exercising the no-codec fallback."""
+    default) the payloads are genuine containers — BMP, PNG and
+    baseline JPEG for images (see ``_image_payload`` for the schedule;
+    JPEG rows are lossy but bit-deterministic, so the value-checked
+    feature oracle covers the real Huffman+IDCT decode), WAV (PCM16)
+    for audio — so the decode path under test is the real parser.
+    ``real=False`` emits opaque seeded bytes with a fake mime,
+    exercising the no-codec fallback."""
     rng = np.random.RandomState(7)
     rows = []
     for i in range(n):
@@ -400,10 +433,8 @@ def synthetic_media(spark, n: int = 64, kind: str = "image", real: bool = True) 
         duration_ms, sample_rate = 1000 + i, 16000
         if not real or kind == "video":  # no raw video container exists
             payload, mime = rng.bytes(256), f"{kind}/fake"
-        elif kind == "image" and i % 3 == 2:
-            payload, mime = encode_png(_image_array(i)), "image/png"
         elif kind == "image":
-            payload, mime = encode_bmp(_image_array(i)), "image/bmp"
+            payload, mime = _image_payload(i)
         elif kind == "audio":
             n_samp = sample_rate * duration_ms // 1000
             payload = encode_wav(_audio_wave(i, n_samp, sample_rate), sample_rate)

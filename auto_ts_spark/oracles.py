@@ -1729,13 +1729,14 @@ SELECT cast(8 AS BIGINT) AS n_features,
        true AS ranks_ok
 """
 
-# The multimodal query decodes REAL BMP payloads (operators/
-# multimodal.py: struct+numpy BI_RGB parser; synthetic_media encodes
-# deterministic per-item images with encode_bmp) — the features are
-# exact platform-stable constants, so the full path (real container
-# decode, mapInPandas batching, row routing) gets a value-checked
+# The multimodal query decodes REAL payloads on a deterministic
+# container schedule (multimodal._image_payload): BMP, PNG, and — r10 —
+# baseline JPEG (operators/jpeg.py: pure numpy Huffman+IDCT; lossy but
+# bit-deterministic, alternating 4:4:4/4:2:0). The features are exact
+# platform-stable constants, so the full path (three real container
+# decodes, mapInPandas batching, row routing) gets a value-checked
 # oracle. Regenerate with the snippet in tests/test_multimodal_oracle.py
-# if the image generator or codec changes.
+# if the image generator, schedule, or any codec changes.
 _SQL_MULTIMODAL = """
 SELECT cast(media_id AS BIGINT) AS media_id,
        cast(mean_r AS double) AS mean_r,
@@ -1744,37 +1745,37 @@ SELECT cast(media_id AS BIGINT) AS media_id,
        cast(std_gray AS double) AS std_gray
 FROM (VALUES
   (0, 127.332357, 127.109375, 126.404622, 41.960298),
-  (1, 127.843642, 125.723077, 125.579278, 42.571173),
+  (1, 127.90832, 125.719623, 125.629827, 42.741463),
   (2, 127.934545, 127.343636, 127.726061, 43.169497),
   (3, 127.985075, 127.697981, 125.82909, 42.038981),
-  (4, 127.93043, 129.518665, 128.768665, 42.071937),
+  (4, 127.946267, 129.474265, 128.815045, 47.325157),
   (5, 126.805305, 128.365327, 127.173913, 42.88683),
   (6, 129.420833, 126.116071, 125.247619, 42.829136),
-  (7, 128.105778, 127.87209, 127.807703, 43.234657),
+  (7, 128.112389, 127.855993, 127.775798, 43.335282),
   (8, 128.577813, 124.475938, 128.701563, 42.643517),
   (9, 128.728808, 125.713122, 126.042836, 42.348339),
-  (10, 128.880828, 127.362471, 128.081002, 42.840079),
+  (10, 128.906177, 127.345571, 128.22669, 47.655593),
   (11, 127.623486, 127.813292, 127.80766, 42.048969),
   (12, 126.782782, 126.381434, 127.95527, 42.544935),
-  (13, 128.992902, 127.932269, 129.211476, 43.336232),
+  (13, 129.055013, 127.908015, 129.179828, 43.350962),
   (14, 128.150857, 128.617714, 127.672, 43.403336),
   (15, 127.421154, 130.251036, 127.579674, 42.749123),
-  (16, 126.419471, 126.316406, 129.710938, 43.079959),
+  (16, 126.484976, 126.333534, 129.599159, 47.903579),
   (17, 126.68447, 127.592163, 128.737591, 42.409637),
   (18, 127.540088, 125.056503, 127.416982, 42.601911),
-  (19, 127.72647, 128.096863, 127.777642, 42.94193),
+  (19, 127.723119, 128.129759, 127.745355, 42.957933),
   (20, 127.666471, 127.845, 125.829706, 42.293903),
   (21, 127.412901, 128.805627, 126.760443, 42.747164),
-  (22, 129.125824, 126.567582, 126.59011, 42.76676),
+  (22, 129.153571, 126.584615, 126.692857, 47.676334),
   (23, 125.897422, 129.192134, 129.103641, 42.863509),
   (24, 128.545898, 129.206055, 127.60026, 42.482748),
-  (25, 128.24113, 128.91146, 127.147881, 42.879652),
+  (25, 128.237991, 128.88854, 127.146311, 42.976906),
   (26, 128.074545, 129.202727, 126.341515, 42.51095),
   (27, 128.861574, 127.496049, 127.998244, 42.855683),
-  (28, 129.044118, 127.175339, 127.26612, 43.138487),
+  (28, 128.968891, 127.212387, 127.087952, 48.101824),
   (29, 127.480722, 125.891715, 127.2863, 43.859163),
   (30, 124.941964, 126.238095, 127.433036, 42.106271),
-  (31, 127.228227, 129.257545, 125.951423, 43.031681)
+  (31, 127.237425, 129.257545, 126.023283, 43.092903)
 ) AS t(media_id, mean_r, mean_g, mean_b, std_gray)
 """
 

@@ -1,0 +1,174 @@
+"""Baseline JPEG codec tests (operators/jpeg.py): round-trip error
+bounds on smooth and hard content, both chroma modes, grayscale,
+restart markers, decoder stream-feature coverage (16-bit DQT, SOF1),
+and the honest-rejection contract for non-baseline modes.
+
+JPEG is lossy, so there is no byte-exact round trip; the assertions
+bound reconstruction error the way the spec's quantization predicts —
+tight on smooth gradients at high quality, loose only on white noise
+(which no DCT codec preserves). The embedded multimodal VALUES oracle
+(tests/test_multimodal_oracle.py) separately pins the decode output
+bit-for-bit via its feature constants.
+"""
+
+import struct
+
+import numpy as np
+import pytest
+
+from auto_ts_spark.operators.jpeg import (
+    AC_LUMA_BITS,
+    AC_LUMA_VALS,
+    DC_LUMA_BITS,
+    DC_LUMA_VALS,
+    ZIGZAG,
+    decode_jpeg,
+    encode_jpeg,
+    quality_tables,
+)
+
+
+def _gradient(h=45, w=61):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [
+            yy * 255 / (h - 1),
+            xx * 255 / (w - 1),
+            (yy + xx) * 255 / (h + w - 2),
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+
+
+def test_gradient_roundtrip_tight_bounds():
+    img = _gradient()
+    for q, sub, max_tol, mean_tol in [
+        (95, "4:4:4", 6, 1.0),
+        (90, "4:4:4", 8, 1.5),
+        (95, "4:2:0", 12, 2.5),
+        (75, "4:2:0", 20, 4.0),
+    ]:
+        out = decode_jpeg(encode_jpeg(img, quality=q, subsampling=sub))
+        assert out.shape == img.shape and out.dtype == np.uint8
+        err = np.abs(out.astype(int) - img.astype(int))
+        assert err.max() <= max_tol, (q, sub, err.max())
+        assert err.mean() <= mean_tol, (q, sub, err.mean())
+
+
+def test_flat_color_is_exact():
+    flat = np.full((16, 24, 3), 137, np.uint8)
+    assert np.array_equal(decode_jpeg(encode_jpeg(flat, 90)), flat)
+
+
+def test_grayscale_roundtrip():
+    g = _gradient()[:, :, 0]
+    out = decode_jpeg(encode_jpeg(g, quality=90))
+    assert out.shape == g.shape and out.ndim == 2
+    assert np.abs(out.astype(int) - g.astype(int)).max() <= 4
+
+
+def test_odd_dimensions_and_mcu_padding():
+    # sizes straddling 8/16 boundaries in both modes (pad-and-crop path)
+    for h, w in [(1, 1), (7, 9), (8, 8), (17, 15), (16, 16), (9, 24)]:
+        img = _gradient(max(h, 2), max(w, 2))[:h, :w]
+        for sub in ("4:4:4", "4:2:0"):
+            out = decode_jpeg(encode_jpeg(img, quality=95, subsampling=sub))
+            assert out.shape == img.shape, (h, w, sub)
+
+
+def test_restart_markers_roundtrip():
+    img = _gradient()
+    plain = decode_jpeg(encode_jpeg(img, quality=90, subsampling="4:2:0"))
+    with_dri = decode_jpeg(
+        encode_jpeg(img, quality=90, subsampling="4:2:0", restart_interval=2)
+    )
+    # RST changes only entropy segmentation, not coefficients
+    assert np.array_equal(plain, with_dri)
+
+
+def test_deterministic_bytes():
+    img = _gradient()
+    assert encode_jpeg(img, 85) == encode_jpeg(img, 85)
+
+
+def test_noise_survives_roundtrip_without_error():
+    noisy = np.random.RandomState(3).randint(0, 256, (48, 64, 3), np.uint8)
+    out = decode_jpeg(encode_jpeg(noisy, quality=95))
+    assert out.shape == noisy.shape  # lossy by design; just no decode error
+
+
+def test_decoder_rejects_progressive_and_bad_magic():
+    img = _gradient(16, 16)
+    payload = bytearray(encode_jpeg(img, 90))
+    sof = payload.find(b"\xff\xc0")
+    payload[sof + 1] = 0xC2  # rebadge SOF0 as SOF2 (progressive)
+    with pytest.raises(ValueError, match="baseline"):
+        decode_jpeg(bytes(payload))
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"\x89PNG not a jpeg")
+
+
+def test_decoder_accepts_sof1_and_16bit_dqt():
+    """Third-party baseline files may use SOF1 (extended sequential —
+    identical decode at 8-bit) and 16-bit-precision DQT entries; our
+    encoder emits neither, so rewrite a stream to cover both parses."""
+    img = _gradient(16, 16)
+    payload = bytearray(encode_jpeg(img, 90))
+    expected = decode_jpeg(bytes(payload))
+    sof = payload.find(b"\xff\xc0")
+    payload[sof + 1] = 0xC1  # SOF1
+    dqt = payload.find(b"\xff\xdb")
+    (old_len,) = struct.unpack_from(">H", payload, dqt + 2)
+    body = bytes(payload[dqt + 4 : dqt + 2 + old_len])
+    # body = [0x00, 64 x u8] [0x01, 64 x u8] → widen both to Pq=1/u16
+    new_body = bytearray()
+    p = 0
+    while p < len(body):
+        tq = body[p] & 0x0F
+        vals = body[p + 1 : p + 65]
+        new_body.append(0x10 | tq)
+        for v in vals:
+            new_body += struct.pack(">H", v)
+        p += 65
+    new_seg = struct.pack(">HH", 0xFFDB, len(new_body) + 2) + bytes(new_body)
+    rewritten = bytes(payload[:dqt]) + new_seg + bytes(payload[dqt + 2 + old_len :])
+    assert np.array_equal(decode_jpeg(rewritten), expected)
+
+
+def test_decode_image_dispatch_and_fallback():
+    from auto_ts_spark.operators.multimodal import (
+        _fake_decode_image,
+        decode_image,
+    )
+
+    img = _gradient(12, 20)
+    payload = encode_jpeg(img, 95)
+    out = decode_image(payload)
+    assert out.shape == img.shape
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 6
+    # grayscale JPEG broadcasts to 3 channels
+    gout = decode_image(encode_jpeg(img[:, :, 0], 95))
+    assert gout.shape == (12, 20, 3)
+    assert np.array_equal(gout[:, :, 0], gout[:, :, 1])
+    # progressive rebadge → documented fake, not an exception
+    bad = bytearray(payload)
+    bad[bad.find(b"\xff\xc0") + 1] = 0xC2
+    fout = decode_image(bytes(bad), 20, 12)
+    assert np.array_equal(fout, _fake_decode_image(bytes(bad), 20, 12))
+
+
+def test_quality_tables_follow_libjpeg_convention():
+    q50_y, _ = quality_tables(50)
+    assert q50_y[0, 0] == 16  # scale 100% at q=50 → Annex-K verbatim
+    q100_y, q100_c = quality_tables(100)
+    assert q100_y.max() == 1 and q100_c.max() == 1  # all-ones at q=100
+    q10_y, _ = quality_tables(10)
+    assert q10_y.max() == 255  # clamped
+
+
+def test_table_invariants():
+    # canonical-code invariants a typo'd table would break
+    assert sum(DC_LUMA_BITS) == len(DC_LUMA_VALS) == 12
+    assert sum(AC_LUMA_BITS) == len(AC_LUMA_VALS) == 162
+    assert sorted(ZIGZAG.tolist()) == list(range(64))
+    assert ZIGZAG[:6].tolist() == [0, 1, 8, 16, 9, 2]

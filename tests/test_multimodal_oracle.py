@@ -1,15 +1,16 @@
 """Guard for the embedded multimodal VALUES oracle: the entry's
-_SQL_MULTIMODAL constants must equal what the REAL BMP decode path
-(operators/multimodal.py: encode_bmp over _image_array, decoded by
-decode_bmp) actually produces — if the image generator or codec
-changes, this test points at the oracle to regenerate.
+_SQL_MULTIMODAL constants must equal what the REAL decode paths
+(operators/multimodal.py ``_image_payload`` schedule — BMP, PNG, and
+baseline JPEG via operators/jpeg.py — decoded by ``decode_image``)
+actually produce — if the image generator, container schedule, or any
+codec changes, this test points at the oracle to regenerate.
 
 Regeneration snippet (prints the VALUES rows):
 
     from auto_ts_spark.operators.multimodal import (
-        _image_array, encode_bmp, decode_bmp)
+        _image_payload, decode_image)
     for i in range(32):
-        img = decode_bmp(encode_bmp(_image_array(i))).astype(np.float64)
+        img = decode_image(_image_payload(i)[0]).astype(np.float64)
         print("  (%d, %s, %s, %s, %s)," % (
             i, _r6(img[:,:,0].mean()), _r6(img[:,:,1].mean()),
             _r6(img[:,:,2].mean()), _r6(img.mean(axis=2).std())))
@@ -46,9 +47,11 @@ def _r6(x: float) -> float:
 
 
 def _expected_rows():
+    from auto_ts_spark.operators.multimodal import _image_payload, decode_image
+
     rows = []
     for i in range(32):
-        img = decode_bmp(encode_bmp(_image_array(i))).astype(np.float64)
+        img = decode_image(_image_payload(i)[0]).astype(np.float64)
         rows.append(
             (
                 i,
@@ -250,13 +253,16 @@ def test_decode_image_routes_png_and_normalizes_channels():
     assert got.shape == (8, 9, 3) and np.array_equal(got[:, :, 0], gray)
 
 
-def test_synthetic_media_mixes_png_rows(spark):
-    """Every third synthetic image is a PNG payload — the multimodal
-    feature oracle therefore covers the PNG decode path with the same
-    value-checked constants (PNG is lossless)."""
+def test_synthetic_media_mixes_codec_rows(spark):
+    """The synthetic image schedule covers all three real codecs —
+    BMP (i%3==0), baseline JPEG (i%3==1, alternating 4:4:4/4:2:0),
+    PNG (i%3==2) — so the multimodal feature oracle value-checks every
+    real decode path (PNG/BMP lossless; JPEG lossy but deterministic,
+    its oracle rows generated from the actual decode)."""
     from auto_ts_spark.operators.multimodal import synthetic_media
 
     media = synthetic_media(spark, 12).select("media_id", "mime").collect()
     mimes = {r["media_id"]: r["mime"] for r in media}
     assert mimes[2] == "image/png" and mimes[5] == "image/png"
-    assert mimes[0] == "image/bmp" and mimes[1] == "image/bmp"
+    assert mimes[1] == "image/jpeg" and mimes[4] == "image/jpeg"
+    assert mimes[0] == "image/bmp" and mimes[3] == "image/bmp"
