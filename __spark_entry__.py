@@ -2221,6 +2221,78 @@ def q_categorical_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-extension (operators/bpe.py, r10): the first BPE training
+    iteration's pair statistic — word histogram (the only corpus-scale
+    pass) → char+'</w>' symbols → adjacent pairs weighted by word
+    frequency — top 40 with the training loop's deterministic
+    (count desc, pair asc) order. Pure JVM expression work; the oracle
+    replays it in DuckDB list/HOF SQL."""
+    from auto_ts_spark.operators import bpe as BPE
+
+    docs = load_table(spark, sf_dir, "documents")
+    return BPE.bpe_pair_counts(docs, top=40).select(
+        "left", "right", F.col("pair_count").cast("long").alias("pair_count")
+    )
+
+
+def q_bpe_tokenize_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-extension contract row for the full BPE train→tokenize
+    path: trains 50 merges on documents, tokenizes the corpus, and
+    emits invariants the oracle independently re-derives — the FIRST
+    merge is value-checked against the SQL argmax of the pair
+    statistic; detokenization losslessness and strict compression are
+    verified Spark-side over every document (booleans the oracle pins
+    true); coverage_full pins that nothing was capped at this scale."""
+    from auto_ts_spark.operators import bpe as BPE
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges, stats = BPE.train_bpe(docs, n_merges=50)
+    tok = BPE.bpe_tokenize(docs, merges)
+    checks = tok.select(
+        F.sum(
+            (
+                F.array_join(
+                    F.transform(
+                        "bpe_tokens",
+                        lambda t: F.replace(t, F.lit(BPE.END), F.lit(" ")),
+                    ),
+                    "",
+                )
+                != F.concat(
+                    F.array_join(
+                        F.filter(TX.tokens(F.col("text")), lambda t: t != ""), " "
+                    ),
+                    F.lit(" "),
+                )
+            ).cast("int")
+        ).alias("detok_mismatches"),
+        F.sum("n_bpe_real").alias("bpe_total"),
+        F.sum(
+            F.aggregate(
+                F.filter(TX.tokens(F.col("text")), lambda t: t != ""),
+                F.lit(0),
+                lambda acc, t: acc + F.length(t) + 1,
+            )
+        ).alias("char_total"),
+    ).collect()[0]
+    spark_df = spark.createDataFrame(
+        [
+            (
+                int(stats["n_merges"]),
+                bool(stats["coverage"] == 1.0),
+                int(checks["detok_mismatches"]) == 0,
+                int(checks["bpe_total"]) < int(checks["char_total"]),
+                merges[0][0],
+                merges[0][1],
+            )
+        ],
+        "n_merges int, coverage_full boolean, detok_lossless boolean, "
+        "compressed boolean, first_left string, first_right string",
+    )
+    return spark_df
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -2233,15 +2305,20 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # queries and a 50-slot window this bounds driver staleness at
     # ~one round for every query (local sf0.01 parity covers the off
     # rounds). r10 window: zero overlap with CORRECTNESS_r09 keys —
-    # the two new as-of modes (never driver-checked) lead, then
-    # quality_classifier (last driver row r6; the r9 overflow), then
-    # every remaining query the r9 driver did not check. Four
-    # rows-only entries overflow below the line (weakest driver
-    # signal, strong pytest coverage — they rotate into r11).
-    # --- new in r10 (2): as-of nearest+tolerance and strict — the
-    # last pandas-only merge_asof modes get DuckDB oracle rows ---
+    # never-driver-checked queries lead (the two new as-of modes and
+    # the two new BPE entries), then quality_classifier (last driver
+    # row r6; the r9 overflow), then every remaining query the r9
+    # driver did not check. The displaced tail (slice twins +
+    # rows-only entries, weakest driver signal, strong pytest
+    # coverage) rotates into the r11 front.
+    # --- new in r10 (4): as-of nearest+tolerance and strict (the
+    # last pandas-only merge_asof modes get DuckDB oracle rows) and
+    # the BPE tokenizer surface (pair statistic + train/tokenize
+    # contract, operators/bpe.py) ---
     "asof_join_nearest": q_asof_join_nearest,
     "asof_join_strict": q_asof_join_strict,
+    "bpe_pair_counts": q_bpe_pair_counts,
+    "bpe_tokenize_contract": q_bpe_tokenize_contract,
     # --- last driver row r6 (r9 overflow) ---
     "quality_classifier": q_quality_classifier,
     # --- not checked by the r9 driver (last green r7/r8) ---
@@ -2290,9 +2367,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "boilerplate_lines": q_boilerplate_lines,
     "semantic_dedup_ivf": q_semantic_dedup_ivf,
     "minhash_lsh_slice": q_minhash_lsh_slice,
+    # ================= 50-slot window boundary =================
+    # --- displaced by the two new BPE entries (r11 front) ---
     "dedup_clusters_slice": q_dedup_clusters_slice,
     "embedding_near_dup_slice": q_embedding_near_dup_slice,
-    # ================= 50-slot window boundary =================
     # --- rows-only overflow (driver signal weakest; r11 front) ---
     "automl_forecast": q_automl_forecast,  # rows-only
     "lsh_ann_topk": q_lsh_ann_topk,  # rows-only

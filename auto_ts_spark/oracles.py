@@ -1948,7 +1948,56 @@ SELECT col AS "column",
 FROM e GROUP BY col ORDER BY col
 """
 
+# BPE (operators/bpe.py, r10): the oracle replays the first training
+# iteration's statistic exactly — word histogram → char+'</w>' symbol
+# lists → adjacent-pair counts weighted by word frequency — in pure
+# DuckDB list/HOF SQL. The contract twin re-derives the first MERGE
+# (the argmax of this statistic with the deterministic count-desc,
+# pair-asc tie-break) so the training loop's entry point is
+# value-checked against an independent engine.
+_SQL_BPE_PAIRS_BODY = f"""
+WITH w AS (
+  SELECT unnest({_SQL_TOKS}) AS word FROM documents
+), h AS (
+  SELECT word, count(*) AS cnt FROM w WHERE word <> '' GROUP BY word
+), s AS (
+  SELECT cnt,
+         list_append(list_transform(range(1, length(word) + 1),
+                                    i -> word[i]), '</w>') AS syms
+  FROM h
+), p AS (
+  SELECT cnt,
+         unnest(list_transform(range(1, len(syms)),
+                               i -> {{'l': syms[i], 'r': syms[i + 1]}})) AS pr
+  FROM s
+)
+SELECT pr.l AS "left", pr.r AS "right",
+       cast(sum(cnt) AS BIGINT) AS pair_count
+FROM p GROUP BY 1, 2
+"""
+
+_SQL_BPE_PAIR_COUNTS = (
+    _SQL_BPE_PAIRS_BODY + 'ORDER BY pair_count DESC, "left", "right" LIMIT 40'
+)
+
+_SQL_BPE_TOKENIZE_CONTRACT = f"""
+WITH pairs AS ({_SQL_BPE_PAIRS_BODY}),
+first_merge AS (
+  SELECT "left", "right" FROM pairs
+  ORDER BY pair_count DESC, "left", "right" LIMIT 1
+)
+SELECT cast(50 AS int) AS n_merges,
+       true AS coverage_full,
+       true AS detok_lossless,
+       true AS compressed,
+       "left" AS first_left,
+       "right" AS first_right
+FROM first_merge
+"""
+
 ORACLES: dict[str, str] = {
+    "bpe_pair_counts": _SQL_BPE_PAIR_COUNTS,
+    "bpe_tokenize_contract": _SQL_BPE_TOKENIZE_CONTRACT,
     "resample_ffill": _SQL_RESAMPLE_FFILL,
     "asof_join": _SQL_ASOF_JOIN,
     "asof_join_forward": _SQL_ASOF_JOIN_FORWARD,
