@@ -2293,6 +2293,34 @@ def q_bpe_tokenize_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark_df
 
 
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-extension (operators/sketches.py, r10): Misra-Gries
+    top-20 word BIGRAMS with bounded per-partition state (capacity
+    4096) and a self-certifying error column. At every test sf the
+    bigram universe fits the capacity, so the summary provably never
+    deflates and the oracle is the exact bigram top-k with
+    (max_undercount, exact) pinned to (0, true); the deflation regime
+    is pytest-checked adversarially."""
+    from auto_ts_spark.operators.sketches import approx_heavy_hitters
+
+    docs = load_table(spark, sf_dir, "documents")
+    return approx_heavy_hitters(docs, k=20, capacity=4096, ngram=2)
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-extension (operators/sampling.py, r10): EXACTLY 25 docs
+    per source, content-addressed (md5-ranked within stratum) — unlike
+    Bernoulli ``sampleBy``, counts are deterministic and the chosen
+    set is engine/partitioning-independent, so the oracle re-derives
+    it row-identically."""
+    from auto_ts_spark.operators.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample(docs, 25, strata_col="source").select(
+        "doc_id", "source", "lang"
+    )
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -2301,24 +2329,27 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # samples a 50-query prefix of this dict, so the dict is kept in
     # EXPLICIT ROUND-ROBIN order — every round, the queries whose last
     # driver row is oldest move to the front and the queries the
-    # driver just checked rotate below the line. With 104 registered
+    # driver just checked rotate below the line. With 108 registered
     # queries and a 50-slot window this bounds driver staleness at
     # ~one round for every query (local sf0.01 parity covers the off
     # rounds). r10 window: zero overlap with CORRECTNESS_r09 keys —
-    # never-driver-checked queries lead (the two new as-of modes and
-    # the two new BPE entries), then quality_classifier (last driver
-    # row r6; the r9 overflow), then every remaining query the r9
-    # driver did not check. The displaced tail (slice twins +
-    # rows-only entries, weakest driver signal, strong pytest
-    # coverage) rotates into the r11 front.
-    # --- new in r10 (4): as-of nearest+tolerance and strict (the
-    # last pandas-only merge_asof modes get DuckDB oracle rows) and
-    # the BPE tokenizer surface (pair statistic + train/tokenize
-    # contract, operators/bpe.py) ---
+    # never-driver-checked queries lead (the two new as-of modes, the
+    # two BPE entries, heavy hitters, stratified sample), then
+    # quality_classifier (last driver row r6; the r9 overflow), then
+    # every remaining query the r9 driver did not check. The displaced
+    # tail (slice twins + rows-only entries, weakest driver signal,
+    # strong pytest coverage) rotates into the r11 front.
+    # --- new in r10 (6): as-of nearest+tolerance and strict (the
+    # last pandas-only merge_asof modes get DuckDB oracle rows), the
+    # BPE tokenizer surface (pair statistic + train/tokenize contract,
+    # operators/bpe.py), Misra-Gries heavy hitters (sketches.py), and
+    # exact content-addressed stratified sampling (sampling.py) ---
     "asof_join_nearest": q_asof_join_nearest,
     "asof_join_strict": q_asof_join_strict,
     "bpe_pair_counts": q_bpe_pair_counts,
     "bpe_tokenize_contract": q_bpe_tokenize_contract,
+    "heavy_hitters": q_heavy_hitters,
+    "stratified_sample": q_stratified_sample,
     # --- last driver row r6 (r9 overflow) ---
     "quality_classifier": q_quality_classifier,
     # --- not checked by the r9 driver (last green r7/r8) ---
@@ -2365,10 +2396,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "drift_profile": q_drift_profile,
     "c4_line_clean": q_c4_line_clean,
     "boilerplate_lines": q_boilerplate_lines,
+    # ================= 50-slot window boundary =================
+    # --- displaced by the four new r10 entries (r11 front) ---
     "semantic_dedup_ivf": q_semantic_dedup_ivf,
     "minhash_lsh_slice": q_minhash_lsh_slice,
-    # ================= 50-slot window boundary =================
-    # --- displaced by the two new BPE entries (r11 front) ---
     "dedup_clusters_slice": q_dedup_clusters_slice,
     "embedding_near_dup_slice": q_embedding_near_dup_slice,
     # --- rows-only overflow (driver signal weakest; r11 front) ---

@@ -16,7 +16,7 @@ boundary row must land in the same split in every engine.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from auto_ts_spark.functions import text as TX
@@ -105,4 +105,36 @@ def mixture_sample(
         .filter(F.col("_n_copies") > 0)
         .withColumn(copy_col, F.explode(F.sequence(F.lit(1), F.col("_n_copies"))))
         .drop("_n_copies")
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    n_per_stratum: int,
+    *,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """EXACTLY ``n_per_stratum`` rows per stratum (fewer only when the
+    stratum is smaller), chosen content-addressed: rows are ranked
+    inside each stratum by the md5 hash of id:seed and the first n
+    win. Unlike ``DataFrame.sampleBy`` (Bernoulli — per-stratum counts
+    are random variables) the output size is deterministic AND the
+    chosen set is stable across runs, partitionings, and engines, so
+    an eval set drawn this way is reproducible anywhere md5 exists
+    (the DuckDB oracle re-derives it row-identically).
+
+    Scale shape: one shuffle on the stratum key; the per-stratum
+    window ranks within each hash partition in parallel. Strata are
+    assumed plural (sources, languages, shards) — a single giant
+    stratum degenerates to one task, which is the same boundary every
+    per-key window in this repo documents (operators/lags.py sharded
+    variants for that regime)."""
+    h = TX.hash60(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}")))
+    w = Window.partitionBy(strata_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n_per_stratum)
+        .drop("_rk")
     )

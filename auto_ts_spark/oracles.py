@@ -1948,6 +1948,38 @@ SELECT col AS "column",
 FROM e GROUP BY col ORDER BY col
 """
 
+# Misra-Gries heavy hitters (operators/sketches.py, r10): at test
+# scale no partition exceeds `capacity` distinct bigrams, so the
+# summary provably never deflates and the result is EXACT — the oracle
+# is therefore the plain exact bigram top-k with the error certificate
+# pinned to (0, true). The deflation regime is pytest-checked
+# adversarially (tests/test_sketches.py).
+_SQL_HEAVY_HITTERS = f"""
+WITH base AS (
+  SELECT doc_id AS id, {_SQL_TOKS} AS toks FROM documents
+), sh AS (
+  SELECT unnest({_sql_shingles(2, distinct=False)}) AS term FROM base
+), c AS (
+  SELECT term, cast(count(*) AS BIGINT) AS est_count
+  FROM sh WHERE term <> '' GROUP BY term
+)
+SELECT term, est_count, cast(0 AS BIGINT) AS max_undercount, true AS exact
+FROM c ORDER BY est_count DESC, term LIMIT 20
+"""
+
+_SQL_STRATIFIED_SAMPLE = f"""
+WITH r AS (
+  SELECT doc_id, source, lang,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY {_sql_hash60("concat(cast(doc_id AS varchar), ':42')")} ASC,
+                    doc_id ASC
+         ) AS rk
+  FROM documents
+)
+SELECT doc_id, source, lang FROM r WHERE rk <= 25
+"""
+
 # BPE (operators/bpe.py, r10): the oracle replays the first training
 # iteration's statistic exactly — word histogram → char+'</w>' symbol
 # lists → adjacent-pair counts weighted by word frequency — in pure
@@ -1998,6 +2030,8 @@ FROM first_merge
 ORACLES: dict[str, str] = {
     "bpe_pair_counts": _SQL_BPE_PAIR_COUNTS,
     "bpe_tokenize_contract": _SQL_BPE_TOKENIZE_CONTRACT,
+    "heavy_hitters": _SQL_HEAVY_HITTERS,
+    "stratified_sample": _SQL_STRATIFIED_SAMPLE,
     "resample_ffill": _SQL_RESAMPLE_FFILL,
     "asof_join": _SQL_ASOF_JOIN,
     "asof_join_forward": _SQL_ASOF_JOIN_FORWARD,
