@@ -2321,6 +2321,28 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_video_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal video path (r10): REAL raw-DIB AVI decode
+    (struct+numpy RIFF chunk walk, byte-exact round-trip-tested) +
+    mapInPandas per-frame featurization over deterministic synthetic
+    clips — the VALUES oracle pins the full decode → sample →
+    featurize path. Codec-bearing containers (MP4/MKV) fall back to
+    the documented deterministic fake."""
+    from auto_ts_spark.operators.multimodal import (
+        synthetic_media,
+        video_frame_features,
+    )
+
+    media = synthetic_media(spark, 12, kind="video")
+    feats = video_frame_features(media, every_n=2)
+    return feats.select(
+        "media_id",
+        "frame_idx",
+        F.round("mean_gray", 6).alias("mean_gray"),
+        F.round("std_gray", 6).alias("std_gray"),
+    )
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -2329,7 +2351,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # samples a 50-query prefix of this dict, so the dict is kept in
     # EXPLICIT ROUND-ROBIN order — every round, the queries whose last
     # driver row is oldest move to the front and the queries the
-    # driver just checked rotate below the line. With 108 registered
+    # driver just checked rotate below the line. With 109 registered
     # queries and a 50-slot window this bounds driver staleness at
     # ~one round for every query (local sf0.01 parity covers the off
     # rounds). r10 window: zero overlap with CORRECTNESS_r09 keys —
@@ -2339,17 +2361,19 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # every remaining query the r9 driver did not check. The displaced
     # tail (slice twins + rows-only entries, weakest driver signal,
     # strong pytest coverage) rotates into the r11 front.
-    # --- new in r10 (6): as-of nearest+tolerance and strict (the
+    # --- new in r10 (7): as-of nearest+tolerance and strict (the
     # last pandas-only merge_asof modes get DuckDB oracle rows), the
     # BPE tokenizer surface (pair statistic + train/tokenize contract,
-    # operators/bpe.py), Misra-Gries heavy hitters (sketches.py), and
-    # exact content-addressed stratified sampling (sampling.py) ---
+    # operators/bpe.py), Misra-Gries heavy hitters (sketches.py),
+    # exact content-addressed stratified sampling (sampling.py), and
+    # real raw-DIB AVI video decode + frame features (multimodal) ---
     "asof_join_nearest": q_asof_join_nearest,
     "asof_join_strict": q_asof_join_strict,
     "bpe_pair_counts": q_bpe_pair_counts,
     "bpe_tokenize_contract": q_bpe_tokenize_contract,
     "heavy_hitters": q_heavy_hitters,
     "stratified_sample": q_stratified_sample,
+    "video_frame_features": q_video_frame_features,
     # --- last driver row r6 (r9 overflow) ---
     "quality_classifier": q_quality_classifier,
     # --- not checked by the r9 driver (last green r7/r8) ---
@@ -2395,9 +2419,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "naive_forecast_metrics": q_naive_forecast_metrics,
     "drift_profile": q_drift_profile,
     "c4_line_clean": q_c4_line_clean,
-    "boilerplate_lines": q_boilerplate_lines,
     # ================= 50-slot window boundary =================
-    # --- displaced by the four new r10 entries (r11 front) ---
+    # --- displaced by the five new r10 entries (r11 front) ---
+    "boilerplate_lines": q_boilerplate_lines,
     "semantic_dedup_ivf": q_semantic_dedup_ivf,
     "minhash_lsh_slice": q_minhash_lsh_slice,
     "dedup_clusters_slice": q_dedup_clusters_slice,

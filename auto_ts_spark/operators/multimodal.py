@@ -2,16 +2,17 @@
 typed metadata, decoded and featurized Spark-side via ``mapInPandas``.
 
 Decode kernels are REAL for every container a bare numpy/stdlib stack
-can parse — BMP (24-bit BI_RGB), PPM (P6), PNG (8-bit gray/RGB/RGBA,
-zlib inflate + all five scanline filters — r10), baseline JPEG
-(SOF0/SOF1 Huffman, 4:4:4/4:2:2/4:2:0, restart markers — see
-``operators/jpeg.py``, r10), and WAV (RIFF PCM 8/16-bit mono) —
-implemented with struct offsets + ``np.frombuffer`` + a vectorized
-numpy IDCT (no codec libraries needed, none exist in this container).
-Formats that genuinely need a codec library (MP3/AAC, progressive
-JPEG, video codecs) fall back to a clearly-marked deterministic fake
-so the pipeline shape stays testable; a real deployment swaps only
-that fallback body for PIL/soundfile/ffmpeg.
+can parse, across all three modalities — images: BMP (24-bit BI_RGB),
+PPM (P6), PNG (8-bit gray/RGB/RGBA, zlib inflate + all five scanline
+filters — r10), baseline JPEG (SOF0/SOF1 Huffman, 4:4:4/4:2:2/4:2:0,
+restart markers — see ``operators/jpeg.py``, r10); audio: WAV (RIFF
+PCM 8/16-bit); video: AVI with uncompressed DIB frames (RIFF chunk
+walk — r10) — implemented with struct offsets + ``np.frombuffer`` + a
+vectorized numpy IDCT (no codec libraries needed, none exist in this
+container). Formats that genuinely need a codec library (MP3/AAC,
+progressive JPEG, MP4/MKV/WebM) fall back to a clearly-marked
+deterministic fake so the pipeline shape stays testable; a real
+deployment swaps only that fallback body for PIL/soundfile/ffmpeg.
 
 Scale notes: media bytes ride in parquet binary columns;
 ``mapInPandas`` streams Arrow record batches so a partition never
@@ -267,6 +268,114 @@ def decode_png(content: bytes) -> np.ndarray:
     return _png_unfilter(raw, h, w, channels)
 
 
+def encode_avi_raw(frames: np.ndarray, fps: int = 10) -> bytes:
+    """Encode (n, h, w, 3) uint8 RGB frames as a RIFF AVI with
+    uncompressed DIB video ('DIB ' handler, BI_RGB 24-bit, '00db'
+    frame chunks) — the one video container a bare struct+numpy stack
+    can write, by the same public-spec route as BMP/WAV. Every player
+    opens it; no codec library involved."""
+    if frames.ndim != 4 or frames.shape[3] != 3:
+        raise ValueError(f"expected (n, h, w, 3) RGB frames, got {frames.shape}")
+    n, h, w = frames.shape[:3]
+    stride = (w * 3 + 3) // 4 * 4
+    frame_bytes = []
+    for f in frames:
+        rows = np.zeros((h, stride), dtype=np.uint8)
+        rows[:, : w * 3] = f[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+        frame_bytes.append(rows.tobytes())
+    sz_img = h * stride
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        1_000_000 // max(fps, 1),  # dwMicroSecPerFrame
+        sz_img * fps,
+        0,
+        0x10,  # AVIF_HASINDEX off; 0x10 = AVIF_WASCAPTUREFILE-ish flags benign
+        n,
+        0,
+        1,
+        sz_img,
+        w,
+        h,
+        0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"DIB "
+        + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0, n, sz_img, 0xFFFFFFFF, 0)
+        + struct.pack("<4h", 0, 0, w, h)
+    )
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, sz_img, 2835, 2835, 0, 0)
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00db", fb) for fb in frame_bytes))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi_raw(content: bytes) -> tuple[np.ndarray, int]:
+    """Decode a RIFF AVI with uncompressed DIB frames to
+    ((n, h, w, 3) RGB uint8, fps). Walks the chunk tree, so extra
+    chunks (idx1, INFO, JUNK) are tolerated; compressed fourccs raise
+    (no codec libraries — the honest-fallback contract)."""
+    if content[:4] != b"RIFF" or content[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    w = h = None
+    rate, scale = 0, 1
+    frames: list[np.ndarray] = []
+
+    def walk(start: int, end: int) -> None:
+        nonlocal w, h, rate, scale
+        pos = start
+        while pos + 8 <= end:
+            cid, size = struct.unpack_from("<4sI", content, pos)
+            body_at = pos + 8
+            if cid == b"LIST":
+                walk(body_at + 4, body_at + size)
+            elif cid == b"strh":
+                fcc_type, handler = content[body_at : body_at + 4], content[body_at + 4 : body_at + 8]
+                if fcc_type == b"vids":
+                    if handler not in (b"DIB ", b"\x00\x00\x00\x00", b"RGB "):
+                        raise ValueError(
+                            f"unsupported AVI video handler {handler!r} — "
+                            "uncompressed DIB only (no codec libraries)"
+                        )
+                    _f, _p, _l, _i, scale, rate = struct.unpack_from(
+                        "<IHHIII", content, body_at + 8
+                    )
+            elif cid == b"strf" and w is None:
+                _sz, w, h, _pl, bpp, comp = struct.unpack_from(
+                    "<IiiHHI", content, body_at
+                )
+                if bpp != 24 or comp != 0:
+                    raise ValueError(
+                        f"unsupported AVI frame format (bpp={bpp}, compression={comp})"
+                    )
+            elif cid in (b"00db", b"00dc"):
+                if w is None:
+                    raise ValueError("AVI frame chunk before strf header")
+                stride = (w * 3 + 3) // 4 * 4
+                rows = np.frombuffer(content, np.uint8, count=h * stride, offset=body_at)
+                frames.append(
+                    rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)[::-1, :, ::-1]
+                )
+            pos = body_at + size + (size & 1)
+
+    walk(12, 8 + struct.unpack_from("<I", content, 4)[0])
+    if not frames:
+        raise ValueError("AVI contains no video frames")
+    fps = int(round(rate / scale)) if scale and rate else 0
+    return np.stack(frames), fps
+
+
 def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
     """Encode a float waveform in [-1, 1] as RIFF WAV, PCM 16-bit
     mono."""
@@ -373,9 +482,34 @@ def decode_image(content: bytes, width: int = 0, height: int = 0) -> np.ndarray:
 def decode_audio(content: bytes, n_samples: int = 0) -> np.ndarray:
     """Decode an audio payload to a float32 waveform: real parse for
     RIFF/WAV, deterministic fake (metadata-sized) for anything else."""
-    if content and content[:4] == b"RIFF":
+    if content and content[:4] == b"RIFF" and content[8:12] == b"WAVE":
         return decode_wav(content)[0]
     return _fake_decode_audio(content, n_samples)
+
+
+def _fake_decode_video(
+    content: bytes, width: int, height: int, n_frames: int
+) -> np.ndarray:
+    """FALLBACK for codec-bearing video containers (MP4/MKV/WebM —
+    no codec libs in this container): deterministic fake frames seeded
+    by the content bytes; raw-DIB AVI payloads never reach it."""
+    seed = int.from_bytes(content[:4], "little") if content else 0
+    rng = np.random.RandomState(seed)
+    return rng.randint(0, 256, size=(max(n_frames, 1), height, width, 3), dtype=np.uint8)
+
+
+def decode_video(
+    content: bytes, width: int = 0, height: int = 0, n_frames: int = 1
+) -> np.ndarray:
+    """Decode a video payload to (n, h, w, 3) RGB uint8: real parse
+    for RIFF/AVI with uncompressed DIB frames, deterministic fake (at
+    the metadata dimensions) for codec-bearing containers."""
+    if content and content[:4] == b"RIFF" and content[8:12] == b"AVI ":
+        try:
+            return decode_avi_raw(content)[0]
+        except ValueError:
+            return _fake_decode_video(content, width, height, n_frames)
+    return _fake_decode_video(content, width, height, n_frames)
 
 
 # --------------------------------------------------------------------------
@@ -391,6 +525,16 @@ def _image_array(i: int) -> np.ndarray:
     w, h = 64 + i % 8, 48 + i % 6
     return np.random.RandomState(7000 + i).randint(
         0, 256, size=(h, w, 3), dtype=np.uint8
+    )
+
+
+def _video_frames(i: int) -> np.ndarray:
+    """Deterministic per-item test clip: 3 + i%3 frames of
+    (24 + i%4, 32 + i%4, 3) noise, independently seeded like
+    ``_image_array`` so the VALUES oracle can regenerate any row."""
+    n, h, w = 3 + i % 3, 24 + i % 4, 32 + i % 4
+    return np.random.RandomState(9000 + i).randint(
+        0, 256, size=(n, h, w, 3), dtype=np.uint8
     )
 
 
@@ -423,16 +567,21 @@ def synthetic_media(spark, n: int = 64, kind: str = "image", real: bool = True) 
     baseline JPEG for images (see ``_image_payload`` for the schedule;
     JPEG rows are lossy but bit-deterministic, so the value-checked
     feature oracle covers the real Huffman+IDCT decode), WAV (PCM16)
-    for audio — so the decode path under test is the real parser.
-    ``real=False`` emits opaque seeded bytes with a fake mime,
-    exercising the no-codec fallback."""
+    for audio, raw-DIB AVI for video (r10) — so the decode path under
+    test is the real parser for every modality. ``real=False`` emits
+    opaque seeded bytes with a fake mime, exercising the no-codec
+    fallback."""
     rng = np.random.RandomState(7)
     rows = []
     for i in range(n):
         w, h = 64 + i % 8, 48 + i % 6
         duration_ms, sample_rate = 1000 + i, 16000
-        if not real or kind == "video":  # no raw video container exists
+        if not real:
             payload, mime = rng.bytes(256), f"{kind}/fake"
+        elif kind == "video":
+            payload = encode_avi_raw(_video_frames(i), fps=10)
+            mime = "video/avi"
+            duration_ms = (3 + i % 3) * 100  # n_frames / 10 fps
         elif kind == "image":
             payload, mime = _image_payload(i)
         elif kind == "audio":
@@ -505,10 +654,10 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
 
 def frame_sample(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame sampler: emits (media_id, frame_idx, ts_ms) rows
-    from duration metadata — metadata-only, never decodes bytes, so the
-    scan prunes the content column entirely. (Raw video containers
-    need codec libs, so the per-frame decode stays out of scope; the
-    sampling plan is the real Spark-side shape.)"""
+    from duration metadata — metadata-only, never decodes bytes, so
+    the scan prunes the content column entirely. This is the 100 TB
+    plan for sampling DECISIONS; ``video_frame_features`` below is the
+    byte-touching path for rows that survive the decision."""
     return (
         df.filter(F.col("kind") == "video")
         .select(
@@ -524,6 +673,35 @@ def frame_sample(df: DataFrame, every_ms: int = 1000) -> DataFrame:
             "media_id", "frame_idx", (F.col("frame_idx") * every_ms).alias("ts_ms")
         )
     )
+
+
+def video_frame_features(df: DataFrame, *, every_n: int = 2) -> DataFrame:
+    """video → per-sampled-frame features via mapInPandas:
+    (media_id, frame_idx, mean_gray, std_gray) for every ``every_n``-th
+    frame. Raw-DIB AVI payloads decode for real (struct+numpy chunk
+    walk); codec-bearing containers hit the documented deterministic
+    fake at the metadata dimensions. Binary-in/rows-out, Arrow-batched
+    — the 100 TB shape for frame-level featurization after
+    ``frame_sample`` has pruned the candidate set."""
+    out_schema = "media_id long, frame_idx int, mean_gray double, std_gray double"
+
+    def worker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for row in pdf.itertuples(index=False):
+                meta = row.meta
+                frames = decode_video(
+                    row.content, meta["width"], meta["height"],
+                    max(int(meta["duration_ms"] // 100), 1),
+                )
+                for idx in range(0, frames.shape[0], every_n):
+                    g = frames[idx].astype(np.float64).mean(axis=2)
+                    rows.append((row.media_id, idx, g.mean(), g.std()))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "mean_gray", "std_gray"]
+            )
+
+    return df.select("media_id", "content", "meta").mapInPandas(worker, out_schema)
 
 
 def audio_features(df: DataFrame, *, frame_ms: int = 250) -> DataFrame:

@@ -1948,6 +1948,49 @@ SELECT col AS "column",
 FROM e GROUP BY col ORDER BY col
 """
 
+# The video query decodes REAL raw-DIB AVI payloads (operators/
+# multimodal.py: encode_avi_raw/decode_avi_raw RIFF chunk walk,
+# byte-exact round trip) over the deterministic _video_frames clips —
+# exact platform-stable constants like the image oracle. Regenerate
+# with the snippet in tests/test_multimodal_oracle.py if the clip
+# generator or the AVI codec changes.
+_SQL_VIDEO_FRAME_FEATURES = """
+SELECT cast(media_id AS BIGINT) AS media_id,
+       cast(frame_idx AS int) AS frame_idx,
+       cast(mean_gray AS double) AS mean_gray,
+       cast(std_gray AS double) AS std_gray
+FROM (VALUES
+  (0, 0, 127.071181, 43.519314),
+  (0, 2, 125.892795, 42.9839),
+  (1, 0, 128.96404, 41.941282),
+  (1, 2, 127.421414, 42.333507),
+  (2, 0, 128.273756, 42.927406),
+  (2, 2, 129.766591, 44.236296),
+  (2, 4, 126.684389, 40.723464),
+  (3, 0, 128.032099, 42.388559),
+  (3, 2, 128.418695, 44.187671),
+  (4, 0, 129.530382, 43.228957),
+  (4, 2, 123.597222, 43.354313),
+  (5, 0, 128.883232, 43.413101),
+  (5, 2, 130.000808, 42.928769),
+  (5, 4, 126.608485, 42.938648),
+  (6, 0, 128.835219, 41.740901),
+  (6, 2, 126.007541, 42.969372),
+  (7, 0, 128.426102, 43.449379),
+  (7, 2, 128.232099, 42.159014),
+  (8, 0, 128.22309, 43.219174),
+  (8, 2, 127.653212, 42.884012),
+  (8, 4, 125.309462, 42.136179),
+  (9, 0, 127.432727, 41.681215),
+  (9, 2, 127.250505, 44.614627),
+  (10, 0, 128.550528, 40.542864),
+  (10, 2, 125.409502, 42.933812),
+  (11, 0, 127.412698, 43.974231),
+  (11, 2, 127.176014, 42.246278),
+  (11, 4, 129.145679, 43.823716)
+) AS t(media_id, frame_idx, mean_gray, std_gray)
+"""
+
 # Misra-Gries heavy hitters (operators/sketches.py, r10): at test
 # scale no partition exceeds `capacity` distinct bigrams, so the
 # summary provably never deflates and the result is EXACT — the oracle
@@ -2032,6 +2075,7 @@ ORACLES: dict[str, str] = {
     "bpe_tokenize_contract": _SQL_BPE_TOKENIZE_CONTRACT,
     "heavy_hitters": _SQL_HEAVY_HITTERS,
     "stratified_sample": _SQL_STRATIFIED_SAMPLE,
+    "video_frame_features": _SQL_VIDEO_FRAME_FEATURES,
     "resample_ffill": _SQL_RESAMPLE_FFILL,
     "asof_join": _SQL_ASOF_JOIN,
     "asof_join_forward": _SQL_ASOF_JOIN_FORWARD,

@@ -61,6 +61,11 @@ HEADLINE = [
     # semantic near-dedup, perplexity gate, classifier gate on top of
     # curate_chain) — tracked alongside, never inside `value`
     "curate_full",
+    # r10 additions — BPE tokenizer surface + Misra-Gries heavy
+    # hitters, tracked alongside, never inside `value`
+    "bpe_pair_counts",
+    "bpe_tokenize_contract",
+    "heavy_hitters",
 ]
 
 EXTRAS = {
@@ -71,6 +76,9 @@ EXTRAS = {
     "repeated_span_scrub",
     "lm_perplexity",
     "quality_classifier",
+    "bpe_pair_counts",
+    "bpe_tokenize_contract",
+    "heavy_hitters",
 }
 
 

@@ -266,3 +266,55 @@ def test_synthetic_media_mixes_codec_rows(spark):
     assert mimes[2] == "image/png" and mimes[5] == "image/png"
     assert mimes[1] == "image/jpeg" and mimes[4] == "image/jpeg"
     assert mimes[0] == "image/bmp" and mimes[3] == "image/bmp"
+
+
+# ---------------------------------------------------------------- AVI (r10)
+
+
+def test_avi_raw_roundtrip_exact():
+    from auto_ts_spark.operators.multimodal import decode_avi_raw, encode_avi_raw
+
+    rng = np.random.RandomState(5)
+    # odd width exercises the 4-byte row stride pad
+    frames = rng.randint(0, 256, (6, 13, 21, 3), np.uint8)
+    out, fps = decode_avi_raw(encode_avi_raw(frames, fps=12))
+    assert fps == 12
+    assert np.array_equal(out, frames)
+
+
+def test_avi_chunk_walk_tolerates_junk_and_rejects_codecs():
+    from auto_ts_spark.operators.multimodal import decode_avi_raw, encode_avi_raw
+
+    frames = np.random.RandomState(6).randint(0, 256, (2, 8, 8, 3), np.uint8)
+    payload = encode_avi_raw(frames, fps=10)
+    junk = b"JUNK" + struct.pack("<I", 6) + b"abcdef"
+    spliced = payload[:12] + junk + payload[12:]
+    spliced = b"RIFF" + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    out, _ = decode_avi_raw(spliced)
+    assert np.array_equal(out, frames)
+    bad = bytearray(payload)
+    i = bad.find(b"vids") + 4
+    bad[i : i + 4] = b"mjpg"
+    with pytest.raises(ValueError, match="handler"):
+        decode_avi_raw(bytes(bad))
+
+
+def test_decode_video_dispatch_and_fallback():
+    from auto_ts_spark.operators.multimodal import (
+        _fake_decode_video,
+        decode_video,
+        encode_avi_raw,
+    )
+
+    frames = np.random.RandomState(7).randint(0, 256, (3, 10, 12, 3), np.uint8)
+    assert np.array_equal(decode_video(encode_avi_raw(frames)), frames)
+    blob = b"\x00\x00\x00\x18ftypmp42" + bytes(64)  # MP4-shaped
+    out = decode_video(blob, 12, 10, 3)
+    assert out.shape == (3, 10, 12, 3)
+    assert np.array_equal(out, _fake_decode_video(blob, 12, 10, 3))
+    # WAV payloads must not be mistaken for AVI (both RIFF)
+    from auto_ts_spark.operators.multimodal import decode_audio, encode_wav
+
+    wav = encode_wav(np.zeros(10), 8000)
+    out = decode_video(wav, 4, 4, 2)
+    assert out.shape == (2, 4, 4, 3)  # fake at metadata dims, no crash
