@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from auto_ts_spark.operators.gif import decode_gif, encode_gif
 from auto_ts_spark.operators.jpeg import decode_jpeg, encode_jpeg
 
 MEDIA_SCHEMA = T.StructType(
@@ -476,6 +477,8 @@ def decode_image(content: bytes, width: int = 0, height: int = 0) -> np.ndarray:
             if img.ndim == 2:  # grayscale JPEG
                 return np.repeat(img[:, :, None], 3, axis=2)
             return img
+        if content[:4] == b"GIF8":
+            return decode_gif(content)
     return _fake_decode_image(content, width, height)
 
 
@@ -549,9 +552,16 @@ def _image_payload(i: int) -> tuple[bytes, str]:
     """Deterministic container schedule for synthetic test images:
     i%3==2 → PNG (lossless), i%3==1 → baseline JPEG (REAL lossy codec;
     alternating 4:4:4 and 4:2:0 so both decode paths are value-checked
-    by the embedded oracle), else BMP. The multimodal VALUES oracle in
+    by the embedded oracle), i%6==3 → GIF (palette-limited fixture —
+    GIF is palette-exact), else BMP. The multimodal VALUES oracle in
     ``oracles.py`` is generated from ``decode_image`` over these exact
     payloads — regenerate it if this schedule or any codec changes."""
+    if i % 6 == 3:
+        w, h = 64 + i % 8, 48 + i % 6
+        rs = np.random.RandomState(7000 + i)
+        pal = rs.randint(0, 256, size=(64, 3)).astype(np.uint8)
+        arr = pal[rs.randint(0, 64, size=(h, w))]
+        return encode_gif(arr), "image/gif"
     arr = _image_array(i)
     if i % 3 == 2:
         return encode_png(arr), "image/png"

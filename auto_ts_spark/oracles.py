@@ -1732,11 +1732,13 @@ SELECT cast(8 AS BIGINT) AS n_features,
 # The multimodal query decodes REAL payloads on a deterministic
 # container schedule (multimodal._image_payload): BMP, PNG, and — r10 —
 # baseline JPEG (operators/jpeg.py: pure numpy Huffman+IDCT; lossy but
-# bit-deterministic, alternating 4:4:4/4:2:0). The features are exact
-# platform-stable constants, so the full path (three real container
-# decodes, mapInPandas batching, row routing) gets a value-checked
-# oracle. Regenerate with the snippet in tests/test_multimodal_oracle.py
-# if the image generator, schedule, or any codec changes.
+# bit-deterministic, alternating 4:4:4/4:2:0) and GIF (operators/
+# gif.py: pure-python LZW, palette-limited fixtures). The features are
+# exact platform-stable constants, so the full path (four real
+# container decodes, mapInPandas batching, row routing) gets a
+# value-checked oracle. Regenerate with the snippet in
+# tests/test_multimodal_oracle.py if the image generator, schedule, or
+# any codec changes.
 _SQL_MULTIMODAL = """
 SELECT cast(media_id AS BIGINT) AS media_id,
        cast(mean_r AS double) AS mean_r,
@@ -1747,31 +1749,31 @@ FROM (VALUES
   (0, 127.332357, 127.109375, 126.404622, 41.960298),
   (1, 127.90832, 125.719623, 125.629827, 42.741463),
   (2, 127.934545, 127.343636, 127.726061, 43.169497),
-  (3, 127.985075, 127.697981, 125.82909, 42.038981),
+  (3, 121.694469, 138.644718, 141.35616, 39.992685),
   (4, 127.946267, 129.474265, 128.815045, 47.325157),
   (5, 126.805305, 128.365327, 127.173913, 42.88683),
   (6, 129.420833, 126.116071, 125.247619, 42.829136),
   (7, 128.112389, 127.855993, 127.775798, 43.335282),
   (8, 128.577813, 124.475938, 128.701563, 42.643517),
-  (9, 128.728808, 125.713122, 126.042836, 42.348339),
+  (9, 134.251584, 125.507994, 126.034992, 42.229472),
   (10, 128.906177, 127.345571, 128.22669, 47.655593),
   (11, 127.623486, 127.813292, 127.80766, 42.048969),
   (12, 126.782782, 126.381434, 127.95527, 42.544935),
   (13, 129.055013, 127.908015, 129.179828, 43.350962),
   (14, 128.150857, 128.617714, 127.672, 43.403336),
-  (15, 127.421154, 130.251036, 127.579674, 42.749123),
+  (15, 119.062414, 138.325877, 134.752831, 46.224178),
   (16, 126.484976, 126.333534, 129.599159, 47.903579),
   (17, 126.68447, 127.592163, 128.737591, 42.409637),
   (18, 127.540088, 125.056503, 127.416982, 42.601911),
   (19, 127.723119, 128.129759, 127.745355, 42.957933),
   (20, 127.666471, 127.845, 125.829706, 42.293903),
-  (21, 127.412901, 128.805627, 126.760443, 42.747164),
+  (21, 141.02927, 131.127593, 136.082978, 47.562587),
   (22, 129.153571, 126.584615, 126.692857, 47.676334),
   (23, 125.897422, 129.192134, 129.103641, 42.863509),
   (24, 128.545898, 129.206055, 127.60026, 42.482748),
   (25, 128.237991, 128.88854, 127.146311, 42.976906),
   (26, 128.074545, 129.202727, 126.341515, 42.51095),
-  (27, 128.861574, 127.496049, 127.998244, 42.855683),
+  (27, 147.964296, 140.039801, 122.209541, 44.570622),
   (28, 128.968891, 127.212387, 127.087952, 48.101824),
   (29, 127.480722, 125.891715, 127.2863, 43.859163),
   (30, 124.941964, 126.238095, 127.433036, 42.106271),

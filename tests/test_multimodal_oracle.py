@@ -1,9 +1,10 @@
 """Guard for the embedded multimodal VALUES oracle: the entry's
 _SQL_MULTIMODAL constants must equal what the REAL decode paths
-(operators/multimodal.py ``_image_payload`` schedule — BMP, PNG, and
-baseline JPEG via operators/jpeg.py — decoded by ``decode_image``)
-actually produce — if the image generator, container schedule, or any
-codec changes, this test points at the oracle to regenerate.
+(operators/multimodal.py ``_image_payload`` schedule — BMP, PNG,
+baseline JPEG via operators/jpeg.py, and GIF via operators/gif.py —
+decoded by ``decode_image``) actually produce — if the image
+generator, container schedule, or any codec changes, this test points
+at the oracle to regenerate.
 
 Regeneration snippet (prints the VALUES rows):
 
@@ -254,18 +255,21 @@ def test_decode_image_routes_png_and_normalizes_channels():
 
 
 def test_synthetic_media_mixes_codec_rows(spark):
-    """The synthetic image schedule covers all three real codecs —
-    BMP (i%3==0), baseline JPEG (i%3==1, alternating 4:4:4/4:2:0),
-    PNG (i%3==2) — so the multimodal feature oracle value-checks every
-    real decode path (PNG/BMP lossless; JPEG lossy but deterministic,
-    its oracle rows generated from the actual decode)."""
+    """The synthetic image schedule covers all four real codecs —
+    BMP (i%3==0 except the GIF slots), baseline JPEG (i%3==1,
+    alternating 4:4:4/4:2:0), PNG (i%3==2), GIF (i%6==3,
+    palette-limited) — so the multimodal feature oracle value-checks
+    every real decode path (BMP/PNG/GIF lossless; JPEG lossy but
+    deterministic, its oracle rows generated from the actual
+    decode)."""
     from auto_ts_spark.operators.multimodal import synthetic_media
 
     media = synthetic_media(spark, 12).select("media_id", "mime").collect()
     mimes = {r["media_id"]: r["mime"] for r in media}
     assert mimes[2] == "image/png" and mimes[5] == "image/png"
     assert mimes[1] == "image/jpeg" and mimes[4] == "image/jpeg"
-    assert mimes[0] == "image/bmp" and mimes[3] == "image/bmp"
+    assert mimes[3] == "image/gif" and mimes[9] == "image/gif"
+    assert mimes[0] == "image/bmp" and mimes[6] == "image/bmp"
 
 
 # ---------------------------------------------------------------- AVI (r10)
@@ -318,3 +322,54 @@ def test_decode_video_dispatch_and_fallback():
     wav = encode_wav(np.zeros(10), 8000)
     out = decode_video(wav, 4, 4, 2)
     assert out.shape == (2, 4, 4, 3)  # fake at metadata dims, no crash
+
+
+# ---------------------------------------------------------------- GIF (r10)
+
+
+def test_gif_roundtrip_palette_sizes_and_interlace():
+    from auto_ts_spark.operators.gif import decode_gif, encode_gif
+
+    rng = np.random.RandomState(1)
+    for n_colors in (2, 16, 250):
+        pal = np.unique(rng.randint(0, 256, (n_colors, 3), np.uint8), axis=0)
+        img = pal[rng.randint(0, len(pal), (23, 14))]
+        assert np.array_equal(decode_gif(encode_gif(img)), img), n_colors
+        assert np.array_equal(
+            decode_gif(encode_gif(img, interlace=True)), img
+        ), n_colors
+
+
+def test_gif_lzw_table_reset_on_large_image():
+    from auto_ts_spark.operators.gif import decode_gif, encode_gif
+
+    rng = np.random.RandomState(2)
+    pal = rng.randint(0, 256, (16, 3), np.uint8)
+    img = pal[rng.randint(0, 16, (300, 300))]  # 90k px → >4096 LZW codes
+    assert np.array_equal(decode_gif(encode_gif(img)), img)
+
+
+def test_gif89a_extension_blocks_skipped():
+    from auto_ts_spark.operators.gif import decode_gif, encode_gif
+
+    rng = np.random.RandomState(3)
+    pal = rng.randint(0, 256, (16, 3), np.uint8)
+    img = pal[rng.randint(0, 16, (8, 8))]
+    payload = bytearray(encode_gif(img))
+    payload[:6] = b"GIF89a"
+    gce = bytes([0x21, 0xF9, 4, 0, 0, 0, 0, 0])  # graphic control extension
+    i = 13 + 16 * 3  # header + 16-entry GCT (padded to 16)
+    spliced = bytes(payload[:i]) + gce + bytes(payload[i:])
+    assert np.array_equal(decode_gif(spliced), img)
+
+
+def test_gif_palette_exact_guard_and_dispatch():
+    from auto_ts_spark.operators.gif import encode_gif
+    from auto_ts_spark.operators.multimodal import decode_image
+
+    img = np.random.RandomState(4).randint(0, 256, (30, 30, 3), np.uint8)
+    with pytest.raises(ValueError, match="palette-exact"):
+        encode_gif(img)  # ~900 distinct colors
+    pal = np.random.RandomState(5).randint(0, 256, (8, 3), np.uint8)
+    small = pal[np.random.RandomState(6).randint(0, 8, (6, 10))]
+    assert np.array_equal(decode_image(encode_gif(small)), small)
