@@ -640,18 +640,43 @@ def scrub_repeated_spans(
     ).select(
         "_doc",
         "_s",
-        TX.hash60(F.concat_ws(" ", F.slice(F.col("_tk"), F.col("_s"), window))).alias(
-            "_fp"
-        ),
+        # xxhash64 over the token-array slice itself: JVM-native (the
+        # r10 5M probe measured the old md5+conv+substring fingerprint
+        # at 91 s of a ~300 s job — per-span string building dominated)
+        # and structurally token-boundary-safe, unlike a concat_ws
+        # string which collides across boundaries. The fingerprint
+        # never surfaces in output, so the DuckDB oracle groups by the
+        # literal window text instead — no cross-engine hash coupling.
+        F.xxhash64(F.slice(F.col("_tk"), F.col("_s"), window)).alias("_fp"),
     )
-    dup = (
-        spans.groupBy("_fp")
-        .agg(F.count_distinct("_doc").alias("_docs"))
-        .filter(F.col("_docs") >= min_dup_docs)
-        .select("_fp")
-    )
+    if min_dup_docs == 2:
+        # "appears in >= 2 distinct docs" is exactly min(doc) != max(doc)
+        # — a plain one-shuffle aggregate. count_distinct compiles to an
+        # Expand + TWO full shuffles of the span frame with per-group
+        # hash-set state; the r10 5M-doc probe measured that plan
+        # superlinear (11.6 s -> 205.7 s for 10x docs, hash-agg spill),
+        # while min/max stays a slim map-side-combinable state.
+        dup = (
+            spans.groupBy("_fp")
+            .agg(F.min("_doc").alias("_lo"), F.max("_doc").alias("_hi"))
+            .filter(F.col("_lo") != F.col("_hi"))
+            .select("_fp")
+        )
+    else:
+        dup = (
+            spans.groupBy("_fp")
+            .agg(F.count_distinct("_doc").alias("_docs"))
+            .filter(F.col("_docs") >= min_dup_docs)
+            .select("_fp")
+        )
+    # shuffle-hash, not sort-merge: the span frame is the corpus x
+    # positions (240M rows at 5M docs) — sorting it for an SMJ is the
+    # join's whole cost; hashing the duplicated-fp side (bounded by the
+    # true duplication volume) streams the big side through. Both sides
+    # arrive partitioned by _fp, and the spans-side exchange is the
+    # same subtree the dup aggregation consumed, so it is reused.
     dup_starts = (
-        spans.join(dup, "_fp")
+        spans.join(dup.hint("shuffle_hash"), "_fp")
         .groupBy("_doc")
         .agg(F.array_sort(F.collect_list("_s")).alias("_starts"))
     )

@@ -1026,8 +1026,10 @@ WITH t AS (
 ), spans AS (
   SELECT doc_id, unnest(range(1, greatest(len(tk) - 8 + 2, 1))) AS s FROM t
 ), fp AS (
-  SELECT spans.doc_id, s,
-         {_sql_hash60("array_to_string(tk[s:s+7], ' ')")} AS h
+  -- the operator's fingerprint (xxhash64 of the token slice) never
+  -- surfaces in output, so the replay groups by the LITERAL window
+  -- text — exact semantics, no cross-engine hash coupling
+  SELECT spans.doc_id, s, array_to_string(tk[s:s+7], chr(30)) AS h
   FROM spans JOIN t USING (doc_id)
 ), dup AS (
   SELECT h FROM fp GROUP BY h HAVING count(distinct doc_id) >= 2
