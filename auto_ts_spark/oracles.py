@@ -1995,6 +1995,39 @@ FROM (VALUES
 ) AS t(media_id, frame_idx, mean_gray, std_gray)
 """
 
+# The audio query decodes REAL RIFF/WAV payloads (PCM16 sines at
+# 220+10i Hz from multimodal._audio_wave) and computes Hann-windowed
+# power-spectral features — the centroid of a pure tone IS its
+# frequency, so these constants are self-evidently correct (each
+# centroid lands within 3e-6 Hz of the generator's 220+10i), not just
+# platform-stable. Regenerate with the snippet in
+# tests/test_multimodal_oracle.py if the wave generator or the
+# spectral math changes.
+_SQL_AUDIO_SPECTRAL = """
+SELECT cast(media_id AS BIGINT) AS media_id,
+       cast(spectral_centroid_hz AS double) AS spectral_centroid_hz,
+       cast(rolloff85_hz AS double) AS rolloff85_hz,
+       cast(flatness AS double) AS flatness
+FROM (VALUES
+  (0, 220.000002, 221.0, 0.0),
+  (1, 230.000002, 230.769231, 0.0),
+  (2, 240.000002, 240.518962, 0.0),
+  (3, 250.000002, 250.249252, 0.0),
+  (4, 260.000002, 260.956175, 0.0),
+  (5, 270.000002, 270.646766, 0.0),
+  (6, 280.000002, 280.318091, 0.0),
+  (7, 290.000002, 290.963257, 0.0),
+  (8, 300.000002, 300.595238, 0.0),
+  (9, 310.000002, 310.208127, 0.0),
+  (10, 320.000002, 320.792079, 0.0),
+  (11, 330.000002, 330.365974, 0.0),
+  (12, 340.000002, 340.909091, 0.0),
+  (13, 350.000002, 350.444225, 0.0),
+  (14, 360.000003, 360.946746, 0.0),
+  (15, 370.000002, 370.44335, 0.0)
+) AS t(media_id, spectral_centroid_hz, rolloff85_hz, flatness)
+"""
+
 # Misra-Gries heavy hitters (operators/sketches.py, r10): at test
 # scale no partition exceeds `capacity` distinct bigrams, so the
 # summary provably never deflates and the result is EXACT — the oracle
@@ -2080,6 +2113,7 @@ ORACLES: dict[str, str] = {
     "heavy_hitters": _SQL_HEAVY_HITTERS,
     "stratified_sample": _SQL_STRATIFIED_SAMPLE,
     "video_frame_features": _SQL_VIDEO_FRAME_FEATURES,
+    "audio_spectral_features": _SQL_AUDIO_SPECTRAL,
     "resample_ffill": _SQL_RESAMPLE_FFILL,
     "asof_join": _SQL_ASOF_JOIN,
     "asof_join_forward": _SQL_ASOF_JOIN_FORWARD,

@@ -373,3 +373,47 @@ def test_gif_palette_exact_guard_and_dispatch():
     pal = np.random.RandomState(5).randint(0, 256, (8, 3), np.uint8)
     small = pal[np.random.RandomState(6).randint(0, 8, (6, 10))]
     assert np.array_equal(decode_image(encode_gif(small)), small)
+
+
+# ------------------------------------------------------- audio spectral (r10)
+
+
+def test_spectral_centroid_is_the_tone_frequency():
+    """The self-evidence check behind the audio_spectral_features
+    oracle: a Hann-windowed power-spectral centroid of a pure sine
+    equals its frequency (to micro-Hz), for every synthetic payload."""
+    from auto_ts_spark.operators.multimodal import (
+        _audio_wave,
+        decode_audio,
+        encode_wav,
+    )
+
+    for i in (0, 3, 7, 15):
+        sr = 16000
+        n = sr * (1000 + i) // 1000
+        wave = decode_audio(encode_wav(_audio_wave(i, n, sr), sr), n).astype(
+            np.float64
+        )
+        spec = np.abs(np.fft.rfft(wave * np.hanning(len(wave))))
+        freqs = np.fft.rfftfreq(len(wave), d=1.0 / sr)
+        energy = spec**2
+        centroid = (freqs * energy).sum() / energy.sum()
+        assert abs(centroid - (220.0 + 10.0 * i)) < 1e-3, (i, centroid)
+
+
+def test_spectral_flatness_separates_tone_from_noise():
+    from auto_ts_spark.operators.multimodal import audio_spectral_features  # noqa: F401 (import path)
+    import numpy as np
+
+    sr = 8000
+    t = np.arange(sr) / sr
+    tone = np.sin(2 * np.pi * 440 * t)
+    noise = np.random.RandomState(0).uniform(-1, 1, sr)
+
+    def flat(w):
+        spec = np.abs(np.fft.rfft(w * np.hanning(len(w))))
+        p = spec**2 + 1e-20
+        return float(np.exp(np.mean(np.log(p))) / np.mean(p))
+
+    assert flat(tone) < 1e-6
+    assert flat(noise) > 0.5
