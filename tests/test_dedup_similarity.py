@@ -259,12 +259,15 @@ def test_audio_features_shape(spark):
 
 
 def test_resize_images_real_nearest_neighbor(spark):
-    """resize_images on real BMP payloads: output is itself a decodable
-    BMP whose pixels are the exact nearest-neighbor index sample of the
-    source image (2x upscale of the top-left pixel block)."""
+    """resize_images on real payloads (the BMP/JPEG/PNG/GIF schedule):
+    output is itself a decodable BMP whose pixels are the exact
+    nearest-neighbor index sample of what the REAL codec decode of the
+    source payload produces (JPEG is lossy, GIF palettized — so the
+    reference is the decoded payload, not the generator array)."""
     from auto_ts_spark.operators.multimodal import (
-        _image_array,
+        _image_payload,
         decode_bmp,
+        decode_image,
         resize_images,
         synthetic_media,
     )
@@ -273,7 +276,7 @@ def test_resize_images_real_nearest_neighbor(spark):
     out = resize_images(media, width=16, height=12).toPandas()
     assert len(out) == 4 and (out["width"] == 16).all()
     for row in out.itertuples(index=False):
-        src = _image_array(row.media_id)
+        src = decode_image(_image_payload(row.media_id)[0])
         img = decode_bmp(bytes(row.content))
         ys = (np.arange(12) * src.shape[0]) // 12
         xs = (np.arange(16) * src.shape[1]) // 16
@@ -281,18 +284,20 @@ def test_resize_images_real_nearest_neighbor(spark):
 
 
 def test_decode_and_featurize_real_vs_fake_paths(spark):
-    """The featurizer decodes real BMPs bit-exactly (means match the
-    source arrays) while real=False payloads route to the documented
-    fake fallback."""
+    """The featurizer's output equals a local decode of the same
+    payload bit-exactly (real codecs all the way down; JPEG rows are
+    lossy but deterministic, so the reference is the decoded payload)
+    while real=False payloads route to the documented fake fallback."""
     from auto_ts_spark.operators.multimodal import (
-        _image_array,
+        _image_payload,
         decode_and_featurize,
+        decode_image,
         synthetic_media,
     )
 
     real = decode_and_featurize(synthetic_media(spark, 3, kind="image")).toPandas()
     for row in real.itertuples(index=False):
-        src = _image_array(row.media_id).astype(np.float64)
+        src = decode_image(_image_payload(row.media_id)[0]).astype(np.float64)
         assert abs(row.mean_r - src[:, :, 0].mean()) < 1e-12
         assert abs(row.std_gray - src.mean(axis=2).std()) < 1e-12
     fake = decode_and_featurize(
