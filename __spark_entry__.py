@@ -2364,6 +2364,55 @@ def q_audio_spectral_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W19 + sketches (r10): term-sharded Misra-Gries heavy hitters
+    under Structured Streaming (applyInPandasWithState; state bounded
+    at capacity x n_shards FOREVER, independent of stream length).
+    Drains the documents table as a bounded stream, keeps each shard's
+    final (max-seq) summary, and emits the global bigram top-20. At
+    this capacity no shard ever deflates, so the oracle is the exact
+    bigram top-k with the certificate pinned to exact=true — the same
+    value-check as the batch twin, now through the streaming state
+    store; the deflation regime is pytest-forced."""
+    import os
+    import tempfile
+    import uuid
+
+    from pyspark.sql import Window
+
+    from auto_ts_spark.streaming import ops as ST
+
+    schema = load_table(spark, sf_dir, "documents").schema
+    # the file stream source only accepts directories (the
+    # read_event_stream_nanos symlink pattern)
+    src = f"{sf_dir}/documents.parquet"
+    if os.path.isfile(src):
+        d = tempfile.mkdtemp(prefix="stream_src_")
+        os.symlink(os.path.abspath(src), os.path.join(d, "documents.parquet"))
+        src = d
+    docs = spark.readStream.schema(schema).parquet(src)
+    hh = ST.streaming_heavy_hitters(docs, capacity=4096, n_shards=8, ngram=2)
+    sink = f"stream_hh_{uuid.uuid4().hex[:8]}"
+    ST.run_to_completion(
+        hh, sink_table=sink, checkpoint_dir=tempfile.mkdtemp(prefix="ckpt_")
+    )
+    w = Window.partitionBy("shard").orderBy(F.col("seq").desc())
+    final = (
+        spark.table(sink)
+        .withColumn("_mx", F.max("seq").over(w))
+        .filter(F.col("seq") == F.col("_mx"))
+    )
+    return (
+        final.select(
+            "term",
+            F.col("est").alias("est_count"),
+            (F.col("defl") == 0).alias("exact"),
+        )
+        .orderBy(F.desc("est_count"), "term")
+        .limit(20)
+    )
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -2372,7 +2421,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # samples a 50-query prefix of this dict, so the dict is kept in
     # EXPLICIT ROUND-ROBIN order — every round, the queries whose last
     # driver row is oldest move to the front and the queries the
-    # driver just checked rotate below the line. With 110 registered
+    # driver just checked rotate below the line. With 111 registered
     # queries and a 50-slot window this bounds driver staleness at
     # ~one round for every query (local sf0.01 parity covers the off
     # rounds). r10 window: zero overlap with CORRECTNESS_r09 keys —
@@ -2382,11 +2431,12 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # every remaining query the r9 driver did not check. The displaced
     # tail (slice twins + rows-only entries, weakest driver signal,
     # strong pytest coverage) rotates into the r11 front.
-    # --- new in r10 (8): as-of nearest+tolerance and strict (the
+    # --- new in r10 (9): as-of nearest+tolerance and strict (the
     # last pandas-only merge_asof modes get DuckDB oracle rows), the
     # BPE tokenizer surface (pair statistic + train/tokenize contract,
-    # operators/bpe.py), Misra-Gries heavy hitters (sketches.py),
-    # exact content-addressed stratified sampling (sampling.py), real
+    # operators/bpe.py), Misra-Gries heavy hitters — batch AND
+    # streaming-stateful (sketches.py, streaming/ops.py), exact
+    # content-addressed stratified sampling (sampling.py), real
     # raw-DIB AVI video decode + frame features, and Hann-windowed
     # audio spectral features (multimodal) ---
     "asof_join_nearest": q_asof_join_nearest,
@@ -2397,6 +2447,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_sample": q_stratified_sample,
     "video_frame_features": q_video_frame_features,
     "audio_spectral_features": q_audio_spectral_features,
+    "streaming_heavy_hitters": q_streaming_heavy_hitters,
     # --- last driver row r6 (r9 overflow) ---
     "quality_classifier": q_quality_classifier,
     # --- not checked by the r9 driver (last green r7/r8) ---
@@ -2440,9 +2491,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "expanding_folds": q_expanding_folds,
     "sliding_folds": q_sliding_folds,
     "naive_forecast_metrics": q_naive_forecast_metrics,
-    "drift_profile": q_drift_profile,
     # ================= 50-slot window boundary =================
-    # --- displaced by the six new r10 entries (r11 front) ---
+    # --- displaced by the seven new r10 entries (r11 front) ---
+    "drift_profile": q_drift_profile,
     "c4_line_clean": q_c4_line_clean,
     "boilerplate_lines": q_boilerplate_lines,
     "semantic_dedup_ivf": q_semantic_dedup_ivf,

@@ -2047,6 +2047,22 @@ SELECT term, est_count, cast(0 AS BIGINT) AS max_undercount, true AS exact
 FROM c ORDER BY est_count DESC, term LIMIT 20
 """
 
+# streaming twin: same exact-regime argument as _SQL_HEAVY_HITTERS —
+# per-shard capacity is never exceeded at test scale, so the streaming
+# Misra-Gries state equals exact counts and defl==0 on every shard
+_SQL_STREAMING_HEAVY_HITTERS = f"""
+WITH base AS (
+  SELECT doc_id AS id, {_SQL_TOKS} AS toks FROM documents
+), sh AS (
+  SELECT unnest({_sql_shingles(2, distinct=False)}) AS term FROM base
+), c AS (
+  SELECT term, cast(count(*) AS BIGINT) AS est_count
+  FROM sh WHERE term <> '' GROUP BY term
+)
+SELECT term, est_count, true AS exact
+FROM c ORDER BY est_count DESC, term LIMIT 20
+"""
+
 _SQL_STRATIFIED_SAMPLE = f"""
 WITH r AS (
   SELECT doc_id, source, lang,
@@ -2111,6 +2127,7 @@ ORACLES: dict[str, str] = {
     "bpe_pair_counts": _SQL_BPE_PAIR_COUNTS,
     "bpe_tokenize_contract": _SQL_BPE_TOKENIZE_CONTRACT,
     "heavy_hitters": _SQL_HEAVY_HITTERS,
+    "streaming_heavy_hitters": _SQL_STREAMING_HEAVY_HITTERS,
     "stratified_sample": _SQL_STRATIFIED_SAMPLE,
     "video_frame_features": _SQL_VIDEO_FRAME_FEATURES,
     "audio_spectral_features": _SQL_AUDIO_SPECTRAL,

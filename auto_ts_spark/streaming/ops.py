@@ -401,3 +401,100 @@ def dedup_stream(
     return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         list(key_cols)
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming heavy hitters (r10): term-sharded Misra-Gries state.
+# ---------------------------------------------------------------------------
+
+_HH_STATE = (
+    "terms array<string>, counts array<long>, defl long, seq long"
+)
+_HH_OUT = StructType(
+    [
+        StructField("shard", LongType()),
+        StructField("seq", LongType()),
+        StructField("term", StringType()),
+        StructField("est", LongType()),
+        StructField("defl", LongType()),
+    ]
+)
+
+
+def streaming_heavy_hitters(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    capacity: int = 4096,
+    n_shards: int = 8,
+    ngram: int = 1,
+) -> DataFrame:
+    """Streaming top terms with BOUNDED state: the streaming form of
+    ``operators.sketches.approx_heavy_hitters``. Terms shard by hash
+    (each term always lands in one shard), and each shard folds its
+    micro-batches into a Misra-Gries summary of at most ``capacity``
+    counters via ``applyInPandasWithState`` — total state is
+    capacity x n_shards rows FOREVER, independent of stream length,
+    which is the whole point: an exact streaming groupBy-count grows
+    state with the term universe. Summaries are mergeable per batch
+    (same `_mg_merge` kernel as the batch op), so every emission
+    carries the shard's current estimates plus its cumulative
+    deflation ``defl`` — the per-shard error certificate
+    (est <= true <= est + defl, and defl == 0 means exact so far).
+    Each batch emits the full summary tagged with a monotone ``seq``;
+    the reader keeps each shard's max-seq rows (the forecast-state
+    pattern). n_shards scales the stateful stage horizontally — at
+    cluster scale use hundreds."""
+    from auto_ts_spark.functions import text as TX
+    from auto_ts_spark.operators.sketches import _mg_merge
+
+    terms_col = (
+        TX.tokens(F.col(text_col))
+        if ngram == 1
+        else TX.shingles(F.col(text_col), ngram)
+    )
+    terms = docs.select(F.explode(terms_col).alias("term")).filter(
+        F.col("term") != ""
+    )
+    sharded = terms.withColumn(
+        "shard", F.pmod(F.xxhash64("term"), F.lit(n_shards))
+    )
+
+    def update(key, pdfs, state: GroupState):
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        vc = batch["term"].value_counts()
+        if state.exists:
+            terms_l, counts_l, defl, seq = state.get
+            prev = pd.Series(
+                [int(c) for c in counts_l], index=list(terms_l), dtype="int64"
+            )
+        else:
+            prev, defl, seq = None, 0, 0
+        merged, d = _mg_merge(prev, vc, capacity)
+        defl = int(defl) + int(d)
+        seq = int(seq) + 1
+        state.update(
+            (
+                [str(t) for t in merged.index],
+                [int(c) for c in merged.values],
+                defl,
+                seq,
+            )
+        )
+        yield pd.DataFrame(
+            {
+                "shard": int(key[0]),
+                "seq": seq,
+                "term": merged.index.astype(str),
+                "est": merged.values.astype("int64"),
+                "defl": defl,
+            }
+        )
+
+    return sharded.groupBy("shard").applyInPandasWithState(
+        update,
+        outputStructType=_HH_OUT,
+        stateStructType=_HH_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

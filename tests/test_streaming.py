@@ -167,3 +167,54 @@ def test_nanos_directory_source(spark, tmp_path):
     pdf = got.toPandas().sort_values("event_type").reset_index(drop=True)
     assert list(pdf["n"]) == [2, 2]
     assert pdf["max_ts"].max() == base + pd.Timedelta(minutes=3)
+
+
+def test_streaming_heavy_hitters_equals_batch_and_bounds_state(spark, tmp_path):
+    """Term-sharded streaming Misra-Gries: with ample capacity the
+    drained summaries equal the exact batch counts (defl 0 on every
+    shard); with adversarial capacity the error certificate holds and
+    state stays bounded at capacity x n_shards."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from auto_ts_spark.functions import text as TX
+    from auto_ts_spark.streaming import ops as ST
+
+    batch = spark.createDataFrame(
+        [(i, f"alpha beta gamma doc{i % 7} alpha beta",) for i in range(200)],
+        ["doc_id", "text"],
+    )
+    src = str(tmp_path / "docs")
+    batch.write.parquet(src)
+    exact = {
+        r["term"]: r["count"]
+        for r in batch.select(F.explode(TX.tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .count()
+        .collect()
+    }
+
+    def drain(capacity):
+        docs = spark.readStream.schema(batch.schema).parquet(src)
+        hh = ST.streaming_heavy_hitters(
+            docs, capacity=capacity, n_shards=4, ngram=1
+        )
+        sink = f"hh_{capacity}_{abs(hash(src)) % 10_000}"
+        ST.run_to_completion(
+            hh, sink_table=sink, checkpoint_dir=str(tmp_path / f"ckpt{capacity}")
+        )
+        pdf = spark.table(sink).toPandas()
+        final = pdf[pdf.groupby("shard")["seq"].transform("max") == pdf["seq"]]
+        return final
+
+    # ample capacity: exact everywhere
+    final = drain(1024)
+    assert (final["defl"] == 0).all()
+    got = dict(zip(final["term"], final["est"]))
+    assert got == exact
+    # adversarial capacity: bounded state + certificate
+    final = drain(2)
+    assert len(final) <= 2 * 4 + 4  # capacity x shards (+1 slack per shard)
+    for row in final.itertuples(index=False):
+        true = exact[row.term]
+        assert row.est <= true <= row.est + row.defl, (row, true)
