@@ -2295,16 +2295,20 @@ def q_bpe_tokenize_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-extension (operators/sketches.py, r10): Misra-Gries
-    top-20 word BIGRAMS with bounded per-partition state (capacity
-    4096) and a self-certifying error column. At every test sf the
-    bigram universe fits the capacity, so the summary provably never
-    deflates and the oracle is the exact bigram top-k with
-    (max_undercount, exact) pinned to (0, true); the deflation regime
-    is pytest-checked adversarially."""
+    top-20 terms with bounded per-partition state (capacity 65536) and
+    a self-certifying error column. Unigrams, NOT bigrams: the fixture
+    vocabulary grows with sf (31 → 290 at sf1 → ~3k at sf10) and the
+    bigram universe grows with its SQUARE (84k at sf1 — an sf1 parity
+    run caught the 4096-capacity bigram form deflating, measured
+    before choosing this shape), so only the unigram universe keeps
+    the provably-never-deflates exact regime at every sweep scale.
+    The oracle is the exact top-k with (max_undercount, exact) pinned
+    to (0, true); bigram + deflation regimes are pytest-checked
+    adversarially."""
     from auto_ts_spark.operators.sketches import approx_heavy_hitters
 
     docs = load_table(spark, sf_dir, "documents")
-    return approx_heavy_hitters(docs, k=20, capacity=4096, ngram=2)
+    return approx_heavy_hitters(docs, k=20, capacity=65536, ngram=1)
 
 
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2369,11 +2373,12 @@ def q_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     under Structured Streaming (applyInPandasWithState; state bounded
     at capacity x n_shards FOREVER, independent of stream length).
     Drains the documents table as a bounded stream, keeps each shard's
-    final (max-seq) summary, and emits the global bigram top-20. At
-    this capacity no shard ever deflates, so the oracle is the exact
-    bigram top-k with the certificate pinned to exact=true — the same
-    value-check as the batch twin, now through the streaming state
-    store; the deflation regime is pytest-forced."""
+    final (max-seq) summary, and emits the global unigram top-20
+    (unigrams for the same scale-stability reason as the batch twin —
+    see q_heavy_hitters). At this capacity no shard ever deflates, so
+    the oracle is the exact top-k with the certificate pinned to
+    exact=true — the same value-check as the batch twin, now through
+    the streaming state store; the deflation regime is pytest-forced."""
     import os
     import tempfile
     import uuid
@@ -2391,7 +2396,7 @@ def q_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.symlink(os.path.abspath(src), os.path.join(d, "documents.parquet"))
         src = d
     docs = spark.readStream.schema(schema).parquet(src)
-    hh = ST.streaming_heavy_hitters(docs, capacity=4096, n_shards=8, ngram=2)
+    hh = ST.streaming_heavy_hitters(docs, capacity=65536, n_shards=8, ngram=1)
     sink = f"stream_hh_{uuid.uuid4().hex[:8]}"
     ST.run_to_completion(
         hh, sink_table=sink, checkpoint_dir=tempfile.mkdtemp(prefix="ckpt_")

@@ -2028,36 +2028,36 @@ FROM (VALUES
 ) AS t(media_id, spectral_centroid_hz, rolloff85_hz, flatness)
 """
 
-# Misra-Gries heavy hitters (operators/sketches.py, r10): at test
-# scale no partition exceeds `capacity` distinct bigrams, so the
-# summary provably never deflates and the result is EXACT — the oracle
-# is therefore the plain exact bigram top-k with the error certificate
-# pinned to (0, true). The deflation regime is pytest-checked
-# adversarially (tests/test_sketches.py).
-_SQL_HEAVY_HITTERS = f"""
-WITH base AS (
-  SELECT doc_id AS id, {_SQL_TOKS} AS toks FROM documents
-), sh AS (
-  SELECT unnest({_sql_shingles(2, distinct=False)}) AS term FROM base
-), c AS (
-  SELECT term, cast(count(*) AS BIGINT) AS est_count
-  FROM sh WHERE term <> '' GROUP BY term
+# Misra-Gries heavy hitters (operators/sketches.py, r10): UNIGRAMS —
+# the fixture vocabulary grows with sf and the bigram universe with
+# its square (84k distinct at sf1; an sf1 parity run caught a bigram
+# form deflating), so only the unigram universe keeps "no partition
+# ever exceeds capacity" true at every sweep scale. The summary then
+# provably never deflates and the result is EXACT — the oracle is the
+# plain exact top-k with the error certificate pinned to (0, true).
+# Bigram + deflation regimes are pytest-checked adversarially
+# (tests/test_sketches.py).
+_SQL_HEAVY_HITTERS = """
+WITH c AS (
+  SELECT t.term, cast(count(*) AS BIGINT) AS est_count FROM (
+    SELECT unnest(string_split_regex(trim(regexp_replace(lower(text),
+           '[^a-z0-9]+', ' ', 'g')), ' ')) AS term FROM documents
+  ) t WHERE t.term <> '' GROUP BY t.term
 )
 SELECT term, est_count, cast(0 AS BIGINT) AS max_undercount, true AS exact
 FROM c ORDER BY est_count DESC, term LIMIT 20
 """
 
-# streaming twin: same exact-regime argument as _SQL_HEAVY_HITTERS —
-# per-shard capacity is never exceeded at test scale, so the streaming
-# Misra-Gries state equals exact counts and defl==0 on every shard
-_SQL_STREAMING_HEAVY_HITTERS = f"""
-WITH base AS (
-  SELECT doc_id AS id, {_SQL_TOKS} AS toks FROM documents
-), sh AS (
-  SELECT unnest({_sql_shingles(2, distinct=False)}) AS term FROM base
-), c AS (
-  SELECT term, cast(count(*) AS BIGINT) AS est_count
-  FROM sh WHERE term <> '' GROUP BY term
+# streaming twin: same exact-regime (unigram) argument as
+# _SQL_HEAVY_HITTERS — per-shard capacity is never exceeded at any
+# sweep scale, so the streaming Misra-Gries state equals exact counts
+# and defl==0 on every shard
+_SQL_STREAMING_HEAVY_HITTERS = """
+WITH c AS (
+  SELECT t.term, cast(count(*) AS BIGINT) AS est_count FROM (
+    SELECT unnest(string_split_regex(trim(regexp_replace(lower(text),
+           '[^a-z0-9]+', ' ', 'g')), ' ')) AS term FROM documents
+  ) t WHERE t.term <> '' GROUP BY t.term
 )
 SELECT term, est_count, true AS exact
 FROM c ORDER BY est_count DESC, term LIMIT 20
