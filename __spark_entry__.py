@@ -93,7 +93,7 @@ def q_tpch_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     charge = dec(
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
     )
-    return (
+    agg = (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
@@ -101,11 +101,29 @@ def q_tpch_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             micros(dec(F.col("l_extendedprice"))).alias("sum_base_price_micros"),
             micros(disc_price).alias("sum_disc_price_micros"),
             micros(charge).alias("sum_charge_micros"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            micros(dec(F.col("l_discount"))).alias("_sum_disc_micros"),
             F.count(F.lit(1)).alias("count_order"),
         )
+    )
+    # averages as exact integer micro-units with half-up RATIONAL
+    # rounding — floor((2p+q)/(2q)) over bigints is identical in any
+    # engine, where round(avg(double),6) ties at the 6th decimal
+    # differ by summation order (an sf1 parity run caught avg_price
+    # flipping a ...5-tie; same class as the r6 dsir_weights fix)
+    avg6 = lambda s: F.expr(  # noqa: E731
+        f"cast((2 * {s} + count_order) DIV (2 * count_order) AS double) / 1e6"
+    )
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        "sum_qty_micros",
+        "sum_base_price_micros",
+        "sum_disc_price_micros",
+        "sum_charge_micros",
+        avg6("sum_qty_micros").alias("avg_qty"),
+        avg6("sum_base_price_micros").alias("avg_price"),
+        avg6("_sum_disc_micros").alias("avg_disc"),
+        "count_order",
     )
 
 

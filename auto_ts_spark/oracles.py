@@ -38,19 +38,31 @@ _SQL_DAILY = (
     "  FROM events GROUP BY 1"
 )
 
+# averages replayed as exact integer micro-units with half-up
+# rational rounding floor((2p+q)/(2q)) — engine-independent where
+# round(avg(double),6) ties at the 6th decimal depend on summation
+# order (sf1 caught avg_price flipping a ...5-tie)
 _SQL_TPCH_Q1 = """
+WITH s AS (
+  SELECT l_returnflag, l_linestatus,
+         cast(sum(cast(l_quantity as decimal(28,6))) * 1000000 as bigint) AS sum_qty_micros,
+         cast(sum(cast(l_extendedprice as decimal(28,6))) * 1000000 as bigint) AS sum_base_price_micros,
+         cast(sum(cast(l_extendedprice * (1 - l_discount) as decimal(28,6))) * 1000000 as bigint) AS sum_disc_price_micros,
+         cast(sum(cast(l_extendedprice * (1 - l_discount) * (1 + l_tax) as decimal(28,6))) * 1000000 as bigint) AS sum_charge_micros,
+         cast(sum(cast(l_discount as decimal(28,6))) * 1000000 as bigint) AS sum_disc_micros,
+         count(*) AS count_order
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+  GROUP BY l_returnflag, l_linestatus
+)
 SELECT l_returnflag, l_linestatus,
-       cast(sum(cast(l_quantity as decimal(28,6))) * 1000000 as bigint) AS sum_qty_micros,
-       cast(sum(cast(l_extendedprice as decimal(28,6))) * 1000000 as bigint) AS sum_base_price_micros,
-       cast(sum(cast(l_extendedprice * (1 - l_discount) as decimal(28,6))) * 1000000 as bigint) AS sum_disc_price_micros,
-       cast(sum(cast(l_extendedprice * (1 - l_discount) * (1 + l_tax) as decimal(28,6))) * 1000000 as bigint) AS sum_charge_micros,
-       round(avg(l_quantity), 6) AS avg_qty,
-       round(avg(l_extendedprice), 6) AS avg_price,
-       round(avg(l_discount), 6) AS avg_disc,
-       count(*) AS count_order
-FROM lineitem
-WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-GROUP BY l_returnflag, l_linestatus
+       sum_qty_micros, sum_base_price_micros,
+       sum_disc_price_micros, sum_charge_micros,
+       cast((2 * sum_qty_micros + count_order) // (2 * count_order) AS double) / 1e6 AS avg_qty,
+       cast((2 * sum_base_price_micros + count_order) // (2 * count_order) AS double) / 1e6 AS avg_price,
+       cast((2 * sum_disc_micros + count_order) // (2 * count_order) AS double) / 1e6 AS avg_disc,
+       count_order
+FROM s
 """
 
 _SQL_SHIPPING_PRIORITY = """
