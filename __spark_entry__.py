@@ -106,12 +106,17 @@ def q_tpch_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # averages as exact integer micro-units with half-up RATIONAL
-    # rounding — floor((2p+q)/(2q)) over bigints is identical in any
-    # engine, where round(avg(double),6) ties at the 6th decimal
-    # differ by summation order (an sf1 parity run caught avg_price
-    # flipping a ...5-tie; same class as the r6 dsir_weights fix)
+    # rounding — p DIV q plus a remainder tie-adjust (2*(p%q) >= q)
+    # is floor((2p+q)/(2q)) without ever doubling p, so the int64
+    # headroom of the micro-unit sums is preserved (2*p overflowed
+    # bigint around sf>=20); identical in any engine, where
+    # round(avg(double),6) ties at the 6th decimal differ by
+    # summation order (an sf1 parity run caught avg_price flipping
+    # a ...5-tie; same class as the r6 dsir_weights fix)
     avg6 = lambda s: F.expr(  # noqa: E731
-        f"cast((2 * {s} + count_order) DIV (2 * count_order) AS double) / 1e6"
+        f"cast(({s} DIV count_order)"
+        f" + (CASE WHEN 2 * ({s} % count_order) >= count_order"
+        f"     THEN 1 ELSE 0 END) AS double) / 1e6"
     )
     return agg.select(
         "l_returnflag",
@@ -2294,6 +2299,10 @@ def q_bpe_tokenize_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("char_total"),
     ).collect()[0]
+    # train_bpe legitimately returns [] when no pair reaches
+    # min_pair_count (tiny/degenerate corpus) — emit NULL first merge
+    # rather than crash, keeping the contract row comparable
+    first = merges[0] if merges else (None, None)
     spark_df = spark.createDataFrame(
         [
             (
@@ -2301,8 +2310,8 @@ def q_bpe_tokenize_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 bool(stats["coverage"] == 1.0),
                 int(checks["detok_mismatches"]) == 0,
                 int(checks["bpe_total"]) < int(checks["char_total"]),
-                merges[0][0],
-                merges[0][1],
+                first[0],
+                first[1],
             )
         ],
         "n_merges int, coverage_full boolean, detok_lossless boolean, "

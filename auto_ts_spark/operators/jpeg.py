@@ -601,6 +601,19 @@ def decode_jpeg(content: bytes) -> np.ndarray:
     if frame is None or scan is None:
         raise ValueError("invalid JPEG: missing SOF/SOS")
     fh, fw, comps = frame
+    # A baseline decoder that only reads the FIRST scan must insist
+    # that it is the single interleaved scan covering every frame
+    # component in frame order; a legal multi-scan (non-interleaved)
+    # baseline stream would otherwise silently decode block-scrambled
+    # / Y-only pixels. Rejecting routes it to decode_image's
+    # documented deterministic fallback like the other unsupported
+    # modes.
+    if len(scan) != len(comps) or [s[0] for s in scan] != [c[0] for c in comps]:
+        raise ValueError(
+            "unsupported JPEG scan layout: expected one interleaved scan "
+            f"covering all {len(comps)} frame components in frame order, "
+            f"got scan components {[s[0] for s in scan]}"
+        )
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcus_x = -(-fw // (8 * hmax))

@@ -478,7 +478,13 @@ def decode_image(content: bytes, width: int = 0, height: int = 0) -> np.ndarray:
                 return np.repeat(img[:, :, None], 3, axis=2)
             return img
         if content[:4] == b"GIF8":
-            return decode_gif(content)
+            try:
+                return decode_gif(content)
+            except (ValueError, IndexError, struct.error):
+                # truncated/corrupt GIF container or LZW stream: one
+                # bad payload must route to the documented fake, not
+                # kill the whole mapInPandas job
+                return _fake_decode_image(content, width, height)
     return _fake_decode_image(content, width, height)
 
 

@@ -39,7 +39,9 @@ _SQL_DAILY = (
 )
 
 # averages replayed as exact integer micro-units with half-up
-# rational rounding floor((2p+q)/(2q)) — engine-independent where
+# rational rounding: p // q plus a remainder tie-adjust
+# (2*(p%q) >= q), i.e. floor((2p+q)/(2q)) without doubling p so the
+# int64 headroom of the sums is preserved — engine-independent where
 # round(avg(double),6) ties at the 6th decimal depend on summation
 # order (sf1 caught avg_price flipping a ...5-tie)
 _SQL_TPCH_Q1 = """
@@ -58,9 +60,12 @@ WITH s AS (
 SELECT l_returnflag, l_linestatus,
        sum_qty_micros, sum_base_price_micros,
        sum_disc_price_micros, sum_charge_micros,
-       cast((2 * sum_qty_micros + count_order) // (2 * count_order) AS double) / 1e6 AS avg_qty,
-       cast((2 * sum_base_price_micros + count_order) // (2 * count_order) AS double) / 1e6 AS avg_price,
-       cast((2 * sum_disc_micros + count_order) // (2 * count_order) AS double) / 1e6 AS avg_disc,
+       cast((sum_qty_micros // count_order)
+            + (CASE WHEN 2 * (sum_qty_micros % count_order) >= count_order THEN 1 ELSE 0 END) AS double) / 1e6 AS avg_qty,
+       cast((sum_base_price_micros // count_order)
+            + (CASE WHEN 2 * (sum_base_price_micros % count_order) >= count_order THEN 1 ELSE 0 END) AS double) / 1e6 AS avg_price,
+       cast((sum_disc_micros // count_order)
+            + (CASE WHEN 2 * (sum_disc_micros % count_order) >= count_order THEN 1 ELSE 0 END) AS double) / 1e6 AS avg_disc,
        count_order
 FROM s
 """

@@ -108,6 +108,27 @@ def test_decoder_rejects_progressive_and_bad_magic():
         decode_jpeg(b"\x89PNG not a jpeg")
 
 
+def test_decoder_rejects_non_interleaved_multi_scan():
+    """A baseline JPEG is allowed to split components across several
+    scans (non-interleaved); this decoder reads only the first scan,
+    so it must REJECT such streams (routing decode_image to the
+    documented fake) rather than silently produce Y-only/scrambled
+    pixels. Simulate by rewriting the SOS header to cover just one of
+    the three frame components."""
+    img = _gradient(16, 16)
+    payload = bytearray(encode_jpeg(img, 90))
+    sos = payload.find(b"\xff\xda")
+    (old_len,) = struct.unpack_from(">H", payload, sos + 2)
+    body = bytes(payload[sos + 4 : sos + 2 + old_len])
+    ns = body[0]
+    assert ns == 3  # color encode emits one interleaved YCbCr scan
+    new_body = bytes([1]) + body[1:3] + body[1 + 2 * ns :]  # first comp only
+    new_seg = struct.pack(">HH", 0xFFDA, len(new_body) + 2) + new_body
+    rewritten = bytes(payload[:sos]) + new_seg + bytes(payload[sos + 2 + old_len :])
+    with pytest.raises(ValueError, match="scan layout"):
+        decode_jpeg(rewritten)
+
+
 def test_decoder_accepts_sof1_and_16bit_dqt():
     """Third-party baseline files may use SOF1 (extended sequential —
     identical decode at 8-bit) and 16-bit-precision DQT entries; our

@@ -340,6 +340,21 @@ def test_gif_roundtrip_palette_sizes_and_interlace():
         ), n_colors
 
 
+def test_truncated_gif_routes_to_fake_not_crash():
+    """One corrupt GIF payload in a corpus must route decode_image to
+    the deterministic fake (like the JPEG branch), not raise out of
+    the mapInPandas job — truncated sub-block chains raise IndexError
+    from the container walk, which the dispatch now catches."""
+    from auto_ts_spark.operators.gif import encode_gif
+    from auto_ts_spark.operators.multimodal import decode_image
+
+    img = np.random.RandomState(7).randint(0, 256, (9, 11, 3), np.uint8)
+    payload = encode_gif(img)
+    for cut in (len(payload) // 3, len(payload) - 2, 14):
+        out = decode_image(payload[:cut], 11, 9)
+        assert out.shape == (9, 11, 3)  # fake at metadata dims, no crash
+
+
 def test_gif_lzw_table_reset_on_large_image():
     from auto_ts_spark.operators.gif import decode_gif, encode_gif
 
