@@ -605,14 +605,25 @@ def scrub_repeated_spans(
     chance cost exactly ``window`` tokens — the fixed-width window is
     what makes the suffix-array recipe shuffle-expressible.
 
-    Distributed shape — two bounded shuffles, like the boilerplate
-    remover: stage raw tokens once → explode (start, 60-bit window
-    fingerprint) pairs → per-fingerprint distinct-doc count (map-side
-    partial agg) → join the duplicated set back → per-doc sorted start
-    list → coverage/reassembly entirely in array expressions (no
-    second explode). The fingerprint (never the window text) crosses
-    the shuffle; per-doc state is one array bounded by the token
-    count.
+    Distributed shape — one lazy plan: stage raw tokens → explode
+    (start, 64-bit window fingerprint) pairs → explicit
+    ``repartition(col(fp))`` → per-fingerprint dup test → shuffle-hash
+    join the duplicated set back → per-doc sorted start list →
+    coverage/reassembly entirely in array expressions (no second
+    explode). The explicit repartition is the r11 scale fix: it moves
+    the dup aggregation entirely ABOVE the exchange, removing the
+    pre-exchange partial-aggregation maps that were pure overhead —
+    an r11 5M-doc A/B measured the default partial+final plan at
+    172 s for the dup aggregate vs 99-107 s repartitioned, and those
+    per-task maps over millions of mostly-unique fingerprints were
+    the allocation-failure/spill source the r10 in-chain probe hit on
+    an 8g heap (map-side combine buys nothing when almost every key
+    is unique). At true web-corpus scale the duplicated set is
+    billions of common 8-grams — a shuffle join is the honest plan;
+    when it is small, AQE's runtime stats convert the join to
+    broadcast on their own. The fingerprint (never the window text)
+    crosses the shuffle; per-doc state is one array bounded by the
+    token count.
 
     ``mode="profile"`` returns ``(id, clean_text, n_tokens_kept,
     n_tokens_removed)`` — NULL-text docs keep a row with NULL
@@ -649,6 +660,12 @@ def scrub_repeated_spans(
         # literal window text instead — no cross-engine hash coupling.
         F.xxhash64(F.slice(F.col("_tk"), F.col("_s"), window)).alias("_fp"),
     )
+    # Explicit fingerprint exchange BELOW the dup aggregate (see the
+    # docstring's measured rationale: kills the useless pre-exchange
+    # partial-agg maps — the r10 in-chain spill source). Partition
+    # count inherits spark.sql.shuffle.partitions — the session's
+    # cluster-scale knob — and AQE may coalesce.
+    spans = spans.repartition(F.col("_fp"))
     if min_dup_docs == 2:
         # "appears in >= 2 distinct docs" is exactly min(doc) != max(doc)
         # — a plain one-shuffle aggregate. count_distinct compiles to an
@@ -672,9 +689,10 @@ def scrub_repeated_spans(
     # shuffle-hash, not sort-merge: the span frame is the corpus x
     # positions (240M rows at 5M docs) — sorting it for an SMJ is the
     # join's whole cost; hashing the duplicated-fp side (bounded by the
-    # true duplication volume) streams the big side through. Both sides
-    # arrive partitioned by _fp, and the spans-side exchange is the
-    # same subtree the dup aggregation consumed, so it is reused.
+    # true duplication volume) streams the big side through. Both
+    # sides inherit the explicit _fp partitioning above, so the join
+    # itself inserts no exchange. A small dup side gets converted to
+    # broadcast by AQE's runtime stats without any eager driver probe.
     dup_starts = (
         spans.join(dup.hint("shuffle_hash"), "_fp")
         .groupBy("_doc")

@@ -5,6 +5,8 @@ planted spans."""
 
 from __future__ import annotations
 
+import re
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -68,6 +70,36 @@ def test_within_doc_repeat_alone_is_not_cross_doc(spark):
     )
     out = scrub_repeated_spans(df, window=8).toPandas().set_index("doc_id")
     assert out.loc[1, "n_tokens_removed"] == 0
+
+
+def test_no_partial_agg_below_fingerprint_exchange(spark, planted):
+    """Plan-shape pin for the r11 scale fix: the dup aggregation must
+    sit entirely ABOVE the explicit fingerprint exchange — the
+    pre-exchange partial-agg maps over mostly-unique fingerprints
+    were the r10 in-chain spill source (and a measured 172 s vs ~100 s
+    at 5M docs). Physical plans print top-down, so every
+    partial_min/partial_max must appear BEFORE (shallower than) its
+    REPARTITION_BY_COL exchange in the string."""
+    from auto_ts_spark.operators.textops import scrub_repeated_spans
+
+    plan = (
+        scrub_repeated_spans(planted, window=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "REPARTITION_BY_COL" in plan, plan
+    for m in re.finditer(r"partial_min\(_doc", plan):
+        rest = plan[m.end():]
+        assert "REPARTITION_BY_COL" in rest, plan
+
+    # and the degenerate no-duplication frame still keeps every token
+    out = (
+        scrub_repeated_spans(planted.filter(F.col("doc_id") >= 3), window=8)
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert int(out.loc[3, "n_tokens_removed"]) == 0
 
 
 def test_apply_mode_preserves_other_columns(spark, planted):
