@@ -1,13 +1,16 @@
-"""Baseline JPEG (ITU-T T.81, JFIF container) codec — pure numpy +
-stdlib ``struct``, no codec library.
+"""JPEG (ITU-T T.81, JFIF container) codec — pure numpy + stdlib
+``struct``, no codec library.
 
 Scope: what a training-data pipeline actually meets in the wild as
 "a JPEG" — baseline sequential DCT (SOF0, and SOF1 extended-sequential
-which decodes identically at 8-bit), Huffman entropy coding, grayscale
-or YCbCr with 4:4:4 / 4:2:2 / 4:2:0 chroma subsampling, restart
-markers. Progressive (SOF2), arithmetic coding, 12-bit precision and
-hierarchical modes raise a clear error instead of producing garbage —
-the honest-fallback contract of ``multimodal.decode_image``.
+which decodes identically at 8-bit) AND progressive DCT (SOF2,
+spectral selection + successive approximation, T.81 Annex G — the
+second-most-common JPEG flavor in real web corpora), Huffman entropy
+coding, grayscale or YCbCr with 4:4:4 / 4:2:2 / 4:2:0 chroma
+subsampling, restart markers. Arithmetic coding, 12-bit precision,
+lossless and hierarchical modes raise a clear error instead of
+producing garbage — the honest-fallback contract of
+``multimodal.decode_image``.
 
 Encoder: standard Annex-K quantization tables scaled by the libjpeg
 quality formula, standard Annex-K Huffman tables, selectable 4:4:4 or
@@ -327,16 +330,14 @@ def _dht_body(tc: int, th: int, bits: list[int], vals: list[int]) -> bytes:
     return bytes([tc << 4 | th] + bits + vals)
 
 
-def encode_jpeg(
-    arr: np.ndarray,
-    quality: int = 90,
-    subsampling: str = "4:4:4",
-    restart_interval: int = 0,
-) -> bytes:
-    """Encode an (h, w) grayscale or (h, w, 3) RGB uint8 array as a
-    baseline JFIF JPEG. ``subsampling``: "4:4:4" or "4:2:0" (ignored
-    for grayscale). ``restart_interval`` > 0 emits DRI + RSTn markers
-    every that many MCUs."""
+def _quantize_components(
+    arr: np.ndarray, quality: int, subsampling: str
+) -> tuple:
+    """Shared encoder front half: color convert, subsample, pad to the
+    MCU grid, FDCT + quantize. Returns (gray, h, w, hv, qy, qc,
+    quant_blocks, true_dims, mcus_x, mcus_y) where ``true_dims`` is
+    each component's non-padded block grid (what non-interleaved
+    progressive scans cover)."""
     arr = np.ascontiguousarray(arr, dtype=np.uint8)
     gray = arr.ndim == 2
     if not gray and (arr.ndim != 3 or arr.shape[2] != 3):
@@ -371,6 +372,7 @@ def encode_jpeg(
     mcus_y = -(-h // (8 * vmax))
 
     quant_blocks = []
+    true_dims = []
     for (ch, cv), plane, qtbl in zip(hv, planes, qtbls):
         # each component plane must cover the full MCU grid:
         # mcus_y*cv x mcus_x*ch blocks of 8x8
@@ -381,6 +383,23 @@ def encode_jpeg(
             mode="edge",
         )
         quant_blocks.append(_fdct_quant(padded, qtbl))
+        true_dims.append((-(-plane.shape[0] // 8), -(-plane.shape[1] // 8)))
+    return gray, h, w, hv, qy, qc, quant_blocks, true_dims, mcus_x, mcus_y
+
+
+def encode_jpeg(
+    arr: np.ndarray,
+    quality: int = 90,
+    subsampling: str = "4:4:4",
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode an (h, w) grayscale or (h, w, 3) RGB uint8 array as a
+    baseline JFIF JPEG. ``subsampling``: "4:4:4" or "4:2:0" (ignored
+    for grayscale). ``restart_interval`` > 0 emits DRI + RSTn markers
+    every that many MCUs."""
+    gray, h, w, hv, qy, qc, quant_blocks, _td, mcus_x, mcus_y = (
+        _quantize_components(arr, quality, subsampling)
+    )
 
     dc_specs = [(DC_LUMA_BITS, DC_LUMA_VALS)]
     ac_specs = [(AC_LUMA_BITS, AC_LUMA_VALS)]
@@ -449,6 +468,261 @@ def encode_jpeg(
     writer.flush()
     out += writer.out
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# Progressive encoder (T.81 Annex G, Huffman)
+# --------------------------------------------------------------------------
+
+
+# The Annex-K AC tables are SEQUENTIAL tables: they carry only the
+# (run, size) symbols baseline needs — no EOBn band-run symbols
+# (r << 4, size 0 for r = 1..14), which exist only in progressive
+# scans (real progressive files ship custom per-scan tables for the
+# same reason). This fixed table covers the full progressive AC
+# alphabet — all 16 runs x sizes 0..10, EOBn and ZRL included — as a
+# flat 9-bit canonical code: 176 symbols x 2^-9 = 0.34 Kraft sum, a
+# legal (if uncompressed-ish) Huffman table any decoder accepts.
+PROG_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0]
+PROG_AC_VALS = [(r << 4) | s for r in range(16) for s in range(11)]
+assert sum(PROG_AC_BITS) == len(PROG_AC_VALS)
+
+
+def _emit_eobrun(
+    writer: _BitWriter,
+    ac_codes: dict[int, tuple[int, int]],
+    eobrun: int,
+    pending: list[int],
+) -> int:
+    """Flush a pending EOBn band run: the (nbits << 4) symbol, its
+    low-order extra bits, then every buffered correction bit that
+    belongs to the blocks inside the run (refinement scans only —
+    first scans always pass an empty list)."""
+    if eobrun > 0:
+        nbits = eobrun.bit_length() - 1
+        code, length = ac_codes[nbits << 4]
+        writer.put(code, length)
+        if nbits:
+            writer.put(eobrun, nbits)
+        for b in pending:
+            writer.put(b, 1)
+        pending.clear()
+    return 0
+
+
+def _ac_first_encode_block(
+    writer: _BitWriter,
+    ac_codes: dict[int, tuple[int, int]],
+    zz: np.ndarray,
+    ss: int,
+    se: int,
+    al: int,
+    eobrun: int,
+    _none: list[int],
+) -> int:
+    """First AC pass of one block: baseline run-length coding with the
+    point transform (magnitude >> al, truncation toward zero) and EOBn
+    band runs instead of plain EOB."""
+    r = 0
+    for k in range(ss, se + 1):
+        t = int(zz[k])
+        a = abs(t) >> al
+        if a == 0:
+            r += 1
+            continue
+        if eobrun > 0:
+            eobrun = _emit_eobrun(writer, ac_codes, eobrun, _none)
+        while r > 15:
+            code, length = ac_codes[0xF0]
+            writer.put(code, length)
+            r -= 16
+        nbits = a.bit_length()
+        code, length = ac_codes[(r << 4) | nbits]
+        writer.put(code, length)
+        v = a if t >= 0 else -a
+        writer.put(v if v >= 0 else v + (1 << nbits) - 1, nbits)
+        r = 0
+    if r > 0:
+        eobrun += 1
+        if eobrun == 0x7FFF:  # spec cap on a single EOBn run
+            eobrun = _emit_eobrun(writer, ac_codes, eobrun, _none)
+    return eobrun
+
+
+def _ac_refine_encode_block(
+    writer: _BitWriter,
+    ac_codes: dict[int, tuple[int, int]],
+    zz: np.ndarray,
+    ss: int,
+    se: int,
+    al: int,
+    eobrun: int,
+    pending: list[int],
+) -> int:
+    """Refinement AC pass of one block (the libjpeg
+    encode_mcu_AC_refine structure): newly-nonzero coefficients
+    (shifted magnitude exactly 1) get (run, 1) symbols + a sign bit;
+    previously-nonzero ones contribute one buffered correction bit,
+    emitted after the next symbol (or with the EOB run that swallows
+    them); zero-runs count zero-history positions only."""
+    absv = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+    eob = ss - 1  # position of the last newly-nonzero coefficient
+    for k in range(ss, se + 1):
+        if absv[k - ss] == 1:
+            eob = k
+    r = 0
+    br: list[int] = []  # this block's own correction bits
+    for k in range(ss, se + 1):
+        a = absv[k - ss]
+        if a == 0:
+            r += 1
+            continue
+        while r > 15 and k <= eob:
+            eobrun = _emit_eobrun(writer, ac_codes, eobrun, pending)
+            code, length = ac_codes[0xF0]
+            writer.put(code, length)
+            r -= 16
+            for b in br:
+                writer.put(b, 1)
+            br = []
+        if a > 1:  # previously nonzero: buffer its correction bit
+            br.append(a & 1)
+            continue
+        eobrun = _emit_eobrun(writer, ac_codes, eobrun, pending)
+        code, length = ac_codes[(r << 4) | 1]
+        writer.put(code, length)
+        writer.put(0 if int(zz[k]) < 0 else 1, 1)
+        for b in br:
+            writer.put(b, 1)
+        br = []
+        r = 0
+    if r > 0 or br:
+        eobrun += 1
+        pending.extend(br)
+        if eobrun == 0x7FFF:
+            eobrun = _emit_eobrun(writer, ac_codes, eobrun, pending)
+    return eobrun
+
+
+def encode_jpeg_progressive(
+    arr: np.ndarray, quality: int = 90, subsampling: str = "4:4:4"
+) -> bytes:
+    """Encode an (h, w) grayscale or (h, w, 3) RGB uint8 array as a
+    PROGRESSIVE (SOF2) JFIF JPEG using the standard spectral-selection
+    + successive-approximation scan script (the libjpeg jcparam.c
+    default: coarse DC first, banded coarse AC, then one-bit
+    refinement passes). Decodes to the exact same pixels as the
+    baseline encode of the same image — both entropy-code the same
+    quantized coefficients losslessly."""
+    gray, h, w, hv, qy, qc, quant_blocks, true_dims, mcus_x, mcus_y = (
+        _quantize_components(arr, quality, subsampling)
+    )
+    ncomp = 1 if gray else 3
+    tbl_of = [0] + [1, 1][: max(0, ncomp - 1)]
+    dc_codes = [
+        _canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS),
+        _canonical_codes(DC_CHROMA_BITS, DC_CHROMA_VALS),
+    ]
+    prog_ac = _canonical_codes(PROG_AC_BITS, PROG_AC_VALS)
+    # zigzag views of every component's quantized blocks, int
+    zzs = [
+        qb.reshape(qb.shape[0], qb.shape[1], 64)[:, :, ZIGZAG]
+        for qb in quant_blocks
+    ]
+
+    # ---- headers (same as baseline except the SOF marker) ----
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xFFE0, b"JFIF\x00" + struct.pack(">BBBHHBB", 1, 1, 0, 1, 1, 0, 0))
+    body = bytes([0x00]) + qy.reshape(64)[ZIGZAG].astype(np.uint8).tobytes()
+    if not gray:
+        body += bytes([0x01]) + qc.reshape(64)[ZIGZAG].astype(np.uint8).tobytes()
+    out += _seg(0xFFDB, body)
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, hv[ci][0] << 4 | hv[ci][1], tbl_of[ci]])
+    out += _seg(0xFFC2, sof)
+    dht = _dht_body(0, 0, DC_LUMA_BITS, DC_LUMA_VALS) + _dht_body(
+        1, 0, PROG_AC_BITS, PROG_AC_VALS
+    )
+    if not gray:
+        dht += _dht_body(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS)
+    out += _seg(0xFFC4, dht)
+
+    # the jcparam.c default script: (comp or None=all-DC, ss, se, ah, al)
+    if gray:
+        script = [
+            (None, 0, 0, 0, 1),
+            (0, 1, 63, 0, 2),
+            (0, 1, 63, 2, 1),
+            (None, 0, 0, 1, 0),
+            (0, 1, 63, 1, 0),
+        ]
+    else:
+        script = [
+            (None, 0, 0, 0, 1),
+            (0, 1, 5, 0, 2),
+            (2, 1, 63, 0, 1),
+            (1, 1, 63, 0, 1),
+            (0, 6, 63, 0, 2),
+            (0, 1, 63, 2, 1),
+            (None, 0, 0, 1, 0),
+            (2, 1, 63, 1, 0),
+            (1, 1, 63, 1, 0),
+            (0, 1, 63, 1, 0),
+        ]
+
+    for comp, ss, se, ah, al in script:
+        members = list(range(ncomp)) if comp is None else [comp]
+        sos = bytes([len(members)])
+        for ci in members:
+            # DC scans reference the per-component DC table; AC scans
+            # all share the progressive AC table (class 1, id 0)
+            sos += bytes([ci + 1, (tbl_of[ci] << 4) if ss == 0 else 0])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += _seg(0xFFDA, sos)
+        writer = _BitWriter()
+        if ss == 0:  # DC scan (interleaved over the full MCU grid)
+            prev_dc = [0] * len(members)
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    for mi, ci in enumerate(members):
+                        ch, cv = hv[ci]
+                        for by in range(cv):
+                            for bx in range(ch):
+                                v = int(zzs[ci][my * cv + by, mx * ch + bx, 0])
+                                if ah == 0:
+                                    v >>= al  # arithmetic shift (G.1.2.1)
+                                    diff = v - prev_dc[mi]
+                                    prev_dc[mi] = v
+                                    size = _category(diff)
+                                    code, length = dc_codes[tbl_of[ci]][size]
+                                    writer.put(code, length)
+                                    if size:
+                                        writer.put(
+                                            diff
+                                            if diff >= 0
+                                            else diff + (1 << size) - 1,
+                                            size,
+                                        )
+                                else:
+                                    writer.put((v >> al) & 1, 1)
+        else:  # AC scan: single component, true block grid
+            ci = members[0]
+            act = prog_ac
+            bh, bw = true_dims[ci]
+            eobrun = 0
+            pending: list[int] = []
+            block_fn = _ac_first_encode_block if ah == 0 else _ac_refine_encode_block
+            for by in range(bh):
+                for bx in range(bw):
+                    eobrun = block_fn(
+                        writer, act, zzs[ci][by, bx], ss, se, al, eobrun, pending
+                    )
+            _emit_eobrun(writer, act, eobrun, pending)
+        writer.flush()
+        out += writer.out
+    out += b"\xff\xd9"
     return bytes(out)
 
 
@@ -528,19 +802,114 @@ def _split_scan(data: bytes, start: int) -> tuple[list[bytes], int]:
     return segs, i
 
 
+def _ac_first_block(
+    reader: _BitReader,
+    actab: dict[tuple[int, int], int],
+    coef: np.ndarray,
+    ss: int,
+    se: int,
+    al: int,
+    eobrun: int,
+) -> int:
+    """First AC pass of a progressive scan over one block (T.81
+    G.1.2.2): run-length Huffman like baseline, plus EOBn band-run
+    symbols (size 0, run < 15 → skip 2^run + extra blocks) and the
+    point transform (values enter shifted left by ``al``)."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _decode_sym(reader, actab)
+        run, size = rs >> 4, rs & 0x0F
+        if size == 0:
+            if run != 15:  # EOBn
+                eobrun = (1 << run) - 1
+                if run:
+                    eobrun += reader.read(run)
+                break
+            k += 16  # ZRL
+        else:
+            k += run
+            if k > se:
+                raise ValueError("invalid JPEG: AC index overflow")
+            coef[k] = _extend(reader.read(size), size) << al
+            k += 1
+    return eobrun
+
+
+def _ac_refine_block(
+    reader: _BitReader,
+    actab: dict[tuple[int, int], int],
+    coef: np.ndarray,
+    ss: int,
+    se: int,
+    al: int,
+    eobrun: int,
+) -> int:
+    """Successive-approximation AC refinement over one block (T.81
+    G.1.2.3): zero-run symbols count ZERO-HISTORY coefficients only;
+    every already-nonzero coefficient passed along the way carries one
+    correction bit that may add ±2^al toward larger magnitude."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _decode_sym(reader, actab)
+            run, size = rs >> 4, rs & 0x0F
+            if size == 0:
+                if run != 15:  # EOBn: current block joins the band run
+                    eobrun = 1 << run
+                    if run:
+                        eobrun += reader.read(run)
+                    break
+                newval = 0  # ZRL: 16 zero-history positions, no new coef
+            else:
+                if size != 1:
+                    raise ValueError("invalid JPEG: AC refinement size != 1")
+                newval = p1 if reader.read_bit() else m1
+            while k <= se:
+                c = int(coef[k])
+                if c != 0:
+                    if reader.read_bit() and (c & p1) == 0:
+                        coef[k] = c + (p1 if c >= 0 else m1)
+                else:
+                    if run == 0:
+                        break
+                    run -= 1
+                k += 1
+            if size and k <= se:
+                coef[k] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            c = int(coef[k])
+            if c != 0:
+                if reader.read_bit() and (c & p1) == 0:
+                    coef[k] = c + (p1 if c >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
 def decode_jpeg(content: bytes) -> np.ndarray:
-    """Decode a baseline sequential JPEG to uint8 — (h, w, 3) RGB for
-    color, (h, w) for grayscale. Raises ValueError on progressive /
-    arithmetic / 12-bit streams rather than mis-decoding them."""
+    """Decode a baseline-sequential or progressive JPEG to uint8 —
+    (h, w, 3) RGB for color, (h, w) for grayscale. Raises ValueError
+    on arithmetic-coded / 12-bit / lossless / hierarchical streams
+    (and non-interleaved multi-scan SEQUENTIAL streams, which this
+    decoder does not assemble) rather than mis-decoding them."""
     if content[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     frame = None
+    progressive = False
     restart_interval = 0
     i = 2
     n = len(content)
-    scan = None
+    # each scan: (comps [(cid, td, ta)], ss, se, ah, al, segs,
+    #             restart_interval, huffman-table snapshot)
+    scans: list[tuple] = []
     while i < n:
         if content[i] != 0xFF:
             i += 1
@@ -577,102 +946,130 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                 vals = list(body[p + 17 : p + 17 + nv])
                 htables[(tc, th)] = _decode_table(bits, vals)
                 p += 17 + nv
-        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext. sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
             prec, fh, fw, ncomp = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise ValueError(f"unsupported JPEG precision {prec} (8-bit only)")
+            progressive = marker == 0xC2
             comps = []
             for c in range(ncomp):
                 cid, hvb, tq = body[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, hvb >> 4, hvb & 0x0F, tq))
             frame = (fh, fw, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
                 f"unsupported JPEG mode (SOF marker 0xFF{marker:02X}) — "
-                "baseline/extended-sequential Huffman only"
+                "baseline/extended-sequential/progressive Huffman only"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS
             ns = body[0]
-            scan = [(body[1 + 2 * c], body[2 + 2 * c] >> 4, body[2 + 2 * c] & 0x0F) for c in range(ns)]
-            break
+            scomps = [
+                (body[1 + 2 * c], body[2 + 2 * c] >> 4, body[2 + 2 * c] & 0x0F)
+                for c in range(ns)
+            ]
+            ss, se, ahal = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
+            segs, i = _split_scan(content, i)
+            # snapshot the table dict: DHT between scans rebinds keys
+            scans.append(
+                (scomps, ss, se, ahal >> 4, ahal & 0x0F, segs,
+                 restart_interval, dict(htables))
+            )
+            continue
         # APPn / COM / others: skipped via seglen
-    if frame is None or scan is None:
+    if frame is None or not scans:
         raise ValueError("invalid JPEG: missing SOF/SOS")
     fh, fw, comps = frame
-    # A baseline decoder that only reads the FIRST scan must insist
-    # that it is the single interleaved scan covering every frame
-    # component in frame order; a legal multi-scan (non-interleaved)
-    # baseline stream would otherwise silently decode block-scrambled
-    # / Y-only pixels. Rejecting routes it to decode_image's
-    # documented deterministic fallback like the other unsupported
-    # modes.
-    if len(scan) != len(comps) or [s[0] for s in scan] != [c[0] for c in comps]:
-        raise ValueError(
-            "unsupported JPEG scan layout: expected one interleaved scan "
-            f"covering all {len(comps)} frame components in frame order, "
-            f"got scan components {[s[0] for s in scan]}"
-        )
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcus_x = -(-fw // (8 * hmax))
     mcus_y = -(-fh // (8 * vmax))
-    by_id = {c[0]: c for c in comps}
-    order = []  # (h, v, qtbl, dc_table, ac_table, coeff array)
-    coeffs = []
-    for cid, td, ta in scan:
-        _, ch, cv, tq = by_id[cid]
-        arr = np.zeros((mcus_y * cv, mcus_x * ch, 64), dtype=np.float64)
-        order.append((ch, cv, qtables[tq], htables[(0, td)], htables[(1, ta)]))
-        coeffs.append(arr)
+    comp_idx = {c[0]: ci for ci, c in enumerate(comps)}
+    # zigzag-order int coefficient store per component, full MCU grid;
+    # true_dims is the NON-padded block grid non-interleaved scans cover
+    coeffs = [
+        np.zeros((mcus_y * cv, mcus_x * ch, 64), dtype=np.int32)
+        for _cid, ch, cv, _tq in comps
+    ]
+    true_dims = []
+    for _cid, ch, cv, _tq in comps:
+        comp_h = -(-fh * cv // vmax)  # ceil(fh * cv / vmax)
+        comp_w = -(-fw * ch // hmax)
+        true_dims.append((-(-comp_h // 8), -(-comp_w // 8)))
 
-    segs, _end = _split_scan(content, i)
-    seg_idx = 0
-    reader = _BitReader(segs[0])
-    prev_dc = [0] * len(order)
-    since_restart = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and since_restart == restart_interval:
-                seg_idx += 1
-                if seg_idx >= len(segs):
-                    raise ValueError("invalid JPEG: missing restart segment")
-                reader = _BitReader(segs[seg_idx])
-                prev_dc = [0] * len(order)
-                since_restart = 0
-            for ci, (ch, cv, _q, dct_t, act_t) in enumerate(order):
-                for by in range(cv):
-                    for bx in range(ch):
-                        zz = np.zeros(64, dtype=np.float64)
-                        size = _decode_sym(reader, dct_t)
-                        diff = _extend(reader.read(size), size) if size else 0
-                        prev_dc[ci] += diff
-                        zz[0] = prev_dc[ci]
-                        k = 1
-                        while k < 64:
-                            rs = _decode_sym(reader, act_t)
-                            run, size = rs >> 4, rs & 0x0F
-                            if size == 0:
-                                if run == 15:  # ZRL
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += run
-                            if k > 63:
-                                raise ValueError("invalid JPEG: AC index overflow")
-                            zz[k] = _extend(reader.read(size), size)
-                            k += 1
-                        coeffs[ci][my * cv + by, mx * ch + bx] = zz
-            since_restart += 1
+    if progressive:
+        for scomps, ss, se, ah, al, segs, rst_int, tabs in scans:
+            _decode_progressive_scan(
+                scomps, ss, se, ah, al, segs, rst_int, tabs,
+                comps, comp_idx, coeffs, true_dims, mcus_x, mcus_y,
+            )
+    else:
+        # A sequential decoder that reads ONE scan must insist it is
+        # the single interleaved scan covering every frame component
+        # in frame order; a legal multi-scan (non-interleaved)
+        # sequential stream would otherwise silently decode
+        # block-scrambled / Y-only pixels. Rejecting routes it to
+        # decode_image's documented deterministic fallback like the
+        # other unsupported modes.
+        scan, _ss, _se, _ah, _al, segs, rst_int, tabs = scans[0]
+        if len(scans) != 1 or len(scan) != len(comps) or [
+            s[0] for s in scan
+        ] != [c[0] for c in comps]:
+            raise ValueError(
+                "unsupported JPEG scan layout: expected one interleaved scan "
+                f"covering all {len(comps)} frame components in frame order, "
+                f"got scan components {[s[0] for s in scan]}"
+            )
+        order = []
+        for cid, td, ta in scan:
+            _c, ch, cv, _tq = comps[comp_idx[cid]]
+            order.append((ch, cv, tabs[(0, td)], tabs[(1, ta)]))
+        seg_idx = 0
+        reader = _BitReader(segs[0])
+        prev_dc = [0] * len(order)
+        since_restart = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if rst_int and since_restart == rst_int:
+                    seg_idx += 1
+                    if seg_idx >= len(segs):
+                        raise ValueError("invalid JPEG: missing restart segment")
+                    reader = _BitReader(segs[seg_idx])
+                    prev_dc = [0] * len(order)
+                    since_restart = 0
+                for ci, (ch, cv, dct_t, act_t) in enumerate(order):
+                    for by in range(cv):
+                        for bx in range(ch):
+                            zz = coeffs[ci][my * cv + by, mx * ch + bx]
+                            size = _decode_sym(reader, dct_t)
+                            diff = _extend(reader.read(size), size) if size else 0
+                            prev_dc[ci] += diff
+                            zz[0] = prev_dc[ci]
+                            k = 1
+                            while k < 64:
+                                rs = _decode_sym(reader, act_t)
+                                run, size = rs >> 4, rs & 0x0F
+                                if size == 0:
+                                    if run == 15:  # ZRL
+                                        k += 16
+                                        continue
+                                    break  # EOB
+                                k += run
+                                if k > 63:
+                                    raise ValueError("invalid JPEG: AC index overflow")
+                                zz[k] = _extend(reader.read(size), size)
+                                k += 1
+                since_restart += 1
 
     planes = []
-    for (ch, cv, qtbl, _d, _a), arr in zip(order, coeffs):
+    for (cid, ch, cv, tq), arr in zip(comps, coeffs):
+        qtbl = qtables[tq]
         bh, bw = arr.shape[0], arr.shape[1]
         blocks = np.zeros((bh, bw, 8, 8), dtype=np.float64)
         # inverse zigzag: encoder gathered zz[i] = natural[ZIGZAG[i]],
         # so scatter back with the same index array
-        blocks.reshape(bh, bw, 64)[:, :, ZIGZAG] = arr
+        blocks.reshape(bh, bw, 64)[:, :, ZIGZAG] = arr.astype(np.float64)
         blocks *= qtbl
         pix = np.einsum("ik,yxkl,jl->yxij", _DCT.T, blocks, _DCT.T)
         plane = pix.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8) + 128.0
@@ -685,3 +1082,100 @@ def decode_jpeg(content: bytes) -> np.ndarray:
     if len(planes) != 3:
         raise ValueError(f"unsupported JPEG component count {len(planes)}")
     return _ycbcr_to_rgb(planes[0], planes[1], planes[2])
+
+
+def _decode_progressive_scan(
+    scomps: list[tuple[int, int, int]],
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    segs: list[bytes],
+    rst_int: int,
+    tabs: dict[tuple[int, int], dict[tuple[int, int], int]],
+    comps: list[tuple[int, int, int, int]],
+    comp_idx: dict[int, int],
+    coeffs: list[np.ndarray],
+    true_dims: list[tuple[int, int]],
+    mcus_x: int,
+    mcus_y: int,
+) -> None:
+    """Apply ONE progressive scan to the coefficient store. DC scans
+    (ss == 0) may be interleaved over the MCU grid; AC scans are
+    single-component by spec and walk that component's true (non-
+    padded) block grid in raster order. Restart markers reset the DC
+    predictors and the EOB run."""
+    seg_idx = 0
+    reader = _BitReader(segs[0])
+    since = 0
+
+    def maybe_restart() -> None:
+        nonlocal seg_idx, reader, since, prev_dc, eobrun
+        if rst_int and since == rst_int:
+            seg_idx += 1
+            if seg_idx >= len(segs):
+                raise ValueError("invalid JPEG: missing restart segment")
+            reader = _BitReader(segs[seg_idx])
+            prev_dc = [0] * len(scomps)
+            eobrun = 0
+            since = 0
+
+    prev_dc = [0] * len(scomps)
+    eobrun = 0
+    if ss == 0:  # DC scan
+        if se != 0:
+            raise ValueError("invalid JPEG: DC scan with Se != 0")
+        members = [(comp_idx[cid], td) for cid, td, _ta in scomps]
+        if len(members) > 1:  # interleaved over the full MCU grid
+            for _my in range(mcus_y):
+                for _mx in range(mcus_x):
+                    maybe_restart()
+                    for mi, (ci, td) in enumerate(members):
+                        _cid, ch, cv, _tq = comps[ci]
+                        for by in range(cv):
+                            for bx in range(ch):
+                                coef = coeffs[ci][_my * cv + by, _mx * ch + bx]
+                                if ah == 0:
+                                    size = _decode_sym(reader, tabs[(0, td)])
+                                    diff = (
+                                        _extend(reader.read(size), size)
+                                        if size
+                                        else 0
+                                    )
+                                    prev_dc[mi] += diff
+                                    coef[0] = prev_dc[mi] << al
+                                elif reader.read_bit():
+                                    coef[0] |= 1 << al
+                    since += 1
+        else:
+            ci, td = members[0]
+            bh, bw = true_dims[ci]
+            for by in range(bh):
+                for bx in range(bw):
+                    maybe_restart()
+                    coef = coeffs[ci][by, bx]
+                    if ah == 0:
+                        size = _decode_sym(reader, tabs[(0, td)])
+                        diff = _extend(reader.read(size), size) if size else 0
+                        prev_dc[0] += diff
+                        coef[0] = prev_dc[0] << al
+                    elif reader.read_bit():
+                        coef[0] |= 1 << al
+                    since += 1
+        return
+    # AC scan: exactly one component (T.81 G.1)
+    if len(scomps) != 1:
+        raise ValueError("invalid JPEG: interleaved AC progressive scan")
+    cid, _td, ta = scomps[0]
+    ci = comp_idx[cid]
+    actab = tabs[(1, ta)]
+    bh, bw = true_dims[ci]
+    for by in range(bh):
+        for bx in range(bw):
+            maybe_restart()
+            coef = coeffs[ci][by, bx]
+            if ah == 0:
+                eobrun = _ac_first_block(reader, actab, coef, ss, se, al, eobrun)
+            else:
+                eobrun = _ac_refine_block(reader, actab, coef, ss, se, al, eobrun)
+            since += 1

@@ -4,13 +4,15 @@ typed metadata, decoded and featurized Spark-side via ``mapInPandas``.
 Decode kernels are REAL for every container a bare numpy/stdlib stack
 can parse, across all three modalities — images: BMP (24-bit BI_RGB),
 PPM (P6), PNG (8-bit gray/RGB/RGBA, zlib inflate + all five scanline
-filters — r10), baseline JPEG (SOF0/SOF1 Huffman, 4:4:4/4:2:2/4:2:0,
-restart markers — see ``operators/jpeg.py``, r10); audio: WAV (RIFF
+filters — r10), sequential AND progressive JPEG (SOF0/SOF1/SOF2
+Huffman, 4:4:4/4:2:2/4:2:0, restart markers, spectral selection +
+successive approximation — see ``operators/jpeg.py``, r10-r11); audio:
+WAV (RIFF
 PCM 8/16-bit); video: AVI with uncompressed DIB frames (RIFF chunk
 walk — r10) — implemented with struct offsets + ``np.frombuffer`` + a
 vectorized numpy IDCT (no codec libraries needed, none exist in this
 container). Formats that genuinely need a codec library (MP3/AAC,
-progressive JPEG, MP4/MKV/WebM) fall back to a clearly-marked
+MP4/MKV/WebM, WebP/TIFF) fall back to a clearly-marked
 deterministic fake so the pipeline shape stays testable; a real
 deployment swaps only that fallback body for PIL/soundfile/ffmpeg.
 
@@ -33,7 +35,11 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from auto_ts_spark.operators.gif import decode_gif, encode_gif
-from auto_ts_spark.operators.jpeg import decode_jpeg, encode_jpeg
+from auto_ts_spark.operators.jpeg import (
+    decode_jpeg,
+    encode_jpeg,
+    encode_jpeg_progressive,
+)
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -431,10 +437,10 @@ def decode_wav(content: bytes) -> tuple[np.ndarray, int]:
 
 def _fake_decode_image(content: bytes, width: int, height: int) -> np.ndarray:
     """FALLBACK for image containers the pure-numpy stack cannot parse
-    (progressive/arithmetic JPEG, WebP, TIFF, …): deterministic fake
-    seeded by the content bytes. A real deployment replaces this body
-    with PIL/turbojpeg; BMP/PPM/PNG/baseline-JPEG payloads never reach
-    it (see ``decode_image``)."""
+    (arithmetic/12-bit/lossless JPEG, WebP, TIFF, …): deterministic
+    fake seeded by the content bytes. A real deployment replaces this
+    body with PIL/turbojpeg; BMP/PPM/PNG and sequential/progressive
+    JPEG payloads never reach it (see ``decode_image``)."""
     seed = int.from_bytes(content[:4], "little") if content else 0
     rng = np.random.RandomState(seed)
     return rng.randint(0, 256, size=(height, width, 3), dtype=np.uint8)
@@ -451,11 +457,11 @@ def _fake_decode_audio(content: bytes, n_samples: int) -> np.ndarray:
 
 def decode_image(content: bytes, width: int = 0, height: int = 0) -> np.ndarray:
     """Decode an image payload to (h, w, 3) RGB uint8: real parse for
-    BMP/PPM/PNG/baseline-JPEG (magic-sniffed; gray broadcasts to 3
-    channels and RGBA drops alpha), deterministic fake (at the metadata
-    dimensions) for anything else — including non-baseline JPEG, which
-    ``decode_jpeg`` rejects with a clear error rather than
-    mis-decoding."""
+    BMP/PPM/PNG and sequential/progressive JPEG (magic-sniffed; gray
+    broadcasts to 3 channels and RGBA drops alpha), deterministic fake
+    (at the metadata dimensions) for anything else — including
+    arithmetic-coded/12-bit/lossless JPEG, which ``decode_jpeg``
+    rejects with a clear error rather than mis-decoding."""
     if content:
         if content[:2] == b"BM":
             return decode_bmp(content)
@@ -472,7 +478,7 @@ def decode_image(content: bytes, width: int = 0, height: int = 0) -> np.ndarray:
             try:
                 img = decode_jpeg(content)
             except ValueError:
-                # progressive/arithmetic/12-bit: documented fake, not garbage
+                # arithmetic/12-bit/lossless: documented fake, not garbage
                 return _fake_decode_image(content, width, height)
             if img.ndim == 2:  # grayscale JPEG
                 return np.repeat(img[:, :, None], 3, axis=2)
@@ -556,8 +562,9 @@ def _audio_wave(i: int, n: int, sample_rate: int) -> np.ndarray:
 
 def _image_payload(i: int) -> tuple[bytes, str]:
     """Deterministic container schedule for synthetic test images:
-    i%3==2 → PNG (lossless), i%3==1 → baseline JPEG (REAL lossy codec;
-    alternating 4:4:4 and 4:2:0 so both decode paths are value-checked
+    i%3==2 → PNG (lossless), i%6==1 → PROGRESSIVE JPEG (SOF2 spectral
+    selection + successive approximation, r11), i%6==4 → baseline JPEG
+    4:2:0 (REAL lossy codecs — both Huffman decode paths value-checked
     by the embedded oracle), i%6==3 → GIF (palette-limited fixture —
     GIF is palette-exact), else BMP. The multimodal VALUES oracle in
     ``oracles.py`` is generated from ``decode_image`` over these exact
@@ -572,8 +579,9 @@ def _image_payload(i: int) -> tuple[bytes, str]:
     if i % 3 == 2:
         return encode_png(arr), "image/png"
     if i % 3 == 1:
-        sub = "4:2:0" if i % 6 == 4 else "4:4:4"
-        return encode_jpeg(arr, quality=92, subsampling=sub), "image/jpeg"
+        if i % 6 == 4:
+            return encode_jpeg(arr, quality=92, subsampling="4:2:0"), "image/jpeg"
+        return encode_jpeg_progressive(arr, quality=92), "image/jpeg"
     return encode_bmp(arr), "image/bmp"
 
 

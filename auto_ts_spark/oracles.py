@@ -1749,13 +1749,16 @@ SELECT cast(8 AS BIGINT) AS n_features,
 """
 
 # The multimodal query decodes REAL payloads on a deterministic
-# container schedule (multimodal._image_payload): BMP, PNG, and — r10 —
-# baseline JPEG (operators/jpeg.py: pure numpy Huffman+IDCT; lossy but
-# bit-deterministic, alternating 4:4:4/4:2:0) and GIF (operators/
-# gif.py: pure-python LZW, palette-limited fixtures). The features are
-# exact platform-stable constants, so the full path (four real
-# container decodes, mapInPandas batching, row routing) gets a
-# value-checked oracle. Regenerate with the snippet in
+# container schedule (multimodal._image_payload): BMP, PNG, baseline
+# JPEG 4:2:0 (operators/jpeg.py: pure numpy Huffman+IDCT; lossy but
+# bit-deterministic), PROGRESSIVE JPEG (r11 — i%6==1 rows; spectral
+# selection + successive approximation decode to pixels bit-identical
+# to the baseline encode of the same coefficients, so these constants
+# did not change when the schedule switched those rows to SOF2) and
+# GIF (operators/gif.py: pure-python LZW, palette-limited fixtures).
+# The features are exact platform-stable constants, so the full path
+# (five real container decodes, mapInPandas batching, row routing)
+# gets a value-checked oracle. Regenerate with the snippet in
 # tests/test_multimodal_oracle.py if the image generator, schedule, or
 # any codec changes.
 _SQL_MULTIMODAL = """

@@ -97,15 +97,21 @@ def test_noise_survives_roundtrip_without_error():
     assert out.shape == noisy.shape  # lossy by design; just no decode error
 
 
-def test_decoder_rejects_progressive_and_bad_magic():
+def test_decoder_rejects_lossless_and_bad_magic():
     img = _gradient(16, 16)
     payload = bytearray(encode_jpeg(img, 90))
     sof = payload.find(b"\xff\xc0")
-    payload[sof + 1] = 0xC2  # rebadge SOF0 as SOF2 (progressive)
+    payload[sof + 1] = 0xC3  # rebadge SOF0 as SOF3 (lossless)
     with pytest.raises(ValueError, match="baseline"):
         decode_jpeg(bytes(payload))
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"\x89PNG not a jpeg")
+    # rebadging SOF0 as SOF2 leaves a baseline-layout scan (Se=63
+    # interleaved) that is ILLEGAL as a progressive DC scan — must
+    # raise, not decode garbage
+    payload[sof + 1] = 0xC2
+    with pytest.raises(ValueError, match="Se"):
+        decode_jpeg(bytes(payload))
 
 
 def test_decoder_rejects_non_interleaved_multi_scan():
@@ -171,11 +177,54 @@ def test_decode_image_dispatch_and_fallback():
     gout = decode_image(encode_jpeg(img[:, :, 0], 95))
     assert gout.shape == (12, 20, 3)
     assert np.array_equal(gout[:, :, 0], gout[:, :, 1])
-    # progressive rebadge → documented fake, not an exception
+    # lossless rebadge → documented fake, not an exception
     bad = bytearray(payload)
-    bad[bad.find(b"\xff\xc0") + 1] = 0xC2
+    bad[bad.find(b"\xff\xc0") + 1] = 0xC3
     fout = decode_image(bytes(bad), 20, 12)
     assert np.array_equal(fout, _fake_decode_image(bytes(bad), 20, 12))
+    # REAL progressive payload decodes through dispatch (r11)
+    from auto_ts_spark.operators.jpeg import encode_jpeg_progressive
+
+    pout = decode_image(encode_jpeg_progressive(img, 95))
+    assert np.array_equal(pout, decode_image(encode_jpeg(img, 95)))
+
+
+def test_progressive_decodes_identical_to_baseline():
+    """encode_jpeg_progressive and encode_jpeg entropy-code the SAME
+    quantized coefficients, so their decodes must be bit-identical —
+    this pins the whole progressive pipeline (spectral selection,
+    successive approximation, EOBn band runs, refinement correction
+    bits) against the already-oracle-checked baseline decoder."""
+    from auto_ts_spark.operators.jpeg import encode_jpeg_progressive
+
+    rng = np.random.RandomState(11)
+    cases = [
+        (_gradient(16, 16), "4:4:4", 90),
+        (_gradient(17, 23), "4:4:4", 75),  # odd dims, MCU padding
+        (_gradient(32, 48), "4:2:0", 90),  # subsampled chroma
+        (rng.randint(0, 256, (21, 13, 3), np.uint8), "4:2:0", 85),
+        (rng.randint(0, 256, (19, 27), np.uint8), "4:4:4", 70),  # gray
+        (np.full((16, 16, 3), 137, np.uint8), "4:4:4", 90),  # flat
+    ]
+    for img, sub, q in cases:
+        base = decode_jpeg(encode_jpeg(img, q, sub))
+        prog = decode_jpeg(encode_jpeg_progressive(img, q, sub))
+        assert np.array_equal(base, prog), (img.shape, sub, q)
+
+
+def test_progressive_long_eob_runs():
+    """A large flat image with one detailed corner forces EOBn band
+    runs spanning many blocks (run length >> 1) in the AC-first scans
+    and correction-bit EOB bands in the refinement scans — the paths
+    a small noisy fixture never reaches."""
+    from auto_ts_spark.operators.jpeg import encode_jpeg_progressive
+
+    img = np.full((96, 128, 3), 90, np.uint8)
+    img[:16, :16] = np.random.RandomState(5).randint(0, 256, (16, 16, 3), np.uint8)
+    for sub in ("4:4:4", "4:2:0"):
+        base = decode_jpeg(encode_jpeg(img, 80, sub))
+        prog = decode_jpeg(encode_jpeg_progressive(img, 80, sub))
+        assert np.array_equal(base, prog), sub
 
 
 def test_quality_tables_follow_libjpeg_convention():
