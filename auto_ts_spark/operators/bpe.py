@@ -36,6 +36,7 @@ lexicographic pair order so training is fully deterministic.
 
 from __future__ import annotations
 
+import heapq
 from collections import Counter, defaultdict
 
 import pandas as pd
@@ -131,7 +132,18 @@ def _driver_bpe(
 ) -> list[tuple[str, str]]:
     """The sequential merge loop, with incremental pair-count
     maintenance (only words containing the merged pair are reindexed —
-    the standard efficient formulation)."""
+    the standard efficient formulation).
+
+    The argmax is a lazy-invalidation max-heap over (-count, pair):
+    heapq pops the smallest tuple, i.e. the highest count with ties
+    broken by the lexicographically smallest pair — the same
+    deterministic order as a full scan. Entries go stale when a merge
+    changes a pair's count; a popped entry counts only if it matches
+    the live Counter. Each merge therefore costs O(touched-words ×
+    word-len × log heap) instead of a full vocabulary-sized scan —
+    the difference between minutes and hours at production depth
+    (32k merges over a ~2M-word histogram has ~10^6 live pairs; a
+    per-merge O(pairs) scan is ~10^10 comparisons)."""
     syms = [list(w) + [END] for w, _ in words]
     cnts = [c for _, c in words]
     pair_counts: Counter = Counter()
@@ -141,18 +153,23 @@ def _driver_bpe(
         for p in zip(s, s[1:]):
             pair_counts[p] += c
             where[p].add(i)
+    heap = [(-c, p) for p, c in pair_counts.items()]
+    heapq.heapify(heap)
     merges: list[tuple[str, str]] = []
-    for _ in range(n_merges):
-        if not pair_counts:
-            break
-        # deterministic: max count, then lexicographically smallest pair
-        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))
-        if best[1] < min_pair_count:
+    while len(merges) < n_merges:
+        best = None
+        while heap:
+            negc, p = heapq.heappop(heap)
+            if pair_counts.get(p) == -negc:
+                best = (p, -negc)
+                break
+        if best is None or best[1] < min_pair_count:
             break
         a, b = best[0]
         ab = a + b
         merges.append((a, b))
         touched = where.pop((a, b), set())
+        changed: set[tuple[str, str]] = set()
         for i in touched:
             s = syms[i]
             c = cnts[i]
@@ -160,14 +177,21 @@ def _driver_bpe(
             # word); subtract-then-re-add is a harmless no-op then
             for p in zip(s, s[1:]):
                 pair_counts[p] -= c
+                changed.add(p)
                 if pair_counts[p] <= 0:
                     del pair_counts[p]
             ns = _merge_word(s, a, b, ab)
             syms[i] = ns
             for p in zip(ns, ns[1:]):
                 pair_counts[p] += c
+                changed.add(p)
                 where[p].add(i)
         pair_counts.pop((a, b), None)
+        changed.discard((a, b))
+        for p in changed:
+            c2 = pair_counts.get(p)
+            if c2:
+                heapq.heappush(heap, (-c2, p))
     return merges
 
 

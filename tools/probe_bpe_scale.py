@@ -14,13 +14,17 @@ corpus size with the merge table broadcast.
 
 Usage: python tools/probe_bpe_scale.py [n_docs ...]
   default: 500000 5000000   (fixtures from tools/probe_curate_full_scale.py)
-Prints one JSON line per scale.
+  env BPE_MERGES: merge depth (default 1000; r11 runs 32000 — the
+  production-tokenizer regime, exercising the lazy-heap argmax and
+  the 32k-entry broadcast merge table)
+Prints one JSON line per scale, including driver max-RSS.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import resource
 import sys
 import time
 
@@ -50,8 +54,9 @@ def main() -> None:
                 f"{dpath}/part0.parquet",
             )
         docs = spark.read.parquet(dpath)
+        n_merges = int(os.environ.get("BPE_MERGES", "1000"))
         t0 = time.perf_counter()
-        merges, stats = BPE.train_bpe(docs, n_merges=1000, max_words=2_000_000)
+        merges, stats = BPE.train_bpe(docs, n_merges=n_merges, max_words=2_000_000)
         t_train = time.perf_counter() - t0
         t0 = time.perf_counter()
         tok = BPE.bpe_tokenize(docs, merges)
@@ -66,6 +71,10 @@ def main() -> None:
                     "n_words": stats["n_words_total"],
                     "coverage": round(stats["coverage"], 6),
                     "n_merges": stats["n_merges"],
+                    "driver_maxrss_mb": resource.getrusage(
+                        resource.RUSAGE_SELF
+                    ).ru_maxrss
+                    // 1024,
                     "loadavg": [round(x, 2) for x in os.getloadavg()],
                 }
             ),
