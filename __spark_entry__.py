@@ -2456,75 +2456,18 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # driver just checked rotate below the line. With 111 registered
     # queries and a 50-slot window this bounds driver staleness at
     # ~one round for every query (local sf0.01 parity covers the off
-    # rounds). r10 window: zero overlap with CORRECTNESS_r09 keys —
-    # never-driver-checked queries lead (the two new as-of modes, the
-    # two BPE entries, heavy hitters, stratified sample), then
-    # quality_classifier (last driver row r6; the r9 overflow), then
-    # every remaining query the r9 driver did not check. The displaced
-    # tail (slice twins + rows-only entries, weakest driver signal,
-    # strong pytest coverage) rotates into the r11 front.
-    # --- new in r10 (9): as-of nearest+tolerance and strict (the
-    # last pandas-only merge_asof modes get DuckDB oracle rows), the
-    # BPE tokenizer surface (pair statistic + train/tokenize contract,
-    # operators/bpe.py), Misra-Gries heavy hitters — batch AND
-    # streaming-stateful (sketches.py, streaming/ops.py), exact
-    # content-addressed stratified sampling (sampling.py), real
-    # raw-DIB AVI video decode + frame features, and Hann-windowed
-    # audio spectral features (multimodal) ---
-    "asof_join_nearest": q_asof_join_nearest,
-    "asof_join_strict": q_asof_join_strict,
-    "bpe_pair_counts": q_bpe_pair_counts,
-    "bpe_tokenize_contract": q_bpe_tokenize_contract,
-    "heavy_hitters": q_heavy_hitters,
-    "stratified_sample": q_stratified_sample,
-    "video_frame_features": q_video_frame_features,
-    "audio_spectral_features": q_audio_spectral_features,
-    "streaming_heavy_hitters": q_streaming_heavy_hitters,
-    # --- last driver row r6 (r9 overflow) ---
-    "quality_classifier": q_quality_classifier,
-    # --- not checked by the r9 driver (last green r7/r8) ---
-    "asof_join_forward": q_asof_join_forward,
-    "minmax_profile": q_minmax_profile,
-    "dataset_split": q_dataset_split,
-    "json_props_extract": q_json_props_extract,
-    "fillna_ffill": q_fillna_ffill,
-    "ar1_forecast": q_ar1_forecast,
-    "df_test_stationarity": q_df_test_stationarity,
-    "automl_leaderboard": q_automl_leaderboard,  # rows-only
-    "predict_feature_splice": q_predict_feature_splice,
-    "snaive_forecast_intervals": q_snaive_forecast_intervals,
-    "lsh_ann_recall": q_lsh_ann_recall,
-    "ivf_ann_recall": q_ivf_ann_recall,
-    "multimodal_features": q_multimodal_features,
-    "feature_importance_contract": q_feature_importance_contract,
-    "seasonal_period_map": q_seasonal_period_map,
-    "streaming_sessionize": q_streaming_sessionize,
-    "dedup_columns": q_dedup_columns,
-    "streaming_dedup": q_streaming_dedup,
-    "label_encode": q_label_encode,
-    "forecast_viz_join": q_forecast_viz_join,
-    "revenue_rollup": q_revenue_rollup,
-    "seasonal_decompose": q_seasonal_decompose,
-    "adf_stationarity": q_adf_stationarity,  # rows-only
-    "asof_join": q_asof_join,
-    "resample_ffill": q_resample_ffill,
-    "customer_set_ops": q_customer_set_ops,
-    "datetime_parse": q_datetime_parse,
-    "range_join_window": q_range_join_window,
-    "pacf": q_pacf,
-    "shipping_priority": q_shipping_priority,
-    "lag_matrix": q_lag_matrix,
-    "difference": q_difference,
-    "cumsum": q_cumsum,
-    "rolling_stats": q_rolling_stats,
-    "calendar_features": q_calendar_features,
-    "categorical_drift": q_categorical_drift,
-    "future_index": q_future_index,
-    "expanding_folds": q_expanding_folds,
-    "sliding_folds": q_sliding_folds,
-    "naive_forecast_metrics": q_naive_forecast_metrics,
-    # ================= 50-slot window boundary =================
-    # --- displaced by the seven new r10 entries (r11 front) ---
+    # rounds). r11 window: zero overlap with CORRECTNESS_r10 keys —
+    # the seven slice twins the r10 additions displaced lead, then 43
+    # of the r9-green rotation including both r11-TOUCHED query
+    # families (tpch_pricing_summary: overflow-safe half-up averages;
+    # repeated_span_scrub: the repartitioned dup aggregate) so the
+    # driver re-hashes exactly the code that changed. Rows-only
+    # entries stay BELOW the line per the r10 verdict: each has a
+    # value-checked twin that is already driver-green (automl_
+    # leaderboard_contract, lsh/ivf_ann_recall, feature_importance_
+    # contract), so window slots go to hash-checked forms only —
+    # this window is 50/50 value-checked.
+    # --- slice twins displaced by the r10 additions (oldest rows) ---
     "drift_profile": q_drift_profile,
     "c4_line_clean": q_c4_line_clean,
     "boilerplate_lines": q_boilerplate_lines,
@@ -2532,12 +2475,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_lsh_slice": q_minhash_lsh_slice,
     "dedup_clusters_slice": q_dedup_clusters_slice,
     "embedding_near_dup_slice": q_embedding_near_dup_slice,
-    # --- rows-only overflow (driver signal weakest; r11 front) ---
-    "automl_forecast": q_automl_forecast,  # rows-only
-    "lsh_ann_topk": q_lsh_ann_topk,  # rows-only
-    "ivf_ann_topk": q_ivf_ann_topk,  # rows-only
-    "feature_importance": q_feature_importance,  # rows-only
-    # --- driver-green in r9 (50), rotate back in r11 ---
+    # --- driver-green r9, rotating back; includes the two
+    # r11-touched families ---
     "fourier1_forecast": q_fourier1_forecast,
     "token_explode": q_token_explode,
     "actual_vs_predicted_join": q_actual_vs_predicted_join,
@@ -2580,14 +2519,73 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "automl_leaderboard_contract": q_automl_leaderboard_contract,
     "tpch_pricing_summary": q_tpch_pricing_summary,
     "bucketed_join_revenue": q_bucketed_join_revenue,
+    "repeated_span_scrub": q_repeated_span_scrub,
+    # ================= 50-slot window boundary =================
+    # --- r9-green overflow (strong pytest + parity coverage) ---
     "residual_diagnostics": q_residual_diagnostics,
     "var1_forecast": q_var1_forecast,
     "quantile_profile": q_quantile_profile,
     "semantic_dedup": q_semantic_dedup,
     "dsir_weights": q_dsir_weights,
-    "repeated_span_scrub": q_repeated_span_scrub,
     "lm_perplexity": q_lm_perplexity,
     "perplexity_buckets": q_perplexity_buckets,
+    # --- rows-only forms: value-checked twins are driver-green,
+    # so these never spend a window slot ---
+    "automl_forecast": q_automl_forecast,  # rows-only
+    "lsh_ann_topk": q_lsh_ann_topk,  # rows-only
+    "ivf_ann_topk": q_ivf_ann_topk,  # rows-only
+    "feature_importance": q_feature_importance,  # rows-only
+    # --- driver-green in r10 (50), rotate back in r12 ---
+    "asof_join_nearest": q_asof_join_nearest,
+    "asof_join_strict": q_asof_join_strict,
+    "bpe_pair_counts": q_bpe_pair_counts,
+    "bpe_tokenize_contract": q_bpe_tokenize_contract,
+    "heavy_hitters": q_heavy_hitters,
+    "stratified_sample": q_stratified_sample,
+    "video_frame_features": q_video_frame_features,
+    "audio_spectral_features": q_audio_spectral_features,
+    "streaming_heavy_hitters": q_streaming_heavy_hitters,
+    "quality_classifier": q_quality_classifier,
+    "asof_join_forward": q_asof_join_forward,
+    "minmax_profile": q_minmax_profile,
+    "dataset_split": q_dataset_split,
+    "json_props_extract": q_json_props_extract,
+    "fillna_ffill": q_fillna_ffill,
+    "ar1_forecast": q_ar1_forecast,
+    "df_test_stationarity": q_df_test_stationarity,
+    "automl_leaderboard": q_automl_leaderboard,  # rows-only
+    "predict_feature_splice": q_predict_feature_splice,
+    "snaive_forecast_intervals": q_snaive_forecast_intervals,
+    "lsh_ann_recall": q_lsh_ann_recall,
+    "ivf_ann_recall": q_ivf_ann_recall,
+    "multimodal_features": q_multimodal_features,
+    "feature_importance_contract": q_feature_importance_contract,
+    "seasonal_period_map": q_seasonal_period_map,
+    "streaming_sessionize": q_streaming_sessionize,
+    "dedup_columns": q_dedup_columns,
+    "streaming_dedup": q_streaming_dedup,
+    "label_encode": q_label_encode,
+    "forecast_viz_join": q_forecast_viz_join,
+    "revenue_rollup": q_revenue_rollup,
+    "seasonal_decompose": q_seasonal_decompose,
+    "adf_stationarity": q_adf_stationarity,  # rows-only
+    "asof_join": q_asof_join,
+    "resample_ffill": q_resample_ffill,
+    "customer_set_ops": q_customer_set_ops,
+    "datetime_parse": q_datetime_parse,
+    "range_join_window": q_range_join_window,
+    "pacf": q_pacf,
+    "shipping_priority": q_shipping_priority,
+    "lag_matrix": q_lag_matrix,
+    "difference": q_difference,
+    "cumsum": q_cumsum,
+    "rolling_stats": q_rolling_stats,
+    "calendar_features": q_calendar_features,
+    "categorical_drift": q_categorical_drift,
+    "future_index": q_future_index,
+    "expanding_folds": q_expanding_folds,
+    "sliding_folds": q_sliding_folds,
+    "naive_forecast_metrics": q_naive_forecast_metrics,
 }
 
 
