@@ -584,6 +584,26 @@ def drop_boilerplate_lines(
     return profile
 
 
+# Below this compile-time input-size estimate the span frame keeps the
+# default fused partial+final aggregate — at bench scale (sf0.1 ≈ 3 MB
+# of text) the extra exchange costs more than the partial maps it
+# avoids (r11 bench: +0.2 s on a 1.7 s query); above it the explicit
+# repartition wins by removing per-task hash maps over millions of
+# mostly-unique fingerprints (see scrub_repeated_spans). Same
+# zero-job `sizeInBytes` gate as lags.needs_sharding; stats
+# unavailable → repartition (the scale-safe default).
+SPAN_REPARTITION_MIN_BYTES = 256 * 1024 * 1024
+
+
+def _wants_fp_repartition(df: DataFrame) -> bool:
+    try:
+        raw = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        size = int(raw if isinstance(raw, int) else raw.toString())
+        return size >= SPAN_REPARTITION_MIN_BYTES
+    except Exception:
+        return True
+
+
 def scrub_repeated_spans(
     df: DataFrame,
     *,
@@ -662,10 +682,13 @@ def scrub_repeated_spans(
     )
     # Explicit fingerprint exchange BELOW the dup aggregate (see the
     # docstring's measured rationale: kills the useless pre-exchange
-    # partial-agg maps — the r10 in-chain spill source). Partition
-    # count inherits spark.sql.shuffle.partitions — the session's
-    # cluster-scale knob — and AQE may coalesce.
-    spans = spans.repartition(F.col("_fp"))
+    # partial-agg maps — the r10 in-chain spill source), gated by the
+    # zero-job compile-time size estimate so bench-scale inputs keep
+    # the cheaper fused plan. Partition count inherits
+    # spark.sql.shuffle.partitions — the session's cluster-scale
+    # knob — and AQE may coalesce.
+    if _wants_fp_repartition(df):
+        spans = spans.repartition(F.col("_fp"))
     if min_dup_docs == 2:
         # "appears in >= 2 distinct docs" is exactly min(doc) != max(doc)
         # — a plain one-shuffle aggregate. count_distinct compiles to an

@@ -72,18 +72,38 @@ def test_within_doc_repeat_alone_is_not_cross_doc(spark):
     assert out.loc[1, "n_tokens_removed"] == 0
 
 
-def test_no_partial_agg_below_fingerprint_exchange(spark, planted):
-    """Plan-shape pin for the r11 scale fix: the dup aggregation must
-    sit entirely ABOVE the explicit fingerprint exchange — the
-    pre-exchange partial-agg maps over mostly-unique fingerprints
-    were the r10 in-chain spill source (and a measured 172 s vs ~100 s
-    at 5M docs). Physical plans print top-down, so every
-    partial_min/partial_max must appear BEFORE (shallower than) its
-    REPARTITION_BY_COL exchange in the string."""
-    from auto_ts_spark.operators.textops import scrub_repeated_spans
+def test_no_partial_agg_below_fingerprint_exchange(spark, planted, monkeypatch):
+    """Plan-shape pin for the r11 scale fix: past the compile-time
+    size gate the dup aggregation must sit entirely ABOVE the explicit
+    fingerprint exchange — the pre-exchange partial-agg maps over
+    mostly-unique fingerprints were the r10 in-chain spill source
+    (and a measured 172 s vs ~100 s at 5M docs). Physical plans print
+    top-down, so every partial_min/partial_max must appear BEFORE
+    (shallower than) its REPARTITION_BY_COL exchange in the string.
+    Below the gate the fused plan has NO such exchange (bench-scale
+    inputs keep the cheaper shape), with results identical either way
+    (the planted-fixture tests run the small path)."""
+    from auto_ts_spark.operators import textops
 
+    # small path needs real compile-time stats — parquet-backed (an
+    # in-memory ExistingRDD reports the unknown-size default, which
+    # correctly routes to the scale-safe repartition)
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        planted.write.mode("overwrite").parquet(td + "/p")
+        small = spark.read.parquet(td + "/p")
+        small_plan = (
+            textops.scrub_repeated_spans(small, window=8)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "REPARTITION_BY_COL" not in small_plan, small_plan
+
+    monkeypatch.setattr(textops, "SPAN_REPARTITION_MIN_BYTES", 0)
     plan = (
-        scrub_repeated_spans(planted, window=8)
+        textops.scrub_repeated_spans(planted, window=8)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
@@ -93,9 +113,27 @@ def test_no_partial_agg_below_fingerprint_exchange(spark, planted):
         rest = plan[m.end():]
         assert "REPARTITION_BY_COL" in rest, plan
 
+    # forced-big path returns the same rows as the small path
+    big = (
+        textops.scrub_repeated_spans(planted, window=8)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    monkeypatch.undo()
+    small = (
+        textops.scrub_repeated_spans(planted, window=8)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert big.equals(small)
+
     # and the degenerate no-duplication frame still keeps every token
     out = (
-        scrub_repeated_spans(planted.filter(F.col("doc_id") >= 3), window=8)
+        textops.scrub_repeated_spans(
+            planted.filter(F.col("doc_id") >= 3), window=8
+        )
         .toPandas()
         .set_index("doc_id")
     )
