@@ -893,11 +893,11 @@ def _ac_refine_block(
 
 
 def decode_jpeg(content: bytes) -> np.ndarray:
-    """Decode a baseline-sequential or progressive JPEG to uint8 —
-    (h, w, 3) RGB for color, (h, w) for grayscale. Raises ValueError
-    on arithmetic-coded / 12-bit / lossless / hierarchical streams
-    (and non-interleaved multi-scan SEQUENTIAL streams, which this
-    decoder does not assemble) rather than mis-decoding them."""
+    """Decode a sequential (interleaved or one-scan-per-component) or
+    progressive JPEG to uint8 — (h, w, 3) RGB for color, (h, w) for
+    grayscale. Raises ValueError on arithmetic-coded / 12-bit /
+    lossless / hierarchical streams (and partial-interleave scan
+    layouts) rather than mis-decoding them."""
     if content[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     qtables: dict[int, np.ndarray] = {}
@@ -1005,32 +1005,46 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                 comps, comp_idx, coeffs, true_dims, mcus_x, mcus_y,
             )
     else:
-        # A sequential decoder that reads ONE scan must insist it is
-        # the single interleaved scan covering every frame component
-        # in frame order; a legal multi-scan (non-interleaved)
-        # sequential stream would otherwise silently decode
-        # block-scrambled / Y-only pixels. Rejecting routes it to
-        # decode_image's documented deterministic fallback like the
-        # other unsupported modes.
-        scan, _ss, _se, _ah, _al, segs, rst_int, tabs = scans[0]
-        if len(scans) != 1 or len(scan) != len(comps) or [
-            s[0] for s in scan
-        ] != [c[0] for c in comps]:
+        # Sequential: either ONE interleaved scan covering every frame
+        # component in frame order (the overwhelmingly common layout),
+        # or a non-interleaved multi-scan stream whose single-
+        # component scans cover each component exactly once (legal
+        # baseline, occasionally emitted; r11 — previously rejected).
+        # Partial-interleave layouts (a scan covering a strict subset
+        # of >1 components) stay rejected → decode_image's documented
+        # deterministic fallback.
+        full_interleave = (
+            len(scans) == 1
+            and [s[0] for s in scans[0][0]] == [c[0] for c in comps]
+        )
+        noninterleaved = all(len(sc[0]) == 1 for sc in scans) and sorted(
+            sc[0][0][0] for sc in scans
+        ) == sorted(c[0] for c in comps)
+        if not full_interleave and not noninterleaved:
             raise ValueError(
                 "unsupported JPEG scan layout: expected one interleaved scan "
-                f"covering all {len(comps)} frame components in frame order, "
-                f"got scan components {[s[0] for s in scan]}"
+                "covering all frame components or one scan per component, "
+                f"got {[[s[0] for s in sc[0]] for sc in scans]}"
             )
-        order = []
-        for cid, td, ta in scan:
-            _c, ch, cv, _tq = comps[comp_idx[cid]]
-            order.append((ch, cv, tabs[(0, td)], tabs[(1, ta)]))
-        seg_idx = 0
-        reader = _BitReader(segs[0])
-        prev_dc = [0] * len(order)
-        since_restart = 0
-        for my in range(mcus_y):
-            for mx in range(mcus_x):
+        for scan, _ss, _se, _ah, _al, segs, rst_int, tabs in scans:
+            order = []
+            for cid, td, ta in scan:
+                _c, ch, cv, _tq = comps[comp_idx[cid]]
+                order.append((comp_idx[cid], ch, cv, tabs[(0, td)], tabs[(1, ta)]))
+            seg_idx = 0
+            reader = _BitReader(segs[0])
+            prev_dc = [0] * len(order)
+            since_restart = 0
+            if full_interleave:
+                units = (
+                    (my, mx) for my in range(mcus_y) for mx in range(mcus_x)
+                )
+            else:
+                # non-interleaved MCU = one block of the single
+                # component, raster over its true (non-padded) grid
+                bh, bw = true_dims[order[0][0]]
+                units = ((by, bx) for by in range(bh) for bx in range(bw))
+            for uy, ux in units:
                 if rst_int and since_restart == rst_int:
                     seg_idx += 1
                     if seg_idx >= len(segs):
@@ -1038,28 +1052,36 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                     reader = _BitReader(segs[seg_idx])
                     prev_dc = [0] * len(order)
                     since_restart = 0
-                for ci, (ch, cv, dct_t, act_t) in enumerate(order):
-                    for by in range(cv):
-                        for bx in range(ch):
-                            zz = coeffs[ci][my * cv + by, mx * ch + bx]
-                            size = _decode_sym(reader, dct_t)
-                            diff = _extend(reader.read(size), size) if size else 0
-                            prev_dc[ci] += diff
-                            zz[0] = prev_dc[ci]
-                            k = 1
-                            while k < 64:
-                                rs = _decode_sym(reader, act_t)
-                                run, size = rs >> 4, rs & 0x0F
-                                if size == 0:
-                                    if run == 15:  # ZRL
-                                        k += 16
-                                        continue
-                                    break  # EOB
-                                k += run
-                                if k > 63:
-                                    raise ValueError("invalid JPEG: AC index overflow")
-                                zz[k] = _extend(reader.read(size), size)
-                                k += 1
+                for mi, (ci, ch, cv, dct_t, act_t) in enumerate(order):
+                    blocks = (
+                        (
+                            (uy * cv + by, ux * ch + bx)
+                            for by in range(cv)
+                            for bx in range(ch)
+                        )
+                        if full_interleave
+                        else ((uy, ux),)
+                    )
+                    for by, bx in blocks:
+                        zz = coeffs[ci][by, bx]
+                        size = _decode_sym(reader, dct_t)
+                        diff = _extend(reader.read(size), size) if size else 0
+                        prev_dc[mi] += diff
+                        zz[0] = prev_dc[mi]
+                        k = 1
+                        while k < 64:
+                            rs = _decode_sym(reader, act_t)
+                            run, size = rs >> 4, rs & 0x0F
+                            if size == 0:
+                                if run == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += run
+                            if k > 63:
+                                raise ValueError("invalid JPEG: AC index overflow")
+                            zz[k] = _extend(reader.read(size), size)
+                            k += 1
                 since_restart += 1
 
     planes = []

@@ -212,6 +212,78 @@ def test_progressive_decodes_identical_to_baseline():
         assert np.array_equal(base, prog), (img.shape, sub, q)
 
 
+def _encode_noninterleaved(img, quality=90, subsampling="4:4:4"):
+    """Test-side encoder for the non-interleaved SEQUENTIAL layout
+    (SOF0, one full-band baseline scan per component — legal T.81,
+    occasionally emitted by hardware encoders): built from the
+    module's own primitives so the decoder is tested against an
+    independent scan arrangement of the SAME quantized coefficients."""
+    from auto_ts_spark.operators.jpeg import (
+        AC_CHROMA_BITS, AC_CHROMA_VALS, AC_LUMA_BITS, AC_LUMA_VALS,
+        DC_CHROMA_BITS, DC_CHROMA_VALS, DC_LUMA_BITS, DC_LUMA_VALS,
+        ZIGZAG, _BitWriter, _canonical_codes, _dht_body, _encode_block,
+        _quantize_components, _seg,
+    )
+
+    gray, h, w, hv, qy, qc, qb, true_dims, _mx, _my = _quantize_components(
+        img, quality, subsampling
+    )
+    ncomp = 1 if gray else 3
+    tbl_of = [0] + [1, 1][: max(0, ncomp - 1)]
+    dc_codes = [_canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS),
+                _canonical_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)]
+    ac_codes = [_canonical_codes(AC_LUMA_BITS, AC_LUMA_VALS),
+                _canonical_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)]
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xFFE0, b"JFIF\x00" + struct.pack(">BBBHHBB", 1, 1, 0, 1, 1, 0, 0))
+    body = bytes([0x00]) + qy.reshape(64)[ZIGZAG].astype(np.uint8).tobytes()
+    if not gray:
+        body += bytes([0x01]) + qc.reshape(64)[ZIGZAG].astype(np.uint8).tobytes()
+    out += _seg(0xFFDB, body)
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, hv[ci][0] << 4 | hv[ci][1], tbl_of[ci]])
+    out += _seg(0xFFC0, sof)
+    dht = _dht_body(0, 0, DC_LUMA_BITS, DC_LUMA_VALS) + _dht_body(
+        1, 0, AC_LUMA_BITS, AC_LUMA_VALS
+    )
+    if not gray:
+        dht += _dht_body(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS) + _dht_body(
+            1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS
+        )
+    out += _seg(0xFFC4, dht)
+    for ci in range(ncomp):
+        t = tbl_of[ci]
+        out += _seg(0xFFDA, bytes([1, ci + 1, t << 4 | t, 0, 63, 0]))
+        writer = _BitWriter()
+        prev = 0
+        bh, bw = true_dims[ci]
+        for by in range(bh):
+            for bx in range(bw):
+                zz = qb[ci][by, bx].reshape(64)[ZIGZAG]
+                prev = _encode_block(writer, zz, prev, dc_codes[t], ac_codes[t])
+        writer.flush()
+        out += writer.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_noninterleaved_sequential_decodes_identical():
+    """One-scan-per-component SOF0 streams (r11) must decode to the
+    SAME pixels as the interleaved encode of the same image — same
+    quantized coefficients, different scan arrangement."""
+    rng = np.random.RandomState(3)
+    for img, sub in (
+        (_gradient(16, 16), "4:4:4"),
+        (_gradient(17, 23), "4:4:4"),
+        (_gradient(36, 52), "4:2:0"),  # true dims != padded MCU grid
+        (rng.randint(0, 256, (19, 27), np.uint8), "4:4:4"),  # grayscale
+    ):
+        base = decode_jpeg(encode_jpeg(img, 90, sub))
+        noni = decode_jpeg(_encode_noninterleaved(img, 90, sub))
+        assert np.array_equal(base, noni), (img.shape, sub)
+
+
 def test_progressive_long_eob_runs():
     """A large flat image with one detailed corner forces EOBn band
     runs spanning many blocks (run length >> 1) in the AC-first scans
