@@ -6,13 +6,14 @@ can parse, across all three modalities — images: BMP (24-bit BI_RGB),
 PPM (P6), PNG (8-bit gray/RGB/RGBA, zlib inflate + all five scanline
 filters — r10), sequential AND progressive JPEG (SOF0/SOF1/SOF2
 Huffman, 4:4:4/4:2:2/4:2:0, restart markers, spectral selection +
-successive approximation — see ``operators/jpeg.py``, r10-r11); audio:
-WAV (RIFF
-PCM 8/16-bit); video: AVI with uncompressed DIB frames (RIFF chunk
+successive approximation — see ``operators/jpeg.py``, r10-r11),
+baseline TIFF (8-bit gray/RGB strips, none/PackBits compression,
+both byte orders — r11); audio: WAV (RIFF PCM 8/16-bit); video: AVI with uncompressed DIB frames (RIFF chunk
 walk — r10) — implemented with struct offsets + ``np.frombuffer`` + a
 vectorized numpy IDCT (no codec libraries needed, none exist in this
 container). Formats that genuinely need a codec library (MP3/AAC,
-MP4/MKV/WebM, WebP/TIFF) fall back to a clearly-marked
+MP4/MKV/WebM, WebP, LZW/JPEG-compressed TIFF) fall back to a
+clearly-marked
 deterministic fake so the pipeline shape stays testable; a real
 deployment swaps only that fallback body for PIL/soundfile/ffmpeg.
 
@@ -138,6 +139,192 @@ def decode_ppm(content: bytes) -> np.ndarray:
         .reshape(h, w, 3)
         .copy()
     )
+
+
+# ------------------------------- TIFF (r11) -------------------------------
+# Classic TIFF 6.0 baseline: header + IFD tag walk, 8-bit gray/RGB,
+# chunky planar config, strip layout, Compression 1 (none) or 32773
+# (PackBits — the TIFF-native RLE), both byte orders. This covers the
+# uncompressed scientific/scanner TIFFs a corpus actually contains
+# without any codec library; LZW/JPEG-in-TIFF still route to the
+# documented fake.
+
+
+def encode_tiff(arr: np.ndarray, packbits: bool = False) -> bytes:
+    """Encode (h, w) gray or (h, w, 3) RGB uint8 as little-endian
+    single-strip TIFF (Compression=1, or 32773 PackBits)."""
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    gray = arr.ndim == 2
+    if not gray and (arr.ndim != 3 or arr.shape[2] != 3):
+        raise ValueError(f"expected (h,w) gray or (h,w,3) RGB, got {arr.shape}")
+    h, w = arr.shape[:2]
+    spp = 1 if gray else 3
+    raw = arr.tobytes()
+    if packbits:
+        out = bytearray()
+        # per TIFF spec PackBits compresses each ROW independently
+        row_len = w * spp
+        for r in range(h):
+            row = raw[r * row_len : (r + 1) * row_len]
+            i = 0
+            while i < len(row):
+                run = 1
+                while (
+                    i + run < len(row) and run < 128 and row[i + run] == row[i]
+                ):
+                    run += 1
+                if run >= 2:
+                    out.append(257 - run)  # -(run-1) two's complement
+                    out.append(row[i])
+                    i += run
+                    continue
+                lit_start = i
+                i += 1
+                while i < len(row) and i - lit_start < 128:
+                    if i + 1 < len(row) and row[i] == row[i + 1]:
+                        break
+                    i += 1
+                out.append(i - lit_start - 1)
+                out += row[lit_start:i]
+        strip = bytes(out)
+        comp = 32773
+    else:
+        strip = raw
+        comp = 1
+    # layout: header(8) + strip + IFD
+    strip_off = 8
+    ifd_off = strip_off + len(strip)
+    if ifd_off % 2:
+        strip += b"\x00"
+        ifd_off += 1
+    entries = [
+        (256, 3, 1, w),  # ImageWidth SHORT
+        (257, 3, 1, h),  # ImageLength
+        (259, 3, 1, comp),  # Compression
+        (262, 3, 1, 1 if gray else 2),  # Photometric: gray / RGB
+        (273, 4, 1, strip_off),  # StripOffsets
+        (277, 3, 1, spp),  # SamplesPerPixel
+        (278, 3, 1, h),  # RowsPerStrip (single strip)
+        (279, 4, 1, len(strip)),  # StripByteCounts
+        (284, 3, 1, 1),  # PlanarConfiguration: chunky
+    ]
+    bps_off = None
+    if gray:
+        entries.insert(3, (258, 3, 1, 8))  # BitsPerSample
+    else:
+        # 3 SHORTs do not fit inline — value is an offset
+        bps_off = ifd_off + 2 + 12 * (len(entries) + 1) + 4
+        entries.insert(3, (258, 3, 3, bps_off))
+    entries.sort()
+    ifd = struct.pack("<H", len(entries))
+    for tag, typ, cnt, val in entries:
+        ifd += struct.pack("<HHI", tag, typ, cnt)
+        ifd += struct.pack("<I", val) if typ == 4 or cnt > 1 else struct.pack("<HH", val, 0)
+    ifd += struct.pack("<I", 0)  # next IFD
+    if bps_off is not None:
+        ifd += struct.pack("<HHH", 8, 8, 8)
+    return b"II*\x00" + struct.pack("<I", ifd_off) + strip + ifd
+
+
+def _packbits_decode(data: bytes, expected: int) -> bytes:
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n and len(out) < expected:
+        b = data[i]
+        i += 1
+        if b < 128:  # literal run of b+1 bytes
+            out += data[i : i + b + 1]
+            i += b + 1
+        elif b > 128:  # repeat next byte 257-b times
+            if i >= n:
+                raise ValueError("truncated PackBits stream")
+            out += bytes([data[i]]) * (257 - b)
+            i += 1
+        # b == 128: no-op per spec
+    if len(out) < expected:
+        raise ValueError("truncated PackBits stream")
+    return bytes(out[:expected])
+
+
+def decode_tiff(content: bytes) -> np.ndarray:
+    """Decode baseline TIFF (8-bit gray/RGB, chunky, strips,
+    Compression 1 or 32773/PackBits, either byte order) to (h, w, 1|3)
+    uint8. Raises ValueError on LZW/JPEG-compressed, planar, tiled or
+    non-8-bit variants — those route to the documented fake."""
+    if content[:4] not in (b"II*\x00", b"MM\x00*"):
+        raise ValueError("not a TIFF payload")
+    e = "<" if content[:2] == b"II" else ">"
+    (ifd_off,) = struct.unpack_from(e + "I", content, 4)
+    (n_entries,) = struct.unpack_from(e + "H", content, ifd_off)
+    tags: dict[int, tuple[int, int, int]] = {}
+    for k in range(n_entries):
+        off = ifd_off + 2 + 12 * k
+        tag, typ, cnt = struct.unpack_from(e + "HHI", content, off)
+        (val,) = struct.unpack_from(e + "I", content, off + 8)
+        if typ == 3 and cnt == 1:  # SHORT packed in the first 2 bytes
+            (val,) = struct.unpack_from(e + "H", content, off + 8)
+        tags[tag] = (typ, cnt, val)
+
+    def arr_vals(tag: int, default=None) -> list[int]:
+        if tag not in tags:
+            if default is None:
+                raise ValueError(f"TIFF missing required tag {tag}")
+            return default
+        typ, cnt, val = tags[tag]
+        unit = {3: ("H", 2), 4: ("I", 4)}.get(typ)
+        if unit is None:
+            raise ValueError(f"unsupported TIFF tag type {typ}")
+        if cnt == 1:
+            return [val]
+        fmt, sz = unit
+        if cnt * sz <= 4:
+            base = None  # inline — re-read from the entry itself
+            for k in range(n_entries):
+                off = ifd_off + 2 + 12 * k
+                t, _ty, _c = struct.unpack_from(e + "HHI", content, off)
+                if t == tag:
+                    base = off + 8
+                    break
+            assert base is not None
+        else:
+            base = val
+        return [
+            struct.unpack_from(e + fmt, content, base + i * sz)[0]
+            for i in range(cnt)
+        ]
+
+    w = arr_vals(256)[0]
+    h = arr_vals(257)[0]
+    comp = arr_vals(259, [1])[0]
+    spp = arr_vals(277, [1])[0]
+    bps = arr_vals(258, [8])
+    planar = arr_vals(284, [1])[0]
+    if comp not in (1, 32773):
+        raise ValueError(f"unsupported TIFF compression {comp} (none/PackBits only)")
+    if planar != 1 or spp not in (1, 3) or any(b != 8 for b in bps):
+        raise ValueError(
+            f"unsupported TIFF layout (spp={spp}, bps={bps}, planar={planar})"
+        )
+    if 322 in tags or 323 in tags:
+        raise ValueError("unsupported tiled TIFF")
+    offsets = arr_vals(273)
+    counts = arr_vals(279)
+    rows_per_strip = arr_vals(278, [h])[0]
+    raw = bytearray()
+    for si, (so, sc) in enumerate(zip(offsets, counts)):
+        strip = content[so : so + sc]
+        nrows = min(rows_per_strip, h - si * rows_per_strip)
+        if comp == 32773:
+            raw += _packbits_decode(strip, nrows * w * spp)
+        else:
+            raw += strip[: nrows * w * spp]
+    if len(raw) < h * w * spp:
+        raise ValueError("truncated TIFF pixel data")
+    img = np.frombuffer(bytes(raw), np.uint8, count=h * w * spp).reshape(
+        h, w, spp
+    )
+    return img.copy()
 
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
@@ -437,10 +624,11 @@ def decode_wav(content: bytes) -> tuple[np.ndarray, int]:
 
 def _fake_decode_image(content: bytes, width: int, height: int) -> np.ndarray:
     """FALLBACK for image containers the pure-numpy stack cannot parse
-    (arithmetic/12-bit/lossless JPEG, WebP, TIFF, …): deterministic
-    fake seeded by the content bytes. A real deployment replaces this
-    body with PIL/turbojpeg; BMP/PPM/PNG and sequential/progressive
-    JPEG payloads never reach it (see ``decode_image``)."""
+    (arithmetic/12-bit/lossless JPEG, WebP, LZW-TIFF, …):
+    deterministic fake seeded by the content bytes. A real deployment
+    replaces this body with PIL/turbojpeg; BMP/PPM/PNG/baseline-TIFF
+    and sequential/progressive JPEG payloads never reach it (see
+    ``decode_image``)."""
     seed = int.from_bytes(content[:4], "little") if content else 0
     rng = np.random.RandomState(seed)
     return rng.randint(0, 256, size=(height, width, 3), dtype=np.uint8)
@@ -457,8 +645,9 @@ def _fake_decode_audio(content: bytes, n_samples: int) -> np.ndarray:
 
 def decode_image(content: bytes, width: int = 0, height: int = 0) -> np.ndarray:
     """Decode an image payload to (h, w, 3) RGB uint8: real parse for
-    BMP/PPM/PNG and sequential/progressive JPEG (magic-sniffed; gray
-    broadcasts to 3 channels and RGBA drops alpha), deterministic fake
+    BMP/PPM/PNG/baseline-TIFF and sequential/progressive JPEG
+    (magic-sniffed; gray broadcasts to 3 channels and RGBA drops
+    alpha), deterministic fake
     (at the metadata dimensions) for anything else — including
     arithmetic-coded/12-bit/lossless JPEG, which ``decode_jpeg``
     rejects with a clear error rather than mis-decoding."""
@@ -467,6 +656,15 @@ def decode_image(content: bytes, width: int = 0, height: int = 0) -> np.ndarray:
             return decode_bmp(content)
         if content[:2] == b"P6":
             return decode_ppm(content)
+        if content[:4] in (b"II*\x00", b"MM\x00*"):
+            try:
+                img = decode_tiff(content)
+            except (ValueError, IndexError, struct.error):
+                # LZW/JPEG-in-TIFF, tiled, planar, truncated: fake
+                return _fake_decode_image(content, width, height)
+            if img.shape[2] == 1:
+                return np.repeat(img, 3, axis=2)
+            return img
         if content[: len(_PNG_MAGIC)] == _PNG_MAGIC:
             img = decode_png(content)
             if img.shape[2] == 1:  # gray
@@ -566,9 +764,11 @@ def _image_payload(i: int) -> tuple[bytes, str]:
     selection + successive approximation, r11), i%6==4 → baseline JPEG
     4:2:0 (REAL lossy codecs — both Huffman decode paths value-checked
     by the embedded oracle), i%6==3 → GIF (palette-limited fixture —
-    GIF is palette-exact), else BMP. The multimodal VALUES oracle in
-    ``oracles.py`` is generated from ``decode_image`` over these exact
-    payloads — regenerate it if this schedule or any codec changes."""
+    GIF is palette-exact), i%12==0 → PackBits TIFF (r11; lossless, so
+    swapping these rows off BMP left the oracle constants unchanged),
+    else BMP. The multimodal VALUES oracle in ``oracles.py`` is
+    generated from ``decode_image`` over these exact payloads —
+    regenerate it if this schedule or any codec changes."""
     if i % 6 == 3:
         w, h = 64 + i % 8, 48 + i % 6
         rs = np.random.RandomState(7000 + i)
@@ -582,6 +782,8 @@ def _image_payload(i: int) -> tuple[bytes, str]:
         if i % 6 == 4:
             return encode_jpeg(arr, quality=92, subsampling="4:2:0"), "image/jpeg"
         return encode_jpeg_progressive(arr, quality=92), "image/jpeg"
+    if i % 12 == 0:
+        return encode_tiff(arr, packbits=True), "image/tiff"
     return encode_bmp(arr), "image/bmp"
 
 

@@ -255,21 +255,22 @@ def test_decode_image_routes_png_and_normalizes_channels():
 
 
 def test_synthetic_media_mixes_codec_rows(spark):
-    """The synthetic image schedule covers all four real codecs —
-    BMP (i%3==0 except the GIF slots), baseline JPEG (i%3==1,
-    alternating 4:4:4/4:2:0), PNG (i%3==2), GIF (i%6==3,
-    palette-limited) — so the multimodal feature oracle value-checks
-    every real decode path (BMP/PNG/GIF lossless; JPEG lossy but
-    deterministic, its oracle rows generated from the actual
-    decode)."""
+    """The synthetic image schedule covers all SIX real codecs —
+    PackBits TIFF (i%12==0, r11), BMP (the remaining i%3==0 slots
+    minus GIF's), progressive JPEG (i%6==1, r11), baseline JPEG 4:2:0
+    (i%6==4), PNG (i%3==2), GIF (i%6==3, palette-limited) — so the
+    multimodal feature oracle value-checks every real decode path
+    (TIFF/BMP/PNG/GIF lossless; JPEG lossy but deterministic, its
+    oracle rows generated from the actual decode)."""
     from auto_ts_spark.operators.multimodal import synthetic_media
 
-    media = synthetic_media(spark, 12).select("media_id", "mime").collect()
+    media = synthetic_media(spark, 13).select("media_id", "mime").collect()
     mimes = {r["media_id"]: r["mime"] for r in media}
     assert mimes[2] == "image/png" and mimes[5] == "image/png"
     assert mimes[1] == "image/jpeg" and mimes[4] == "image/jpeg"
     assert mimes[3] == "image/gif" and mimes[9] == "image/gif"
-    assert mimes[0] == "image/bmp" and mimes[6] == "image/bmp"
+    assert mimes[0] == "image/tiff" and mimes[12] == "image/tiff"
+    assert mimes[6] == "image/bmp"
 
 
 # ---------------------------------------------------------------- AVI (r10)
@@ -325,6 +326,100 @@ def test_decode_video_dispatch_and_fallback():
 
 
 # ---------------------------------------------------------------- GIF (r10)
+
+
+# ---------------------------------------------------------------- TIFF (r11)
+
+
+def test_tiff_roundtrip_none_and_packbits():
+    from auto_ts_spark.operators.multimodal import decode_tiff, encode_tiff
+
+    rng = np.random.RandomState(2)
+    for img in (
+        rng.randint(0, 256, (17, 29, 3), np.uint8),
+        rng.randint(0, 256, (11, 13), np.uint8),  # gray
+        np.full((9, 9, 3), 42, np.uint8),  # long runs
+        np.arange(128 * 3, dtype=np.uint8).reshape(1, 128, 3),  # 128-literal edge
+    ):
+        exp = img[..., None] if img.ndim == 2 else img
+        for pb in (False, True):
+            assert np.array_equal(decode_tiff(encode_tiff(img, pb)), exp), (
+                img.shape,
+                pb,
+            )
+
+
+def test_tiff_big_endian_and_multistrip():
+    """decode_tiff must handle MM byte order and multi-strip layout —
+    build both by hand since encode_tiff writes single-strip II."""
+    img = np.random.RandomState(4).randint(0, 256, (8, 6, 3), np.uint8)
+    h, w = 8, 6
+    raw = img.tobytes()
+    rows_per_strip = 3
+    strips = [
+        raw[r * w * 3 : min(r + rows_per_strip, h) * w * 3]
+        for r in range(0, h, rows_per_strip)
+    ]
+    strip_off0 = 8
+    offs, offsets = strip_off0, []
+    for s in strips:
+        offsets.append(offs)
+        offs += len(s)
+    ifd_off = offs + (offs % 2)
+    entries = [
+        (256, 3, 1, w), (257, 3, 1, h), (259, 3, 1, 1), (262, 3, 1, 2),
+        (277, 3, 1, 3), (278, 3, 1, rows_per_strip), (284, 3, 1, 1),
+    ]
+    n = len(entries) + 3  # + BitsPerSample, StripOffsets, StripByteCounts
+    extra = ifd_off + 2 + 12 * n + 4
+    entries.append((258, 3, 3, extra))
+    entries.append((273, 4, len(strips), extra + 6))
+    entries.append((279, 4, len(strips), extra + 6 + 4 * len(strips)))
+    entries.sort()
+    ifd = struct.pack(">H", n)
+    for tag, typ, cnt, val in entries:
+        ifd += struct.pack(">HHI", tag, typ, cnt)
+        ifd += (
+            struct.pack(">HH", val, 0)
+            if typ == 3 and cnt == 1
+            else struct.pack(">I", val)
+        )
+    ifd += struct.pack(">I", 0)
+    ifd += struct.pack(">HHH", 8, 8, 8)
+    for o in offsets:
+        ifd += struct.pack(">I", o)
+    for s in strips:
+        ifd += struct.pack(">I", len(s))
+    payload = b"MM\x00*" + struct.pack(">I", ifd_off)
+    body = b"".join(strips)
+    payload += body + b"\x00" * (ifd_off - 8 - len(body)) + ifd
+    from auto_ts_spark.operators.multimodal import decode_tiff
+
+    assert np.array_equal(decode_tiff(payload), img)
+
+
+def test_tiff_unsupported_variants_route_to_fake():
+    from auto_ts_spark.operators.multimodal import (
+        _fake_decode_image,
+        decode_image,
+        decode_tiff,
+        encode_tiff,
+    )
+
+    img = np.random.RandomState(5).randint(0, 256, (6, 7, 3), np.uint8)
+    payload = bytearray(encode_tiff(img))
+    # flip Compression (tag 259) to 5 (LZW) — walk the IFD to find it
+    (ifd_off,) = struct.unpack_from("<I", payload, 4)
+    (n,) = struct.unpack_from("<H", payload, ifd_off)
+    for k in range(n):
+        off = ifd_off + 2 + 12 * k
+        (tag,) = struct.unpack_from("<H", payload, off)
+        if tag == 259:
+            struct.pack_into("<H", payload, off + 8, 5)
+    with pytest.raises(ValueError, match="compression"):
+        decode_tiff(bytes(payload))
+    out = decode_image(bytes(payload), 7, 6)
+    assert np.array_equal(out, _fake_decode_image(bytes(payload), 7, 6))
 
 
 def test_gif_roundtrip_palette_sizes_and_interlace():
