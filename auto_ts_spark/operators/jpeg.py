@@ -606,15 +606,22 @@ def _ac_refine_encode_block(
 
 
 def encode_jpeg_progressive(
-    arr: np.ndarray, quality: int = 90, subsampling: str = "4:4:4"
+    arr: np.ndarray,
+    quality: int = 90,
+    subsampling: str = "4:4:4",
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode an (h, w) grayscale or (h, w, 3) RGB uint8 array as a
     PROGRESSIVE (SOF2) JFIF JPEG using the standard spectral-selection
     + successive-approximation scan script (the libjpeg jcparam.c
     default: coarse DC first, banded coarse AC, then one-bit
-    refinement passes). Decodes to the exact same pixels as the
-    baseline encode of the same image — both entropy-code the same
-    quantized coefficients losslessly."""
+    refinement passes). ``restart_interval`` > 0 emits DRI + RSTn
+    every that many MCUs of EACH scan (for a non-interleaved scan an
+    MCU is one block), flushing any open EOB run first — real
+    progressive files carry restarts, so this exists to test the
+    decoder path. Decodes to the exact same pixels as the baseline
+    encode of the same image — both entropy-code the same quantized
+    coefficients losslessly."""
     gray, h, w, hv, qy, qc, quant_blocks, true_dims, mcus_x, mcus_y = (
         _quantize_components(arr, quality, subsampling)
     )
@@ -672,6 +679,9 @@ def encode_jpeg_progressive(
             (0, 1, 63, 1, 0),
         ]
 
+    if restart_interval:
+        out += _seg(0xFFDD, struct.pack(">H", restart_interval))
+    rst = 0
     for comp, ss, se, ah, al in script:
         members = list(range(ncomp)) if comp is None else [comp]
         sos = bytes([len(members)])
@@ -682,10 +692,20 @@ def encode_jpeg_progressive(
         sos += bytes([ss, se, (ah << 4) | al])
         out += _seg(0xFFDA, sos)
         writer = _BitWriter()
+        since = 0
         if ss == 0:  # DC scan (interleaved over the full MCU grid)
             prev_dc = [0] * len(members)
             for my in range(mcus_y):
                 for mx in range(mcus_x):
+                    if restart_interval and since == restart_interval:
+                        writer.flush()
+                        out += writer.out
+                        writer = _BitWriter()
+                        out += struct.pack(">H", 0xFFD0 + (rst & 7))
+                        rst += 1
+                        prev_dc = [0] * len(members)
+                        since = 0
+                    since += 1
                     for mi, ci in enumerate(members):
                         ch, cv = hv[ci]
                         for by in range(cv):
@@ -716,6 +736,15 @@ def encode_jpeg_progressive(
             block_fn = _ac_first_encode_block if ah == 0 else _ac_refine_encode_block
             for by in range(bh):
                 for bx in range(bw):
+                    if restart_interval and since == restart_interval:
+                        eobrun = _emit_eobrun(writer, act, eobrun, pending)
+                        writer.flush()
+                        out += writer.out
+                        writer = _BitWriter()
+                        out += struct.pack(">H", 0xFFD0 + (rst & 7))
+                        rst += 1
+                        since = 0
+                    since += 1
                     eobrun = block_fn(
                         writer, act, zzs[ci][by, bx], ss, se, al, eobrun, pending
                     )

@@ -299,6 +299,29 @@ def test_progressive_long_eob_runs():
         assert np.array_equal(base, prog), sub
 
 
+def test_progressive_restart_markers_roundtrip():
+    """Real progressive files carry RSTn markers; the decoder resets
+    DC predictors AND the EOB run at each restart, per scan. Encoded
+    with per-scan restart intervals small enough that every scan type
+    (interleaved DC, AC first with EOB runs, AC/DC refinement)
+    crosses several restart boundaries."""
+    from auto_ts_spark.operators.jpeg import encode_jpeg_progressive
+
+    rng = np.random.RandomState(9)
+    cases = [
+        (rng.randint(0, 256, (48, 64, 3), np.uint8), "4:4:4", 2),
+        (rng.randint(0, 256, (48, 64, 3), np.uint8), "4:2:0", 3),
+        (rng.randint(0, 256, (33, 41), np.uint8), "4:4:4", 5),
+        (np.full((64, 64, 3), 77, np.uint8), "4:4:4", 4),  # EOB runs cut by RST
+    ]
+    for img, sub, ri in cases:
+        base = decode_jpeg(encode_jpeg(img, 85, sub))
+        prog = decode_jpeg(
+            encode_jpeg_progressive(img, 85, sub, restart_interval=ri)
+        )
+        assert np.array_equal(base, prog), (img.shape, sub, ri)
+
+
 def test_quality_tables_follow_libjpeg_convention():
     q50_y, _ = quality_tables(50)
     assert q50_y[0, 0] == 16  # scale 100% at q=50 → Annex-K verbatim
