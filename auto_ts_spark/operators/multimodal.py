@@ -8,12 +8,14 @@ filters — r10), sequential AND progressive JPEG (SOF0/SOF1/SOF2
 Huffman, 4:4:4/4:2:2/4:2:0, restart markers, spectral selection +
 successive approximation — see ``operators/jpeg.py``, r10-r11),
 baseline TIFF (8-bit gray/RGB strips, none/PackBits compression,
-both byte orders — r11); audio: WAV (RIFF PCM 8/16-bit); video: AVI with uncompressed DIB frames (RIFF chunk
-walk — r10) — implemented with struct offsets + ``np.frombuffer`` + a
+both byte orders — r11); audio: WAV (RIFF PCM 8/16-bit + G.711
+mu-law/A-law companding — r11); video: AVI with uncompressed DIB
+frames (RIFF chunk walk — r10) or Motion-JPEG frames (each '00dc'
+chunk decoded by the in-repo JPEG codec — r11) — implemented with struct offsets + ``np.frombuffer`` + a
 vectorized numpy IDCT (no codec libraries needed, none exist in this
 container). Formats that genuinely need a codec library (MP3/AAC,
-MP4/MKV/WebM, WebP, LZW/JPEG-compressed TIFF) fall back to a
-clearly-marked
+MP4/MKV/WebM non-MJPEG codecs, WebP, LZW-compressed TIFF) fall back
+to a clearly-marked
 deterministic fake so the pipeline shape stays testable; a real
 deployment swaps only that fallback body for PIL/soundfile/ffmpeg.
 
@@ -515,19 +517,66 @@ def encode_avi_raw(frames: np.ndarray, fps: int = 10) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+_MJPG_FOURCC = 0x47504A4D  # 'MJPG' as the strf biCompression dword
+
+
+def encode_avi_mjpeg(frames: np.ndarray, fps: int = 10, quality: int = 90) -> bytes:
+    """Encode (n, h, w, 3) uint8 RGB frames as a RIFF AVI with
+    Motion-JPEG video ('MJPG' handler; each '00dc' chunk is a complete
+    baseline JPEG from ``operators/jpeg.py``) — the most common
+    compressed AVI flavor cameras emit, now writable because the JPEG
+    codec is in-repo. Lossy but bit-deterministic."""
+    if frames.ndim != 4 or frames.shape[3] != 3:
+        raise ValueError(f"expected (n, h, w, 3) RGB frames, got {frames.shape}")
+    n, h, w = frames.shape[:3]
+    payloads = [encode_jpeg(f, quality) for f in frames]
+    sz_img = max(len(p) for p in payloads)
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        1_000_000 // max(fps, 1), sz_img * fps, 0, 0x10, n, 0, 1, sz_img,
+        w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"MJPG"
+        + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0, n, sz_img, 0xFFFFFFFF, 0)
+        + struct.pack("<4h", 0, 0, w, h)
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, _MJPG_FOURCC, sz_img, 2835, 2835, 0, 0
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00dc", p) for p in payloads))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def decode_avi_raw(content: bytes) -> tuple[np.ndarray, int]:
-    """Decode a RIFF AVI with uncompressed DIB frames to
-    ((n, h, w, 3) RGB uint8, fps). Walks the chunk tree, so extra
-    chunks (idx1, INFO, JUNK) are tolerated; compressed fourccs raise
-    (no codec libraries — the honest-fallback contract)."""
+    """Decode a RIFF AVI with uncompressed DIB frames OR Motion-JPEG
+    ('MJPG' — each frame chunk is a baseline/progressive JPEG, decoded
+    by the in-repo codec, r11) to ((n, h, w, 3) RGB uint8, fps). Walks
+    the chunk tree, so extra chunks (idx1, INFO, JUNK) are tolerated;
+    other compressed fourccs raise (no codec libraries — the
+    honest-fallback contract)."""
     if content[:4] != b"RIFF" or content[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI payload")
     w = h = None
     rate, scale = 0, 1
+    mjpeg = False
     frames: list[np.ndarray] = []
 
     def walk(start: int, end: int) -> None:
-        nonlocal w, h, rate, scale
+        nonlocal w, h, rate, scale, mjpeg
         pos = start
         while pos + 8 <= end:
             cid, size = struct.unpack_from("<4sI", content, pos)
@@ -537,10 +586,12 @@ def decode_avi_raw(content: bytes) -> tuple[np.ndarray, int]:
             elif cid == b"strh":
                 fcc_type, handler = content[body_at : body_at + 4], content[body_at + 4 : body_at + 8]
                 if fcc_type == b"vids":
-                    if handler not in (b"DIB ", b"\x00\x00\x00\x00", b"RGB "):
+                    if handler in (b"MJPG", b"mjpg"):
+                        mjpeg = True
+                    elif handler not in (b"DIB ", b"\x00\x00\x00\x00", b"RGB "):
                         raise ValueError(
                             f"unsupported AVI video handler {handler!r} — "
-                            "uncompressed DIB only (no codec libraries)"
+                            "uncompressed DIB or MJPG only (no codec libraries)"
                         )
                     _f, _p, _l, _i, scale, rate = struct.unpack_from(
                         "<IHHIII", content, body_at + 8
@@ -549,18 +600,29 @@ def decode_avi_raw(content: bytes) -> tuple[np.ndarray, int]:
                 _sz, w, h, _pl, bpp, comp = struct.unpack_from(
                     "<IiiHHI", content, body_at
                 )
-                if bpp != 24 or comp != 0:
+                if comp == _MJPG_FOURCC:
+                    mjpeg = True
+                elif bpp != 24 or comp != 0:
                     raise ValueError(
                         f"unsupported AVI frame format (bpp={bpp}, compression={comp})"
                     )
             elif cid in (b"00db", b"00dc"):
                 if w is None:
                     raise ValueError("AVI frame chunk before strf header")
-                stride = (w * 3 + 3) // 4 * 4
-                rows = np.frombuffer(content, np.uint8, count=h * stride, offset=body_at)
-                frames.append(
-                    rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)[::-1, :, ::-1]
-                )
+                if mjpeg:
+                    img = decode_jpeg(bytes(content[body_at : body_at + size]))
+                    if img.ndim == 2:
+                        img = np.repeat(img[:, :, None], 3, axis=2)
+                    frames.append(img)
+                else:
+                    stride = (w * 3 + 3) // 4 * 4
+                    rows = np.frombuffer(
+                        content, np.uint8, count=h * stride, offset=body_at
+                    )
+                    frames.append(
+                        rows.reshape(h, stride)[:, : w * 3]
+                        .reshape(h, w, 3)[::-1, :, ::-1]
+                    )
             pos = body_at + size + (size & 1)
 
     walk(12, 8 + struct.unpack_from("<I", content, 4)[0])
@@ -585,10 +647,68 @@ def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
     )
 
 
+def _g711_tables() -> tuple[np.ndarray, np.ndarray]:
+    """(mu_law, a_law) byte → linear int16 decode tables, from the
+    public G.711 formulas (the same expansion every telephony stack
+    uses)."""
+    mu = np.empty(256, dtype=np.int16)
+    for b in range(256):
+        u = ~b & 0xFF
+        sign = u & 0x80
+        exp = (u >> 4) & 0x07
+        mant = u & 0x0F
+        mag = (((mant << 3) + 0x84) << exp) - 0x84
+        mu[b] = -mag if sign else mag
+    al = np.empty(256, dtype=np.int16)
+    for b in range(256):
+        a = b ^ 0x55
+        sign = a & 0x80
+        exp = (a >> 4) & 0x07
+        mant = a & 0x0F
+        if exp:
+            mag = ((mant << 4) + 0x108) << (exp - 1)
+        else:
+            mag = (mant << 4) + 8
+        al[b] = -mag if sign else mag
+    return mu, al
+
+
+_MU_LAW, _A_LAW = _g711_tables()
+
+
+def encode_wav_g711(samples: np.ndarray, sample_rate: int, law: str = "mu") -> bytes:
+    """Encode a float waveform in [-1, 1] as RIFF WAV with G.711
+    companding (format 7 μ-law or 6 A-law, 8-bit mono) — the classic
+    telephony WAV flavor. Encoding picks, per sample, the code whose
+    table expansion is nearest (exact inverse of the decode table)."""
+    table = _MU_LAW if law == "mu" else _A_LAW
+    fmt_code = 7 if law == "mu" else 6
+    pcm = np.round(
+        np.clip(np.asarray(samples, dtype=np.float64), -1.0, 1.0) * 32767.0
+    ).astype(np.int32)
+    order = np.argsort(table.astype(np.int32))
+    sorted_vals = table.astype(np.int32)[order]
+    idx = np.searchsorted(sorted_vals, pcm)
+    idx = np.clip(idx, 1, len(sorted_vals) - 1)
+    left = sorted_vals[idx - 1]
+    right = sorted_vals[idx]
+    pick = np.where(pcm - left <= right - pcm, idx - 1, idx)
+    data = order[pick].astype(np.uint8).tobytes()
+    fmt = struct.pack("<HHIIHH", fmt_code, 1, sample_rate, sample_rate, 1, 8)
+    return (
+        struct.pack("<4sI4s", b"RIFF", 4 + 8 + len(fmt) + 8 + len(data), b"WAVE")
+        + struct.pack("<4sI", b"fmt ", len(fmt))
+        + fmt
+        + struct.pack("<4sI", b"data", len(data))
+        + data
+    )
+
+
 def decode_wav(content: bytes) -> tuple[np.ndarray, int]:
-    """Decode a RIFF WAV (PCM, 8 or 16-bit, any channel count →
-    channel 0) to (float32 waveform in [-1, 1], sample_rate). Walks
-    the chunk list, so extra chunks (LIST, fact, …) are tolerated."""
+    """Decode a RIFF WAV (PCM 8/16-bit, or G.711 μ-law/A-law — r11;
+    any channel count → channel 0) to (float32 waveform in [-1, 1],
+    sample_rate). Walks the chunk list, so extra chunks (LIST, fact,
+    …) are tolerated."""
     if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     pos, fmt, data = 12, None, None
@@ -603,14 +723,18 @@ def decode_wav(content: bytes) -> tuple[np.ndarray, int]:
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
     audio_format, n_channels, sample_rate, _, _, bits = fmt
-    if audio_format != 1 or bits not in (8, 16):
-        raise ValueError(f"unsupported WAV (format={audio_format}, bits={bits})")
-    if bits == 16:
+    if audio_format == 1 and bits == 16:
         raw = np.frombuffer(data, dtype="<i2")
         wave = raw.astype(np.float32) / 32767.0
-    else:  # 8-bit PCM is unsigned, midpoint 128
+    elif audio_format == 1 and bits == 8:  # 8-bit PCM unsigned, midpoint 128
         raw = np.frombuffer(data, dtype=np.uint8)
         wave = (raw.astype(np.float32) - 128.0) / 127.0
+    elif audio_format in (6, 7) and bits == 8:  # G.711 A-law / mu-law
+        table = _A_LAW if audio_format == 6 else _MU_LAW
+        raw = np.frombuffer(data, dtype=np.uint8)
+        wave = table[raw].astype(np.float32) / 32767.0
+    else:
+        raise ValueError(f"unsupported WAV (format={audio_format}, bits={bits})")
     if n_channels > 1:
         wave = wave[::n_channels]
     return wave, sample_rate
@@ -805,7 +929,13 @@ def synthetic_media(spark, n: int = 64, kind: str = "image", real: bool = True) 
         if not real:
             payload, mime = rng.bytes(256), f"{kind}/fake"
         elif kind == "video":
-            payload = encode_avi_raw(_video_frames(i), fps=10)
+            # i%4==1 rows are Motion-JPEG (r11; lossy but
+            # bit-deterministic — the video VALUES oracle regenerated
+            # over the actual decode), the rest raw DIB
+            if i % 4 == 1:
+                payload = encode_avi_mjpeg(_video_frames(i), fps=10, quality=92)
+            else:
+                payload = encode_avi_raw(_video_frames(i), fps=10)
             mime = "video/avi"
             duration_ms = (3 + i % 3) * 100  # n_frames / 10 fps
         elif kind == "image":

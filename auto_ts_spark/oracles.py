@@ -1972,12 +1972,13 @@ SELECT col AS "column",
 FROM e GROUP BY col ORDER BY col
 """
 
-# The video query decodes REAL raw-DIB AVI payloads (operators/
-# multimodal.py: encode_avi_raw/decode_avi_raw RIFF chunk walk,
-# byte-exact round trip) over the deterministic _video_frames clips —
-# exact platform-stable constants like the image oracle. Regenerate
-# with the snippet in tests/test_multimodal_oracle.py if the clip
-# generator or the AVI codec changes.
+# The video query decodes REAL AVI payloads (operators/multimodal.py
+# RIFF chunk walk): raw DIB rows byte-exact, and — r11 — the i%4==1
+# rows are Motion-JPEG ('MJPG' frame chunks decoded by the in-repo
+# JPEG codec; lossy but bit-deterministic, these constants generated
+# from the actual decode) over the deterministic _video_frames clips.
+# Regenerate by collecting q_video_frame_features if the clip
+# generator, schedule, or either codec changes.
 _SQL_VIDEO_FRAME_FEATURES = """
 SELECT cast(media_id AS BIGINT) AS media_id,
        cast(frame_idx AS int) AS frame_idx,
@@ -1986,8 +1987,8 @@ SELECT cast(media_id AS BIGINT) AS media_id,
 FROM (VALUES
   (0, 0, 127.071181, 43.519314),
   (0, 2, 125.892795, 42.9839),
-  (1, 0, 128.96404, 41.941282),
-  (1, 2, 127.421414, 42.333507),
+  (1, 0, 128.953939, 42.15785),
+  (1, 2, 127.421414, 42.30028),
   (2, 0, 128.273756, 42.927406),
   (2, 2, 129.766591, 44.236296),
   (2, 4, 126.684389, 40.723464),
@@ -1995,9 +1996,9 @@ FROM (VALUES
   (3, 2, 128.418695, 44.187671),
   (4, 0, 129.530382, 43.228957),
   (4, 2, 123.597222, 43.354313),
-  (5, 0, 128.883232, 43.413101),
-  (5, 2, 130.000808, 42.928769),
-  (5, 4, 126.608485, 42.938648),
+  (5, 0, 128.914343, 43.521756),
+  (5, 2, 129.933737, 42.896065),
+  (5, 4, 126.564848, 42.791291),
   (6, 0, 128.835219, 41.740901),
   (6, 2, 126.007541, 42.969372),
   (7, 0, 128.426102, 43.449379),
@@ -2005,8 +2006,8 @@ FROM (VALUES
   (8, 0, 128.22309, 43.219174),
   (8, 2, 127.653212, 42.884012),
   (8, 4, 125.309462, 42.136179),
-  (9, 0, 127.432727, 41.681215),
-  (9, 2, 127.250505, 44.614627),
+  (9, 0, 127.441212, 41.870476),
+  (9, 2, 127.244848, 44.52028),
   (10, 0, 128.550528, 40.542864),
   (10, 2, 125.409502, 42.933812),
   (11, 0, 127.412698, 43.974231),

@@ -299,7 +299,7 @@ def test_avi_chunk_walk_tolerates_junk_and_rejects_codecs():
     assert np.array_equal(out, frames)
     bad = bytearray(payload)
     i = bad.find(b"vids") + 4
-    bad[i : i + 4] = b"mjpg"
+    bad[i : i + 4] = b"H264"  # genuinely codec-bearing (mjpg is real now, r11)
     with pytest.raises(ValueError, match="handler"):
         decode_avi_raw(bytes(bad))
 
@@ -420,6 +420,46 @@ def test_tiff_unsupported_variants_route_to_fake():
         decode_tiff(bytes(payload))
     out = decode_image(bytes(payload), 7, 6)
     assert np.array_equal(out, _fake_decode_image(bytes(payload), 7, 6))
+
+
+# ------------------------------------------------------- MJPEG + G.711 (r11)
+
+
+def test_mjpeg_avi_roundtrip_and_dispatch():
+    from auto_ts_spark.operators.multimodal import (
+        decode_avi_raw,
+        decode_video,
+        encode_avi_mjpeg,
+    )
+
+    rng = np.random.RandomState(6)
+    frames = rng.randint(0, 256, (4, 24, 32, 3), np.uint8)
+    dec, fps = decode_avi_raw(encode_avi_mjpeg(frames, fps=10, quality=95))
+    assert dec.shape == frames.shape and fps == 10
+    assert np.abs(dec.astype(int) - frames.astype(int)).max() <= 40  # lossy
+    # flat frames survive JPEG exactly
+    flat = np.full((3, 16, 16, 3), 90, np.uint8)
+    decf, _ = decode_avi_raw(encode_avi_mjpeg(flat, quality=90))
+    assert np.array_equal(decf, flat)
+    # and the sniffing dispatch routes MJPG AVIs to the real decoder
+    assert decode_video(encode_avi_mjpeg(frames)).shape == frames.shape
+
+
+def test_g711_wav_decode():
+    from auto_ts_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav_g711,
+    )
+
+    t = np.arange(16000) / 16000.0
+    x = 0.5 * np.sin(2 * np.pi * 440 * t)
+    for law in ("mu", "a"):
+        w, sr = decode_wav(encode_wav_g711(x, 16000, law))
+        assert sr == 16000 and len(w) == len(x)
+        # 8-bit companding: ~38 dB SNR on a half-scale tone
+        snr = 10 * np.log10(np.mean(x**2) / np.mean((w - x) ** 2))
+        assert snr > 30, (law, snr)
+        assert np.abs(w - x).max() < 0.02, law
 
 
 def test_gif_roundtrip_palette_sizes_and_interlace():
