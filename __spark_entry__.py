@@ -1736,11 +1736,13 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal pipeline: binary media columns + mapInPandas feature
-    extraction over REAL payloads — BMP, PNG (stdlib zlib + unfilter)
-    and baseline JPEG (pure numpy Huffman+IDCT, operators/jpeg.py, r10)
-    on a deterministic schedule; no codec libs needed. Only formats
-    that truly require codec libraries (MP3/AAC, progressive JPEG,
-    video) fall back to a documented deterministic fake."""
+    extraction over REAL payloads — BMP, PNG (stdlib zlib + unfilter),
+    baseline AND progressive JPEG (pure numpy Huffman+IDCT,
+    operators/jpeg.py — the i%6==1 schedule rows are SOF2), GIF, TIFF,
+    WAV, raw-DIB/MJPEG AVI on a deterministic schedule; no codec libs
+    needed. Only formats that truly require codec libraries (MP3/AAC,
+    arithmetic/12-bit/lossless JPEG, WebP, JPEG-compressed TIFF,
+    MP4/MKV video) fall back to a documented deterministic fake."""
     from auto_ts_spark.operators.multimodal import (
         decode_and_featurize,
         synthetic_media,

@@ -212,7 +212,15 @@ def train_bpe(
     the corpus token MASS the kept slice covers (computed distributed,
     before anything is collected). At real corpus scale Zipf puts the
     coverage well above 0.99 for max_words=1M; a caller that sees less
-    raises ``max_words``."""
+    raises ``max_words``.
+
+    Driver-memory floor: the merge loop holds the kept histogram's
+    symbol lists plus the pair Counter/heap/index in driver memory —
+    measured ~5.2 GB RSS at n_merges=32k over a 2M-word histogram
+    (~650 s loop; BASELINE.md r11 BPE row). Size the driver for the
+    histogram you keep — ``max_words`` is the lever: memory scales with
+    kept words × average word length, NOT with corpus size (the corpus
+    contributes exactly one distributed histogram pass)."""
     hist = word_histogram(df, text_col=text_col).filter(F.col("cnt") >= min_count)
     hist = hist.persist()
     try:

@@ -681,8 +681,11 @@ def encode_jpeg_progressive(
 
     if restart_interval:
         out += _seg(0xFFDD, struct.pack(">H", restart_interval))
-    rst = 0
     for comp, ss, se, ah, al in script:
+        # T.81 E.1.4: the RSTn modulo-8 count restarts at RST0 in each
+        # scan — strict decoders (libjpeg) validate the index and would
+        # resync/skip data if numbering continued across scans
+        rst = 0
         members = list(range(ncomp)) if comp is None else [comp]
         sos = bytes([len(members)])
         for ci in members:

@@ -195,9 +195,10 @@ def encode_tiff(arr: np.ndarray, packbits: bool = False) -> bytes:
         comp = 1
     # layout: header(8) + strip + IFD
     strip_off = 8
-    ifd_off = strip_off + len(strip)
+    strip_len = len(strip)  # true byte count, before the alignment pad
+    ifd_off = strip_off + strip_len
     if ifd_off % 2:
-        strip += b"\x00"
+        strip += b"\x00"  # word-align the IFD; NOT part of the strip
         ifd_off += 1
     entries = [
         (256, 3, 1, w),  # ImageWidth SHORT
@@ -207,7 +208,7 @@ def encode_tiff(arr: np.ndarray, packbits: bool = False) -> bytes:
         (273, 4, 1, strip_off),  # StripOffsets
         (277, 3, 1, spp),  # SamplesPerPixel
         (278, 3, 1, h),  # RowsPerStrip (single strip)
-        (279, 4, 1, len(strip)),  # StripByteCounts
+        (279, 4, 1, strip_len),  # StripByteCounts (excludes the pad byte)
         (284, 3, 1, 1),  # PlanarConfiguration: chunky
     ]
     bps_off = None
@@ -799,8 +800,10 @@ def decode_image(content: bytes, width: int = 0, height: int = 0) -> np.ndarray:
         if content[:2] == b"\xff\xd8":
             try:
                 img = decode_jpeg(content)
-            except ValueError:
-                # arithmetic/12-bit/lossless: documented fake, not garbage
+            except (ValueError, IndexError, struct.error):
+                # arithmetic/12-bit/lossless (ValueError) or a
+                # truncated/corrupt stream (IndexError/struct.error):
+                # documented fake, not garbage or a dead executor
                 return _fake_decode_image(content, width, height)
             if img.ndim == 2:  # grayscale JPEG
                 return np.repeat(img[:, :, None], 3, axis=2)
@@ -844,7 +847,10 @@ def decode_video(
     if content and content[:4] == b"RIFF" and content[8:12] == b"AVI ":
         try:
             return decode_avi_raw(content)[0]
-        except ValueError:
+        except (ValueError, IndexError, struct.error):
+            # a truncated/corrupt '00dc' MJPEG frame chunk can raise
+            # struct.error/IndexError from decode_jpeg — route one bad
+            # payload to the fake instead of killing the mapInPandas job
             return _fake_decode_video(content, width, height, n_frames)
     return _fake_decode_video(content, width, height, n_frames)
 
