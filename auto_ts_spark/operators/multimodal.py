@@ -7,14 +7,15 @@ PPM (P6), PNG (8-bit gray/RGB/RGBA, zlib inflate + all five scanline
 filters — r10), sequential AND progressive JPEG (SOF0/SOF1/SOF2
 Huffman, 4:4:4/4:2:2/4:2:0, restart markers, spectral selection +
 successive approximation — see ``operators/jpeg.py``, r10-r11),
-baseline TIFF (8-bit gray/RGB strips, none/PackBits compression,
-both byte orders — r11); audio: WAV (RIFF PCM 8/16-bit + G.711
+baseline TIFF (8-bit gray/RGB strips, none/PackBits/LZW compression
+with Predictor-2 horizontal differencing, both byte orders —
+r11-r12); audio: WAV (RIFF PCM 8/16-bit + G.711
 mu-law/A-law companding — r11); video: AVI with uncompressed DIB
 frames (RIFF chunk walk — r10) or Motion-JPEG frames (each '00dc'
 chunk decoded by the in-repo JPEG codec — r11) — implemented with struct offsets + ``np.frombuffer`` + a
 vectorized numpy IDCT (no codec libraries needed, none exist in this
 container). Formats that genuinely need a codec library (MP3/AAC,
-MP4/MKV/WebM non-MJPEG codecs, WebP, LZW-compressed TIFF) fall back
+MP4/MKV/WebM non-MJPEG codecs, WebP, JPEG-in-TIFF) fall back
 to a clearly-marked
 deterministic fake so the pipeline shape stays testable; a real
 deployment swaps only that fallback body for PIL/soundfile/ffmpeg.
@@ -143,26 +144,157 @@ def decode_ppm(content: bytes) -> np.ndarray:
     )
 
 
-# ------------------------------- TIFF (r11) -------------------------------
+# ---------------------------- TIFF (r11/r12) ------------------------------
 # Classic TIFF 6.0 baseline: header + IFD tag walk, 8-bit gray/RGB,
-# chunky planar config, strip layout, Compression 1 (none) or 32773
-# (PackBits — the TIFF-native RLE), both byte orders. This covers the
-# uncompressed scientific/scanner TIFFs a corpus actually contains
-# without any codec library; LZW/JPEG-in-TIFF still route to the
-# documented fake.
+# chunky planar config, strip layout, Compression 1 (none), 32773
+# (PackBits — the TIFF-native RLE) or 5 (LZW, r12 — the TIFF variant:
+# MSB-first bit packing and the spec's early code-width change, vs the
+# GIF variant's LSB-first packing in operators/gif.py), with Predictor
+# 2 horizontal differencing, both byte orders. Uncompressed-or-LZW
+# covers nearly all real-world TIFFs; only JPEG-in-TIFF / tiled /
+# planar / non-8-bit variants still route to the documented fake.
 
 
-def encode_tiff(arr: np.ndarray, packbits: bool = False) -> bytes:
+def _tiff_lzw_decode(data: bytes, expected: int) -> bytes:
+    """TIFF 6.0 LZW decode (Compression=5). Differs from the GIF
+    variant in ``operators/gif.py`` in exactly two public-spec ways:
+    codes are packed MSB-first, and the code width grows one code
+    EARLY — when the table reaches 2^width - 1 entries, not 2^width
+    (the TIFF spec's 'early change' that became canon). Fixed 8-bit
+    symbols: Clear=256, EOI=257, first dynamic code 258."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    acc = 0
+    nbits = 0
+    pos = 0
+    prev: bytes | None = None
+    while len(out) < expected:
+        while nbits < width:
+            if pos >= len(data):
+                return bytes(out)  # truncated stream: return what we have
+            acc = (acc << 8) | data[pos]
+            nbits += 8
+            pos += 1
+        code = (acc >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        if code == CLEAR:
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            width = 9
+            prev = None
+            continue
+        if code == EOI:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError(f"corrupt TIFF LZW stream (code {code})")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # the KwKwK case
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError(f"corrupt TIFF LZW stream (code {code})")
+        out.extend(entry)
+        prev = entry
+        if len(table) == (1 << width) - 1 and width < 12:
+            width += 1  # early change: one code before the GIF variant
+    return bytes(out)
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """TIFF 6.0 LZW encode (MSB-first, early code-width change). Emits
+    Clear, codes, EOI; resets the table before it would need a 13th
+    bit, mirroring ``_tiff_lzw_decode``'s growth rule exactly."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, size: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << size) | code
+        nbits += size
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+        acc &= (1 << nbits) - 1
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    emit(CLEAR, width)
+    w = b""
+    for b in data:
+        wk = w + bytes([b])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w], width)
+        table[wk] = next_code
+        next_code += 1
+        # early change: the decoder widens after adding entry
+        # 2^width - 2, which corresponds to our next_code hitting
+        # 2^width (the encoder table leads the decoder's by one)
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        if next_code == 4094:  # reset before a 13-bit code is needed
+            emit(CLEAR, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        w = bytes([b])
+    if w:
+        emit(table[w], width)
+    emit(EOI, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _predictor2_apply(arr: np.ndarray) -> np.ndarray:
+    """TIFF Predictor=2 horizontal differencing (per row, per channel,
+    mod 256) — applied before compression."""
+    d = arr.astype(np.int16)
+    d[:, 1:] = d[:, 1:] - d[:, :-1]
+    return (d % 256).astype(np.uint8)
+
+
+def _predictor2_undo(arr: np.ndarray) -> np.ndarray:
+    """Invert Predictor=2: cumulative sum across the row, mod 256."""
+    return np.cumsum(arr.astype(np.int64), axis=1).astype(np.uint8)
+
+
+def encode_tiff(
+    arr: np.ndarray,
+    packbits: bool = False,
+    *,
+    lzw: bool = False,
+    predictor: int = 1,
+) -> bytes:
     """Encode (h, w) gray or (h, w, 3) RGB uint8 as little-endian
-    single-strip TIFF (Compression=1, or 32773 PackBits)."""
+    single-strip TIFF (Compression=1, 32773 PackBits, or 5 LZW —
+    optionally with Predictor=2 horizontal differencing, the pairing
+    real LZW TIFFs almost always use)."""
     arr = np.ascontiguousarray(arr, dtype=np.uint8)
     gray = arr.ndim == 2
     if not gray and (arr.ndim != 3 or arr.shape[2] != 3):
         raise ValueError(f"expected (h,w) gray or (h,w,3) RGB, got {arr.shape}")
     h, w = arr.shape[:2]
     spp = 1 if gray else 3
-    raw = arr.tobytes()
-    if packbits:
+    if predictor == 2:
+        raw = _predictor2_apply(arr.reshape(h, w, spp)).tobytes()
+    elif predictor == 1:
+        raw = arr.tobytes()
+    else:
+        raise ValueError(f"unsupported TIFF predictor {predictor}")
+    if lzw:
+        strip = _tiff_lzw_encode(raw)
+        comp = 5
+    elif packbits:
         out = bytearray()
         # per TIFF spec PackBits compresses each ROW independently
         row_len = w * spp
@@ -211,6 +343,8 @@ def encode_tiff(arr: np.ndarray, packbits: bool = False) -> bytes:
         (279, 4, 1, strip_len),  # StripByteCounts (excludes the pad byte)
         (284, 3, 1, 1),  # PlanarConfiguration: chunky
     ]
+    if predictor == 2:
+        entries.append((317, 3, 1, 2))  # Predictor: horizontal differencing
     bps_off = None
     if gray:
         entries.insert(3, (258, 3, 1, 8))  # BitsPerSample
@@ -252,9 +386,10 @@ def _packbits_decode(data: bytes, expected: int) -> bytes:
 
 def decode_tiff(content: bytes) -> np.ndarray:
     """Decode baseline TIFF (8-bit gray/RGB, chunky, strips,
-    Compression 1 or 32773/PackBits, either byte order) to (h, w, 1|3)
-    uint8. Raises ValueError on LZW/JPEG-compressed, planar, tiled or
-    non-8-bit variants — those route to the documented fake."""
+    Compression 1, 32773/PackBits or 5/LZW with Predictor 1|2, either
+    byte order) to (h, w, 1|3) uint8. Raises ValueError on
+    JPEG-compressed, planar, tiled or non-8-bit variants — those route
+    to the documented fake."""
     if content[:4] not in (b"II*\x00", b"MM\x00*"):
         raise ValueError("not a TIFF payload")
     e = "<" if content[:2] == b"II" else ">"
@@ -303,8 +438,13 @@ def decode_tiff(content: bytes) -> np.ndarray:
     spp = arr_vals(277, [1])[0]
     bps = arr_vals(258, [8])
     planar = arr_vals(284, [1])[0]
-    if comp not in (1, 32773):
-        raise ValueError(f"unsupported TIFF compression {comp} (none/PackBits only)")
+    if comp not in (1, 32773, 5):
+        raise ValueError(
+            f"unsupported TIFF compression {comp} (none/PackBits/LZW only)"
+        )
+    predictor = arr_vals(317, [1])[0]
+    if predictor not in (1, 2):
+        raise ValueError(f"unsupported TIFF predictor {predictor}")
     if planar != 1 or spp not in (1, 3) or any(b != 8 for b in bps):
         raise ValueError(
             f"unsupported TIFF layout (spp={spp}, bps={bps}, planar={planar})"
@@ -320,6 +460,8 @@ def decode_tiff(content: bytes) -> np.ndarray:
         nrows = min(rows_per_strip, h - si * rows_per_strip)
         if comp == 32773:
             raw += _packbits_decode(strip, nrows * w * spp)
+        elif comp == 5:
+            raw += _tiff_lzw_decode(strip, nrows * w * spp)
         else:
             raw += strip[: nrows * w * spp]
     if len(raw) < h * w * spp:
@@ -327,6 +469,10 @@ def decode_tiff(content: bytes) -> np.ndarray:
     img = np.frombuffer(bytes(raw), np.uint8, count=h * w * spp).reshape(
         h, w, spp
     )
+    if predictor == 2:
+        # differencing is per row, so undoing it after strip assembly
+        # is equivalent to undoing it per strip
+        return _predictor2_undo(img)
     return img.copy()
 
 
@@ -749,7 +895,7 @@ def decode_wav(content: bytes) -> tuple[np.ndarray, int]:
 
 def _fake_decode_image(content: bytes, width: int, height: int) -> np.ndarray:
     """FALLBACK for image containers the pure-numpy stack cannot parse
-    (arithmetic/12-bit/lossless JPEG, WebP, LZW-TIFF, …):
+    (arithmetic/12-bit/lossless JPEG, WebP, JPEG-in-TIFF, …):
     deterministic fake seeded by the content bytes. A real deployment
     replaces this body with PIL/turbojpeg; BMP/PPM/PNG/baseline-TIFF
     and sequential/progressive JPEG payloads never reach it (see
@@ -785,7 +931,7 @@ def decode_image(content: bytes, width: int = 0, height: int = 0) -> np.ndarray:
             try:
                 img = decode_tiff(content)
             except (ValueError, IndexError, struct.error):
-                # LZW/JPEG-in-TIFF, tiled, planar, truncated: fake
+                # JPEG-in-TIFF, tiled, planar, truncated: fake
                 return _fake_decode_image(content, width, height)
             if img.shape[2] == 1:
                 return np.repeat(img, 3, axis=2)
@@ -894,11 +1040,12 @@ def _image_payload(i: int) -> tuple[bytes, str]:
     selection + successive approximation, r11), i%6==4 → baseline JPEG
     4:2:0 (REAL lossy codecs — both Huffman decode paths value-checked
     by the embedded oracle), i%6==3 → GIF (palette-limited fixture —
-    GIF is palette-exact), i%12==0 → PackBits TIFF (r11; lossless, so
-    swapping these rows off BMP left the oracle constants unchanged),
-    else BMP. The multimodal VALUES oracle in ``oracles.py`` is
-    generated from ``decode_image`` over these exact payloads —
-    regenerate it if this schedule or any codec changes."""
+    GIF is palette-exact), i%12==0 → PackBits TIFF (r11), i%24==6 →
+    LZW+Predictor-2 TIFF (r12) — both lossless, so swapping these rows
+    off BMP left the oracle constants unchanged — else BMP. The
+    multimodal VALUES oracle in ``oracles.py`` is generated from
+    ``decode_image`` over these exact payloads — regenerate it if this
+    schedule or any codec changes."""
     if i % 6 == 3:
         w, h = 64 + i % 8, 48 + i % 6
         rs = np.random.RandomState(7000 + i)
@@ -914,6 +1061,8 @@ def _image_payload(i: int) -> tuple[bytes, str]:
         return encode_jpeg_progressive(arr, quality=92), "image/jpeg"
     if i % 12 == 0:
         return encode_tiff(arr, packbits=True), "image/tiff"
+    if i % 24 == 6:
+        return encode_tiff(arr, lzw=True, predictor=2), "image/tiff"
     return encode_bmp(arr), "image/bmp"
 
 

@@ -256,21 +256,22 @@ def test_decode_image_routes_png_and_normalizes_channels():
 
 def test_synthetic_media_mixes_codec_rows(spark):
     """The synthetic image schedule covers all SIX real codecs —
-    PackBits TIFF (i%12==0, r11), BMP (the remaining i%3==0 slots
-    minus GIF's), progressive JPEG (i%6==1, r11), baseline JPEG 4:2:0
-    (i%6==4), PNG (i%3==2), GIF (i%6==3, palette-limited) — so the
-    multimodal feature oracle value-checks every real decode path
+    PackBits TIFF (i%12==0, r11), LZW+Predictor-2 TIFF (i%24==6, r12),
+    BMP (i%24==18), progressive JPEG (i%6==1, r11), baseline JPEG
+    4:2:0 (i%6==4), PNG (i%3==2), GIF (i%6==3, palette-limited) — so
+    the multimodal feature oracle value-checks every real decode path
     (TIFF/BMP/PNG/GIF lossless; JPEG lossy but deterministic, its
     oracle rows generated from the actual decode)."""
     from auto_ts_spark.operators.multimodal import synthetic_media
 
-    media = synthetic_media(spark, 13).select("media_id", "mime").collect()
+    media = synthetic_media(spark, 19).select("media_id", "mime").collect()
     mimes = {r["media_id"]: r["mime"] for r in media}
     assert mimes[2] == "image/png" and mimes[5] == "image/png"
     assert mimes[1] == "image/jpeg" and mimes[4] == "image/jpeg"
     assert mimes[3] == "image/gif" and mimes[9] == "image/gif"
     assert mimes[0] == "image/tiff" and mimes[12] == "image/tiff"
-    assert mimes[6] == "image/bmp"
+    assert mimes[6] == "image/tiff"  # the r12 LZW row
+    assert mimes[18] == "image/bmp"
 
 
 # ---------------------------------------------------------------- AVI (r10)
@@ -408,16 +409,125 @@ def test_tiff_unsupported_variants_route_to_fake():
 
     img = np.random.RandomState(5).randint(0, 256, (6, 7, 3), np.uint8)
     payload = bytearray(encode_tiff(img))
-    # flip Compression (tag 259) to 5 (LZW) — walk the IFD to find it
+    # flip Compression (tag 259) to 7 (JPEG-in-TIFF — still unsupported
+    # now that r12 decodes LZW) — walk the IFD to find it
     (ifd_off,) = struct.unpack_from("<I", payload, 4)
     (n,) = struct.unpack_from("<H", payload, ifd_off)
     for k in range(n):
         off = ifd_off + 2 + 12 * k
         (tag,) = struct.unpack_from("<H", payload, off)
         if tag == 259:
-            struct.pack_into("<H", payload, off + 8, 5)
+            struct.pack_into("<H", payload, off + 8, 7)
     with pytest.raises(ValueError, match="compression"):
         decode_tiff(bytes(payload))
+    out = decode_image(bytes(payload), 7, 6)
+    assert np.array_equal(out, _fake_decode_image(bytes(payload), 7, 6))
+
+
+# ------------------------------------------------------ LZW TIFF (r12)
+
+
+class _MsbWriter:
+    """Minimal MSB-first bit packer, independent of the encoder under
+    test, for hand-building known LZW streams."""
+
+    def __init__(self):
+        self.acc, self.nbits, self.out = 0, 0, bytearray()
+
+    def put(self, code, width):
+        self.acc = (self.acc << width) | code
+        self.nbits += width
+        while self.nbits >= 8:
+            self.out.append((self.acc >> (self.nbits - 8)) & 0xFF)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def bytes(self):
+        if self.nbits:
+            return bytes(self.out) + bytes([(self.acc << (8 - self.nbits)) & 0xFF])
+        return bytes(self.out)
+
+
+def test_tiff_lzw_known_stream_msb_first():
+    """Hand-packed [Clear, 'A', 'B', 'C', EOI] at width 9, MSB-first —
+    pins the bit order (the GIF variant packs LSB-first and would
+    misread this stream)."""
+    from auto_ts_spark.operators.multimodal import _tiff_lzw_decode
+
+    w = _MsbWriter()
+    for code in (256, 65, 66, 67, 257):
+        w.put(code, 9)
+    assert _tiff_lzw_decode(w.bytes(), 3) == b"ABC"
+
+
+def test_tiff_lzw_early_code_width_change():
+    """256 distinct literals after Clear: the decoder's table reaches
+    511 entries after the 254th code, so codes 255-256 arrive at width
+    10 ALREADY — one code earlier than the GIF growth rule. A decoder
+    with GIF timing reads the 255th code at 9 bits and derails."""
+    from auto_ts_spark.operators.multimodal import _tiff_lzw_decode
+
+    w = _MsbWriter()
+    w.put(256, 9)  # Clear
+    for k in range(1, 257):  # literals 0..255
+        w.put(k - 1, 9 if k <= 254 else 10)
+    w.put(257, 10)  # EOI
+    assert _tiff_lzw_decode(w.bytes(), 256) == bytes(range(256))
+
+
+def test_tiff_lzw_roundtrip_growth_and_reset():
+    """Raw LZW round-trips across every code-width boundary and the
+    4094-entry table reset (100k of noise guarantees both)."""
+    from auto_ts_spark.operators.multimodal import (
+        _tiff_lzw_decode,
+        _tiff_lzw_encode,
+    )
+
+    rs = np.random.RandomState(11)
+    runs = bytes(
+        rs.choice([0, 1, 2, 255], size=50_000, p=[0.4, 0.3, 0.2, 0.1]).astype(
+            np.uint8
+        )
+    )
+    noise = rs.randint(0, 256, 100_000, np.uint8).tobytes()
+    for data in (b"", b"A", b"AAAAAA", runs, noise):
+        assert _tiff_lzw_decode(_tiff_lzw_encode(data), len(data)) == data
+
+
+def test_tiff_lzw_container_roundtrip_and_predictor():
+    from auto_ts_spark.operators.multimodal import decode_tiff, encode_tiff
+
+    rng = np.random.RandomState(12)
+    for img in (
+        rng.randint(0, 256, (17, 29, 3), np.uint8),
+        rng.randint(0, 256, (11, 13), np.uint8),  # gray
+        np.full((9, 9, 3), 42, np.uint8),  # long runs
+    ):
+        exp = img[..., None] if img.ndim == 2 else img
+        for pred in (1, 2):
+            t = encode_tiff(img, lzw=True, predictor=pred)
+            assert np.array_equal(decode_tiff(t), exp), (img.shape, pred)
+    # predictor 2 exists because it pays on smooth data: a horizontal
+    # gradient must compress dramatically better with differencing
+    grad = np.tile(np.arange(256, dtype=np.uint8), (64, 4)).reshape(64, 1024)
+    plain = len(encode_tiff(grad, lzw=True, predictor=1))
+    diffed = len(encode_tiff(grad, lzw=True, predictor=2))
+    assert diffed < plain // 4
+
+
+def test_tiff_lzw_corrupt_stream_routes_to_fake():
+    from auto_ts_spark.operators.multimodal import (
+        _fake_decode_image,
+        decode_image,
+        encode_tiff,
+    )
+
+    img = np.random.RandomState(13).randint(0, 256, (6, 7, 3), np.uint8)
+    payload = bytearray(encode_tiff(img, lzw=True))
+    # stomp the LZW strip (bytes 8..) with 0xFF — code 511 right after
+    # Clear is out of table range and must fault cleanly to the fake
+    for i in range(8, 24):
+        payload[i] = 0xFF
     out = decode_image(bytes(payload), 7, 6)
     assert np.array_equal(out, _fake_decode_image(bytes(payload), 7, 6))
 
