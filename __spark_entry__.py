@@ -2434,6 +2434,42 @@ def q_audio_g711_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audio_ima_adpcm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal audio IMA/DVI4 ADPCM path (operators/multimodal.py,
+    r12): voice-WAV payloads (format 17, 4-bit codes, 89-step
+    quantizer, independent 256-byte blocks — the public IMA reference
+    algorithm) decoded by the pure table+numpy expansion, then the
+    identical Hann-windowed spectral features as the PCM16/G.711
+    queries. The VALUES oracle is generated from the actual decode and
+    is self-evidently PLAUSIBLE, not just replayed: 4-bit ADPCM keeps
+    a half-scale tone above ~40 dB SNR, so each centroid must land
+    within ~2 Hz of the 220+10i Hz generator frequency and flatness
+    must stay near 0 — constants outside those bands would expose a
+    broken step/index table immediately."""
+    from auto_ts_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        _audio_wave,
+        audio_spectral_features,
+        encode_wav_ima_adpcm,
+    )
+
+    sr = 16000
+    rows = []
+    for i in range(16):
+        payload = encode_wav_ima_adpcm(_audio_wave(i, sr, sr), sr)
+        rows.append(
+            (i, "audio", bytearray(payload), "audio/ima-adpcm", (None, None, 1000, sr))
+        )
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = audio_spectral_features(media)
+    return feats.select(
+        "media_id",
+        F.round("spectral_centroid_hz", 6).alias("spectral_centroid_hz"),
+        F.round("rolloff85_hz", 6).alias("rolloff85_hz"),
+        F.round("flatness", 6).alias("flatness"),
+    )
+
+
 def q_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W19 + sketches (r10): term-sharded Misra-Gries heavy hitters
     under Structured Streaming (applyInPandasWithState; state bounded
@@ -2492,26 +2528,80 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # samples a 50-query prefix of this dict, so the dict is kept in
     # EXPLICIT ROUND-ROBIN order — every round, the queries whose last
     # driver row is oldest move to the front and the queries the
-    # driver just checked rotate below the line. With 111 registered
+    # driver just checked rotate below the line. With 113 registered
     # queries and a 50-slot window this bounds driver staleness at
     # ~one round for every query (local sf0.01 parity covers the off
-    # rounds). r11 window: zero overlap with CORRECTNESS_r10 keys —
-    # the seven slice twins the r10 additions displaced lead, then 43
-    # of the r9-green rotation including both r11-TOUCHED query
-    # families (tpch_pricing_summary: overflow-safe half-up averages;
-    # repeated_span_scrub: the repartitioned dup aggregate) so the
-    # driver re-hashes exactly the code that changed. Rows-only
-    # entries stay BELOW the line per the r10 verdict: each has a
-    # value-checked twin that is already driver-green (automl_
-    # leaderboard_contract, lsh/ivf_ann_recall, feature_importance_
-    # contract), so window slots go to hash-checked forms only —
-    # this window is 50/50 value-checked.
-    # --- new in r11 (1): G.711 telephony-WAV spectral features —
+    # rounds). r12 window: zero overlap with CORRECTNESS_r11 keys —
+    # the new IMA-ADPCM query leads, then the full r10-green
+    # hash-checked set rotating back in (includes multimodal_features,
+    # whose schedule gained the r12 LZW-TIFF rows, so the driver
+    # re-hashes exactly the code that changed), closed by
+    # bucketed_join_revenue (r9-green, displaced from the r11 window
+    # by the G.711 entry — the oldest driver row on the board).
+    # Rows-only forms stay BELOW the line per the r10 verdict: each
+    # has a value-checked twin that is already driver-green, so
+    # window slots go to hash-checked forms only — this window is
+    # 50/50 value-checked.
+    # --- new in r12 (1): IMA/DVI4 ADPCM voice-WAV spectral features —
     # never driver-checked, so it takes the first slot; its oracle
     # constants are self-evidently plausible (centroid within ~1 Hz
-    # of the generator tone through the companding tables) ---
+    # of the generator tone through the 4-bit quantizer) ---
+    "audio_ima_adpcm_features": q_audio_ima_adpcm_features,
+    # --- driver-green r10 (48 hash-checked), rotating back in;
+    # multimodal_features covers the r12-touched LZW-TIFF codec ---
+    "asof_join_nearest": q_asof_join_nearest,
+    "asof_join_strict": q_asof_join_strict,
+    "bpe_pair_counts": q_bpe_pair_counts,
+    "bpe_tokenize_contract": q_bpe_tokenize_contract,
+    "heavy_hitters": q_heavy_hitters,
+    "stratified_sample": q_stratified_sample,
+    "video_frame_features": q_video_frame_features,
+    "audio_spectral_features": q_audio_spectral_features,
+    "streaming_heavy_hitters": q_streaming_heavy_hitters,
+    "quality_classifier": q_quality_classifier,
+    "asof_join_forward": q_asof_join_forward,
+    "minmax_profile": q_minmax_profile,
+    "dataset_split": q_dataset_split,
+    "json_props_extract": q_json_props_extract,
+    "fillna_ffill": q_fillna_ffill,
+    "ar1_forecast": q_ar1_forecast,
+    "df_test_stationarity": q_df_test_stationarity,
+    "predict_feature_splice": q_predict_feature_splice,
+    "snaive_forecast_intervals": q_snaive_forecast_intervals,
+    "lsh_ann_recall": q_lsh_ann_recall,
+    "ivf_ann_recall": q_ivf_ann_recall,
+    "multimodal_features": q_multimodal_features,
+    "feature_importance_contract": q_feature_importance_contract,
+    "seasonal_period_map": q_seasonal_period_map,
+    "streaming_sessionize": q_streaming_sessionize,
+    "dedup_columns": q_dedup_columns,
+    "streaming_dedup": q_streaming_dedup,
+    "label_encode": q_label_encode,
+    "forecast_viz_join": q_forecast_viz_join,
+    "revenue_rollup": q_revenue_rollup,
+    "seasonal_decompose": q_seasonal_decompose,
+    "asof_join": q_asof_join,
+    "resample_ffill": q_resample_ffill,
+    "customer_set_ops": q_customer_set_ops,
+    "datetime_parse": q_datetime_parse,
+    "range_join_window": q_range_join_window,
+    "pacf": q_pacf,
+    "shipping_priority": q_shipping_priority,
+    "lag_matrix": q_lag_matrix,
+    "difference": q_difference,
+    "cumsum": q_cumsum,
+    "rolling_stats": q_rolling_stats,
+    "calendar_features": q_calendar_features,
+    "categorical_drift": q_categorical_drift,
+    "future_index": q_future_index,
+    "expanding_folds": q_expanding_folds,
+    "sliding_folds": q_sliding_folds,
+    "naive_forecast_metrics": q_naive_forecast_metrics,
+    # --- r9-green, displaced from the r11 window by the G.711 entry ---
+    "bucketed_join_revenue": q_bucketed_join_revenue,
+    # ================= 50-slot window boundary =================
+    # --- driver-green in r11 (50), rotate back in r13 ---
     "audio_g711_features": q_audio_g711_features,
-    # --- slice twins displaced by the r10 additions (oldest rows) ---
     "drift_profile": q_drift_profile,
     "c4_line_clean": q_c4_line_clean,
     "boilerplate_lines": q_boilerplate_lines,
@@ -2519,8 +2609,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_lsh_slice": q_minhash_lsh_slice,
     "dedup_clusters_slice": q_dedup_clusters_slice,
     "embedding_near_dup_slice": q_embedding_near_dup_slice,
-    # --- driver-green r9, rotating back; includes the two
-    # r11-touched families ---
     "fourier1_forecast": q_fourier1_forecast,
     "token_explode": q_token_explode,
     "actual_vs_predicted_join": q_actual_vs_predicted_join,
@@ -2563,10 +2651,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "automl_leaderboard_contract": q_automl_leaderboard_contract,
     "tpch_pricing_summary": q_tpch_pricing_summary,
     "repeated_span_scrub": q_repeated_span_scrub,
-    # ================= 50-slot window boundary =================
-    # --- r9-green overflow (strong pytest + parity coverage;
-    # bucketed_join_revenue displaced by the r11 G.711 entry) ---
-    "bucketed_join_revenue": q_bucketed_join_revenue,
+    # --- r9-green overflow (strong pytest + parity coverage) ---
     "residual_diagnostics": q_residual_diagnostics,
     "var1_forecast": q_var1_forecast,
     "quantile_profile": q_quantile_profile,
@@ -2580,57 +2665,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lsh_ann_topk": q_lsh_ann_topk,  # rows-only
     "ivf_ann_topk": q_ivf_ann_topk,  # rows-only
     "feature_importance": q_feature_importance,  # rows-only
-    # --- driver-green in r10 (50), rotate back in r12 ---
-    "asof_join_nearest": q_asof_join_nearest,
-    "asof_join_strict": q_asof_join_strict,
-    "bpe_pair_counts": q_bpe_pair_counts,
-    "bpe_tokenize_contract": q_bpe_tokenize_contract,
-    "heavy_hitters": q_heavy_hitters,
-    "stratified_sample": q_stratified_sample,
-    "video_frame_features": q_video_frame_features,
-    "audio_spectral_features": q_audio_spectral_features,
-    "streaming_heavy_hitters": q_streaming_heavy_hitters,
-    "quality_classifier": q_quality_classifier,
-    "asof_join_forward": q_asof_join_forward,
-    "minmax_profile": q_minmax_profile,
-    "dataset_split": q_dataset_split,
-    "json_props_extract": q_json_props_extract,
-    "fillna_ffill": q_fillna_ffill,
-    "ar1_forecast": q_ar1_forecast,
-    "df_test_stationarity": q_df_test_stationarity,
     "automl_leaderboard": q_automl_leaderboard,  # rows-only
-    "predict_feature_splice": q_predict_feature_splice,
-    "snaive_forecast_intervals": q_snaive_forecast_intervals,
-    "lsh_ann_recall": q_lsh_ann_recall,
-    "ivf_ann_recall": q_ivf_ann_recall,
-    "multimodal_features": q_multimodal_features,
-    "feature_importance_contract": q_feature_importance_contract,
-    "seasonal_period_map": q_seasonal_period_map,
-    "streaming_sessionize": q_streaming_sessionize,
-    "dedup_columns": q_dedup_columns,
-    "streaming_dedup": q_streaming_dedup,
-    "label_encode": q_label_encode,
-    "forecast_viz_join": q_forecast_viz_join,
-    "revenue_rollup": q_revenue_rollup,
-    "seasonal_decompose": q_seasonal_decompose,
     "adf_stationarity": q_adf_stationarity,  # rows-only
-    "asof_join": q_asof_join,
-    "resample_ffill": q_resample_ffill,
-    "customer_set_ops": q_customer_set_ops,
-    "datetime_parse": q_datetime_parse,
-    "range_join_window": q_range_join_window,
-    "pacf": q_pacf,
-    "shipping_priority": q_shipping_priority,
-    "lag_matrix": q_lag_matrix,
-    "difference": q_difference,
-    "cumsum": q_cumsum,
-    "rolling_stats": q_rolling_stats,
-    "calendar_features": q_calendar_features,
-    "categorical_drift": q_categorical_drift,
-    "future_index": q_future_index,
-    "expanding_folds": q_expanding_folds,
-    "sliding_folds": q_sliding_folds,
-    "naive_forecast_metrics": q_naive_forecast_metrics,
 }
 
 

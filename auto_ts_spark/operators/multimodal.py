@@ -851,14 +851,142 @@ def encode_wav_g711(samples: np.ndarray, sample_rate: int, law: str = "mu") -> b
     )
 
 
+# IMA/DVI4 ADPCM (WAV format tag 17, r12): the public IMA reference
+# algorithm — 4-bit codes, 89-step quantizer table, per-block header
+# carrying (predictor, step index) so every block decodes
+# independently. Pure table+numpy; no codec library involved.
+_IMA_STEP_TABLE = np.array(
+    [
+        7, 8, 9, 10, 11, 12, 13, 14, 16, 17,
+        19, 21, 23, 25, 28, 31, 34, 37, 41, 45,
+        50, 55, 60, 66, 73, 80, 88, 97, 107, 118,
+        130, 143, 157, 173, 190, 209, 230, 253, 279, 307,
+        337, 371, 408, 449, 494, 544, 598, 658, 724, 796,
+        876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+        2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358,
+        5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899,
+        15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+    ],
+    dtype=np.int32,
+)
+_IMA_INDEX_TABLE = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int32)
+
+
+def _ima_decode_nibbles(
+    nibbles: np.ndarray, pred: int, index: int
+) -> np.ndarray:
+    """Expand a run of 4-bit IMA codes given the block-header state.
+    The recurrence is inherently sequential — per-sample loop, but
+    blocks are a few hundred samples and independent."""
+    out = np.empty(len(nibbles), dtype=np.int16)
+    steps = _IMA_STEP_TABLE
+    for i, code in enumerate(nibbles):
+        step = int(steps[index])
+        diff = step >> 3
+        if code & 4:
+            diff += step
+        if code & 2:
+            diff += step >> 1
+        if code & 1:
+            diff += step >> 2
+        pred = pred - diff if code & 8 else pred + diff
+        pred = max(-32768, min(32767, pred))
+        out[i] = pred
+        index = max(0, min(88, index + int(_IMA_INDEX_TABLE[code & 7])))
+    return out
+
+
+def encode_wav_ima_adpcm(
+    samples: np.ndarray, sample_rate: int, block_align: int = 256
+) -> bytes:
+    """Encode a float waveform in [-1, 1] as mono RIFF WAV with
+    IMA/DVI4 ADPCM (format 17, 4 bits/sample) — the classic voice
+    flavor real corpora contain after G.711. Each ``block_align``-byte
+    block is independently seeded by a (predictor, step-index) header;
+    a ``fact`` chunk records the true sample count so partial final
+    blocks round-trip exactly."""
+    pcm = np.round(
+        np.clip(np.asarray(samples, dtype=np.float64), -1.0, 1.0) * 32767.0
+    ).astype(np.int32)
+    spb = (block_align - 4) * 2 + 1  # samples per block, mono
+    steps = _IMA_STEP_TABLE
+    data = bytearray()
+    index = 0
+    for b0 in range(0, len(pcm), spb):
+        blk = pcm[b0 : b0 + spb]
+        pred = int(blk[0])
+        # seed the block's step index with the best match for the
+        # first real delta — a common writer strategy; any seed is
+        # decodable since the header carries it
+        if len(blk) > 1:
+            target = abs(int(blk[1]) - pred)
+            index = int(np.searchsorted(steps, max(target, 7)))
+            index = max(0, min(88, index))
+        data += struct.pack("<hBB", pred, index, 0)
+        nib = []
+        for s in blk[1:]:
+            delta = int(s) - pred
+            code = 8 if delta < 0 else 0
+            delta = abs(delta)
+            step = int(steps[index])
+            if delta >= step:
+                code |= 4
+                delta -= step
+            if delta >= step >> 1:
+                code |= 2
+                delta -= step >> 1
+            if delta >= step >> 2:
+                code |= 1
+            # reconstruct exactly as the decoder will, so the encoder
+            # predictor tracks the decoder's
+            diff = step >> 3
+            if code & 4:
+                diff += step
+            if code & 2:
+                diff += step >> 1
+            if code & 1:
+                diff += step >> 2
+            pred = pred - diff if code & 8 else pred + diff
+            pred = max(-32768, min(32767, pred))
+            index = max(0, min(88, index + int(_IMA_INDEX_TABLE[code & 7])))
+            nib.append(code)
+        if len(nib) % 2:
+            nib.append(0)
+        packed = bytes(
+            nib[i] | (nib[i + 1] << 4) for i in range(0, len(nib), 2)
+        )
+        # pad the final block to block_align (decoders read fixed blocks)
+        data += packed + b"\x00" * (block_align - 4 - len(packed))
+    byte_rate = (sample_rate * block_align + spb - 1) // spb
+    fmt = struct.pack(
+        "<HHIIHHHH", 17, 1, sample_rate, byte_rate, block_align, 4, 2, spb
+    )
+    fact = struct.pack("<I", len(pcm))
+    return (
+        struct.pack(
+            "<4sI4s",
+            b"RIFF",
+            4 + 8 + len(fmt) + 8 + len(fact) + 8 + len(data),
+            b"WAVE",
+        )
+        + struct.pack("<4sI", b"fmt ", len(fmt))
+        + fmt
+        + struct.pack("<4sI", b"fact", len(fact))
+        + fact
+        + struct.pack("<4sI", b"data", len(data))
+        + data
+    )
+
+
 def decode_wav(content: bytes) -> tuple[np.ndarray, int]:
-    """Decode a RIFF WAV (PCM 8/16-bit, or G.711 μ-law/A-law — r11;
-    any channel count → channel 0) to (float32 waveform in [-1, 1],
-    sample_rate). Walks the chunk list, so extra chunks (LIST, fact,
-    …) are tolerated."""
+    """Decode a RIFF WAV (PCM 8/16-bit, G.711 μ-law/A-law — r11, or
+    mono IMA/DVI4 ADPCM format 17 — r12; PCM/G.711 with any channel
+    count → channel 0) to (float32 waveform in [-1, 1], sample_rate).
+    Walks the chunk list, so extra chunks (LIST, fact, …) are
+    tolerated."""
     if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
-    pos, fmt, data = 12, None, None
+    pos, fmt, data, fact_samples = 12, None, None, None
     while pos + 8 <= len(content):
         cid, size = struct.unpack_from("<4sI", content, pos)
         body = content[pos + 8 : pos + 8 + size]
@@ -866,10 +994,12 @@ def decode_wav(content: bytes) -> tuple[np.ndarray, int]:
             fmt = struct.unpack_from("<HHIIHH", body, 0)
         elif cid == b"data":
             data = body
+        elif cid == b"fact" and size >= 4:
+            (fact_samples,) = struct.unpack_from("<I", body, 0)
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
-    audio_format, n_channels, sample_rate, _, _, bits = fmt
+    audio_format, n_channels, sample_rate, _, block_align, bits = fmt
     if audio_format == 1 and bits == 16:
         raw = np.frombuffer(data, dtype="<i2")
         wave = raw.astype(np.float32) / 32767.0
@@ -880,6 +1010,32 @@ def decode_wav(content: bytes) -> tuple[np.ndarray, int]:
         table = _A_LAW if audio_format == 6 else _MU_LAW
         raw = np.frombuffer(data, dtype=np.uint8)
         wave = table[raw].astype(np.float32) / 32767.0
+    elif audio_format == 17 and bits == 4:  # IMA/DVI4 ADPCM (r12)
+        if n_channels != 1:
+            raise ValueError("only mono IMA ADPCM is supported")
+        if block_align < 5:
+            raise ValueError(f"bad IMA ADPCM block align {block_align}")
+        pieces = []
+        for b0 in range(0, len(data), block_align):
+            blk = data[b0 : b0 + block_align]
+            if len(blk) < 4:
+                break
+            pred, index, _res = struct.unpack_from("<hBB", blk, 0)
+            if index > 88:
+                raise ValueError(f"bad IMA ADPCM step index {index}")
+            packed = np.frombuffer(blk[4:], dtype=np.uint8)
+            nibbles = np.empty(len(packed) * 2, dtype=np.uint8)
+            nibbles[0::2] = packed & 0x0F  # low nibble first, per spec
+            nibbles[1::2] = packed >> 4
+            pieces.append(np.int16(pred))
+            pieces.append(_ima_decode_nibbles(nibbles, int(pred), int(index)))
+        pcm16 = np.concatenate(
+            [np.atleast_1d(np.asarray(p, dtype=np.int16)) for p in pieces]
+        )
+        if fact_samples is not None:
+            pcm16 = pcm16[:fact_samples]  # drop final-block padding
+        wave = pcm16.astype(np.float32) / 32767.0
+        n_channels = 1
     else:
         raise ValueError(f"unsupported WAV (format={audio_format}, bits={bits})")
     if n_channels > 1:

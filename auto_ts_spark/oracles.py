@@ -2082,6 +2082,41 @@ FROM (VALUES
 ) AS t(media_id, spectral_centroid_hz, rolloff85_hz, flatness)
 """
 
+# IMA/DVI4 ADPCM twin of the audio oracle (r12): the same tone family
+# through the 4-bit IMA quantizer (format 17, 89-step table,
+# independent 256-byte blocks). Constants generated from the actual
+# decode and SELF-EVIDENTLY PLAUSIBLE: ADPCM keeps a half-scale tone
+# above ~40 dB SNR, so every centroid sits within ~1 Hz of its
+# 220+10i Hz generator frequency (max offset 0.55 Hz) and flatness
+# stays ~0 (quantization noise is broadband) — a broken step/index
+# table cannot produce these numbers. Regenerate by collecting
+# q_audio_ima_adpcm_features if the tables or the spectral math
+# change.
+_SQL_AUDIO_IMA_ADPCM = """
+SELECT cast(media_id AS BIGINT) AS media_id,
+       cast(spectral_centroid_hz AS double) AS spectral_centroid_hz,
+       cast(rolloff85_hz AS double) AS rolloff85_hz,
+       cast(flatness AS double) AS flatness
+FROM (VALUES
+  (0, 220.183197, 221.0, 1.8e-05),
+  (1, 230.235412, 231.0, 2.6e-05),
+  (2, 240.247268, 241.0, 1e-05),
+  (3, 250.230977, 251.0, 1.1e-05),
+  (4, 260.31625, 261.0, 2.4e-05),
+  (5, 270.290885, 271.0, 3.5e-05),
+  (6, 280.269669, 281.0, 2.2e-05),
+  (7, 290.32963, 291.0, 3.8e-05),
+  (8, 300.35137, 301.0, 2.4e-05),
+  (9, 310.392356, 311.0, 4e-05),
+  (10, 320.547179, 321.0, 1e-06),
+  (11, 330.396872, 331.0, 6.1e-05),
+  (12, 340.458069, 341.0, 5.7e-05),
+  (13, 350.48238, 351.0, 2.8e-05),
+  (14, 360.498213, 361.0, 3.9e-05),
+  (15, 370.551673, 371.0, 6.9e-05)
+) AS t(media_id, spectral_centroid_hz, rolloff85_hz, flatness)
+"""
+
 # Misra-Gries heavy hitters (operators/sketches.py, r10): UNIGRAMS —
 # the fixture vocabulary grows with sf and the bigram universe with
 # its square (84k distinct at sf1; an sf1 parity run caught a bigram
@@ -2186,6 +2221,7 @@ ORACLES: dict[str, str] = {
     "video_frame_features": _SQL_VIDEO_FRAME_FEATURES,
     "audio_spectral_features": _SQL_AUDIO_SPECTRAL,
     "audio_g711_features": _SQL_AUDIO_G711,
+    "audio_ima_adpcm_features": _SQL_AUDIO_IMA_ADPCM,
     "resample_ffill": _SQL_RESAMPLE_FFILL,
     "asof_join": _SQL_ASOF_JOIN,
     "asof_join_forward": _SQL_ASOF_JOIN_FORWARD,

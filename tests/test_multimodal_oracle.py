@@ -532,6 +532,86 @@ def test_tiff_lzw_corrupt_stream_routes_to_fake():
     assert np.array_equal(out, _fake_decode_image(bytes(payload), 7, 6))
 
 
+# ---------------------------------------------------- IMA ADPCM (r12)
+
+
+def test_ima_adpcm_known_nibble_expansion():
+    """Hand-computed expansion of four codes from (pred=0, index=0),
+    straight from the public IMA reference math — pins the step/index
+    tables and the diff formula independently of the encoder."""
+    from auto_ts_spark.operators.multimodal import _ima_decode_nibbles
+
+    # step=7: code 0 -> diff = 7>>3 = 0, pred 0,  index -1 -> 0
+    # step=7: code 7 -> diff = 0+7+3+1 = 11, pred 11, index 0+8 = 8
+    # step=16 (idx 8): code 8 -> diff = 16>>3 = 2, pred 9, index 8-1=7
+    # step=14 (idx 7): code 15 -> diff = 1+14+7+3 = 25, pred -16, idx 15
+    out = _ima_decode_nibbles(
+        np.array([0, 7, 8, 15], dtype=np.uint8), 0, 0
+    )
+    assert list(out) == [0, 11, 9, -16]
+
+
+def test_ima_adpcm_roundtrip_snr_and_partial_block():
+    from auto_ts_spark.operators.multimodal import (
+        _audio_wave,
+        decode_wav,
+        encode_wav_ima_adpcm,
+    )
+
+    sr = 16000
+    for i in (0, 5):
+        w = _audio_wave(i, sr, sr)
+        dec, rate = decode_wav(encode_wav_ima_adpcm(w, sr))
+        assert rate == sr and len(dec) == len(w)
+        err = dec - w.astype(np.float32)
+        snr = 10 * np.log10(np.mean(w**2) / np.mean(err**2))
+        assert snr > 35.0, snr  # 4-bit ADPCM holds a tone above ~40 dB
+    # partial final block: the fact chunk trims the padding exactly
+    w = _audio_wave(2, 1234, sr)
+    dec, _ = decode_wav(encode_wav_ima_adpcm(w, sr))
+    assert len(dec) == 1234
+    # single-sample edge: just the block-header predictor
+    one, _ = decode_wav(encode_wav_ima_adpcm(np.array([0.5]), 8000))
+    assert len(one) == 1 and abs(one[0] - 0.5) < 1e-3
+
+
+def test_ima_adpcm_unsupported_variants_raise():
+    from auto_ts_spark.operators.multimodal import (
+        _audio_wave,
+        decode_wav,
+        encode_wav_ima_adpcm,
+    )
+
+    enc = bytearray(encode_wav_ima_adpcm(_audio_wave(0, 600, 8000), 8000))
+    struct.pack_into("<H", enc, 12 + 8 + 2, 2)  # nChannels -> 2
+    with pytest.raises(ValueError, match="mono"):
+        decode_wav(bytes(enc))
+
+
+def test_ima_adpcm_block_independence():
+    """Each block's header reseeds (predictor, index), so decoding a
+    stream whose first block is stomped still recovers the second
+    block exactly — the property that makes huge voice files seekable."""
+    from auto_ts_spark.operators.multimodal import (
+        _audio_wave,
+        decode_wav,
+        encode_wav_ima_adpcm,
+    )
+
+    sr = 8000
+    spb = (256 - 4) * 2 + 1  # samples per 256-byte block
+    w = _audio_wave(3, 2 * spb, sr)
+    enc = encode_wav_ima_adpcm(w, sr)
+    clean, _ = decode_wav(enc)
+    corrupt = bytearray(enc)
+    data_off = enc.index(b"data") + 8
+    for k in range(data_off + 4, data_off + 40):  # stomp block 0 codes
+        corrupt[k] ^= 0xFF
+    dirty, _ = decode_wav(bytes(corrupt))
+    assert np.array_equal(dirty[spb:], clean[spb:])
+    assert not np.array_equal(dirty[:spb], clean[:spb])
+
+
 # ------------------------------------------------------- MJPEG + G.711 (r11)
 
 
