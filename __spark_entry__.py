@@ -544,6 +544,22 @@ def q_minmax_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (operators/textops.py::
+    chunk_documents, r12) — the context-length split every RAG /
+    pretraining pipeline applies before embedding or packing: 32-token
+    windows at stride 24 (8-token overlap), final window always
+    reaching the document tail, zero-token documents dropped. One
+    explode, zero shuffles; the DuckDB oracle reproduces the window
+    arithmetic exactly (list slicing + integer ceil-division), so
+    chunk ids, token counts, and the chunk text itself are all
+    value-checked."""
+    docs = PART.ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    return TOPS.chunk_documents(docs, chunk_tokens=32, stride=24).withColumn(
+        "n_tokens", F.col("n_tokens").cast("bigint")
+    )
+
+
 def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text quality metrics per document (token counts, stopword /
     punct / digit ratios, composite quality score). Fan the CPU-heavy
@@ -2528,16 +2544,14 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # samples a 50-query prefix of this dict, so the dict is kept in
     # EXPLICIT ROUND-ROBIN order — every round, the queries whose last
     # driver row is oldest move to the front and the queries the
-    # driver just checked rotate below the line. With 113 registered
+    # driver just checked rotate below the line. With 114 registered
     # queries and a 50-slot window this bounds driver staleness at
     # ~one round for every query (local sf0.01 parity covers the off
     # rounds). r12 window: zero overlap with CORRECTNESS_r11 keys —
-    # the new IMA-ADPCM query leads, then the full r10-green
+    # the two new r12 queries (IMA-ADPCM, doc_chunks) lead, then the full r10-green
     # hash-checked set rotating back in (includes multimodal_features,
     # whose schedule gained the r12 LZW-TIFF rows, so the driver
-    # re-hashes exactly the code that changed), closed by
-    # bucketed_join_revenue (r9-green, displaced from the r11 window
-    # by the G.711 entry — the oldest driver row on the board).
+    # re-hashes exactly the code that changed).
     # Rows-only forms stay BELOW the line per the r10 verdict: each
     # has a value-checked twin that is already driver-green, so
     # window slots go to hash-checked forms only — this window is
@@ -2547,6 +2561,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # constants are self-evidently plausible (centroid within ~1 Hz
     # of the generator tone through the 4-bit quantizer) ---
     "audio_ima_adpcm_features": q_audio_ima_adpcm_features,
+    "doc_chunks": q_doc_chunks,
     # --- driver-green r10 (48 hash-checked), rotating back in;
     # multimodal_features covers the r12-touched LZW-TIFF codec ---
     "asof_join_nearest": q_asof_join_nearest,
@@ -2597,9 +2612,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "expanding_folds": q_expanding_folds,
     "sliding_folds": q_sliding_folds,
     "naive_forecast_metrics": q_naive_forecast_metrics,
-    # --- r9-green, displaced from the r11 window by the G.711 entry ---
-    "bucketed_join_revenue": q_bucketed_join_revenue,
     # ================= 50-slot window boundary =================
+    # --- r9-green, displaced from this window by the second r12
+    # query (doc_chunks); first in line for r13 ---
+    "bucketed_join_revenue": q_bucketed_join_revenue,
     # --- driver-green in r11 (50), rotate back in r13 ---
     "audio_g711_features": q_audio_g711_features,
     "drift_profile": q_drift_profile,

@@ -197,6 +197,76 @@ def quality_filter(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Split each document into overlapping token windows — the
+    context-length chunking every RAG / pretraining pipeline applies
+    before embedding or packing. Chunk k covers normalized-token
+    positions [k*stride+1, k*stride+chunk_tokens] (1-based); the chunk
+    count is 1 + ceil(max(0, n - chunk_tokens) / stride), so the final
+    window always reaches the document tail with at most
+    (chunk_tokens - stride) tokens of overlap and no degenerate
+    all-overlap trailing chunk. Documents with zero normalized tokens
+    are dropped.
+
+    Output: (id_col, chunk_id, n_tokens, chunk_text), deterministic.
+
+    Scale: one explode, zero shuffles — the token array is let-bound
+    so the tokenizer regex runs once per document, and each output row
+    materializes only its own window via ``slice`` (the 100 TB corpus
+    is never re-scanned per chunk). Chunk rows inherit the input
+    partitioning; downstream embedding/packing stages repartition on
+    their own keys anyway.
+    """
+    if not 1 <= stride <= chunk_tokens:
+        raise ValueError(
+            f"need 1 <= stride <= chunk_tokens, got {stride} > {chunk_tokens}"
+        )
+    toks = F.filter(TX.tokens(F.col(text_col)), lambda t: t != F.lit(""))
+
+    def _chunks(tk: "F.Column") -> "F.Column":
+        n = F.size(tk)
+        extra = F.greatest(F.lit(0), n - F.lit(chunk_tokens))
+        # integer ceil-division: floor((extra + stride-1) / stride) —
+        # exact in double far past any real token count
+        n_chunks = F.lit(1) + F.floor(
+            (extra + F.lit(stride - 1)) / F.lit(stride)
+        ).cast("int")
+        return F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda k: F.struct(
+                k.cast("long").alias("chunk_id"),
+                F.least(
+                    F.lit(chunk_tokens), n - k * F.lit(stride)
+                ).alias("n_tokens"),
+                F.array_join(
+                    F.slice(tk, k * F.lit(stride) + 1, chunk_tokens), " "
+                ).alias("chunk_text"),
+            ),
+        )
+
+    staged = df.withColumn("_ats_ck_toks", toks).filter(
+        F.size("_ats_ck_toks") > 0
+    )
+    return (
+        staged.select(
+            F.col(id_col), F.explode(_chunks(F.col("_ats_ck_toks"))).alias("c")
+        )
+        .select(
+            id_col,
+            F.col("c.chunk_id").alias("chunk_id"),
+            F.col("c.n_tokens").alias("n_tokens"),
+            F.col("c.chunk_text").alias("chunk_text"),
+        )
+    )
+
+
 def language_profile_df(spark: SparkSession) -> DataFrame:
     rows = [
         (lang, word) for lang, words in TX.LANG_PROFILES.items() for word in words

@@ -274,6 +274,28 @@ SELECT o_orderstatus, cnt, round(n / (k * cnt), 6) AS weight
 FROM counts, tot
 """
 
+# Overlapping token-window chunking (r12): same window arithmetic as
+# chunk_documents — chunk k covers tokens [k*stride+1, k*stride+chunk]
+# (1-based, DuckDB list slices are inclusive and clamp at the list
+# end), n_chunks = 1 + (max(0, n-chunk) + stride-1) // stride, empty
+# docs dropped. chunk=32, stride=24 per q_doc_chunks.
+_SQL_DOC_CHUNKS = f"""
+WITH lists AS (
+  SELECT doc_id, list_filter({_SQL_TOKS}, t -> t <> '') AS l FROM documents
+), sized AS (
+  SELECT doc_id, l, len(l) AS n FROM lists WHERE len(l) > 0
+), ks AS (
+  SELECT doc_id, l, n,
+         unnest(generate_series(0, (greatest(0, n - 32) + 23) // 24)) AS k
+  FROM sized
+)
+SELECT doc_id,
+       cast(k AS BIGINT) AS chunk_id,
+       cast(least(32, n - k * 24) AS BIGINT) AS n_tokens,
+       array_to_string(l[k * 24 + 1 : k * 24 + 32], ' ') AS chunk_text
+FROM ks
+"""
+
 _SQL_TOKEN_EXPLODE = f"""
 WITH toks AS (SELECT unnest({_SQL_TOKS}) AS token FROM documents)
 SELECT token, count(*) AS cnt FROM toks
@@ -2253,6 +2275,7 @@ ORACLES: dict[str, str] = {
     "frequency_table": _SQL_FREQ_TABLE,
     "class_weights": _SQL_CLASS_WEIGHTS,
     "token_explode": _SQL_TOKEN_EXPLODE,
+    "doc_chunks": _SQL_DOC_CHUNKS,
     "actual_vs_predicted_join": _SQL_ACTUAL_PRED_JOIN,
     "train_tail_splice": _SQL_TRAIN_TAIL_SPLICE,
     "leaderboard": _SQL_LEADERBOARD,
