@@ -1756,15 +1756,16 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     baseline AND progressive JPEG (pure numpy Huffman+IDCT,
     operators/jpeg.py — the i%6==1 schedule rows are SOF2), GIF, TIFF,
     WAV, raw-DIB/MJPEG AVI on a deterministic schedule; no codec libs
-    needed. Only formats that truly require codec libraries (MP3/AAC,
-    arithmetic/12-bit/lossless JPEG, WebP, JPEG-compressed TIFF,
-    MP4/MKV video) fall back to a documented deterministic fake."""
+    WAV, raw-DIB/MJPEG AVI, LZW- and JPEG-in-TIFF (i%48==42, r12) on
+    a deterministic schedule; no codec libs needed. Only formats that
+    truly require codec libraries (MP3/AAC, arithmetic/12-bit/lossless
+    JPEG, WebP, MP4/MKV video) fall back to a documented fake."""
     from auto_ts_spark.operators.multimodal import (
         decode_and_featurize,
         synthetic_media,
     )
 
-    media = synthetic_media(spark, 32)
+    media = synthetic_media(spark, 48)
     feats = decode_and_featurize(media)
     return feats.select(
         "media_id",

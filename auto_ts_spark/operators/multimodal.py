@@ -7,15 +7,16 @@ PPM (P6), PNG (8-bit gray/RGB/RGBA, zlib inflate + all five scanline
 filters — r10), sequential AND progressive JPEG (SOF0/SOF1/SOF2
 Huffman, 4:4:4/4:2:2/4:2:0, restart markers, spectral selection +
 successive approximation — see ``operators/jpeg.py``, r10-r11),
-baseline TIFF (8-bit gray/RGB strips, none/PackBits/LZW compression
-with Predictor-2 horizontal differencing, both byte orders —
-r11-r12); audio: WAV (RIFF PCM 8/16-bit + G.711
+TIFF (8-bit gray/RGB strips, none/PackBits/LZW compression with
+Predictor-2 horizontal differencing, new-style JPEG-in-TIFF strips
+decoded by the in-repo JPEG codec incl. shared JPEGTables, both byte
+orders — r11-r12); audio: WAV (RIFF PCM 8/16-bit + G.711
 mu-law/A-law companding — r11); video: AVI with uncompressed DIB
 frames (RIFF chunk walk — r10) or Motion-JPEG frames (each '00dc'
 chunk decoded by the in-repo JPEG codec — r11) — implemented with struct offsets + ``np.frombuffer`` + a
 vectorized numpy IDCT (no codec libraries needed, none exist in this
 container). Formats that genuinely need a codec library (MP3/AAC,
-MP4/MKV/WebM non-MJPEG codecs, WebP, JPEG-in-TIFF) fall back
+MP4/MKV/WebM non-MJPEG codecs, WebP) fall back
 to a clearly-marked
 deterministic fake so the pipeline shape stays testable; a real
 deployment swaps only that fallback body for PIL/soundfile/ffmpeg.
@@ -147,12 +148,14 @@ def decode_ppm(content: bytes) -> np.ndarray:
 # ---------------------------- TIFF (r11/r12) ------------------------------
 # Classic TIFF 6.0 baseline: header + IFD tag walk, 8-bit gray/RGB,
 # chunky planar config, strip layout, Compression 1 (none), 32773
-# (PackBits — the TIFF-native RLE) or 5 (LZW, r12 — the TIFF variant:
+# (PackBits — the TIFF-native RLE), 5 (LZW, r12 — the TIFF variant:
 # MSB-first bit packing and the spec's early code-width change, vs the
 # GIF variant's LSB-first packing in operators/gif.py), with Predictor
-# 2 horizontal differencing, both byte orders. Uncompressed-or-LZW
-# covers nearly all real-world TIFFs; only JPEG-in-TIFF / tiled /
-# planar / non-8-bit variants still route to the documented fake.
+# 2 horizontal differencing, or 7 (new-style JPEG, r12 — each strip is
+# a JPEG stream for the in-repo codec, shared tables via tag 347),
+# both byte orders. This covers nearly all real-world TIFFs; only
+# deprecated old-style JPEG (6), tiled, planar and non-8-bit variants
+# still route to the documented fake.
 
 
 def _tiff_lzw_decode(data: bytes, expected: int) -> bytes:
@@ -274,11 +277,15 @@ def encode_tiff(
     *,
     lzw: bool = False,
     predictor: int = 1,
+    jpeg_quality: int | None = None,
 ) -> bytes:
     """Encode (h, w) gray or (h, w, 3) RGB uint8 as little-endian
-    single-strip TIFF (Compression=1, 32773 PackBits, or 5 LZW —
+    single-strip TIFF (Compression=1, 32773 PackBits, 5 LZW —
     optionally with Predictor=2 horizontal differencing, the pairing
-    real LZW TIFFs almost always use)."""
+    real LZW TIFFs almost always use — or 7 new-style JPEG when
+    ``jpeg_quality`` is set: the strip is a complete baseline-JPEG
+    stream from the in-repo codec, Photometric 6/YCbCr for RGB per
+    TIFF-EP)."""
     arr = np.ascontiguousarray(arr, dtype=np.uint8)
     gray = arr.ndim == 2
     if not gray and (arr.ndim != 3 or arr.shape[2] != 3):
@@ -291,7 +298,14 @@ def encode_tiff(
         raw = arr.tobytes()
     else:
         raise ValueError(f"unsupported TIFF predictor {predictor}")
-    if lzw:
+    if jpeg_quality is not None:
+        from auto_ts_spark.operators.jpeg import encode_jpeg
+
+        if predictor != 1:
+            raise ValueError("predictor does not apply to JPEG strips")
+        strip = encode_jpeg(arr, quality=jpeg_quality)
+        comp = 7
+    elif lzw:
         strip = _tiff_lzw_encode(raw)
         comp = 5
     elif packbits:
@@ -336,7 +350,8 @@ def encode_tiff(
         (256, 3, 1, w),  # ImageWidth SHORT
         (257, 3, 1, h),  # ImageLength
         (259, 3, 1, comp),  # Compression
-        (262, 3, 1, 1 if gray else 2),  # Photometric: gray / RGB
+        # Photometric: gray / RGB; JPEG color strips are YCbCr (TIFF-EP)
+        (262, 3, 1, 1 if gray else (6 if comp == 7 else 2)),
         (273, 4, 1, strip_off),  # StripOffsets
         (277, 3, 1, spp),  # SamplesPerPixel
         (278, 3, 1, h),  # RowsPerStrip (single strip)
@@ -384,12 +399,29 @@ def _packbits_decode(data: bytes, expected: int) -> bytes:
     return bytes(out[:expected])
 
 
+def _merge_jpeg_tables(tables: bytes, strip: bytes) -> bytes:
+    """TIFF-EP tag 347: JPEGTables holds an abbreviated JPEG stream
+    (SOI + DQT/DHT/etc + EOI) shared by all strips; each strip is a
+    JPEG stream that may omit those tables. Merge = strip's SOI, then
+    the tables' segments, then the rest of the strip."""
+    if len(tables) < 4 or tables[:2] != b"\xff\xd8":
+        raise ValueError("bad JPEGTables payload")
+    body = tables[2:]
+    if body[-2:] == b"\xff\xd9":
+        body = body[:-2]
+    if strip[:2] != b"\xff\xd8":
+        raise ValueError("JPEG strip missing SOI")
+    return b"\xff\xd8" + body + strip[2:]
+
+
 def decode_tiff(content: bytes) -> np.ndarray:
     """Decode baseline TIFF (8-bit gray/RGB, chunky, strips,
-    Compression 1, 32773/PackBits or 5/LZW with Predictor 1|2, either
-    byte order) to (h, w, 1|3) uint8. Raises ValueError on
-    JPEG-compressed, planar, tiled or non-8-bit variants — those route
-    to the documented fake."""
+    Compression 1, 32773/PackBits, 5/LZW with Predictor 1|2, or
+    7/new-style JPEG — each strip a JPEG stream for the in-repo codec,
+    shared tables via tag 347 honored — either byte order) to
+    (h, w, 1|3) uint8. Raises ValueError on old-style-JPEG (6),
+    planar, tiled or non-8-bit variants — those route to the
+    documented fake."""
     if content[:4] not in (b"II*\x00", b"MM\x00*"):
         raise ValueError("not a TIFF payload")
     e = "<" if content[:2] == b"II" else ">"
@@ -438,9 +470,9 @@ def decode_tiff(content: bytes) -> np.ndarray:
     spp = arr_vals(277, [1])[0]
     bps = arr_vals(258, [8])
     planar = arr_vals(284, [1])[0]
-    if comp not in (1, 32773, 5):
+    if comp not in (1, 32773, 5, 7):
         raise ValueError(
-            f"unsupported TIFF compression {comp} (none/PackBits/LZW only)"
+            f"unsupported TIFF compression {comp} (none/PackBits/LZW/JPEG only)"
         )
     predictor = arr_vals(317, [1])[0]
     if predictor not in (1, 2):
@@ -454,6 +486,32 @@ def decode_tiff(content: bytes) -> np.ndarray:
     offsets = arr_vals(273)
     counts = arr_vals(279)
     rows_per_strip = arr_vals(278, [h])[0]
+    if comp == 7:
+        from auto_ts_spark.operators.jpeg import decode_jpeg
+
+        tables = None
+        if 347 in tags:  # JPEGTables: UNDEFINED bytes at the offset
+            typ, cnt, val = tags[347]
+            if typ != 7:
+                raise ValueError(f"bad JPEGTables tag type {typ}")
+            tables = content[val : val + cnt] if cnt > 4 else None
+        pieces = []
+        for si, (so, sc) in enumerate(zip(offsets, counts)):
+            strip = content[so : so + sc]
+            stream = (
+                _merge_jpeg_tables(tables, strip) if tables else strip
+            )
+            img = decode_jpeg(stream)
+            if img.ndim == 2:
+                img = img[:, :, None]
+            nrows = min(rows_per_strip, h - si * rows_per_strip)
+            pieces.append(img[:nrows, :w, :])
+        out = np.concatenate(pieces, axis=0)
+        if out.shape != (h, w, spp):
+            raise ValueError(
+                f"JPEG strips decode to {out.shape}, expected {(h, w, spp)}"
+            )
+        return out.copy()
     raw = bytearray()
     for si, (so, sc) in enumerate(zip(offsets, counts)):
         strip = content[so : so + sc]
@@ -1051,7 +1109,7 @@ def decode_wav(content: bytes) -> tuple[np.ndarray, int]:
 
 def _fake_decode_image(content: bytes, width: int, height: int) -> np.ndarray:
     """FALLBACK for image containers the pure-numpy stack cannot parse
-    (arithmetic/12-bit/lossless JPEG, WebP, JPEG-in-TIFF, …):
+    (arithmetic/12-bit/lossless JPEG, WebP, old-style JPEG-in-TIFF, …):
     deterministic fake seeded by the content bytes. A real deployment
     replaces this body with PIL/turbojpeg; BMP/PPM/PNG/baseline-TIFF
     and sequential/progressive JPEG payloads never reach it (see
@@ -1087,7 +1145,8 @@ def decode_image(content: bytes, width: int = 0, height: int = 0) -> np.ndarray:
             try:
                 img = decode_tiff(content)
             except (ValueError, IndexError, struct.error):
-                # JPEG-in-TIFF, tiled, planar, truncated: fake
+                # old-style-JPEG(6)/tiled/planar/truncated TIFF, or a
+                # corrupt LZW/JPEG strip: fake
                 return _fake_decode_image(content, width, height)
             if img.shape[2] == 1:
                 return np.repeat(img, 3, axis=2)
@@ -1198,10 +1257,12 @@ def _image_payload(i: int) -> tuple[bytes, str]:
     by the embedded oracle), i%6==3 → GIF (palette-limited fixture —
     GIF is palette-exact), i%12==0 → PackBits TIFF (r11), i%24==6 →
     LZW+Predictor-2 TIFF (r12) — both lossless, so swapping these rows
-    off BMP left the oracle constants unchanged — else BMP. The
-    multimodal VALUES oracle in ``oracles.py`` is generated from
-    ``decode_image`` over these exact payloads — regenerate it if this
-    schedule or any codec changes."""
+    off BMP left the oracle constants unchanged — i%48==42 →
+    JPEG-in-TIFF (r12; Compression=7, the strip is an in-repo-codec
+    baseline JPEG stream — lossy but bit-deterministic like the bare
+    JPEG rows), else BMP. The multimodal VALUES oracle in
+    ``oracles.py`` is generated from ``decode_image`` over these exact
+    payloads — regenerate it if this schedule or any codec changes."""
     if i % 6 == 3:
         w, h = 64 + i % 8, 48 + i % 6
         rs = np.random.RandomState(7000 + i)
@@ -1219,6 +1280,8 @@ def _image_payload(i: int) -> tuple[bytes, str]:
         return encode_tiff(arr, packbits=True), "image/tiff"
     if i % 24 == 6:
         return encode_tiff(arr, lzw=True, predictor=2), "image/tiff"
+    if i % 48 == 42:
+        return encode_tiff(arr, jpeg_quality=90), "image/tiff"
     return encode_bmp(arr), "image/bmp"
 
 

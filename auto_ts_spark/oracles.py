@@ -1821,7 +1821,23 @@ FROM (VALUES
   (28, 128.968891, 127.212387, 127.087952, 48.101824),
   (29, 127.480722, 125.891715, 127.2863, 43.859163),
   (30, 124.941964, 126.238095, 127.433036, 42.106271),
-  (31, 127.237425, 129.257545, 126.023283, 43.092903)
+  (31, 127.237425, 129.257545, 126.023283, 43.092903),
+  (32, 127.66625, 126.4525, 125.534375, 43.019135),
+  (33, 133.776471, 125.161086, 123.220211, 35.248949),
+  (34, 128.948135, 127.937646, 130.018357, 47.519426),
+  (35, 127.492256, 125.889327, 126.802309, 42.31115),
+  (36, 127.088848, 124.066176, 128.560355, 42.481665),
+  (37, 127.687962, 127.382135, 127.361727, 42.748866),
+  (38, 127.306857, 126.199714, 127.766571, 41.911827),
+  (39, 134.213477, 144.920464, 119.396852, 41.167234),
+  (40, 128.478065, 127.888522, 127.258413, 47.088943),
+  (41, 125.739332, 128.437446, 127.78897, 43.397894),
+  (42, 128.950758, 127.370896, 127.221275, 42.808158),
+  (43, 126.27414, 126.44837, 128.628389, 42.999669),
+  (44, 128.165, 127.707353, 127.343235, 42.771513),
+  (45, 110.031543, 115.622052, 123.385621, 39.330794),
+  (46, 126.668132, 126.583242, 128.462912, 47.783627),
+  (47, 128.296838, 127.954823, 129.259899, 42.644288)
 ) AS t(media_id, mean_r, mean_g, mean_b, std_gray)
 """
 

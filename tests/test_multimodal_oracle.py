@@ -51,7 +51,7 @@ def _expected_rows():
     from auto_ts_spark.operators.multimodal import _image_payload, decode_image
 
     rows = []
-    for i in range(32):
+    for i in range(48):  # r12: the oracle covers the full 48-row schedule
         img = decode_image(_image_payload(i)[0]).astype(np.float64)
         rows.append(
             (
@@ -409,15 +409,15 @@ def test_tiff_unsupported_variants_route_to_fake():
 
     img = np.random.RandomState(5).randint(0, 256, (6, 7, 3), np.uint8)
     payload = bytearray(encode_tiff(img))
-    # flip Compression (tag 259) to 7 (JPEG-in-TIFF — still unsupported
-    # now that r12 decodes LZW) — walk the IFD to find it
+    # flip Compression (tag 259) to 6 (OLD-style JPEG — deprecated by
+    # TIFF-EP and still unsupported now that r12 decodes new-style 7)
     (ifd_off,) = struct.unpack_from("<I", payload, 4)
     (n,) = struct.unpack_from("<H", payload, ifd_off)
     for k in range(n):
         off = ifd_off + 2 + 12 * k
         (tag,) = struct.unpack_from("<H", payload, off)
         if tag == 259:
-            struct.pack_into("<H", payload, off + 8, 7)
+            struct.pack_into("<H", payload, off + 8, 6)
     with pytest.raises(ValueError, match="compression"):
         decode_tiff(bytes(payload))
     out = decode_image(bytes(payload), 7, 6)
@@ -530,6 +530,117 @@ def test_tiff_lzw_corrupt_stream_routes_to_fake():
         payload[i] = 0xFF
     out = decode_image(bytes(payload), 7, 6)
     assert np.array_equal(out, _fake_decode_image(bytes(payload), 7, 6))
+
+
+# -------------------------------------------------- JPEG-in-TIFF (r12)
+
+
+def test_jpeg_in_tiff_matches_bare_jpeg_exactly():
+    """Compression=7 strips must decode to EXACTLY the pixels the bare
+    in-repo JPEG codec produces for the same stream — the container
+    adds plumbing, never pixels."""
+    from auto_ts_spark.operators.jpeg import decode_jpeg, encode_jpeg
+    from auto_ts_spark.operators.multimodal import decode_tiff, encode_tiff
+
+    for shape, q in [((48, 64, 3), 92), ((33, 47, 3), 85), ((24, 32), 90)]:
+        img = np.random.RandomState(sum(shape)).randint(
+            0, 256, size=shape, dtype=np.uint8
+        )
+        got = decode_tiff(encode_tiff(img, jpeg_quality=q))
+        ref = decode_jpeg(encode_jpeg(img, quality=q))
+        if ref.ndim == 2:
+            ref = ref[:, :, None]
+        assert np.array_equal(got, ref), (shape, q)
+
+
+def _split_jpeg_tables(stream: bytes) -> tuple[bytes, bytes]:
+    """Split a full JPEG stream into (JPEGTables payload, abbreviated
+    stream) by moving DQT/DHT segments out — builds the tag-347 shape
+    real TIFF-EP writers emit."""
+    pos, tables, rest = 2, b"", b""
+    while pos < len(stream):
+        marker = stream[pos + 1]
+        if marker in (0xD9, 0xDA):
+            rest += stream[pos:]
+            break
+        seglen = struct.unpack(">H", stream[pos + 2 : pos + 4])[0]
+        seg = stream[pos : pos + 2 + seglen]
+        if marker in (0xDB, 0xC4):
+            tables += seg
+        else:
+            rest += seg
+        pos += 2 + seglen
+    return b"\xff\xd8" + tables + b"\xff\xd9", b"\xff\xd8" + rest
+
+
+def test_jpeg_in_tiff_multistrip_with_jpegtables_tag():
+    """Hand-built big-feature fixture: two strips whose DQT/DHT live in
+    a shared JPEGTables (347) payload; decode must merge the tables
+    into each strip and reproduce the full-stream pixels."""
+    from auto_ts_spark.operators.jpeg import decode_jpeg, encode_jpeg
+    from auto_ts_spark.operators.multimodal import decode_tiff
+
+    img = np.random.RandomState(9).randint(0, 256, (32, 48, 3), np.uint8)
+    full = [encode_jpeg(img[0:16], quality=90), encode_jpeg(img[16:32], quality=90)]
+    tables0, ab0 = _split_jpeg_tables(full[0])
+    tables1, ab1 = _split_jpeg_tables(full[1])
+    assert tables0 == tables1  # same quality -> shared tables
+    strips = [ab0, ab1]
+    offs, cur = [], 8
+    for s in strips:
+        offs.append(cur)
+        cur += len(s)
+    tab_off = cur
+    cur += len(tables0)
+    pad = b"\x00" if cur % 2 else b""
+    ifd_off = cur + len(pad)
+    entries = [
+        (256, 3, 1, 48), (257, 3, 1, 32), (259, 3, 1, 7), (262, 3, 1, 6),
+        (277, 3, 1, 3), (278, 3, 1, 16), (284, 3, 1, 1),
+        (347, 7, len(tables0), tab_off),
+    ]
+    n = len(entries) + 3
+    extra = ifd_off + 2 + 12 * n + 4
+    entries.append((258, 3, 3, extra))
+    entries.append((273, 4, 2, extra + 6))
+    entries.append((279, 4, 2, extra + 6 + 8))
+    entries.sort()
+    ifd = struct.pack("<H", n)
+    for tag, typ, cnt, val in entries:
+        ifd += struct.pack("<HHI", tag, typ, cnt)
+        ifd += (
+            struct.pack("<I", val)
+            if (typ in (4, 7) or cnt > 1)
+            else struct.pack("<HH", val, 0)
+        )
+    ifd += struct.pack("<I", 0)
+    ifd += struct.pack("<HHH", 8, 8, 8)
+    for o in offs:
+        ifd += struct.pack("<I", o)
+    for s in strips:
+        ifd += struct.pack("<I", len(s))
+    payload = (
+        b"II*\x00" + struct.pack("<I", ifd_off)
+        + b"".join(strips) + tables0 + pad + ifd
+    )
+    got = decode_tiff(payload)
+    ref = np.concatenate([decode_jpeg(s) for s in full], axis=0)
+    assert np.array_equal(got, ref)
+
+
+def test_jpeg_in_tiff_corrupt_strip_routes_to_fake():
+    from auto_ts_spark.operators.multimodal import (
+        _fake_decode_image,
+        decode_image,
+        encode_tiff,
+    )
+
+    img = np.random.RandomState(6).randint(0, 256, (16, 16, 3), np.uint8)
+    payload = bytearray(encode_tiff(img, jpeg_quality=90))
+    for i in range(8, 24):  # stomp the strip's SOI/DQT region
+        payload[i] = 0x00
+    out = decode_image(bytes(payload), 16, 16)
+    assert np.array_equal(out, _fake_decode_image(bytes(payload), 16, 16))
 
 
 # ---------------------------------------------------- IMA ADPCM (r12)
