@@ -66,6 +66,9 @@ HEADLINE = [
     "bpe_pair_counts",
     "bpe_tokenize_contract",
     "heavy_hitters",
+    # r12 addition — overlapping token-window chunking, tracked
+    # alongside, never inside `value`
+    "doc_chunks",
 ]
 
 EXTRAS = {
@@ -79,6 +82,7 @@ EXTRAS = {
     "bpe_pair_counts",
     "bpe_tokenize_contract",
     "heavy_hitters",
+    "doc_chunks",
 }
 
 
