@@ -1087,8 +1087,12 @@ def decode_wav(content: bytes) -> tuple[np.ndarray, int]:
             nibbles[1::2] = packed >> 4
             pieces.append(np.int16(pred))
             pieces.append(_ima_decode_nibbles(nibbles, int(pred), int(index)))
-        pcm16 = np.concatenate(
-            [np.atleast_1d(np.asarray(p, dtype=np.int16)) for p in pieces]
+        pcm16 = (
+            np.concatenate(
+                [np.atleast_1d(np.asarray(p, dtype=np.int16)) for p in pieces]
+            )
+            if pieces
+            else np.empty(0, dtype=np.int16)
         )
         if fact_samples is not None:
             pcm16 = pcm16[:fact_samples]  # drop final-block padding

@@ -21,6 +21,10 @@ reading is measurement-harness materialization + heap slack, not an
 operator scale problem (in production, stage_counts=False, the gate
 is a lazy fused filter and (b)/(c) never happen).
 
+Reading note (r12 finding, BASELINE.md): denominate text-stage decade
+ratios in BYTES — this fixture grows chars 10.65x per 10x docs by
+design, so a byte-linear stage reads ~10.7x in docs terms.
+
 Usage: python tools/probe_quality_gate_scale.py [n_docs ...]
   default: 500000 5000000
 Prints one JSON line per scale.
