@@ -125,3 +125,18 @@ def test_chunk_documents_rejects_bad_stride(spark):
         chunk_documents(df, chunk_tokens=4, stride=5)
     with _pytest.raises(ValueError, match="stride"):
         chunk_documents(df, chunk_tokens=4, stride=0)
+
+
+def test_chunk_documents_plan_has_no_shuffle(spark):
+    """Plan pin: chunking is one projection + explode — an Exchange
+    here would mean the 100 TB corpus gets shuffled just to window it."""
+    from auto_ts_spark.operators.textops import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    plan = (
+        chunk_documents(df, chunk_tokens=4, stride=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
