@@ -1755,7 +1755,6 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     extraction over REAL payloads — BMP, PNG (stdlib zlib + unfilter),
     baseline AND progressive JPEG (pure numpy Huffman+IDCT,
     operators/jpeg.py — the i%6==1 schedule rows are SOF2), GIF, TIFF,
-    WAV, raw-DIB/MJPEG AVI on a deterministic schedule; no codec libs
     WAV, raw-DIB/MJPEG AVI, LZW- and JPEG-in-TIFF (i%48==42, r12) on
     a deterministic schedule; no codec libs needed. Only formats that
     truly require codec libraries (MP3/AAC, arithmetic/12-bit/lossless

@@ -519,7 +519,12 @@ def decode_tiff(content: bytes) -> np.ndarray:
         if comp == 32773:
             raw += _packbits_decode(strip, nrows * w * spp)
         elif comp == 5:
-            raw += _tiff_lzw_decode(strip, nrows * w * spp)
+            # clamp like _packbits_decode: the final LZW table entry is
+            # emitted whole, so a noncompliant writer whose last entry
+            # crosses the strip's pixel boundary would otherwise shift
+            # every later strip's rows
+            n_bytes = nrows * w * spp
+            raw += _tiff_lzw_decode(strip, n_bytes)[:n_bytes]
         else:
             raw += strip[: nrows * w * spp]
     if len(raw) < h * w * spp:

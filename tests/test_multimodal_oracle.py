@@ -10,7 +10,7 @@ Regeneration snippet (prints the VALUES rows):
 
     from auto_ts_spark.operators.multimodal import (
         _image_payload, decode_image)
-    for i in range(32):
+    for i in range(48):  # the full 48-row schedule cycle (r12)
         img = decode_image(_image_payload(i)[0]).astype(np.float64)
         print("  (%d, %s, %s, %s, %s)," % (
             i, _r6(img[:,:,0].mean()), _r6(img[:,:,1].mean()),
@@ -515,6 +515,58 @@ def test_tiff_lzw_container_roundtrip_and_predictor():
     plain = len(encode_tiff(grad, lzw=True, predictor=1))
     diffed = len(encode_tiff(grad, lzw=True, predictor=2))
     assert diffed < plain // 4
+
+
+def test_tiff_lzw_overshooting_strip_is_clamped():
+    """A noncompliant writer whose strip's final LZW table entry
+    crosses the strip's pixel-byte boundary must not shift the next
+    strip's rows: decode clamps each strip to nrows*w*spp bytes, like
+    PackBits."""
+    from auto_ts_spark.operators.multimodal import (
+        _tiff_lzw_decode,
+        _tiff_lzw_encode,
+        decode_tiff,
+    )
+
+    row0_over = b"ABABABABAB"  # encodes 10 bytes; strip declares 5
+    assert len(_tiff_lzw_decode(_tiff_lzw_encode(row0_over), 5)) == 7
+    row1 = bytes(range(10, 15))
+    strips = [_tiff_lzw_encode(row0_over), _tiff_lzw_encode(row1)]
+    offs, cur = [], 8
+    for s in strips:
+        offs.append(cur)
+        cur += len(s)
+    ifd_off = cur + (cur % 2)
+    entries = [
+        (256, 3, 1, 5), (257, 3, 1, 2), (258, 3, 1, 8), (259, 3, 1, 5),
+        (262, 3, 1, 1), (277, 3, 1, 1), (278, 3, 1, 1), (284, 3, 1, 1),
+    ]
+    n = len(entries) + 2
+    extra = ifd_off + 2 + 12 * n + 4
+    entries.append((273, 4, 2, extra))
+    entries.append((279, 4, 2, extra + 8))
+    entries.sort()
+    ifd = struct.pack("<H", n)
+    for tag, typ, cnt, val in entries:
+        ifd += struct.pack("<HHI", tag, typ, cnt)
+        ifd += (
+            struct.pack("<I", val)
+            if (typ == 4 or cnt > 1)
+            else struct.pack("<HH", val, 0)
+        )
+    ifd += struct.pack("<I", 0)
+    for o in offs:
+        ifd += struct.pack("<I", o)
+    for s in strips:
+        ifd += struct.pack("<I", len(s))
+    body = b"".join(strips)
+    payload = (
+        b"II*\x00" + struct.pack("<I", ifd_off)
+        + body + b"\x00" * (ifd_off - 8 - len(body)) + ifd
+    )
+    got = decode_tiff(payload)
+    exp = np.array([list(b"ABABA"), list(row1)], dtype=np.uint8)[..., None]
+    assert np.array_equal(got, exp)
 
 
 def test_tiff_lzw_corrupt_stream_routes_to_fake():
