@@ -252,6 +252,14 @@ def _tiff_lzw_encode(data: bytes) -> bytes:
         w = bytes([b])
     if w:
         emit(table[w], width)
+        # The decoder appends a table entry on this final data code
+        # and widens when its table hits 2^width - 1 (511/1023/2047)
+        # BEFORE reading the next code — so when the final code lands
+        # exactly on that boundary (e.g. bytes(range(254))), EOI must
+        # be emitted at the post-growth width or a strict decoder
+        # runs out of bits before finding it.
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
     emit(EOI, width)
     if nbits:
         out.append((acc << (8 - nbits)) & 0xFF)

@@ -517,6 +517,63 @@ def test_tiff_lzw_container_roundtrip_and_predictor():
     assert diffed < plain // 4
 
 
+def test_tiff_lzw_eoi_emitted_at_post_growth_width():
+    """A spec decoder appends a table entry on the FINAL data code and
+    widens when its table hits 2^width-1 before reading the next code
+    — so when the final code lands exactly on that boundary, EOI must
+    be written at the grown width. bytes(range(254)) is the minimal
+    failing input pre-fix: the strict reader below (which refuses to
+    stop before an explicit EOI) ran out of bits. Sweep the
+    neighborhood of every 9->10 boundary plus a 10->11 case."""
+    from auto_ts_spark.operators.multimodal import _tiff_lzw_encode
+
+    def strict_decode(blob: bytes) -> bytes:
+        # independent spec decoder: MSB-first, early change, REQUIRES
+        # an explicit EOI inside the bitstream
+        pos = 0
+
+        def read(width: int) -> int:
+            nonlocal pos
+            if pos + width > len(blob) * 8:
+                raise EOFError("bitstream exhausted before EOI")
+            v = 0
+            for _ in range(width):
+                v = (v << 1) | ((blob[pos >> 3] >> (7 - (pos & 7))) & 1)
+                pos += 1
+            return v
+
+        out = bytearray()
+        table: list[bytes] = []
+        width, prev = 9, b""
+        while True:
+            code = read(width)
+            if code == 257:
+                return bytes(out)
+            if code == 256:
+                table = [bytes([i]) for i in range(256)] + [b"", b""]
+                width, prev = 9, b""
+                continue
+            if code < len(table) and table[code]:
+                entry = table[code]
+            elif code == len(table) and prev:
+                entry = prev + prev[:1]
+            else:
+                raise ValueError(f"bad code {code}")
+            if prev:
+                table.append(prev + entry[:1])
+            out.extend(entry)
+            prev = entry
+            if len(table) == (1 << width) - 1 and width < 12:
+                width += 1
+
+    rs = np.random.RandomState(29)
+    cases = [bytes(range(n)) for n in range(250, 257)]
+    cases.append(rs.randint(0, 256, 1000, np.uint8).tobytes())  # 10->11
+    cases += [b"", b"A", b"ABAB"]
+    for data in cases:
+        assert strict_decode(_tiff_lzw_encode(data)) == data
+
+
 def test_tiff_lzw_overshooting_strip_is_clamped():
     """A noncompliant writer whose strip's final LZW table entry
     crosses the strip's pixel-byte boundary must not shift the next
