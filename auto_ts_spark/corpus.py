@@ -2,16 +2,21 @@
 training-data preparation pipeline chains the engine's corpus
 operators in, as one call:
 
-    [line-level cleaning] → quality gate → PII scrub → exact dedup →
+    [HTML extraction] → [line-level cleaning] → quality gate →
+    PII scrub → exact dedup →
     near-dup (MinHash-LSH cluster) retention → [LM-perplexity
     terciles] → [trained quality-classifier gate] → [DSIR targeted
     selection] → benchmark decontamination → source mixture →
     token budget
 
-The optional line-level head stages (C4 per-line rules, cross-document
-boilerplate removal — both in ``operators.textops``) run FIRST because
-boilerplate lines poison the document-level statistics every later
-stage keys on; they default OFF for backward compatibility.
+The optional raw-web head stage (``html_input=<col>`` — markup
+extraction via ``operators.markup.html_extract``) runs before
+everything: every later stage is defined over visible text, not
+markup. The optional line-level head stages (C4 per-line rules,
+cross-document boilerplate removal — both in ``operators.textops``)
+run next, because boilerplate lines poison the document-level
+statistics every later stage keys on; all head stages default OFF
+for backward compatibility.
 
 Each stage is the already-tested operator; this module only fixes the
 composition order (quality first so later, costlier stages see fewer
@@ -46,6 +51,8 @@ def curate(
     *,
     text_col: str = "text",
     id_col: str = "doc_id",
+    html_input: str | None = None,
+    html_normalize: bool = False,
     line_clean: bool = False,
     boilerplate_max_docs: int | None = None,
     scrub_spans: bool = False,
@@ -129,6 +136,25 @@ def curate(
         return frame
 
     out = tick("input", df)
+    if html_input is not None:
+        # raw-web head: markup extraction runs before EVERYTHING —
+        # every later stage (line rules, quality stats, fingerprints)
+        # is defined over visible text, not markup. One Arrow-batched
+        # projection, zero shuffle; the raw HTML column is dropped so
+        # downstream shuffles never carry the markup bytes (~5-10×
+        # the visible text at corpus scale).
+        from auto_ts_spark.operators.markup import html_extract
+
+        out = tick(
+            "html_extract",
+            html_extract(
+                out,
+                html_col=html_input,
+                out_col=text_col,
+                normalize=html_normalize,
+                drop_html=True,
+            ),
+        )
     if line_clean:
         out = tick(
             "line_clean",

@@ -779,6 +779,31 @@ FROM corpus ORDER BY custkey
 
 _SQL_PII_REDACTION = _sql_pii_redaction()
 
+# html_extract: the Spark side synthesizes an HTML page per customer
+# row (script/style/noscript/template subtrees, comments, named +
+# decimal + hex entities, nested inline tags, a void <br/>) and runs
+# the real markup parser; the oracle constructs the EXPECTED visible
+# text directly from the same base columns — extract(synthesize(x))
+# must equal expected(x), the pii_redaction fixture pattern.
+_SQL_HTML_EXTRACT = """
+WITH pages AS (
+  SELECT c_custkey AS custkey,
+    'Profile ' || c_custkey::varchar
+    || chr(10) || 'Customer ' || c_name
+    || chr(10) || 'Segment & flag: ' || c_mktsegment || ' ' || chr(8212)
+    || ' nation ' || c_nationkey::varchar
+    || chr(10) || 'Phone: 555-' || lpad((c_custkey % 10000)::varchar, 4, '0')
+    || chr(10) || 'Key: ' || c_custkey::varchar
+    || chr(10) || 'alpha ' || c_custkey::varchar
+    || chr(10) || 'beta ' || (c_custkey * 3)::varchar AS text
+  FROM customer
+)
+SELECT custkey,
+       cast(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+       text
+FROM pages ORDER BY custkey
+"""
+
 _SQL_DOMAIN_DOC_COUNTS = """
 WITH corpus AS (
   SELECT
@@ -2310,6 +2335,7 @@ ORACLES: dict[str, str] = {
     "simhash_fingerprints": _SQL_SIMHASH,
     "winnow_overlap_pairs": _SQL_WINNOW_OVERLAP,
     "pii_redaction": _SQL_PII_REDACTION,
+    "html_extract": _SQL_HTML_EXTRACT,
     "decontaminate": _SQL_DECONTAMINATE,
     "domain_doc_counts": _SQL_DOMAIN_DOC_COUNTS,
     "mixture_sample": _SQL_MIXTURE_SAMPLE,
