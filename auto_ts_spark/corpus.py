@@ -523,3 +523,119 @@ def curate_stream(
         out = out.drop(fp)
     return out
 
+
+
+def prepare_rag_corpus(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 512,
+    stride: int = 384,
+    embeddings: DataFrame | None = None,
+    embed=None,
+    embedding_col: str = "embedding",
+    dedup_threshold: float | None = 0.95,
+    n_centroids: int | None = None,
+    max_cell_size: int = 1024,
+) -> DataFrame:
+    """Chunk-granularity RAG corpus preparation — the FineWeb-style
+    composition the standalone pieces already support, fixed in order:
+
+        chunk_documents (overlapping token windows) → per-CHUNK
+        embeddings → SemDeDup at chunk granularity (IVF-cell blocked,
+        bounded) → one retained representative per near-dup cluster
+
+    Near-duplicate CHUNKS recur across documents (shared boilerplate,
+    quoted passages, templated sections) even after document-level
+    dedup, and retrieval quality degrades when k neighbors are k
+    copies — so RAG pipelines dedup at the chunk level before
+    indexing. The output feeds the ANN operators
+    (``operators/similarity.py``) directly.
+
+    Embeddings come from the caller (real pipelines call a model):
+    either ``embeddings`` — a precomputed ``(id_col, chunk_id,
+    embedding_col)`` frame joined on the composite chunk key — or
+    ``embed`` — a callable ``chunks -> chunks + embedding_col`` applied
+    to the chunk frame (the hook for a Pandas-UDF model encoder).
+    Exactly one must be provided when ``dedup_threshold`` is set.
+
+    Returns ``(id_col, chunk_id, n_tokens, chunk_text,
+    embedding_col, cluster_id, cluster_size)`` — retained chunks only;
+    ``cluster_id``/``cluster_size`` are NULL for chunks that were in no
+    near-dup pair, and name the cluster each retained representative
+    speaks for otherwise.
+
+    Scale shape: chunking is one explode (zero Exchange); the optional
+    embedding join is one composite-key hash join at chunk
+    cardinality; dedup is the bounded-cell SemDeDup machinery
+    (Σ|cell|² ≤ n·max_cell_size pair work); retention is a left-anti
+    join on the dropped-chunk ids — the same shape ``curate()`` uses
+    for every dedup family. Nothing in the chain is driver-side or
+    quadratic in corpus size.
+    """
+    from auto_ts_spark.operators.similarity import semantic_dedup
+    from auto_ts_spark.operators.textops import chunk_documents
+
+    chunks = chunk_documents(
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        chunk_tokens=chunk_tokens,
+        stride=stride,
+    )
+    if embeddings is not None and embed is not None:
+        raise ValueError("pass embeddings= or embed=, not both")
+    if embeddings is not None:
+        chunks = chunks.join(
+            embeddings.select(id_col, "chunk_id", embedding_col),
+            [id_col, "chunk_id"],
+        )
+    elif embed is not None:
+        chunks = embed(chunks)
+        if embedding_col not in chunks.columns:
+            raise ValueError(
+                f"embed callable did not add {embedding_col!r}; "
+                f"columns: {chunks.columns}"
+            )
+    if dedup_threshold is None:
+        if embeddings is None and embed is None:
+            return chunks  # chunk-only mode: no embedding required
+        return chunks
+    if embeddings is None and embed is None:
+        raise ValueError(
+            "chunk-level dedup needs embeddings= or embed= "
+            "(or pass dedup_threshold=None for chunk-only mode)"
+        )
+    # composite -> single key for the shared dedup machinery; '#' is
+    # safe because chunk_id is numeric (no collision two ways)
+    uid = "_chunk_uid"
+    while uid in chunks.columns:
+        uid += "_"
+    keyed = chunks.withColumn(
+        uid, F.concat_ws("#", F.col(id_col).cast("string"), F.col("chunk_id"))
+    )
+    clusters = semantic_dedup(
+        keyed.select(uid, embedding_col),
+        id_col=uid,
+        vec_col=embedding_col,
+        threshold=dedup_threshold,
+        n_centroids=n_centroids,
+        max_cell_size=max_cell_size,
+    )
+    # one keeper per near-dup cluster survives; chunks in no pair pass
+    # through (left join + filter rather than anti-join so the keeper
+    # rows carry their cluster_id/cluster_size out for provenance)
+    out = (
+        keyed.join(
+            clusters.select(uid, "cluster_id", "cluster_size", "is_keep"),
+            uid,
+            "left",
+        )
+        .filter(F.coalesce(F.col("is_keep"), F.lit(True)))
+        .drop(uid, "is_keep")
+    )
+    return out.select(
+        id_col, "chunk_id", "n_tokens", "chunk_text", embedding_col,
+        "cluster_id", "cluster_size",
+    )

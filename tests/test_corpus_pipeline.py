@@ -454,3 +454,122 @@ def test_dsir_top_n_matches_order_by_limit(spark):
         ).limit(100).collect()
     }
     assert got == ref
+
+
+# ------------------------------------------------- prepare_rag_corpus
+
+
+def _rag_docs(spark):
+    """Six 16-token docs chunked at 8/8 → 2 chunks each; docs 1-3
+    share chunk 0 verbatim (the planted cross-document near-dup
+    cluster), every other chunk is unique."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = []
+    for d in range(1, 7):
+        head = shared if d <= 3 else f"solo{d} " * 8
+        tail = " ".join(f"tail{d}w{i}" for i in range(8))
+        rows.append((d, f"{head.strip()} {tail}"))
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def _planted_embeddings(spark):
+    """(doc_id, chunk_id, embedding): the three shared chunks get
+    near-identical vectors on axis 0 (pairwise cosine > 0.999),
+    every other chunk its own orthogonal axis (pairwise cosine 0)."""
+    import math
+
+    rows, axis = [], 1
+    for d in range(1, 7):
+        for c in range(2):
+            v = [0.0] * 16
+            if d <= 3 and c == 0:
+                # tiny per-doc perturbation: near-dup, not bit-equal
+                v[0] = 1.0
+                v[15] = 0.01 * d
+            else:
+                v[axis] = 1.0
+                axis += 1
+            n = math.sqrt(sum(x * x for x in v))
+            rows.append((d, c, [x / n for x in v]))
+    return spark.createDataFrame(
+        rows, "doc_id int, chunk_id long, embedding array<double>"
+    )
+
+
+def test_prepare_rag_corpus_retains_one_per_planted_cluster(spark):
+    from auto_ts_spark.corpus import prepare_rag_corpus
+
+    out = prepare_rag_corpus(
+        _rag_docs(spark),
+        chunk_tokens=8,
+        stride=8,
+        embeddings=_planted_embeddings(spark),
+        dedup_threshold=0.95,
+        # auto-k (ceil(n/512) clamped to >=16) gives every vector of a
+        # 12-row corpus its own cell; pin a coarse quantizer so the
+        # planted trio shares a cell — at real corpus sizes auto-k
+        # keeps ~512 vectors/cell and near-identical vectors co-locate
+        n_centroids=2,
+    ).collect()
+    by_key = {(r.doc_id, r.chunk_id): r for r in out}
+    # the planted cluster collapsed to its min-uid representative
+    planted = {k for k in by_key if k in {(1, 0), (2, 0), (3, 0)}}
+    assert planted == {(1, 0)}, planted
+    keeper = by_key[(1, 0)]
+    assert keeper.cluster_size == 3 and keeper.cluster_id is not None
+    # every unique chunk survives, in no cluster
+    others = [k for k in by_key if k not in {(1, 0)}]
+    assert len(others) == 9  # 12 chunks - 3 planted + 1 keeper - 1
+    assert all(by_key[k].cluster_id is None for k in others)
+    # chunk text and embeddings ride through
+    assert keeper.chunk_text.startswith("alpha beta gamma")
+    assert len(keeper.embedding) == 16
+
+
+def test_prepare_rag_corpus_embed_callable_and_chunk_only(spark):
+    from auto_ts_spark.corpus import prepare_rag_corpus
+
+    docs = _rag_docs(spark)
+
+    # chunk-only mode: no embeddings needed, plain chunk frame out
+    plain = prepare_rag_corpus(
+        docs, chunk_tokens=8, stride=8, dedup_threshold=None
+    )
+    assert plain.columns == ["doc_id", "chunk_id", "n_tokens", "chunk_text"]
+    assert plain.count() == 12
+
+    # embed-callable path: deterministic text-derived vectors — the
+    # three verbatim-shared chunks become exact embedding duplicates
+    def embed(chunks):
+        return chunks.withColumn(
+            "embedding",
+            F.array(
+                *[
+                    (F.conv(F.substring(F.md5("chunk_text"), i * 4 + 1, 4), 16, 10)
+                     .cast("double") / 65535.0)
+                    for i in range(4)
+                ]
+            ),
+        )
+
+    out = prepare_rag_corpus(
+        docs, chunk_tokens=8, stride=8, embed=embed, dedup_threshold=0.999999
+    )
+    rows = {(r.doc_id, r.chunk_id) for r in out.collect()}
+    assert (1, 0) in rows and (2, 0) not in rows and (3, 0) not in rows
+    assert len(rows) == 10  # 12 - 2 dropped exact copies
+
+
+def test_prepare_rag_corpus_argument_errors(spark):
+    import pytest
+
+    from auto_ts_spark.corpus import prepare_rag_corpus
+
+    docs = _rag_docs(spark)
+    emb = _planted_embeddings(spark)
+    with pytest.raises(ValueError, match="not both"):
+        prepare_rag_corpus(docs, embeddings=emb, embed=lambda c: c)
+    with pytest.raises(ValueError, match="dedup needs"):
+        prepare_rag_corpus(docs)
+    with pytest.raises(ValueError, match="did not add"):
+        prepare_rag_corpus(docs, embed=lambda c: c)
