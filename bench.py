@@ -69,6 +69,9 @@ HEADLINE = [
     # r12 addition — overlapping token-window chunking, tracked
     # alongside, never inside `value`
     "doc_chunks",
+    # r13 addition — raw-web markup-extraction head, tracked
+    # alongside, never inside `value`
+    "html_extract",
 ]
 
 EXTRAS = {
@@ -83,6 +86,7 @@ EXTRAS = {
     "bpe_tokenize_contract",
     "heavy_hitters",
     "doc_chunks",
+    "html_extract",
 }
 
 
