@@ -1805,10 +1805,13 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     extraction over REAL payloads — BMP, PNG (stdlib zlib + unfilter),
     baseline AND progressive JPEG (pure numpy Huffman+IDCT,
     operators/jpeg.py — the i%6==1 schedule rows are SOF2), GIF, TIFF,
-    WAV, raw-DIB/MJPEG AVI, LZW- and JPEG-in-TIFF (i%48==42, r12) on
-    a deterministic schedule; no codec libs needed. Only formats that
-    truly require codec libraries (MP3/AAC, arithmetic/12-bit/lossless
-    JPEG, WebP, MP4/MKV video) fall back to a documented fake."""
+    WAV, raw-DIB/MJPEG AVI, LZW- and JPEG-in-TIFF (i%48==42, r12),
+    WebP LOSSLESS (i%48∈{2,26}, r13 — operators/webp.py: canonical
+    prefix codes, LZ77 backrefs, all four VP8L transforms, color
+    cache) on a deterministic schedule; no codec libs needed. Only
+    formats that truly require codec libraries (MP3/AAC,
+    arithmetic/12-bit/lossless JPEG, LOSSY WebP/VP8, MP4/MKV video)
+    fall back to a documented fake."""
     from auto_ts_spark.operators.multimodal import (
         decode_and_featurize,
         synthetic_media,

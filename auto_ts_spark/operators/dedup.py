@@ -293,6 +293,21 @@ def _driver_union_find(rows, id_type, spark, stats):
     return spark.createDataFrame(out, schema)
 
 
+def _release_local_checkpoint(df: DataFrame) -> None:
+    """Free a ``localCheckpoint``'s persisted blocks NOW instead of at
+    some future GC. ``DataFrame.unpersist()`` cannot do it: it routes
+    through the CacheManager, which never registered the checkpoint
+    RDD (measured: getRDDStorageInfo unchanged after the call). The
+    block-holding RDD lives inside the plan's ``LogicalRDD`` node;
+    non-checkpointed plans (or API drift) fall through harmlessly —
+    the ContextCleaner still reclaims on GC, this just makes the
+    release deterministic for bounded-memory loops."""
+    try:
+        df._jdf.queryExecution().logical().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def connected_components(
     pairs: DataFrame,
     *,
@@ -367,13 +382,22 @@ def connected_components(
         edges.unpersist()
         return out
     # round 1 folded into init: label = min(id, neighbors) — the
-    # edge list carries both directions so every node appears as "a"
+    # edge list carries both directions so every node appears as "a".
+    # SERIALIZED checkpoint blocks (PySpark's MEMORY_AND_DISK level):
+    # the localCheckpoint default builds DESERIALIZED heap rows, and a
+    # 40M-node label generation as Java objects is several GB — the
+    # r13 50M-edge probe OOMed an 8g heap mid-round even with the
+    # generation release below (same class as the r7 quality-classifier
+    # fix); serialized blocks unroll incrementally and spill to disk.
+    from pyspark import StorageLevel
+
     labels = (
         edges.groupBy(F.col("a").alias("id"))
         .agg(F.min("b").alias("nbr"))
         .select("id", F.least("id", "nbr").alias("label"))
-        .localCheckpoint()
+        .localCheckpoint(storageLevel=StorageLevel.MEMORY_AND_DISK)
     )
+    ckpt = labels  # handle to the checkpointed generation (see below)
     rounds = 1  # the init-folded first propagation
     for _ in range(max_iter - 1):
         nbr_min = (
@@ -404,12 +428,25 @@ def connected_components(
                     F.coalesce("_jl", F.col("label")),
                 ).alias("label"),
             )
-            .localCheckpoint()
+            .localCheckpoint(storageLevel=StorageLevel.MEMORY_AND_DISK)
         )
         # change probe scans the just-checkpointed frame — no join job
         changed = (
             new_labels.filter(F.col("label") != F.col("prev")).limit(1).count()
         )
+        # Release the PREVIOUS generation's checkpoint blocks now that
+        # the new one is materialized (localCheckpoint is eager, and
+        # the change probe above already scanned it). Without this
+        # every round's full label frame stays pinned in storage
+        # memory for the life of the loop — rounds × |V| rows, which
+        # the r13 50M-edge decade probe measured as an 8g heap OOM
+        # mid-loop, while true peak state is only ever TWO generations
+        # + the edge cache. NOTE DataFrame.unpersist() is a NO-OP here
+        # (it routes through the CacheManager, which never saw the
+        # checkpoint RDD — verified via getRDDStorageInfo), hence the
+        # RDD-level release.
+        _release_local_checkpoint(ckpt)
+        ckpt = new_labels
         labels = new_labels.select("id", "label")
         rounds += 1
         if changed == 0:

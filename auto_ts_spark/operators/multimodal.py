@@ -15,8 +15,9 @@ mu-law/A-law companding — r11); video: AVI with uncompressed DIB
 frames (RIFF chunk walk — r10) or Motion-JPEG frames (each '00dc'
 chunk decoded by the in-repo JPEG codec — r11) — implemented with struct offsets + ``np.frombuffer`` + a
 vectorized numpy IDCT (no codec libraries needed, none exist in this
-container). Formats that genuinely need a codec library (MP3/AAC,
-MP4/MKV/WebM non-MJPEG codecs, WebP) fall back
+container; WebP LOSSLESS decodes for real via ``operators/webp.py`` —
+r13). Formats that genuinely need a codec library (MP3/AAC,
+MP4/MKV/WebM non-MJPEG codecs, LOSSY WebP/VP8) fall back
 to a clearly-marked
 deterministic fake so the pipeline shape stays testable; a real
 deployment swaps only that fallback body for PIL/soundfile/ffmpeg.
@@ -1126,7 +1127,8 @@ def decode_wav(content: bytes) -> tuple[np.ndarray, int]:
 
 def _fake_decode_image(content: bytes, width: int, height: int) -> np.ndarray:
     """FALLBACK for image containers the pure-numpy stack cannot parse
-    (arithmetic/12-bit/lossless JPEG, WebP, old-style JPEG-in-TIFF, …):
+    (arithmetic/12-bit/lossless JPEG, LOSSY WebP, old-style
+    JPEG-in-TIFF, …):
     deterministic fake seeded by the content bytes. A real deployment
     replaces this body with PIL/turbojpeg; BMP/PPM/PNG/baseline-TIFF
     and sequential/progressive JPEG payloads never reach it (see
@@ -1193,6 +1195,15 @@ def decode_image(content: bytes, width: int = 0, height: int = 0) -> np.ndarray:
                 # truncated/corrupt GIF container or LZW stream: one
                 # bad payload must route to the documented fake, not
                 # kill the whole mapInPandas job
+                return _fake_decode_image(content, width, height)
+        if content[:4] == b"RIFF" and content[8:12] == b"WEBP":
+            from auto_ts_spark.operators.webp import decode_webp
+
+            try:
+                return decode_webp(content)[:, :, :3]
+            except (ValueError, IndexError, struct.error):
+                # lossy VP8 (needs a DSP codec) or a truncated/corrupt
+                # VP8L stream: documented fake, not a dead executor
                 return _fake_decode_image(content, width, height)
     return _fake_decode_image(content, width, height)
 
@@ -1277,7 +1288,10 @@ def _image_payload(i: int) -> tuple[bytes, str]:
     off BMP left the oracle constants unchanged — i%48==42 →
     JPEG-in-TIFF (r12; Compression=7, the strip is an in-repo-codec
     baseline JPEG stream — lossy but bit-deterministic like the bare
-    JPEG rows), else BMP. The multimodal VALUES oracle in
+    JPEG rows), i%48∈{2,26} → WebP LOSSLESS (r13, operators/webp.py —
+    row 2: subtract-green + predictor-7 + 5-bit color cache; row 26:
+    uniform color transform; both off PNG rows, so the constants are
+    again unchanged), else BMP. The multimodal VALUES oracle in
     ``oracles.py`` is generated from ``decode_image`` over these exact
     payloads — regenerate it if this schedule or any codec changes."""
     if i % 6 == 3:
@@ -1287,6 +1301,28 @@ def _image_payload(i: int) -> tuple[bytes, str]:
         arr = pal[rs.randint(0, 64, size=(h, w))]
         return encode_gif(arr), "image/gif"
     arr = _image_array(i)
+    if i % 48 == 2:
+        # WebP lossless (r13, operators/webp.py): subtract-green +
+        # predictor + color-cache chain — lossless, so taking this row
+        # off PNG left the oracle constants unchanged
+        from auto_ts_spark.operators.webp import encode_webp
+
+        return (
+            encode_webp(
+                arr, palette="never", subtract_green=True,
+                predictor=7, cache_bits=5,
+            ),
+            "image/webp",
+        )
+    if i % 48 == 26:
+        # WebP lossless, second chain: uniform color transform +
+        # literal/run coding (also off a PNG row, constants unchanged)
+        from auto_ts_spark.operators.webp import encode_webp
+
+        return (
+            encode_webp(arr, palette="never", color_transform=(19, 242, 11)),
+            "image/webp",
+        )
     if i % 3 == 2:
         return encode_png(arr), "image/png"
     if i % 3 == 1:

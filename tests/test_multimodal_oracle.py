@@ -258,16 +258,19 @@ def test_synthetic_media_mixes_codec_rows(spark):
     """The synthetic image schedule covers every real image codec —
     PackBits TIFF (i%12==0, r11), LZW+Predictor-2 TIFF (i%24==6, r12),
     JPEG-in-TIFF (i%48==42, r12), BMP (i%48==18), progressive JPEG
-    (i%6==1, r11), baseline JPEG 4:2:0 (i%6==4), PNG (i%3==2), GIF
-    (i%6==3, palette-limited) — so the 48-row multimodal feature
-    oracle value-checks every real decode path (TIFF/BMP/PNG/GIF
-    lossless; JPEG lossy but deterministic, its oracle rows generated
-    from the actual decode)."""
+    (i%6==1, r11), baseline JPEG 4:2:0 (i%6==4), WebP lossless
+    (i%48∈{2,26}, r13 — two different transform chains), PNG (i%3==2
+    otherwise), GIF (i%6==3, palette-limited) — so the 48-row
+    multimodal feature oracle value-checks every real decode path
+    (TIFF/BMP/PNG/GIF/WebP-lossless exact; JPEG lossy but
+    deterministic, its oracle rows generated from the actual
+    decode)."""
     from auto_ts_spark.operators.multimodal import synthetic_media
 
     media = synthetic_media(spark, 43).select("media_id", "mime").collect()
     mimes = {r["media_id"]: r["mime"] for r in media}
-    assert mimes[2] == "image/png" and mimes[5] == "image/png"
+    assert mimes[2] == "image/webp" and mimes[26] == "image/webp"
+    assert mimes[5] == "image/png" and mimes[8] == "image/png"
     assert mimes[1] == "image/jpeg" and mimes[4] == "image/jpeg"
     assert mimes[3] == "image/gif" and mimes[9] == "image/gif"
     assert mimes[0] == "image/tiff" and mimes[12] == "image/tiff"
