@@ -448,6 +448,8 @@ def curate_stream(
     *,
     text_col: str = "text",
     ts_col: str | None = None,
+    html_input: str | None = None,
+    html_normalize: bool = False,
     line_clean: bool = False,
     quality: bool = True,
     redact: bool = True,
@@ -456,10 +458,10 @@ def curate_stream(
     **batch_only,
 ) -> DataFrame:
     """Streaming ingestion form of the curation chain — the subset of
-    stages that are per-row stateless (C4 line cleaning, quality gate,
-    PII scrub) plus exactly-once content dedup, applied to a
-    ``readStream`` source so a live feed is cleaned as it lands
-    instead of by nightly batch.
+    stages that are per-row stateless (HTML markup extraction, C4 line
+    cleaning, quality gate, PII scrub) plus exactly-once content
+    dedup, applied to a ``readStream`` source so a live feed is
+    cleaned as it lands instead of by nightly batch.
 
     Dedup keys on the md5 content fingerprint: with ``ts_col`` set it
     uses ``dropDuplicatesWithinWatermark`` (state per fingerprint
@@ -497,6 +499,18 @@ def curate_stream(
             "table — see README 'Streaming vs batch curation'."
         )
     out = stream
+    if html_input is not None:
+        # raw-web head, same as curate(): one per-row Arrow-batched
+        # projection — streams as a plain map, no state
+        from auto_ts_spark.operators.markup import html_extract
+
+        out = html_extract(
+            out,
+            html_col=html_input,
+            out_col=text_col,
+            normalize=html_normalize,
+            drop_html=True,
+        )
     if line_clean:
         # one shuffle-free map — streams as a plain filter+project
         # (cross-document boilerplate removal needs corpus-wide counts

@@ -122,6 +122,57 @@ def test_curate_stream_equals_batch(spark, tmp_path):
     assert not any("555-123" in t or "a@b.io" in t for t in got["text"])
 
 
+def test_curate_stream_html_input_equals_batch(spark, tmp_path):
+    """The r13 markup-extraction head is per-row stateless, so it runs
+    in the streaming chain too — and streaming ≡ batch on identical
+    raw-HTML input."""
+    import pandas as pd
+
+    from auto_ts_spark.corpus import curate, curate_stream
+    from auto_ts_spark.streaming.ops import run_to_completion
+
+    body = (
+        "the quick brown fox jumps over the lazy dog and runs for the "
+        "hills while it keeps a steady pace in the warm morning light "
+    ) * 2
+    base = pd.Timestamp("2024-01-01")
+    rows = [
+        (i, base + pd.Timedelta(minutes=i),
+         f"<html><body><script>x()</script><p>{body} tag {i % 2}.</p>"
+         "</body></html>")
+        for i in range(4)  # i%2 duplicates after extraction
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "ts", "html"]).astype(
+        {"doc_id": "int64"}
+    )
+    src = tmp_path / "html_src"
+    spark.createDataFrame(pdf).write.parquet(str(src))
+    stream = spark.readStream.schema(
+        "doc_id long, ts timestamp, html string"
+    ).parquet(str(src))
+    out = curate_stream(stream, ts_col="ts", html_input="html")
+    run_to_completion(
+        out, sink_table="t_html_stream", checkpoint_dir=str(tmp_path / "ck2")
+    )
+    got = spark.table("t_html_stream").toPandas()
+    want = curate_stream(
+        spark.read.parquet(str(src)), html_input="html"
+    ).toPandas()
+    assert sorted(got["text"]) == sorted(want["text"])
+    assert len(got) == 2  # two distinct extracted texts survive dedup
+    assert all("script" not in t and "<p>" not in t for t in got["text"])
+    assert "html" not in got.columns
+    # and ≡ the batch curate() head on the same input
+    batch = curate(
+        spark.read.parquet(str(src)).drop("ts"),
+        html_input="html",
+        dedup_exact=True,
+        near_dedup=False,
+        redact=True,
+    ).toPandas()
+    assert sorted(batch["text"]) == sorted(got["text"])
+
+
 def test_curate_stages_optional(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").limit(50)
     out = curate(
