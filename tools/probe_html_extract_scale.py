@@ -39,6 +39,7 @@ def main() -> None:
 
     from auto_ts_spark import get_spark
     from auto_ts_spark.operators.markup import html_extract
+    from auto_ts_spark.operators.partitioning import ensure_parallelism
 
     spark = get_spark("probe_html_extract_scale")
     workdir = "/root/repo/.localdata/probe_docs"
@@ -68,7 +69,11 @@ def main() -> None:
                 F.lit("</p></body></html>"),
             )
             docs.select("doc_id", html.alias("html")).write.parquet(hpath)
-        pages = spark.read.parquet(hpath)
+        # same up-front fan-out curate() applies: a 500k-doc fixture is
+        # 1-2 parquet splits, so without this the 500k point measures
+        # 2 cores against 5M's ~20 and the decade ratio reads as
+        # parallelism shape, not operator cost
+        pages = ensure_parallelism(spark.read.parquet(hpath))
         rec: dict = {"n_docs": n}
         rec["html_bytes"] = pages.select(
             F.sum(F.length("html"))
