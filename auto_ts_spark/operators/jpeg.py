@@ -2,15 +2,17 @@
 ``struct``, no codec library.
 
 Scope: what a training-data pipeline actually meets in the wild as
-"a JPEG" — baseline sequential DCT (SOF0, and SOF1 extended-sequential
-which decodes identically at 8-bit) AND progressive DCT (SOF2,
-spectral selection + successive approximation, T.81 Annex G — the
-second-most-common JPEG flavor in real web corpora), Huffman entropy
-coding, grayscale or YCbCr with 4:4:4 / 4:2:2 / 4:2:0 chroma
-subsampling, restart markers. Arithmetic coding, 12-bit precision,
-lossless and hierarchical modes raise a clear error instead of
-producing garbage — the honest-fallback contract of
-``multimodal.decode_image``.
+"a JPEG" — baseline sequential DCT (SOF0) and extended-sequential
+(SOF1, 8-bit AND 12-bit sample precision, r13) AND progressive DCT
+(SOF2, spectral selection + successive approximation, T.81 Annex G —
+the second-most-common JPEG flavor in real web corpora) AND lossless
+(SOF3, T.81 Annex H predictive coding, r13: predictors 1-7, point
+transform, modulo-65536 differences incl. the SSSS=16 case, restart
+intervals, 2-16-bit precision), Huffman entropy coding, grayscale or
+YCbCr with 4:4:4 / 4:2:2 / 4:2:0 chroma subsampling, restart markers.
+Arithmetic coding (SOF9/10/11/13-15) and hierarchical mode raise a
+clear error instead of producing garbage — the honest-fallback
+contract of ``multimodal.decode_image``.
 
 Encoder: standard Annex-K quantization tables scaled by the libjpeg
 quality formula, standard Annex-K Huffman tables, selectable 4:4:4 or
@@ -241,18 +243,52 @@ def _category(v: int) -> int:
     return int(abs(v)).bit_length()
 
 
+_PSEUDO = -1  # sorts first among frequency ties → always deepest code
+
+
+def _optimal_spec(freqs: dict[int, int]) -> tuple[list[int], list[int]]:
+    """Frequency-optimal DHT spec (BITS, HUFFVAL) for the symbols in
+    ``freqs``: code lengths from the shared 16-limited package-merge
+    helper (operators/webp.py), with a minimum-weight pseudo-symbol
+    folded into the length computation and dropped from the emitted
+    table so the all-ones code of the deepest length stays unused —
+    T.81 C.2 reserves it, and this is the same trick as libjpeg's
+    reserved 256th symbol. Used by the 12-bit and lossless encoders,
+    whose symbol ranges exceed the fixed Annex-K tables."""
+    from auto_ts_spark.operators.webp import _huffman_lengths
+
+    f = {int(s): int(c) for s, c in freqs.items() if c > 0}
+    if not f:
+        f[0] = 1  # degenerate scan (e.g. an all-constant plane)
+    f[_PSEUDO] = 1
+    lengths = _huffman_lengths(f, 16)
+    if lengths[_PSEUDO] != max(lengths.values()):  # pragma: no cover
+        raise AssertionError("pseudo-symbol not at max code depth")
+    bits = [0] * 16
+    vals: list[int] = []
+    # canonical order: length ascending, pseudo LAST within its group,
+    # so dropping it removes exactly the numerically-largest code
+    for sym in sorted(lengths, key=lambda s: (lengths[s], s == _PSEUDO, s)):
+        if sym == _PSEUDO:
+            continue
+        bits[lengths[sym] - 1] += 1
+        vals.append(sym)
+    return bits, vals
+
+
 # --------------------------------------------------------------------------
 # Encoder
 # --------------------------------------------------------------------------
 
 
-def _rgb_to_ycbcr(arr: np.ndarray) -> np.ndarray:
-    """JFIF full-range BT.601 RGB → YCbCr, float64 (h, w, 3)."""
+def _rgb_to_ycbcr(arr: np.ndarray, mid: float = 128.0) -> np.ndarray:
+    """JFIF full-range BT.601 RGB → YCbCr, float64 (h, w, 3); ``mid``
+    is the chroma zero point (128 at 8-bit, 2048 at 12-bit)."""
     f = arr.astype(np.float64)
     r, g, b = f[..., 0], f[..., 1], f[..., 2]
     y = 0.299 * r + 0.587 * g + 0.114 * b
-    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
-    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    cb = mid - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = mid + 0.5 * r - 0.418688 * g - 0.081312 * b
     return np.stack([y, cb, cr], axis=-1)
 
 
@@ -269,10 +305,13 @@ def _blockize(plane: np.ndarray) -> np.ndarray:
     return plane.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
 
 
-def _fdct_quant(plane: np.ndarray, qtbl: np.ndarray) -> np.ndarray:
+def _fdct_quant(
+    plane: np.ndarray, qtbl: np.ndarray, shift: float = 128.0
+) -> np.ndarray:
     """Level-shift, forward-DCT and quantize every 8x8 block of a
-    component plane at once → int32 (bh, bw, 8, 8)."""
-    blocks = _blockize(plane.astype(np.float64) - 128.0)
+    component plane at once → int32 (bh, bw, 8, 8). ``shift`` is the
+    T.81 level shift 2^(P-1)."""
+    blocks = _blockize(plane.astype(np.float64) - shift)
     coeffs = np.einsum("ki,yxij,lj->yxkl", _DCT, blocks, _DCT)
     return np.round(coeffs / qtbl).astype(np.int32)
 
@@ -322,6 +361,33 @@ def _encode_block(
     return dc
 
 
+def _count_block(
+    zz: np.ndarray,
+    prev_dc: int,
+    dc_freq: dict[int, int],
+    ac_freq: dict[int, int],
+) -> int:
+    """Counting twin of ``_encode_block`` for the optimal-table first
+    pass (12-bit encoder): tallies the DC category and AC run/size
+    symbols the emission pass will code, returns the block's DC."""
+    dc = int(zz[0])
+    size = _category(dc - prev_dc)
+    dc_freq[size] = dc_freq.get(size, 0) + 1
+    nz = np.nonzero(zz[1:])[0]
+    pos = 0
+    for idx in nz:
+        run = int(idx) - pos
+        while run >= 16:
+            ac_freq[0xF0] = ac_freq.get(0xF0, 0) + 1
+            run -= 16
+        sym = (run << 4) | _category(int(zz[1 + idx]))
+        ac_freq[sym] = ac_freq.get(sym, 0) + 1
+        pos = int(idx) + 1
+    if pos != 63:
+        ac_freq[0x00] = ac_freq.get(0x00, 0) + 1
+    return dc
+
+
 def _seg(marker: int, body: bytes) -> bytes:
     return struct.pack(">HH", marker, len(body) + 2) + body
 
@@ -331,14 +397,27 @@ def _dht_body(tc: int, th: int, bits: list[int], vals: list[int]) -> bytes:
 
 
 def _quantize_components(
-    arr: np.ndarray, quality: int, subsampling: str
+    arr: np.ndarray, quality: int, subsampling: str, precision: int = 8
 ) -> tuple:
     """Shared encoder front half: color convert, subsample, pad to the
     MCU grid, FDCT + quantize. Returns (gray, h, w, hv, qy, qc,
     quant_blocks, true_dims, mcus_x, mcus_y) where ``true_dims`` is
     each component's non-padded block grid (what non-interleaved
-    progressive scans cover)."""
-    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    progressive scans cover). ``precision`` 12 widens the level shift
+    to 2048 and scales the quantization tables ×16 (the libjpeg
+    convention), keeping perceptual quality comparable; uint8 input is
+    upscaled ×16 to the 12-bit sample range."""
+    if precision == 12:
+        if arr.dtype == np.uint8:
+            arr = np.ascontiguousarray(arr).astype(np.int32) << 4
+        else:
+            arr = np.ascontiguousarray(arr).astype(np.int32)
+            if arr.min() < 0 or arr.max() > 4095:
+                raise ValueError("12-bit JPEG samples must be in [0, 4095]")
+    elif precision == 8:
+        arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    else:
+        raise ValueError(f"unsupported DCT JPEG precision {precision}")
     gray = arr.ndim == 2
     if not gray and (arr.ndim != 3 or arr.shape[2] != 3):
         raise ValueError(f"expected (h,w) gray or (h,w,3) RGB, got {arr.shape}")
@@ -348,13 +427,16 @@ def _quantize_components(
     if h == 0 or w == 0 or h > 65535 or w > 65535:
         raise ValueError(f"bad image dimensions {(h, w)}")
     qy, qc = quality_tables(quality)
+    shift = float(1 << (precision - 1))
+    if precision == 12:
+        qy, qc = np.minimum(qy * 16.0, 65535.0), np.minimum(qc * 16.0, 65535.0)
 
     if gray:
         hv = [(1, 1)]
         planes = [arr.astype(np.float64)]
         qtbls = [qy]
     else:
-        ycc = _rgb_to_ycbcr(arr)
+        ycc = _rgb_to_ycbcr(arr, mid=shift)
         if subsampling == "4:2:0":
             hv = [(2, 2), (1, 1), (1, 1)]
             planes = [ycc[..., 0]]
@@ -382,7 +464,7 @@ def _quantize_components(
             ((0, target_h - plane.shape[0]), (0, target_w - plane.shape[1])),
             mode="edge",
         )
-        quant_blocks.append(_fdct_quant(padded, qtbl))
+        quant_blocks.append(_fdct_quant(padded, qtbl, shift))
         true_dims.append((-(-plane.shape[0] // 8), -(-plane.shape[1] // 8)))
     return gray, h, w, hv, qy, qc, quant_blocks, true_dims, mcus_x, mcus_y
 
@@ -392,41 +474,81 @@ def encode_jpeg(
     quality: int = 90,
     subsampling: str = "4:4:4",
     restart_interval: int = 0,
+    precision: int = 8,
 ) -> bytes:
     """Encode an (h, w) grayscale or (h, w, 3) RGB uint8 array as a
     baseline JFIF JPEG. ``subsampling``: "4:4:4" or "4:2:0" (ignored
     for grayscale). ``restart_interval`` > 0 emits DRI + RSTn markers
-    every that many MCUs."""
+    every that many MCUs. ``precision`` 12 (r13) emits an
+    extended-sequential SOF1 frame with 16-bit quantization tables and
+    frequency-optimal Huffman tables built by a counting first pass —
+    the fixed Annex-K tables only cover 8-bit DC/AC categories."""
     gray, h, w, hv, qy, qc, quant_blocks, _td, mcus_x, mcus_y = (
-        _quantize_components(arr, quality, subsampling)
+        _quantize_components(arr, quality, subsampling, precision)
     )
+    ncomp = 1 if gray else 3
+    tbl_of = [0] + [1, 1][: max(0, len(hv) - 1)]
 
-    dc_specs = [(DC_LUMA_BITS, DC_LUMA_VALS)]
-    ac_specs = [(AC_LUMA_BITS, AC_LUMA_VALS)]
-    if not gray:
-        dc_specs.append((DC_CHROMA_BITS, DC_CHROMA_VALS))
-        ac_specs.append((AC_CHROMA_BITS, AC_CHROMA_VALS))
+    def mcu_blocks():
+        """(component, table_class, zigzag block) in emission order,
+        with a (-1, -1, None) sentinel at each restart boundary —
+        shared by the counting and emission passes so their
+        per-COMPONENT DC difference chains agree exactly."""
+        since = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if restart_interval and since == restart_interval:
+                    yield -1, -1, None
+                    since = 0
+                for ci in range(ncomp):
+                    ch, cv = hv[ci]
+                    for by in range(cv):
+                        for bx in range(ch):
+                            blk = quant_blocks[ci][my * cv + by, mx * ch + bx]
+                            yield ci, tbl_of[ci], blk.reshape(64)[ZIGZAG]
+                since += 1
+
+    if precision == 12:
+        ntab = 1 if gray else 2
+        dc_freq: list[dict[int, int]] = [{} for _ in range(ntab)]
+        ac_freq: list[dict[int, int]] = [{} for _ in range(ntab)]
+        prev = [0] * ncomp
+        for ci, t, zz in mcu_blocks():
+            if ci < 0:
+                prev = [0] * ncomp
+                continue
+            prev[ci] = _count_block(zz, prev[ci], dc_freq[t], ac_freq[t])
+        dc_specs = [_optimal_spec(f) for f in dc_freq]
+        ac_specs = [_optimal_spec(f) for f in ac_freq]
+    else:
+        dc_specs = [(DC_LUMA_BITS, DC_LUMA_VALS)]
+        ac_specs = [(AC_LUMA_BITS, AC_LUMA_VALS)]
+        if not gray:
+            dc_specs.append((DC_CHROMA_BITS, DC_CHROMA_VALS))
+            ac_specs.append((AC_CHROMA_BITS, AC_CHROMA_VALS))
     dc_codes = [_canonical_codes(*s) for s in dc_specs]
     ac_codes = [_canonical_codes(*s) for s in ac_specs]
-    tbl_of = [0] + [1, 1][: max(0, len(hv) - 1)]
 
     # ---- headers ----
     out = bytearray(b"\xff\xd8")  # SOI
     out += _seg(
         0xFFE0, b"JFIF\x00" + struct.pack(">BBBHHBB", 1, 1, 0, 1, 1, 0, 0)
     )
-    # DQT bodies carry the table in zigzag order
-    zz_y = qy.reshape(64)[ZIGZAG].astype(np.uint8)
-    body = bytes([0x00]) + zz_y.tobytes()
-    if not gray:
-        zz_c = qc.reshape(64)[ZIGZAG].astype(np.uint8)
-        body += bytes([0x01]) + zz_c.tobytes()
+    # DQT bodies carry the table in zigzag order (Pq=1 → 16-bit entries)
+    if precision == 12:
+        body = bytes([0x10]) + qy.reshape(64)[ZIGZAG].astype(">u2").tobytes()
+        if not gray:
+            body += bytes([0x11]) + qc.reshape(64)[ZIGZAG].astype(">u2").tobytes()
+    else:
+        body = bytes([0x00]) + qy.reshape(64)[ZIGZAG].astype(np.uint8).tobytes()
+        if not gray:
+            body += bytes([0x01]) + qc.reshape(64)[ZIGZAG].astype(np.uint8).tobytes()
     out += _seg(0xFFDB, body)
-    ncomp = 1 if gray else 3
-    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    sof = struct.pack(">BHHB", precision, h, w, ncomp)
     for ci in range(ncomp):
         sof += bytes([ci + 1, hv[ci][0] << 4 | hv[ci][1], tbl_of[ci]])
-    out += _seg(0xFFC0, sof)
+    # SOF0 baseline is 8-bit by definition; 12-bit → SOF1 extended
+    out += _seg(0xFFC0 if precision == 8 else 0xFFC1, sof)
     dht = _dht_body(0, 0, *dc_specs[0]) + _dht_body(1, 0, *ac_specs[0])
     if not gray:
         dht += _dht_body(0, 1, *dc_specs[1]) + _dht_body(1, 1, *ac_specs[1])
@@ -443,28 +565,190 @@ def encode_jpeg(
     writer = _BitWriter()
     prev_dc = [0] * ncomp
     rst = 0
-    since_restart = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and since_restart == restart_interval:
-                writer.flush()
-                out += writer.out
-                writer = _BitWriter()
-                out += struct.pack(">H", 0xFFD0 + (rst & 7))
-                rst += 1
-                since_restart = 0
-                prev_dc = [0] * ncomp
+    for ci, t, zz in mcu_blocks():
+        if ci < 0:  # restart boundary
+            writer.flush()
+            out += writer.out
+            writer = _BitWriter()
+            out += struct.pack(">H", 0xFFD0 + (rst & 7))
+            rst += 1
+            prev_dc = [0] * ncomp
+            continue
+        prev_dc[ci] = _encode_block(
+            writer, zz, prev_dc[ci], dc_codes[t], ac_codes[t]
+        )
+    writer.flush()
+    out += writer.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# Lossless encoder (T.81 Annex H, Huffman)
+# --------------------------------------------------------------------------
+
+
+def _lossless_predict(
+    x: np.ndarray, predictor: int, default: int, restart_rows: int
+) -> np.ndarray:
+    """Vectorized prediction plane for LOSSLESS encoding — the
+    reconstruction equals the source, so every neighbor (Ra left,
+    Rb above, Rc above-left) is just a shifted view of the source.
+    T.81 H.1.2.1 boundary rules: the first sample at the start of the
+    scan (and of each restart interval) is predicted as
+    2^(P-Pt-1); the rest of that first line uses predictor 1 (Ra);
+    the first sample of every other line uses predictor 2 (Rb)."""
+    h, w = x.shape
+    xi = x.astype(np.int64)
+    ra = np.empty_like(xi)
+    ra[:, 1:] = xi[:, :-1]
+    ra[:, 0] = 0
+    rb = np.empty_like(xi)
+    rb[1:] = xi[:-1]
+    rb[0] = 0
+    rc = np.empty_like(xi)
+    rc[1:, 1:] = xi[:-1, :-1]
+    rc[0] = 0
+    rc[:, 0] = 0
+    if predictor == 1:
+        px = ra.copy()
+    elif predictor == 2:
+        px = rb.copy()
+    elif predictor == 3:
+        px = rc.copy()
+    elif predictor == 4:
+        px = ra + rb - rc
+    elif predictor == 5:
+        px = ra + ((rb - rc) >> 1)  # numpy >> is arithmetic = spec's shift
+    elif predictor == 6:
+        px = rb + ((ra - rc) >> 1)
+    elif predictor == 7:
+        px = (ra + rb) >> 1
+    else:
+        raise ValueError(f"lossless predictor must be 1-7, got {predictor}")
+    interval_starts = (
+        set(range(0, h, restart_rows)) if restart_rows else {0}
+    )
+    for r in range(h):
+        if r in interval_starts:
+            px[r, 0] = default
+            px[r, 1:] = xi[r, :-1]  # predictor 1 on the interval's first line
+        else:
+            px[r, 0] = rb[r, 0]  # predictor 2 at each line start
+    return px
+
+
+def _wrap_diff(d: np.ndarray) -> np.ndarray:
+    """Modulo-65536 difference mapped to [-32768, 32767] (T.81 H.1.2.2
+    — lossless differences are computed modulo 2^16)."""
+    return ((d + 32768) & 0xFFFF) - 32768
+
+
+def encode_jpeg_lossless(
+    arr: np.ndarray,
+    predictor: int = 1,
+    point_transform: int = 0,
+    precision: int | None = None,
+    restart_rows: int = 0,
+) -> bytes:
+    """Encode an (h, w) grayscale or (h, w, ncomp) array as a LOSSLESS
+    JPEG (SOF3, T.81 Annex H): per-sample prediction (``predictor``
+    1-7), modulo-65536 differences Huffman-coded as DC-style SSSS
+    categories (incl. the SSSS=16 / diff=32768 special case), optional
+    ``point_transform`` Pt (samples are coded as x >> Pt — the only
+    lossy knob, 0 = bit-exact round trip), optional restart markers
+    every ``restart_rows`` sample lines. Components are coded
+    DIRECTLY (no color conversion — an RGB round trip is bit-exact).
+    ``precision`` defaults to 8 for uint8 input, else to the smallest
+    P in 2..16 that covers the sample range. Tables are
+    frequency-optimal per table class (component 0, and one shared by
+    the rest) via ``_optimal_spec`` — two passes over the diffs."""
+    a = np.ascontiguousarray(arr)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    if a.ndim != 3 or not (1 <= a.shape[2] <= 4):
+        raise ValueError(f"expected (h,w) or (h,w,1..4), got {arr.shape}")
+    h, w, ncomp = a.shape
+    if h == 0 or w == 0 or h > 65535 or w > 65535:
+        raise ValueError(f"bad image dimensions {(h, w)}")
+    a = a.astype(np.int64)
+    if precision is None:
+        precision = 8 if arr.dtype == np.uint8 else max(int(a.max()).bit_length(), 2)
+    if not 2 <= precision <= 16:
+        raise ValueError(f"lossless precision must be 2-16, got {precision}")
+    if a.min() < 0 or a.max() >= (1 << precision):
+        raise ValueError(f"samples exceed {precision}-bit range")
+    pt = int(point_transform)
+    if not 0 <= pt < precision:
+        raise ValueError(f"point transform must be in [0, {precision}), got {pt}")
+    default = 1 << (precision - pt - 1)
+    if restart_rows:
+        if restart_rows * w > 65535:
+            raise ValueError("restart interval exceeds the 16-bit DRI field")
+
+    # per-component wrapped diffs (prediction over the Pt-shifted samples)
+    diffs = []
+    for ci in range(ncomp):
+        x = a[:, :, ci] >> pt
+        diffs.append(_wrap_diff(x - _lossless_predict(x, predictor, default, restart_rows)))
+
+    # pass 1: SSSS category frequencies per table class
+    tbl_of = [0] + [1] * (ncomp - 1)
+    ntab = 1 if ncomp == 1 else 2
+    freqs: list[dict[int, int]] = [{} for _ in range(ntab)]
+    for ci in range(ncomp):
+        d = diffs[ci]
+        # vectorized exact bit_length: SSSS = #{k : 2^k <= |d|}
+        mag = np.abs(d).astype(np.int64)
+        cat = (mag[:, :, None] >= (1 << np.arange(17))[None, None, :]).sum(
+            axis=2, dtype=np.int64
+        )
+        cat[d == -32768] = 16
+        syms, counts = np.unique(cat, return_counts=True)
+        f = freqs[tbl_of[ci]]
+        for s, c in zip(syms.tolist(), counts.tolist()):
+            f[s] = f.get(s, 0) + c
+    specs = [_optimal_spec(f) for f in freqs]
+    codes = [_canonical_codes(*s) for s in specs]
+
+    # ---- headers ----
+    out = bytearray(b"\xff\xd8")  # SOI (no JFIF APP0: lossless codes
+    # source components directly, JFIF would wrongly declare YCbCr)
+    sof = struct.pack(">BHHB", precision, h, w, ncomp)
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, 0])  # 1x1 sampling, Tq unused
+    out += _seg(0xFFC3, sof)
+    dht = b""
+    for t, (bits, vals) in enumerate(specs):
+        dht += _dht_body(0, t, bits, vals)
+    out += _seg(0xFFC4, dht)
+    if restart_rows:
+        out += _seg(0xFFDD, struct.pack(">H", restart_rows * w))
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, tbl_of[ci] << 4])  # Ta unused in lossless
+    sos += bytes([predictor, 0, pt])  # Ss=predictor, Se=0, Ah=0, Al=Pt
+    out += _seg(0xFFDA, sos)
+
+    # ---- entropy-coded scan: sample-interleaved MCUs, raster order ----
+    writer = _BitWriter()
+    rst = 0
+    for r in range(h):
+        if restart_rows and r and r % restart_rows == 0:
+            writer.flush()
+            out += writer.out
+            writer = _BitWriter()
+            out += struct.pack(">H", 0xFFD0 + (rst & 7))
+            rst += 1
+        for c in range(w):
             for ci in range(ncomp):
-                ch, cv = hv[ci]
-                t = tbl_of[ci]
-                for by in range(cv):
-                    for bx in range(ch):
-                        blk = quant_blocks[ci][my * cv + by, mx * ch + bx]
-                        zz = blk.reshape(64)[ZIGZAG]
-                        prev_dc[ci] = _encode_block(
-                            writer, zz, prev_dc[ci], dc_codes[t], ac_codes[t]
-                        )
-            since_restart += 1
+                code_tbl = codes[tbl_of[ci]]
+                d = int(diffs[ci][r, c])
+                size = 16 if d == -32768 else _category(d)
+                code, length = code_tbl[size]
+                writer.put(code, length)
+                if size and size != 16:  # SSSS=16 carries no extra bits
+                    writer.put(d if d >= 0 else d + (1 << size) - 1, size)
     writer.flush()
     out += writer.out
     out += b"\xff\xd9"  # EOI
@@ -924,18 +1208,21 @@ def _ac_refine_block(
     return eobrun
 
 
-def decode_jpeg(content: bytes) -> np.ndarray:
-    """Decode a sequential (interleaved or one-scan-per-component) or
-    progressive JPEG to uint8 — (h, w, 3) RGB for color, (h, w) for
-    grayscale. Raises ValueError on arithmetic-coded / 12-bit /
-    lossless / hierarchical streams (and partial-interleave scan
-    layouts) rather than mis-decoding them."""
+def decode_jpeg(content: bytes, _raw_lossless: bool = False) -> np.ndarray:
+    """Decode a sequential (interleaved or one-scan-per-component,
+    8- or 12-bit), progressive, or LOSSLESS (SOF3, r13) JPEG to uint8
+    — (h, w, 3) RGB for color, (h, w) for grayscale; >8-bit samples
+    are scaled down to the uint8 contract (use
+    ``decode_jpeg_lossless`` for true-precision output). Raises
+    ValueError on arithmetic-coded / hierarchical streams (and
+    partial-interleave scan layouts) rather than mis-decoding them."""
     if content[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     frame = None
     progressive = False
+    lossless = False
     restart_interval = 0
     i = 2
     n = len(content)
@@ -978,20 +1265,28 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                 vals = list(body[p + 17 : p + 17 + nv])
                 htables[(tc, th)] = _decode_table(bits, vals)
                 p += 17 + nv
-        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3):
+            # SOF0/1 sequential, SOF2 progressive, SOF3 lossless (r13)
             prec, fh, fw, ncomp = struct.unpack_from(">BHHB", body, 0)
-            if prec != 8:
-                raise ValueError(f"unsupported JPEG precision {prec} (8-bit only)")
             progressive = marker == 0xC2
+            lossless = marker == 0xC3
+            if lossless:
+                if not 2 <= prec <= 16:
+                    raise ValueError(f"bad lossless JPEG precision {prec}")
+            elif progressive and prec != 8:
+                raise ValueError("progressive JPEG decode is 8-bit only")
+            elif prec not in (8, 12):
+                raise ValueError(f"unsupported JPEG precision {prec} (8/12-bit)")
             comps = []
             for c in range(ncomp):
                 cid, hvb, tq = body[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, hvb >> 4, hvb & 0x0F, tq))
-            frame = (fh, fw, comps)
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            frame = (prec, fh, fw, comps)
+        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
                 f"unsupported JPEG mode (SOF marker 0xFF{marker:02X}) — "
-                "baseline/extended-sequential/progressive Huffman only"
+                "Huffman sequential/progressive/lossless only (no "
+                "arithmetic coding, no hierarchical mode)"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
@@ -1012,7 +1307,17 @@ def decode_jpeg(content: bytes) -> np.ndarray:
         # APPn / COM / others: skipped via seglen
     if frame is None or not scans:
         raise ValueError("invalid JPEG: missing SOF/SOS")
-    fh, fw, comps = frame
+    prec, fh, fw, comps = frame
+    if lossless:
+        raw = _decode_lossless(prec, fh, fw, comps, scans)
+        if _raw_lossless:
+            return raw if raw.shape[2] > 1 else raw[:, :, 0]
+        if prec > 8:
+            raw = raw >> (prec - 8)
+        elif prec < 8:
+            raw = raw << (8 - prec)
+        out8 = np.clip(raw, 0, 255).astype(np.uint8)
+        return out8 if out8.shape[2] > 1 else out8[:, :, 0]
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcus_x = -(-fw // (8 * hmax))
@@ -1126,10 +1431,14 @@ def decode_jpeg(content: bytes) -> np.ndarray:
         blocks.reshape(bh, bw, 64)[:, :, ZIGZAG] = arr.astype(np.float64)
         blocks *= qtbl
         pix = np.einsum("ik,yxkl,jl->yxij", _DCT.T, blocks, _DCT.T)
-        plane = pix.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8) + 128.0
+        plane = pix.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8) + float(
+            1 << (prec - 1)
+        )
         # upsample to full MCU-grid resolution (nearest — the JFIF
         # baseline convention; smooth upsampling is a decoder choice)
         plane = np.repeat(np.repeat(plane, vmax // cv, axis=0), hmax // ch, axis=1)
+        if prec > 8:  # uint8 output contract: scale 12-bit down
+            plane = plane / float(1 << (prec - 8))
         planes.append(plane[:fh, :fw])
     if len(planes) == 1:
         return np.clip(planes[0].round(), 0, 255).astype(np.uint8)
@@ -1233,3 +1542,101 @@ def _decode_progressive_scan(
             else:
                 eobrun = _ac_refine_block(reader, actab, coef, ss, se, al, eobrun)
             since += 1
+
+
+# --------------------------------------------------------------------------
+# Lossless decoder (T.81 Annex H)
+# --------------------------------------------------------------------------
+
+
+def _decode_lossless(
+    prec: int, fh: int, fw: int, comps: list, scans: list
+) -> np.ndarray:
+    """Reconstruct a SOF3 lossless frame: sequential Huffman decode of
+    SSSS-category differences (DC-table coding, SSSS=16 → diff 32768
+    with no magnitude bits), per-sample prediction with the H.1.2.1
+    boundary rules (scan/restart start → 2^(P-Pt-1), rest of that
+    line → Ra, other line starts → Rb), modulo-65536 reconstruction,
+    output shifted left by the point transform. Handles the
+    sample-interleaved single scan our encoder emits AND
+    one-scan-per-component streams; subsampled (non-1x1) lossless
+    frames are rejected. Returns int32 (fh, fw, ncomp) at TRUE
+    precision."""
+    for _cid, ch, cv, _tq in comps:
+        if (ch, cv) != (1, 1):
+            raise ValueError("subsampled lossless JPEG not supported")
+    comp_idx = {c[0]: ci for ci, c in enumerate(comps)}
+    planes = np.zeros((fh, fw, len(comps)), dtype=np.int64)
+    covered: set[int] = set()
+    for scomps, ss, _se, _ah, al, segs, rst_int, tabs in scans:
+        predictor, pt = ss, al
+        if not 1 <= predictor <= 7:
+            raise ValueError(f"bad lossless predictor selection {predictor}")
+        if not 0 <= pt < prec:
+            raise ValueError(f"bad lossless point transform {pt}")
+        default = 1 << (prec - pt - 1)
+        idxs = [comp_idx[cid] for cid, _td, _ta in scomps]
+        tables = [tabs[(0, td)] for _cid, td, _ta in scomps]
+        views = [planes[:, :, k] for k in idxs]
+        ncs = len(scomps)
+        # DRI counts MCUs (= samples here); our encoder emits
+        # row-aligned intervals, and row alignment is what makes the
+        # boundary rules well-defined — reject the rest
+        if rst_int and rst_int % fw != 0:
+            raise ValueError("lossless restart interval not row-aligned")
+        rows_per_seg = (rst_int // fw) if rst_int else 0
+        seg_idx = 0
+        reader = _BitReader(segs[0])
+        for r in range(fh):
+            if rows_per_seg and r and r % rows_per_seg == 0:
+                seg_idx += 1
+                if seg_idx >= len(segs):
+                    raise ValueError("invalid JPEG: missing restart segment")
+                reader = _BitReader(segs[seg_idx])
+            line_start = (r % rows_per_seg == 0) if rows_per_seg else (r == 0)
+            for c in range(fw):
+                for k in range(ncs):
+                    sym = _decode_sym(reader, tables[k])
+                    if sym == 16:
+                        d = 32768
+                    elif sym:
+                        d = _extend(reader.read(sym), sym)
+                    else:
+                        d = 0
+                    pl = views[k]
+                    if line_start:
+                        px = default if c == 0 else int(pl[r, c - 1])
+                    elif c == 0:
+                        px = int(pl[r - 1, 0])
+                    else:
+                        ra = int(pl[r, c - 1])
+                        rb = int(pl[r - 1, c])
+                        rc = int(pl[r - 1, c - 1])
+                        if predictor == 1:
+                            px = ra
+                        elif predictor == 2:
+                            px = rb
+                        elif predictor == 3:
+                            px = rc
+                        elif predictor == 4:
+                            px = ra + rb - rc
+                        elif predictor == 5:
+                            px = ra + ((rb - rc) >> 1)
+                        elif predictor == 6:
+                            px = rb + ((ra - rc) >> 1)
+                        else:
+                            px = (ra + rb) >> 1
+                    pl[r, c] = (px + d) & 0xFFFF
+        for k in idxs:
+            planes[:, :, k] <<= pt
+        covered.update(idxs)
+    if covered != set(range(len(comps))):
+        raise ValueError("lossless scans do not cover every component")
+    return planes.astype(np.int32)
+
+
+def decode_jpeg_lossless(content: bytes) -> np.ndarray:
+    """Decode a lossless (SOF3) JPEG at TRUE sample precision:
+    int32 (h, w) for one component, (h, w, ncomp) otherwise — the
+    bit-exact inverse of ``encode_jpeg_lossless`` at Pt=0."""
+    return decode_jpeg(content, _raw_lossless=True)

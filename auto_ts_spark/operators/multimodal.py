@@ -15,12 +15,13 @@ mu-law/A-law companding — r11); video: AVI with uncompressed DIB
 frames (RIFF chunk walk — r10) or Motion-JPEG frames (each '00dc'
 chunk decoded by the in-repo JPEG codec — r11) — implemented with struct offsets + ``np.frombuffer`` + a
 vectorized numpy IDCT (no codec libraries needed, none exist in this
-container; WebP LOSSLESS decodes for real via ``operators/webp.py`` —
-r13). Formats that genuinely need a codec library (MP3/AAC,
-MP4/MKV/WebM non-MJPEG codecs, LOSSY WebP/VP8) fall back
-to a clearly-marked
-deterministic fake so the pipeline shape stays testable; a real
-deployment swaps only that fallback body for PIL/soundfile/ffmpeg.
+container; WebP LOSSLESS decodes for real via ``operators/webp.py``,
+and 12-bit extended-sequential + LOSSLESS JPEG via the in-repo codec
+— r13). Formats that genuinely need a codec library (MP3/AAC,
+MP4/MKV/WebM non-MJPEG codecs, LOSSY WebP/VP8, arithmetic-coded
+JPEG) fall back to a clearly-marked deterministic fake so the
+pipeline shape stays testable; a real deployment swaps only that
+fallback body for PIL/soundfile/ffmpeg.
 
 Scale notes: media bytes ride in parquet binary columns;
 ``mapInPandas`` streams Arrow record batches so a partition never
@@ -1127,12 +1128,11 @@ def decode_wav(content: bytes) -> tuple[np.ndarray, int]:
 
 def _fake_decode_image(content: bytes, width: int, height: int) -> np.ndarray:
     """FALLBACK for image containers the pure-numpy stack cannot parse
-    (arithmetic/12-bit/lossless JPEG, LOSSY WebP, old-style
-    JPEG-in-TIFF, …):
+    (arithmetic-coded JPEG, LOSSY WebP, old-style JPEG-in-TIFF, …):
     deterministic fake seeded by the content bytes. A real deployment
     replaces this body with PIL/turbojpeg; BMP/PPM/PNG/baseline-TIFF
-    and sequential/progressive JPEG payloads never reach it (see
-    ``decode_image``)."""
+    and sequential (8/12-bit)/progressive/lossless JPEG payloads never
+    reach it (see ``decode_image``)."""
     seed = int.from_bytes(content[:4], "little") if content else 0
     rng = np.random.RandomState(seed)
     return rng.randint(0, 256, size=(height, width, 3), dtype=np.uint8)
@@ -1149,12 +1149,12 @@ def _fake_decode_audio(content: bytes, n_samples: int) -> np.ndarray:
 
 def decode_image(content: bytes, width: int = 0, height: int = 0) -> np.ndarray:
     """Decode an image payload to (h, w, 3) RGB uint8: real parse for
-    BMP/PPM/PNG/baseline-TIFF and sequential/progressive JPEG
-    (magic-sniffed; gray broadcasts to 3 channels and RGBA drops
-    alpha), deterministic fake
-    (at the metadata dimensions) for anything else — including
-    arithmetic-coded/12-bit/lossless JPEG, which ``decode_jpeg``
-    rejects with a clear error rather than mis-decoding."""
+    BMP/PPM/PNG/baseline-TIFF and sequential (8/12-bit), progressive
+    or lossless JPEG (magic-sniffed; gray broadcasts to 3 channels and
+    RGBA drops alpha), deterministic fake (at the metadata dimensions)
+    for anything else — including arithmetic-coded JPEG, which
+    ``decode_jpeg`` rejects with a clear error rather than
+    mis-decoding."""
     if content:
         if content[:2] == b"BM":
             return decode_bmp(content)
@@ -1181,7 +1181,7 @@ def decode_image(content: bytes, width: int = 0, height: int = 0) -> np.ndarray:
             try:
                 img = decode_jpeg(content)
             except (ValueError, IndexError, struct.error):
-                # arithmetic/12-bit/lossless (ValueError) or a
+                # arithmetic-coded/hierarchical (ValueError) or a
                 # truncated/corrupt stream (IndexError/struct.error):
                 # documented fake, not garbage or a dead executor
                 return _fake_decode_image(content, width, height)

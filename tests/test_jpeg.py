@@ -101,8 +101,11 @@ def test_decoder_rejects_lossless_and_bad_magic():
     img = _gradient(16, 16)
     payload = bytearray(encode_jpeg(img, 90))
     sof = payload.find(b"\xff\xc0")
-    payload[sof + 1] = 0xC3  # rebadge SOF0 as SOF3 (lossless)
-    with pytest.raises(ValueError, match="baseline"):
+    # rebadging SOF0 as SOF3 (lossless, decoded for real since r13)
+    # leaves a DCT-layout scan whose Ss=0 is an illegal predictor
+    # selection — must raise, not mis-predict
+    payload[sof + 1] = 0xC3
+    with pytest.raises(ValueError, match="predictor"):
         decode_jpeg(bytes(payload))
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"\x89PNG not a jpeg")
