@@ -1808,10 +1808,12 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     WAV, raw-DIB/MJPEG AVI, LZW- and JPEG-in-TIFF (i%48==42, r12),
     WebP LOSSLESS (i%48∈{2,26}, r13 — operators/webp.py: canonical
     prefix codes, LZ77 backrefs, all four VP8L transforms, color
-    cache) on a deterministic schedule; no codec libs needed. Only
-    formats that truly require codec libraries (MP3/AAC,
-    arithmetic/12-bit/lossless JPEG, LOSSY WebP/VP8, MP4/MKV video)
-    fall back to a documented fake."""
+    cache), LOSSLESS JPEG (i%48∈{14,38}, r13 — SOF3 Annex-H
+    predictive, bit-exact) and 12-BIT JPEG (i%48==22, r13 — SOF1,
+    decode-identical to the 8-bit row by the ×16 table scaling) on a
+    deterministic schedule; no codec libs needed. Only formats that
+    truly require codec libraries (MP3/AAC, arithmetic-coded JPEG,
+    LOSSY WebP/VP8, MP4/MKV video) fall back to a documented fake."""
     from auto_ts_spark.operators.multimodal import (
         decode_and_featurize,
         synthetic_media,

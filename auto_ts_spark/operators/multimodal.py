@@ -45,6 +45,7 @@ from auto_ts_spark.operators.gif import decode_gif, encode_gif
 from auto_ts_spark.operators.jpeg import (
     decode_jpeg,
     encode_jpeg,
+    encode_jpeg_lossless,
     encode_jpeg_progressive,
 )
 
@@ -1291,7 +1292,12 @@ def _image_payload(i: int) -> tuple[bytes, str]:
     JPEG rows), i%48∈{2,26} → WebP LOSSLESS (r13, operators/webp.py —
     row 2: subtract-green + predictor-7 + 5-bit color cache; row 26:
     uniform color transform; both off PNG rows, so the constants are
-    again unchanged), else BMP. The multimodal VALUES oracle in
+    again unchanged), i%48∈{14,38} → LOSSLESS JPEG (r13, SOF3 Annex-H
+    predictive — row 14: predictor 7 + restart rows; row 38:
+    predictor 4; off PNG rows, bit-exact, constants unchanged),
+    i%48==22 → 12-BIT extended-sequential JPEG (r13, SOF1 Pq=1 —
+    lossy but bit-deterministic; this row's constants were
+    regenerated), else BMP. The multimodal VALUES oracle in
     ``oracles.py`` is generated from ``decode_image`` over these exact
     payloads — regenerate it if this schedule or any codec changes."""
     if i % 6 == 3:
@@ -1323,9 +1329,29 @@ def _image_payload(i: int) -> tuple[bytes, str]:
             encode_webp(arr, palette="never", color_transform=(19, 242, 11)),
             "image/webp",
         )
+    if i % 48 == 14:
+        # lossless JPEG (r13, SOF3): predictor 7 + restart markers —
+        # bit-exact, so taking this row off PNG left the constants
+        # unchanged
+        return (
+            encode_jpeg_lossless(arr, predictor=7, restart_rows=16),
+            "image/jpeg",
+        )
+    if i % 48 == 38:
+        # lossless JPEG, second chain: predictor 4 (Ra+Rb-Rc), single
+        # scan (also off a PNG row, constants unchanged)
+        return encode_jpeg_lossless(arr, predictor=4), "image/jpeg"
     if i % 3 == 2:
         return encode_png(arr), "image/png"
     if i % 3 == 1:
+        if i % 48 == 22:
+            # 12-bit extended-sequential (r13, SOF1): lossy but
+            # bit-deterministic — this row's oracle constants were
+            # regenerated from the actual decode
+            return (
+                encode_jpeg(arr, quality=92, subsampling="4:2:0", precision=12),
+                "image/jpeg",
+            )
         if i % 6 == 4:
             return encode_jpeg(arr, quality=92, subsampling="4:2:0"), "image/jpeg"
         return encode_jpeg_progressive(arr, quality=92), "image/jpeg"

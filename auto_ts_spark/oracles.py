@@ -1802,9 +1802,14 @@ SELECT cast(8 AS BIGINT) AS n_features,
 # selection + successive approximation decode to pixels bit-identical
 # to the baseline encode of the same coefficients, so these constants
 # did not change when the schedule switched those rows to SOF2) and
-# GIF (operators/gif.py: pure-python LZW, palette-limited fixtures).
+# GIF (operators/gif.py: pure-python LZW, palette-limited fixtures),
+# TIFF (PackBits/LZW/JPEG-in-TIFF), WebP lossless (r13), LOSSLESS
+# JPEG (r13 — SOF3 rows 14/38, bit-exact so the PNG-row constants
+# they replaced are unchanged) and 12-BIT JPEG (r13 — SOF1 row 22,
+# decode-identical to the 8-bit row it replaced because the ×16
+# table scaling cancels).
 # The features are exact platform-stable constants, so the full path
-# (five real container decodes, mapInPandas batching, row routing)
+# (eight real container decodes, mapInPandas batching, row routing)
 # gets a value-checked oracle. Regenerate with the snippet in
 # tests/test_multimodal_oracle.py if the image generator, schedule, or
 # any codec changes.

@@ -258,18 +258,22 @@ def test_synthetic_media_mixes_codec_rows(spark):
     """The synthetic image schedule covers every real image codec —
     PackBits TIFF (i%12==0, r11), LZW+Predictor-2 TIFF (i%24==6, r12),
     JPEG-in-TIFF (i%48==42, r12), BMP (i%48==18), progressive JPEG
-    (i%6==1, r11), baseline JPEG 4:2:0 (i%6==4), WebP lossless
-    (i%48∈{2,26}, r13 — two different transform chains), PNG (i%3==2
-    otherwise), GIF (i%6==3, palette-limited) — so the 48-row
-    multimodal feature oracle value-checks every real decode path
-    (TIFF/BMP/PNG/GIF/WebP-lossless exact; JPEG lossy but
-    deterministic, its oracle rows generated from the actual
-    decode)."""
+    (i%6==1, r11), baseline JPEG 4:2:0 (i%6==4), 12-bit JPEG
+    (i%48==22, r13), lossless JPEG (i%48∈{14,38}, r13 — two
+    predictors, one with restart markers), WebP lossless (i%48∈{2,26},
+    r13 — two different transform chains), PNG (i%3==2 otherwise),
+    GIF (i%6==3, palette-limited) — so the 48-row multimodal feature
+    oracle value-checks every real decode path
+    (TIFF/BMP/PNG/GIF/WebP-lossless/lossless-JPEG exact; DCT JPEG
+    lossy but deterministic, its oracle rows generated from the
+    actual decode)."""
     from auto_ts_spark.operators.multimodal import synthetic_media
 
     media = synthetic_media(spark, 43).select("media_id", "mime").collect()
     mimes = {r["media_id"]: r["mime"] for r in media}
     assert mimes[2] == "image/webp" and mimes[26] == "image/webp"
+    assert mimes[14] == "image/jpeg" and mimes[38] == "image/jpeg"  # lossless
+    assert mimes[22] == "image/jpeg"  # 12-bit SOF1
     assert mimes[5] == "image/png" and mimes[8] == "image/png"
     assert mimes[1] == "image/jpeg" and mimes[4] == "image/jpeg"
     assert mimes[3] == "image/gif" and mimes[9] == "image/gif"
