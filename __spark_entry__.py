@@ -2426,18 +2426,22 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_video_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal video path (r10): REAL raw-DIB AVI decode
-    (struct+numpy RIFF chunk walk, byte-exact round-trip-tested) +
+    """Multimodal video path (r10): REAL video container decode +
     mapInPandas per-frame featurization over deterministic synthetic
-    clips — the VALUES oracle pins the full decode → sample →
-    featurize path. Codec-bearing containers (MP4/MKV) fall back to
-    the documented deterministic fake."""
+    clips — raw-DIB AVI (byte-exact RIFF chunk walk), Motion-JPEG in
+    THREE containers (AVI '00dc' chunks — r11; MP4 sample-table walk,
+    operators/mp4.py, row 5 — r13; Matroska EBML walk,
+    operators/mkv.py, row 13 — r13; all wrap the same quality-92
+    JPEG payloads so the per-frame constants are container-invariant).
+    The VALUES oracle pins the full decode → sample → featurize path.
+    Containers whose codec needs a codec library (H.264/VP9 …) fall
+    back to the documented deterministic fake."""
     from auto_ts_spark.operators.multimodal import (
         synthetic_media,
         video_frame_features,
     )
 
-    media = synthetic_media(spark, 12, kind="video")
+    media = synthetic_media(spark, 16, kind="video")
     feats = video_frame_features(media, every_n=2)
     return feats.select(
         "media_id",

@@ -1232,8 +1232,12 @@ def decode_video(
     content: bytes, width: int = 0, height: int = 0, n_frames: int = 1
 ) -> np.ndarray:
     """Decode a video payload to (n, h, w, 3) RGB uint8: real parse
-    for RIFF/AVI with uncompressed DIB frames, deterministic fake (at
-    the metadata dimensions) for codec-bearing containers."""
+    for RIFF/AVI (uncompressed DIB or Motion-JPEG frames), MP4 with a
+    Motion-JPEG track (ISO BMFF box + sample-table walk,
+    operators/mp4.py — r13) and Matroska with a V_MJPEG track (EBML
+    walk, operators/mkv.py — r13); deterministic fake (at the
+    metadata dimensions) for containers whose codec genuinely needs a
+    codec library (H.264/VP9/AV1 …)."""
     if content and content[:4] == b"RIFF" and content[8:12] == b"AVI ":
         try:
             return decode_avi_raw(content)[0]
@@ -1241,6 +1245,23 @@ def decode_video(
             # a truncated/corrupt '00dc' MJPEG frame chunk can raise
             # struct.error/IndexError from decode_jpeg — route one bad
             # payload to the fake instead of killing the mapInPandas job
+            return _fake_decode_video(content, width, height, n_frames)
+    if content and len(content) >= 12 and content[4:8] == b"ftyp":
+        from auto_ts_spark.operators.mp4 import decode_mp4_mjpeg
+
+        try:
+            return decode_mp4_mjpeg(content)[0]
+        except (ValueError, IndexError, struct.error):
+            # non-MJPEG codec (avc1/hvc1/…) or a malformed sample
+            # table: documented fake, not a dead executor
+            return _fake_decode_video(content, width, height, n_frames)
+    if content and content[:4] == b"\x1aE\xdf\xa3":
+        from auto_ts_spark.operators.mkv import decode_mkv_mjpeg
+
+        try:
+            return decode_mkv_mjpeg(content)[0]
+        except (ValueError, IndexError, struct.error):
+            # non-V_MJPEG codec or laced/corrupt blocks: documented fake
             return _fake_decode_video(content, width, height, n_frames)
     return _fake_decode_video(content, width, height, n_frames)
 
@@ -1384,12 +1405,28 @@ def synthetic_media(spark, n: int = 64, kind: str = "image", real: bool = True) 
         elif kind == "video":
             # i%4==1 rows are Motion-JPEG (r11; lossy but
             # bit-deterministic — the video VALUES oracle regenerated
-            # over the actual decode), the rest raw DIB
+            # over the actual decode): container rotates AVI (i%8==1)
+            # / MP4 (i%16==5) / MKV (i%16==13) — all three wrap the
+            # SAME quality-92 10-fps JPEG payloads, so the decoded
+            # frames and the oracle constants are identical across
+            # containers (r13). The rest are raw-DIB AVI.
             if i % 4 == 1:
-                payload = encode_avi_mjpeg(_video_frames(i), fps=10, quality=92)
+                if i % 16 == 5:
+                    from auto_ts_spark.operators.mp4 import encode_mp4_mjpeg
+
+                    payload = encode_mp4_mjpeg(_video_frames(i), fps=10, quality=92)
+                    mime = "video/mp4"
+                elif i % 16 == 13:
+                    from auto_ts_spark.operators.mkv import encode_mkv_mjpeg
+
+                    payload = encode_mkv_mjpeg(_video_frames(i), fps=10, quality=92)
+                    mime = "video/x-matroska"
+                else:
+                    payload = encode_avi_mjpeg(_video_frames(i), fps=10, quality=92)
+                    mime = "video/avi"
             else:
                 payload = encode_avi_raw(_video_frames(i), fps=10)
-            mime = "video/avi"
+                mime = "video/avi"
             duration_ms = (3 + i % 3) * 100  # n_frames / 10 fps
         elif kind == "image":
             payload, mime = _image_payload(i)
@@ -1487,9 +1524,10 @@ def frame_sample(df: DataFrame, every_ms: int = 1000) -> DataFrame:
 def video_frame_features(df: DataFrame, *, every_n: int = 2) -> DataFrame:
     """video → per-sampled-frame features via mapInPandas:
     (media_id, frame_idx, mean_gray, std_gray) for every ``every_n``-th
-    frame. Raw-DIB AVI payloads decode for real (struct+numpy chunk
-    walk); codec-bearing containers hit the documented deterministic
-    fake at the metadata dimensions. Binary-in/rows-out, Arrow-batched
+    frame. Raw-DIB/MJPEG AVI, MJPEG-MP4 and MJPEG-MKV payloads decode
+    for real (struct+numpy walks, r13); containers whose codec needs a
+    codec library hit the documented deterministic fake at the
+    metadata dimensions. Binary-in/rows-out, Arrow-batched
     — the 100 TB shape for frame-level featurization after
     ``frame_sample`` has pruned the candidate set."""
     out_schema = "media_id long, frame_idx int, mean_gray double, std_gray double"

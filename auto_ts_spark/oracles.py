@@ -2040,13 +2040,15 @@ SELECT col AS "column",
 FROM e GROUP BY col ORDER BY col
 """
 
-# The video query decodes REAL AVI payloads (operators/multimodal.py
-# RIFF chunk walk): raw DIB rows byte-exact, and — r11 — the i%4==1
-# rows are Motion-JPEG ('MJPG' frame chunks decoded by the in-repo
-# JPEG codec; lossy but bit-deterministic, these constants generated
-# from the actual decode) over the deterministic _video_frames clips.
+# The video query decodes REAL video payloads (operators/
+# multimodal.py): raw-DIB AVI rows byte-exact, and the i%4==1 rows
+# Motion-JPEG ('MJPG' AVI chunks — r11; MP4 sample-table walk, row 5,
+# and Matroska EBML walk, row 13 — r13; all three containers wrap the
+# same quality-92 JPEG payloads, so the MJPEG constants are
+# container-invariant; lossy but bit-deterministic, generated from
+# the actual decode) over the deterministic _video_frames clips.
 # Regenerate by collecting q_video_frame_features if the clip
-# generator, schedule, or either codec changes.
+# generator, schedule, or any codec changes.
 _SQL_VIDEO_FRAME_FEATURES = """
 SELECT cast(media_id AS BIGINT) AS media_id,
        cast(frame_idx AS int) AS frame_idx,
@@ -2080,7 +2082,16 @@ FROM (VALUES
   (10, 2, 125.409502, 42.933812),
   (11, 0, 127.412698, 43.974231),
   (11, 2, 127.176014, 42.246278),
-  (11, 4, 129.145679, 43.823716)
+  (11, 4, 129.145679, 43.823716),
+  (12, 0, 129.581597, 42.510783),
+  (12, 2, 128.570313, 42.078895),
+  (13, 0, 128.288889, 40.808053),
+  (13, 2, 128.086061, 42.313214),
+  (14, 0, 130.010935, 41.747891),
+  (14, 2, 126.760935, 43.415488),
+  (14, 4, 128.191176, 42.823774),
+  (15, 0, 126.724515, 43.283707),
+  (15, 2, 127.148854, 42.830941)
 ) AS t(media_id, frame_idx, mean_gray, std_gray)
 """
 
