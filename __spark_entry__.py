@@ -2425,6 +2425,31 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-extension (operators/sampling.py::cluster_balanced_sample,
+    r13): topic-balanced selection — assign every embedding to its
+    nearest of 4 exact-dyadic demo centroids (JVM-side zip_with/
+    aggregate squared-L2 fold, ties to the lowest cluster id; zero
+    Python, zero shuffle), then keep EXACTLY 30 vectors per cluster by
+    md5 rank of vec_id:42. The oracle replays assignment AND cut
+    end-to-end: the dyadic centroid literals convert to identical
+    binary doubles in both engines, the SQL computes the same
+    sequential fold, and the quota rank is the shared md5-60
+    derivation — so the cluster column itself is value-checked, not
+    just the sample. Trained-centroid mode (deterministic Lloyd over
+    a layout-invariant sample — the IVF quantizer machinery) is the
+    scale path, pytest-covered."""
+    from auto_ts_spark.operators.sampling import (
+        cluster_balanced_sample,
+        demo_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cluster_balanced_sample(
+        emb, 30, centroids=demo_centroids(4, 64)
+    ).select("vec_id", "label", F.col("cluster").cast("int").alias("cluster"))
+
+
 def q_video_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal video path (r10): REAL video container decode +
     mapInPandas per-frame featurization over deterministic synthetic
@@ -2607,17 +2632,21 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # queries and a 50-slot window this bounds driver staleness at
     # ~one round for every query (local sf0.01 parity covers the off
     # rounds). r13 window: zero overlap with CORRECTNESS_r12 keys —
-    # the new r13 query (html_extract) leads, then bucketed_join_revenue
-    # (displaced from the r12 window, oldest driver row on the board),
-    # then the r11-green hash-checked set rotating back in.
+    # the new r13 queries (cluster_balanced_sample, html_extract)
+    # lead, then bucketed_join_revenue (displaced from the r12 window,
+    # oldest driver row on the board), then the r11-green hash-checked
+    # set rotating back in (automl_leaderboard_contract displaced
+    # below the line to keep 50 slots; it is r11-driver-green and
+    # first in line for r14).
     # Rows-only forms stay BELOW the line per the r10 verdict: each
     # has a value-checked twin that is already driver-green, so
     # window slots go to hash-checked forms only — this window is
     # 50/50 value-checked.
-    # --- new in r13 (1): head-of-pipeline HTML markup extraction —
-    # never driver-checked, so it takes the first slot; the extracted
-    # text itself is value-checked against an oracle that constructs
-    # the expected output from the same base columns ---
+    # --- new in r13 (2): never driver-checked, so they take the
+    # first slots; both value-checked end-to-end (the cluster
+    # assignment itself and the extracted text are compared, not just
+    # row counts) ---
+    "cluster_balanced_sample": q_cluster_balanced_sample,
     "html_extract": q_html_extract,
     # --- r9-green, displaced from the r12 window by doc_chunks;
     # oldest driver row on the board ---
@@ -2670,10 +2699,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_forecast_state": q_streaming_forecast_state,
     "streaming_sliding_rollup": q_streaming_sliding_rollup,
     "pack_manifest": q_pack_manifest,
-    "automl_leaderboard_contract": q_automl_leaderboard_contract,
     # ================= 50-slot window boundary =================
-    # --- r11-green tail (2), displaced from this window by
-    # html_extract + bucketed_join_revenue; first in line for r14 ---
+    # --- r11-green tail (3), displaced from this window by
+    # cluster_balanced_sample + html_extract + bucketed_join_revenue;
+    # first in line for r14 ---
+    "automl_leaderboard_contract": q_automl_leaderboard_contract,
     "tpch_pricing_summary": q_tpch_pricing_summary,
     "repeated_span_scrub": q_repeated_span_scrub,
     # --- driver-green in r12 (50), rotate back in r14 ---

@@ -138,3 +138,95 @@ def stratified_sample(
         .filter(F.col("_rk") <= n_per_stratum)
         .drop("_rk")
     )
+
+
+def demo_centroids(k: int = 4, dim: int = 64) -> list[list[float]]:
+    """Exact-DYADIC centroid grid for the oracle-checked
+    ``cluster_balanced_sample`` query: every coordinate is a multiple
+    of 1/8, so the same decimal literal converts to the identical
+    binary double in Spark and DuckDB and the argmin assignment is
+    engine-invariant (a non-dyadic literal could flip a near-tie by
+    one ulp between engines)."""
+    return [
+        [((j * 7 + d * 3) % 16 - 8) / 8.0 for d in range(dim)] for j in range(k)
+    ]
+
+
+def cluster_balanced_sample(
+    df: DataFrame,
+    per_cluster: int,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids=None,
+    n_centroids: int = 16,
+    sample_size: int = 2048,
+    seed: int = 42,
+    hof_max_literals: int = 8192,
+) -> DataFrame:
+    """Cluster-balanced selection over an embedding column — the
+    topic-balancing step of a curation pipeline (cluster the corpus,
+    keep an equal quota per cluster so oversampled topics cannot
+    dominate the mixture; the selection-side sibling of SemDeDup's
+    cluster-then-prune shape). Returns the input columns plus
+    ``cluster``, with EXACTLY ``per_cluster`` rows per cluster (fewer
+    only when a cluster is smaller), chosen content-addressed by the
+    md5 rank of id:seed — deterministic across runs, partitionings,
+    and engines, like ``stratified_sample``.
+
+    ``centroids`` explicit (list/array, the oracle-checkable form) or
+    ``None`` → trained with the IVF machinery: layout-invariant
+    driver-side sample + deterministic Lloyd k-means
+    (operators/similarity.py — the coarse quantizer is k·dim floats,
+    broadcast, never a corpus-scale object).
+
+    Scale shape: centroid assignment is ONE shuffle-free projection —
+    JVM-side ``zip_with``/``aggregate`` fold when k·dim fits in
+    ``hof_max_literals`` (no Python in the hot path), else the
+    Arrow-batched pandas UDF against a broadcast centroid matrix that
+    IVF assignment uses. The quota cut is one exchange on the cluster
+    key + a per-cluster window rank; clusters are assumed plural (k is
+    16-1024 in practice) — the same single-giant-stratum boundary
+    ``stratified_sample`` documents."""
+    if per_cluster < 1:
+        raise ValueError(f"per_cluster must be >= 1, got {per_cluster}")
+    import numpy as np
+
+    from auto_ts_spark.operators import similarity as SIM
+
+    if centroids is None:
+        sample = SIM._quantizer_sample(df, id_col, vec_col, sample_size, seed)
+        cents = SIM.kmeans_centroids(sample, n_centroids, seed=seed)
+    else:
+        cents = np.asarray(centroids, dtype=np.float64)
+        if cents.ndim != 2:
+            raise ValueError(f"centroids must be (k, dim), got {cents.shape}")
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    if cents.size <= hof_max_literals:
+        # JVM path: per-centroid squared L2 via a sequential fold —
+        # the SAME element order and addend values the DuckDB oracle's
+        # list_sum(list_transform(list_zip(...))) computes, so the
+        # argmin is engine-invariant
+        dists = []
+        for j, c in enumerate(cents):
+            lit = F.array(*[F.lit(float(x)) for x in c])
+            d2 = F.aggregate(
+                F.zip_with(vec_d, lit, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            dists.append(F.struct(d2.alias("d"), F.lit(j).alias("j")))
+        # struct comparison is lexicographic: min by (distance, index)
+        # — ties break to the lowest cluster id, matching np.argmin
+        cluster = F.array_min(F.array(*dists))["j"]
+        assigned = df.withColumn("cluster", cluster)
+    else:
+        bc = df.sparkSession.sparkContext.broadcast(cents)
+        assigned = df.withColumn("cluster", SIM._nearest_cell_udf(bc)(F.col(vec_col)))
+    h = TX.hash60(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}")))
+    w = Window.partitionBy("cluster").orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        assigned.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= per_cluster)
+        .drop("_rk")
+    )

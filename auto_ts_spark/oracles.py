@@ -2231,6 +2231,52 @@ SELECT term, est_count, true AS exact
 FROM c ORDER BY est_count DESC, term LIMIT 20
 """
 
+# Cluster-balanced sampling (operators/sampling.py, r13): the oracle
+# replays the ENTIRE pipeline — exact-dyadic demo centroids (identical
+# binary doubles in both engines), per-vector squared-L2 argmin with
+# the same sequential fold and (distance, cluster) tie-break the Spark
+# HOF computes, then the md5-rank per-cluster quota cut — so cluster
+# assignment AND selection are value-checked end to end.
+def _sql_cluster_balanced(per_cluster: int = 30) -> str:
+    from auto_ts_spark.operators.sampling import demo_centroids
+
+    cents = demo_centroids(4, 64)
+    values = ",\n  ".join(
+        "(%d, [%s]::DOUBLE[])" % (j, ", ".join(repr(x) for x in c))
+        for j, c in enumerate(cents)
+    )
+    return f"""
+WITH cents(j, cv) AS (VALUES
+  {values}
+),
+v AS (SELECT vec_id, label, cast(embedding AS double[]) AS ve FROM embeddings),
+d AS (
+  SELECT vec_id, label, j,
+         list_sum(list_transform(list_zip(ve, cv),
+                                 x -> (x[1] - x[2]) * (x[1] - x[2]))) AS d2
+  FROM v, cents
+),
+a AS (
+  SELECT vec_id, label, j AS cluster,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, j ASC) AS pick
+  FROM d
+),
+r AS (
+  SELECT vec_id, label, cluster,
+         row_number() OVER (
+           PARTITION BY cluster
+           ORDER BY {_sql_hash60("concat(cast(vec_id AS varchar), ':42')")} ASC,
+                    vec_id ASC
+         ) AS rk
+  FROM a WHERE pick = 1
+)
+SELECT vec_id, label, cast(cluster AS int) AS cluster
+FROM r WHERE rk <= {per_cluster}
+"""
+
+
+_SQL_CLUSTER_BALANCED_SAMPLE = _sql_cluster_balanced()
+
 _SQL_STRATIFIED_SAMPLE = f"""
 WITH r AS (
   SELECT doc_id, source, lang,
@@ -2297,6 +2343,7 @@ ORACLES: dict[str, str] = {
     "heavy_hitters": _SQL_HEAVY_HITTERS,
     "streaming_heavy_hitters": _SQL_STREAMING_HEAVY_HITTERS,
     "stratified_sample": _SQL_STRATIFIED_SAMPLE,
+    "cluster_balanced_sample": _SQL_CLUSTER_BALANCED_SAMPLE,
     "video_frame_features": _SQL_VIDEO_FRAME_FEATURES,
     "audio_spectral_features": _SQL_AUDIO_SPECTRAL,
     "audio_g711_features": _SQL_AUDIO_G711,

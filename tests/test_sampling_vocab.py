@@ -104,3 +104,105 @@ def test_corpus_vocabulary_counts(spark):
     # min_df prunes the hapax tail
     pruned = {r["term"] for r in TOPS.corpus_vocabulary(docs, min_df=2).collect()}
     assert pruned == {"the", "cat", "ran"}
+
+
+# ------------------------------------------------- cluster-balanced (r13)
+
+
+def _clustered_vectors(n_per: int = 40, dim: int = 8, spread: float = 0.05):
+    """Four well-separated planted clusters at dyadic corners."""
+    import numpy as np
+
+    rs = np.random.RandomState(11)
+    corners = np.array(
+        [[1.0] * dim, [-1.0] * dim, [1.0, -1.0] * (dim // 2), [-1.0, 1.0] * (dim // 2)]
+    )
+    rows = []
+    for ci, c in enumerate(corners):
+        for k in range(n_per):
+            v = c + rs.randn(dim) * spread
+            rows.append((ci * n_per + k, ci, [float(x) for x in v]))
+    return rows, corners
+
+
+def test_cluster_balanced_explicit_centroids_assignment_and_quota(spark):
+    import numpy as np
+
+    rows, corners = _clustered_vectors()
+    df = spark.createDataFrame(rows, "vec_id long, planted int, embedding array<double>")
+    out = SAMP.cluster_balanced_sample(
+        df, 10, centroids=corners, id_col="vec_id"
+    ).collect()
+    assert len(out) == 40
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster, []).append(r)
+        assert r.cluster == r.planted  # separation ≫ spread → exact
+    assert sorted(by_cluster) == [0, 1, 2, 3]
+    assert all(len(v) == 10 for v in by_cluster.values())
+
+
+def test_cluster_balanced_partitioning_invariance(spark):
+    rows, corners = _clustered_vectors()
+    df = spark.createDataFrame(rows, "vec_id long, planted int, embedding array<double>")
+    a = {r.vec_id for r in SAMP.cluster_balanced_sample(df, 7, centroids=corners, id_col="vec_id").collect()}
+    b = {
+        r.vec_id
+        for r in SAMP.cluster_balanced_sample(
+            df.repartition(13), 7, centroids=corners, id_col="vec_id"
+        ).collect()
+    }
+    assert a == b and len(a) == 28
+
+
+def test_cluster_balanced_udf_path_matches_hof_path(spark):
+    rows, corners = _clustered_vectors()
+    df = spark.createDataFrame(rows, "vec_id long, planted int, embedding array<double>")
+    hof = SAMP.cluster_balanced_sample(df, 9, centroids=corners, id_col="vec_id")
+    udf = SAMP.cluster_balanced_sample(
+        df, 9, centroids=corners, id_col="vec_id", hof_max_literals=1
+    )
+    assert sorted((r.vec_id, r.cluster) for r in hof.collect()) == sorted(
+        (r.vec_id, r.cluster) for r in udf.collect()
+    )
+
+
+def test_cluster_balanced_trained_centroids_recover_planted_balance(spark):
+    rows, _ = _clustered_vectors()
+    df = spark.createDataFrame(rows, "vec_id long, planted int, embedding array<double>")
+    out = SAMP.cluster_balanced_sample(
+        df, 5, centroids=None, n_centroids=4, id_col="vec_id", sample_size=160
+    ).collect()
+    # trained Lloyd clusters must align with the planted structure:
+    # every learned cluster is pure and the quota holds
+    assert len(out) == 20
+    purity = {}
+    for r in out:
+        purity.setdefault(r.cluster, set()).add(r.planted)
+    assert len(purity) == 4
+    assert all(len(p) == 1 for p in purity.values())
+
+
+def test_cluster_balanced_small_cluster_keeps_all_and_validates(spark):
+    import pytest as _pt
+
+    rows, corners = _clustered_vectors(n_per=3)
+    df = spark.createDataFrame(rows, "vec_id long, planted int, embedding array<double>")
+    out = SAMP.cluster_balanced_sample(df, 10, centroids=corners, id_col="vec_id")
+    assert out.count() == 12  # all rows survive: clusters smaller than quota
+    with _pt.raises(ValueError, match="per_cluster"):
+        SAMP.cluster_balanced_sample(df, 0, centroids=corners, id_col="vec_id")
+
+
+def test_cluster_balanced_plan_one_exchange_jvm_only(spark):
+    """Plan pin (r13): explicit-centroid assignment is a pure JVM
+    projection — no Python eval node — and the only Exchange in the
+    whole query is the per-cluster quota window's hash partitioning."""
+    import re
+
+    rows, corners = _clustered_vectors()
+    df = spark.createDataFrame(rows, "vec_id long, planted int, embedding array<double>")
+    out = SAMP.cluster_balanced_sample(df, 10, centroids=corners, id_col="vec_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+    assert "EvalPython" not in plan, f"Python in the hot path:\n{plan}"
