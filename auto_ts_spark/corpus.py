@@ -588,9 +588,17 @@ def prepare_rag_corpus(
     for every dedup family. Nothing in the chain is driver-side or
     quadratic in corpus size.
     """
+    from auto_ts_spark.operators.partitioning import ensure_parallelism
     from auto_ts_spark.operators.similarity import semantic_dedup
     from auto_ts_spark.operators.textops import chunk_documents
 
+    # same head fan-out as curate(): chunking and embedding are
+    # shuffle-free projections, so they inherit the INPUT partitioning
+    # — a few fat parquet files would otherwise serialize the whole
+    # chain onto a few cores (the r5 lesson, re-measured on this
+    # facade's r13 decade probe: the 500k-doc point lost ~2x wall to
+    # a single-file fixture before this line)
+    df = ensure_parallelism(df)
     chunks = chunk_documents(
         df,
         text_col=text_col,

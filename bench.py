@@ -69,9 +69,10 @@ HEADLINE = [
     # r12 addition — overlapping token-window chunking, tracked
     # alongside, never inside `value`
     "doc_chunks",
-    # r13 addition — raw-web markup-extraction head, tracked
-    # alongside, never inside `value`
+    # r13 additions — raw-web markup-extraction head + cluster-balanced
+    # mixture sampling, tracked alongside, never inside `value`
     "html_extract",
+    "cluster_balanced_sample",
 ]
 
 EXTRAS = {
@@ -87,6 +88,7 @@ EXTRAS = {
     "heavy_hitters",
     "doc_chunks",
     "html_extract",
+    "cluster_balanced_sample",
 }
 
 
