@@ -447,17 +447,30 @@ def vec_storage_level(df: DataFrame):
     """Size-aware persist level for frames carrying embedding arrays:
     MEMORY_AND_DISK below ``DISK_PERSIST_BYTES`` of compile-time
     estimated size, DISK_ONLY above (stats unavailable -> in-memory,
-    the small-frame default)."""
+    the small-frame default).
+
+    Explode lineage distrust (r13): Catalyst's sizeInBytes for a plan
+    containing Generate keeps the tiny PRE-explode estimate — the same
+    estimate-blindness class as the r9 score_predictions broadcast
+    finding. The r13 prepare_rag_corpus decade probe hit it for real:
+    a 5M-doc -> ~7M-chunk embedding frame estimated "small", took the
+    heap-backed level, and OOM'd the 8g heap in the pair stage. When
+    the optimized plan contains a Generate node the estimate is
+    treated as unreliable and the spill-safe DISK_ONLY level is used —
+    a genuinely small exploded frame pays one cheap disk write; an
+    under-estimated huge one no longer kills the JVM."""
     from pyspark import StorageLevel
 
     try:
-        raw = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        plan = df._jdf.queryExecution().optimizedPlan()
+        raw = plan.stats().sizeInBytes()
         size = int(raw if isinstance(raw, int) else raw.toString())
+        exploded = "Generate" in plan.toString()
     except Exception:
         return StorageLevel.MEMORY_AND_DISK
     return (
         StorageLevel.DISK_ONLY
-        if size > DISK_PERSIST_BYTES
+        if exploded or size > DISK_PERSIST_BYTES
         else StorageLevel.MEMORY_AND_DISK
     )
 

@@ -423,6 +423,16 @@ def test_vec_storage_level_is_size_aware(spark):
     big = spark.range(500_000_000)  # 8 B/row estimate -> ~4 GB, never executed
     assert vec_storage_level(small) == StorageLevel.MEMORY_AND_DISK
     assert vec_storage_level(big) == StorageLevel.DISK_ONLY
+    # r13 (prepare_rag_corpus decade probe OOM): Generate/explode in
+    # the lineage keeps Catalyst's estimate at the tiny PRE-explode
+    # size, so the estimate is distrusted -> spill-safe DISK_ONLY even
+    # though the compile-time number reads "small"
+    from pyspark.sql import functions as F
+
+    exploded = small.select(
+        F.explode(F.sequence(F.lit(0), F.lit(1000))).alias("chunk")
+    )
+    assert vec_storage_level(exploded) == StorageLevel.DISK_ONLY
 
 
 def test_ivf_bounded_stats_contract(spark):
