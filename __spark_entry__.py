@@ -1042,10 +1042,20 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from auto_ts_spark.operators import quality_classifier as QC
 
     docs = load_table(spark, sf_dir, "documents")
-    w = QC.train_quality_classifier(
-        docs, F.col("lang") == "en", n_buckets=128, iters=3, lr=1.0
+    # training and scoring cover the SAME documents: reuse the
+    # trainer's persisted feature table for the scoring pass (r13 —
+    # one tokenize→hash→aggregate pass over the corpus, not two; the
+    # bench's clearCache between runs releases the blocks, and each
+    # re-run re-persists its own)
+    w, labeled = QC.train_quality_classifier(
+        docs,
+        F.col("lang") == "en",
+        n_buckets=128,
+        iters=3,
+        lr=1.0,
+        return_features=True,
     )
-    return QC.classify(docs, w, n_buckets=128)
+    return QC.classify(docs, w, n_buckets=128, features=labeled)
 
 
 def q_repeated_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:

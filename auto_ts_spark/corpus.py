@@ -340,25 +340,63 @@ def curate(
             )
             .unionByName(neg.select(F.col(id_col), F.col(text_col)))
         )
-        w = train_quality_classifier(
-            train_docs,
-            F.col(id_col) < 0,
-            text_col=text_col,
-            id_col=id_col,
-            iters=classifier_iters,
-            lr=classifier_lr,
-        )
-        keep_ids = (
-            classify(
-                out,
-                w,
+        if classifier_neg_fraction < 1.0:
+            # negatives are a strict sample of the corpus, so the
+            # trainer's feature table does not cover every document to
+            # score — train and score independently (as before)
+            w = train_quality_classifier(
+                train_docs,
+                F.col(id_col) < 0,
                 text_col=text_col,
                 id_col=id_col,
-                threshold=classifier_threshold,
+                iters=classifier_iters,
+                lr=classifier_lr,
             )
-            .filter(F.col("keep"))
-            .select(id_col)
-        )
+            keep_ids = (
+                classify(
+                    out,
+                    w,
+                    text_col=text_col,
+                    id_col=id_col,
+                    threshold=classifier_threshold,
+                )
+                .filter(F.col("keep"))
+                .select(id_col)
+            )
+        else:
+            # the whole surviving corpus is the negative class, so the
+            # trainer's persisted feature table already holds every
+            # document to score: reuse it (r13 — one corpus tokenize→
+            # hash→aggregate pass for the stage instead of two). The
+            # corpus rows are the non-negative ids — the same
+            # corpus-ids-are-nonnegative invariant the reference-id
+            # remap above already relies on. keep_ids is checkpointed
+            # (one small id frame, the perplexity-stage pattern) so
+            # the feature blocks can be released HERE instead of
+            # leaking until some caller action.
+            w, labeled = train_quality_classifier(
+                train_docs,
+                F.col(id_col) < 0,
+                text_col=text_col,
+                id_col=id_col,
+                iters=classifier_iters,
+                lr=classifier_lr,
+                return_features=True,
+            )
+            keep_ids = (
+                classify(
+                    out,
+                    w,
+                    text_col=text_col,
+                    id_col=id_col,
+                    threshold=classifier_threshold,
+                    features=labeled.filter(F.col("id") >= 0),
+                )
+                .filter(F.col("keep"))
+                .select(id_col)
+                .localCheckpoint(eager=True)
+            )
+            labeled.unpersist()
         out = tick("classifier", out.join(keep_ids, id_col, "left_semi"))
     if dsir_target is not None:
         # DSIR targeted selection (operators/dsir.py — Xie et al. 2023

@@ -103,13 +103,19 @@ def hashed_features(
     # self-join — Spark duplicates both sides' full scan subtrees and
     # exchange reuse doesn't kick in), and the intercept row rides a
     # conditional explode on each document's first bucket row instead
-    # of a union with a second aggregate over the same scan.
-    w_id = Window.partitionBy("id")
+    # of a union with a second aggregate over the same scan. Both
+    # window functions share the ordered (id, bucket) spec — the sum
+    # over an explicit unbounded frame — so the physical plan sorts
+    # once, not once per frame shape (r13: an unordered sum spec next
+    # to the ordered row_number cost a second local sort of the whole
+    # feature table).
+    w_ord = Window.partitionBy("id").orderBy("bucket")
+    w_all = w_ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     staged = cnt.select(
         "id",
         "bucket",
-        _q(F.col("c") / F.sum("c").over(w_id)).alias("x_u"),
-        F.row_number().over(w_id.orderBy("bucket")).alias("_rn"),
+        _q(F.col("c") / F.sum("c").over(w_all)).alias("x_u"),
+        F.row_number().over(w_ord).alias("_rn"),
     )
     pair = F.struct(
         F.col("bucket").cast("int").alias("bucket"), F.col("x_u")
@@ -152,7 +158,9 @@ def train_quality_classifier(
     n_buckets: int = 128,
     iters: int = 3,
     lr: float = 1.0,
-) -> DataFrame:
+    features: DataFrame | None = None,
+    return_features: bool = False,
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """Fit the hashed-n-gram logistic classifier; returns the weight
     table ``(bucket, w_u)`` (micro-units, bigint) after ``iters``
     full-batch gradient steps ``w <- w - lr * grad / n_docs`` from
@@ -170,28 +178,64 @@ def train_quality_classifier(
     checkpoint materialization; serialized blocks unroll incrementally
     and spill, keeping the iteration loop disk-bounded at any corpus
     size.
+
+    ``features``: optionally a precomputed :func:`hashed_features`
+    frame for ``docs`` (same ``n_buckets``) — callers that also score
+    the same documents build the feature table once instead of paying
+    the tokenize→hash→aggregate pass twice. ``return_features=True``
+    returns ``(weights, labeled)`` where ``labeled`` is the PERSISTED
+    ``(id, bucket, x_u, y)`` table the iterations ran on — pass
+    ``labeled`` (or a projection/filter of it) to :func:`classify` as
+    ``features`` and call ``labeled.unpersist()`` when the scoring
+    pass has been materialized; with the default ``False`` the table
+    is released before returning, as before.
     """
     from pyspark import StorageLevel
 
-    feats = hashed_features(
-        docs, text_col=text_col, id_col=id_col, n_buckets=n_buckets
+    feats = (
+        features
+        if features is not None
+        else hashed_features(
+            docs, text_col=text_col, id_col=id_col, n_buckets=n_buckets
+        )
     )
     y = docs.select(F.col(id_col).alias("id"), label.cast("int").alias("y"))
     labeled = feats.join(y, "id").persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        return _gd_iterate(labeled, docs.sparkSession, n_buckets, iters, lr)
-    finally:
-        # release even when an iteration/collect raises — the persisted
+        w = _gd_iterate(labeled, docs.sparkSession, n_buckets, iters, lr)
+    except BaseException:
+        # release when an iteration/collect raises — the persisted
         # feature table is O(n_docs × tokens) and would otherwise leak
         # for the session
         labeled.unpersist()
+        raise
+    if return_features:
+        # the caller owns the release now (after materializing scoring)
+        return w, labeled
+    labeled.unpersist()
+    return w
 
 
 def _gd_iterate(labeled, spark, n_buckets: int, iters: int, lr: float):
     """The micro-unit gradient-descent loop over the persisted feature
     table (split out so train_quality_classifier can guarantee the
-    unpersist in a finally)."""
-    n_docs = labeled.select("id").distinct().count()
+    unpersist in a finally).
+
+    r13 loop-shape notes (measured on the per-iteration plans): the
+    persisted table is already hash-partitioned by ``id`` (the feature
+    window's exchange), so the per-doc aggregate and the error join
+    run exchange-free; the gradient side reads ``labeled`` DIRECTLY —
+    the broadcast weight join contributes nothing to ``x_u * e_u``
+    (every bucket matches), so joining weights there was a per-
+    iteration broadcast probe over the whole feature table for no
+    bits of output; and the error join is hinted shuffle-hash —
+    ``err`` is one slim row per document, so hashing it per partition
+    beats sorting the feature table twice per iteration (the SMJ the
+    planner picks otherwise). n_docs is the bias-row count — every
+    featured document carries exactly one intercept row — which is a
+    map-side count over the persisted blocks instead of a distinct
+    (shuffle) over the id column."""
+    n_docs = labeled.filter(F.col("bucket") == BIAS_BUCKET).count()
 
     # micro-units, exact ints; BIAS_BUCKET is the intercept
     w = {b: 0 for b in range(n_buckets)}
@@ -201,15 +245,15 @@ def _gd_iterate(labeled, spark, n_buckets: int, iters: int, lr: float):
             list(w.items()), "bucket int, w_u long"
         )
         contrib = labeled.join(F.broadcast(w_df), "bucket").select(
-            "id", "bucket", "x_u", "y", _wx_u(F.col("w_u"), F.col("x_u")).alias("wx_u")
+            "id", "y", _wx_u(F.col("w_u"), F.col("x_u")).alias("wx_u")
         )
         z = contrib.groupBy("id", "y").agg(F.sum("wx_u").alias("z_u"))
         err = z.select(
             "id", (_p_u(F.col("z_u")) - F.col("y") * F.lit(UNIT)).alias("e_u")
         )
         grad = (
-            contrib.select("id", "bucket", "x_u")
-            .join(err, "id")
+            labeled.select("id", "bucket", "x_u")
+            .join(err.hint("shuffle_hash"), "id")
             .select(
                 "bucket",
                 # x * e in micro-units: x back to unit scale (exact
@@ -245,14 +289,26 @@ def classify(
     id_col: str = "doc_id",
     n_buckets: int = 128,
     threshold: float = 0.5,
+    features: DataFrame | None = None,
 ) -> DataFrame:
     """Score documents under a trained weight table: ``(id_col,
     z_micro, p, keep)`` — micro-unit margin (exact bigint), quantized
     probability, and the keep flag at ``threshold``. Same
     broadcast-join + per-doc-agg shape as every scoring operator
-    here; token-less documents are excluded."""
-    feats = hashed_features(
-        docs, text_col=text_col, id_col=id_col, n_buckets=n_buckets
+    here; token-less documents are excluded.
+
+    ``features``: optionally a precomputed :func:`hashed_features`
+    frame for ``docs`` (extra columns are ignored) — a caller that
+    just trained on the same documents passes the trainer's persisted
+    ``labeled`` table (``return_features=True``) so scoring reads the
+    persisted blocks instead of re-running the tokenize→hash→aggregate
+    pass over the corpus."""
+    feats = (
+        features
+        if features is not None
+        else hashed_features(
+            docs, text_col=text_col, id_col=id_col, n_buckets=n_buckets
+        )
     )
     scored = (
         feats.join(F.broadcast(weights), "bucket")
