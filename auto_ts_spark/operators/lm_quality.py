@@ -90,16 +90,20 @@ class NgramLM:
     n_tokens: int
     vocab: int
     n_bigrams: int
+    # the frames actually pinned by train_ngram_lm (r13: one combined
+    # (kind, gram) count table rather than uni+bi separately); release
+    # unpersists these. Default covers hand-built LMs.
+    pinned: tuple = ()
 
     def release(self) -> None:
-        """Unpersist the cached count tables (train_ngram_lm pins both
-        with ``.cache()`` for their multiple scoring-side consumers).
-        Call once every scoring pass reading this LM has been
-        materialized; a session that trains several reference LMs and
-        never releases them accumulates O(vocab + bigrams) cached
+        """Unpersist the cached count table(s) (train_ngram_lm pins
+        them with ``.cache()`` for their multiple scoring-side
+        consumers). Call once every scoring pass reading this LM has
+        been materialized; a session that trains several reference LMs
+        and never releases them accumulates O(vocab + bigrams) cached
         blocks per LM. Using the LM after release stays correct — the
         tables recompute from the reference plan — just slower."""
-        for t in (self.uni, self.bi):
+        for t in self.pinned or (self.uni, self.bi):
             t.unpersist()
 
     def __enter__(self) -> "NgramLM":
@@ -136,29 +140,48 @@ def train_ngram_lm(
     broadcasts once.
     """
     toks = _doc_tokens(ref, text_col, id_col)
-    # cached: the totals aggregate below materializes it, and it is
-    # read twice more (cur-side and prev-side lookups) — without the
-    # cache the reference corpus would be re-scanned and re-tokenized
-    # per consumer. O(reference vocabulary) memory.
-    uni = (
-        toks.select(F.explode("_tk").alias("w"))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("c1"))
+    tk = F.col("_tk")
+    # ONE pass over the reference (r13 — separate uni/bi groupBys each
+    # re-scanned and re-tokenized the whole reference): unigrams and
+    # bigrams ride one explode as (kind, gram) structs into one
+    # map-side-combined count table, cached for its three consumers
+    # (totals aggregate, cur-side lookup, prev-side lookup + bigram
+    # table). O(reference vocabulary + bigrams) memory, same as the
+    # two tables it replaces.
+    tag_uni = F.transform(
+        tk, lambda w: F.struct(F.lit(1).alias("k"), w.alias("g"))
+    )
+    tag_bi = F.transform(
+        _bigram_strings(tk), lambda b: F.struct(F.lit(2).alias("k"), b.alias("g"))
+    )
+    counts = (
+        toks.select(F.explode(F.concat(tag_uni, tag_bi)).alias("kg"))
+        .select(F.col("kg.k").alias("k"), F.col("kg.g").alias("g"))
+        .groupBy("k", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
         .cache()
     )
-    bi = (
-        toks.select(F.explode(_bigram_strings(F.col("_tk"))).alias("big"))
-        .groupBy("big")
-        .agg(F.count(F.lit(1)).alias("c2"))
-    )
-    totals = uni.agg(
-        F.sum("c1").alias("n"), F.count(F.lit(1)).alias("v")
+    # one scalar job over the cached table replaces the r12 pair of
+    # jobs (uni totals collect + bi.count): n_bigrams pre-join equals
+    # n_bigrams post-join because every bigram's history token is by
+    # construction in the same corpus's vocabulary (inner join on
+    # _prev drops nothing)
+    totals = counts.agg(
+        F.sum(F.when(F.col("k") == 1, F.col("c"))).alias("n"),
+        F.count(F.when(F.col("k") == 1, True)).alias("v"),
+        F.count(F.when(F.col("k") == 2, True)).alias("nb"),
     ).collect()[0]
     n_tokens = int(totals["n"] or 0)
     vocab = int(totals["v"] or 0)
+    n_bigrams = int(totals["nb"] or 0)
+    uni = counts.filter(F.col("k") == 1).select(
+        F.col("g").alias("w"), F.col("c").alias("c1")
+    )
     # attach the history's unigram count: bigram "a b" backs onto c1(a)
     bi = (
-        bi.withColumn("_prev", F.substring_index("big", " ", 1))
+        counts.filter(F.col("k") == 2)
+        .select(F.col("g").alias("big"), F.col("c").alias("c2"))
+        .withColumn("_prev", F.substring_index("big", " ", 1))
         .join(
             _maybe_broadcast(
                 uni.select(
@@ -169,13 +192,14 @@ def train_ngram_lm(
             "_prev",
         )
         .select("big", "c2", "c1_prev")
-        # cached like uni: counted here (for the scoring join-strategy
-        # choice) and read again by every scoring pass
-        .cache()
     )
-    n_bigrams = bi.count()
     return NgramLM(
-        uni=uni, bi=bi, n_tokens=n_tokens, vocab=vocab, n_bigrams=n_bigrams
+        uni=uni,
+        bi=bi,
+        n_tokens=n_tokens,
+        vocab=vocab,
+        n_bigrams=n_bigrams,
+        pinned=(counts,),
     )
 
 

@@ -104,30 +104,32 @@ def test_reference_scores_low(spark):
 
 
 def test_release_frees_cached_tables(spark):
-    """NgramLM.release() must actually unpersist the uni/bi count
-    tables so repeated curate() runs in one session don't accumulate
-    O(vocab + bigrams) cached blocks (r6 judge item)."""
+    """NgramLM.release() must actually unpersist the pinned count
+    table(s) so repeated curate() runs in one session don't accumulate
+    O(vocab + bigrams) cached blocks (r6 judge item; r13: the pin is
+    the single combined (kind, gram) table uni/bi derive from)."""
     from auto_ts_spark.operators.lm_quality import train_ngram_lm
+
+    def _cached(frame) -> bool:
+        lvl = frame.storageLevel
+        return lvl.useMemory or lvl.useDisk
 
     ref = spark.createDataFrame(
         [(1, "alpha beta gamma alpha"), (2, "beta gamma delta")],
         "doc_id long, text string",
     )
     lm = train_ngram_lm(ref)
-    assert lm.uni.storageLevel.useMemory or lm.uni.storageLevel.useDisk
-    assert lm.bi.storageLevel.useMemory or lm.bi.storageLevel.useDisk
+    assert lm.pinned, "train_ngram_lm must pin its count table"
+    assert all(_cached(t) for t in lm.pinned)
     lm.release()
-    assert not (lm.uni.storageLevel.useMemory or lm.uni.storageLevel.useDisk)
-    assert not (lm.bi.storageLevel.useMemory or lm.bi.storageLevel.useDisk)
+    assert not any(_cached(t) for t in lm.pinned)
     # the LM remains usable after release (recomputes from the plan)
     assert lm.uni.count() == 4
 
     # context-manager form releases on exit
     with train_ngram_lm(ref) as lm2:
-        assert lm2.uni.storageLevel.useMemory or lm2.uni.storageLevel.useDisk
-    assert not (
-        lm2.uni.storageLevel.useMemory or lm2.uni.storageLevel.useDisk
-    )
+        assert all(_cached(t) for t in lm2.pinned)
+    assert not any(_cached(t) for t in lm2.pinned)
 
 
 def test_lazy_curate_releases_lm_cache(spark):
