@@ -101,30 +101,42 @@ def dsir_log_weights(
     tgt_grams = gram_buckets(
         target, text_col=text_col, id_col=id_col, n_buckets=n_buckets
     )
-    # distributions: n_buckets rows each — combined into one tiny
-    # broadcast table; totals are scalar aggregates (O(1) driver state)
-    rc = _bucket_counts(raw_grams)
-    tc = _bucket_counts(tgt_grams)
-    tot_r = raw_grams.count()
-    tot_t = tgt_grams.count()
-    dist = (
-        rc.join(tc.withColumnRenamed("cnt", "cnt_t"), "bucket", "full")
-        .select(
-            "bucket",
-            F.coalesce("cnt", F.lit(0)).alias("cnt_r"),
-            F.coalesce("cnt_t", F.lit(0)).alias("cnt_t"),
-        )
-        .withColumn(
-            "lnr",
-            _log_ratio(
-                F.col("cnt_t"),
-                F.lit(tot_t),
-                F.col("cnt_r"),
-                F.lit(tot_r),
-                smoothing,
-                n_buckets,
-            ),
-        )
+    # distributions: n_buckets rows each. Collect them (O(n_buckets)
+    # driver state — the same order as the broadcast that follows) and
+    # derive the gram totals by summing the collected counts: the r12
+    # shape paid TWO EXTRA full explode+count passes (raw_grams.count()
+    # / tgt_grams.count() actions) for scalars that are just
+    # sum(bucket counts), and rebuilt both count aggregates inside the
+    # scoring job's broadcast subtree on top (r13, guide §1.2: remove
+    # whole passes first). One bucket-count job per side is now all
+    # the distribution work; scoring is the only other raw pass.
+    rc = {
+        int(r["bucket"]): int(r["cnt"])
+        for r in _bucket_counts(raw_grams).collect()
+    }
+    tc = {
+        int(r["bucket"]): int(r["cnt"])
+        for r in _bucket_counts(tgt_grams).collect()
+    }
+    tot_r = sum(rc.values())
+    tot_t = sum(tc.values())
+    spark = raw.sparkSession
+    dist = spark.createDataFrame(
+        [
+            (b, rc.get(b, 0), tc.get(b, 0))
+            for b in sorted(set(rc) | set(tc))
+        ],
+        "bucket long, cnt_r long, cnt_t long",
+    ).withColumn(
+        "lnr",
+        _log_ratio(
+            F.col("cnt_t"),
+            F.lit(tot_t),
+            F.col("cnt_r"),
+            F.lit(tot_r),
+            smoothing,
+            n_buckets,
+        ),
     )
     scored = raw_grams.join(F.broadcast(dist.select("bucket", "lnr")), "bucket")
     return (
