@@ -99,9 +99,19 @@ def ngram_jaccard_pairs(
             "inverted index cannot enumerate zero-overlap pairs "
             f"(got {threshold!r})"
         )
+    # the inverted index explodes and equi-joins on the shingle: hash
+    # it to the shared 60-bit md5 integer first (r13, guide §2.3 —
+    # narrower join key and shuffle payload than a 3-token string; the
+    # DuckDB oracle hashes identically, so pairs and jaccard are
+    # engine-identical short of an in-document 60-bit collision)
     sh = ensure_parallelism(df).select(
         F.col(id_col).alias("id"),
-        F.array_distinct(TX.shingles(F.col(text_col), shingle_n)).alias("sh"),
+        F.array_distinct(
+            F.transform(
+                TX.shingles(F.col(text_col), shingle_n),
+                lambda s: TX.hash60(s),
+            )
+        ).alias("sh"),
         (TX.token_count(F.col(text_col)) / length_bucket).cast("int").alias("lb"),
     )
     inv = sh.select(
@@ -181,18 +191,28 @@ def minhash_lsh_pairs(
     rows_per_band = num_hashes // bands
     # staged projections so Catalyst computes tokenize→shingle→md5
     # exactly once per document, then 16 cheap permutations over it;
-    # repartition first: the md5 chain is the CPU hot spot
+    # repartition first: the md5 chain is the CPU hot spot.
+    # The Jaccard-verify set `sh` is the DISTINCT 60-bit shingle
+    # hashes, not the shingle strings (r13, guide §2.3 — shuffle
+    # narrower types): the band explode ships each document's verify
+    # set `bands` times, and a hash long is ~2.5× narrower than a
+    # 3-token shingle string (and compares as one integer instead of a
+    # string walk in array_intersect). Set size — and with it every
+    # jaccard — is unchanged short of a 60-bit md5 collision inside
+    # one document; the DuckDB oracle applies the same md5-derived
+    # hash, so the candidate set and scores stay engine-identical.
     shingled = ensure_parallelism(df).select(
         F.col(id_col).alias("id"),
         TX.shingles(F.col(text_col), shingle_n).alias("sh_all"),
     )
     based = shingled.select(
         "id",
-        F.array_distinct(F.col("sh_all")).alias("sh"),
         F.transform(F.col("sh_all"), lambda s: TX.hash60(s)).alias("base"),
     )
     sig = based.select(
-        "id", "sh", TX.minhash_from_base(F.col("base"), num_hashes).alias("mh")
+        "id",
+        F.array_distinct(F.col("base")).alias("sh"),
+        TX.minhash_from_base(F.col("base"), num_hashes).alias("mh"),
     )
     banded = sig.select(
         "id",

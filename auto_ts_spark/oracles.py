@@ -584,8 +584,6 @@ def _sql_shingles(n: int, distinct: bool = True) -> str:
         f"    ELSE {inner} END"
     )
 
-_SQL_SHINGLES = _sql_shingles(3)
-
 # The tokenized-documents base CTE body shared by every shingling
 # oracle (Jaccard, MinHash, SimHash, winnowing) — change the
 # tokenizer convention in ONE place or not at all.
@@ -597,7 +595,13 @@ _SQL_NGRAM_JACCARD = f"""
 WITH base AS (
   {_sql_tok_base()}
 ), sh AS (
-  SELECT id, {_SQL_SHINGLES} AS sh, cast(len(toks) // 16 as int) AS lb FROM base
+  -- distinct 60-bit shingle hashes, mirroring the Spark operator's
+  -- r13 narrow-join form (same md5-derived hash60 on both engines)
+  SELECT id,
+         list_distinct(list_transform({_sql_shingles(3, distinct=False)},
+                                      s -> {_sql_hash60("s")})) AS sh,
+         cast(len(toks) // 16 as int) AS lb
+  FROM base
 ), inv AS (
   SELECT id, len(sh) AS n_sh, lb, unnest(sh) AS shingle FROM sh
 ), inter AS (
@@ -625,11 +629,14 @@ def _sql_minhash_lsh(pred: str = "") -> str:
 WITH base AS (
   {_sql_tok_base(pred)}
 ), sh AS (
-  SELECT id, {_SQL_SHINGLES} AS sh,
-         {_sql_shingles(3, distinct=False)} AS sh_all
+  SELECT id, {_sql_shingles(3, distinct=False)} AS sh_all
   FROM base
 ), based AS (
-  SELECT id, sh, list_transform(sh_all, s -> {_sql_hash60("s")}) AS base FROM sh
+  -- verify set = DISTINCT 60-bit shingle hashes, mirroring the Spark
+  -- operator's r13 narrow-shuffle form (same md5-derived hash60 on
+  -- both engines, so candidate set and jaccard are engine-identical)
+  SELECT id, list_distinct(list_transform(sh_all, s -> {_sql_hash60("s")})) AS sh,
+         list_transform(sh_all, s -> {_sql_hash60("s")}) AS base FROM sh
 ), sig AS (
   SELECT id, sh,
          list_transform(generate_series(0, 15),
