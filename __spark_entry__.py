@@ -58,13 +58,24 @@ def _events_series(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _daily_decimal_series(spark: SparkSession, sf_dir: str, with_id: bool = True) -> DataFrame:
     """The shared univariate fixture: daily-summed event value series
     (exact decimal sum routed to double), optionally tagged with the
-    constant series_id the per-series operators group on."""
+    constant series_id the per-series operators group on.
+
+    Cached (r13): the aggregate is bounded by the CALENDAR — a few
+    hundred rows at any sf — while its input is the full events scan;
+    several queries consume the series through two or more plan
+    branches (seasonal_decompose's base/phase/grand, forecast_viz's
+    actuals + forecast, the leaderboards' fit + scoring join), and
+    without the cache every branch re-scanned and re-aggregated
+    events. Lazy, so single-consumer queries pay nothing extra; the
+    bench's clearCache between runs (and parity's periodic clears)
+    releases the few-KB block."""
     df = (
         load_table(spark, sf_dir, "events")
         .groupBy(F.date_trunc("day", "ts").alias("ts"))
         .agg(F.sum(F.col("value").cast("decimal(20,2)")).cast("double").alias("y"))
     )
-    return df.withColumn("series_id", PART.opaque_lit("0")) if with_id else df
+    df = df.withColumn("series_id", PART.opaque_lit("0")) if with_id else df
+    return df.cache()
 
 
 # ---------------------------------------------------------------- queries
@@ -1610,12 +1621,20 @@ def _daily_series(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     No fan-out before the rollup: the float day-agg is scan-light, and
     map-side combine on the single-row-group scan shuffles ~365 rows —
-    repartitioning first would shuffle the full table (A/B: slower)."""
+    repartitioning first would shuffle the full table (A/B: slower).
+
+    Cached (r13), same rationale as _daily_decimal_series: the series
+    is calendar-bounded (few hundred rows at any sf) but its plan is a
+    full events scan, and the model queries consume it through two or
+    more branches (run_all_models fit + score_predictions actuals,
+    residual diagnostics' resid/last/tail); lazy cache, cleared by the
+    bench/parity clearCache cadence."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.date_trunc("day", "ts").alias("ts"))
         .agg(F.sum("value").alias("y"))
         .withColumn("series_id", PART.opaque_lit("0"))
+        .cache()
     )
 
 
