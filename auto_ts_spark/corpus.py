@@ -424,6 +424,13 @@ def curate(
                 raise ValueError(
                     f"fractional dsir_keep must be in (0, 1], got {dsir_keep!r}"
                 )
+            # the survivor count and the top-k rank below both consume
+            # wts — persist across the two (r13; released right after
+            # the selection's eager internal checkpoint materializes)
+            # so the gram-scoring pass runs once, not twice
+            from pyspark import StorageLevel
+
+            wts = wts.persist(StorageLevel.MEMORY_AND_DISK)
             n_sel = max(1, int(dsir_keep * wts.count()))
         else:
             # bool is an int subclass — dsir_keep=True would silently
@@ -439,6 +446,11 @@ def curate(
             if dsir_stochastic
             else select_top_weighted(wts, n_sel, id_col=id_col)
         )
+        if isinstance(dsir_keep, float):
+            # the selection's internal rank checkpoint (eager, inside
+            # _top_n_by) is materialized by now — the weight frame's
+            # blocks can go
+            wts.unpersist()
         out = tick(
             "dsir", out.join(sel.select(id_col), id_col, "left_semi")
         )

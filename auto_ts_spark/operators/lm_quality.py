@@ -285,24 +285,39 @@ def perplexity_tercile_assign(
     global window; the tercile boundaries are literal arithmetic from
     one scalar count, matching SQL NTILE (first ``n mod 3`` buckets
     take the extra row).
+
+    The scored frame is persisted across the two consumers here (the
+    scalar count and the rank's range repartition) and released before
+    returning: without the pin each consumer re-ran the WHOLE scoring
+    pass — corpus tokenize, LM joins, per-doc aggregate — once (r13,
+    guide §1.2: remove repeated passes). The release is safe because
+    with_global_row_number eagerly localCheckpoints its
+    range-partitioned input, cutting the returned frame's lineage
+    above ``scored``.
     """
-    n = scored.count()
-    base, rem = divmod(n, 3)
-    cut1 = base + (1 if rem >= 1 else 0)
-    cut2 = cut1 + base + (1 if rem >= 2 else 0)
-    ranked = with_global_row_number(
-        scored.withColumn("_series", F.lit("all")).withColumn(
-            "_ord", F.struct(F.col("avg_nlp"), F.col(id_col))
-        ),
-        order_col="_ord",
-        series_col="_series",
-        name="_rn",
-        # single-pass consumers (bucket filter / tercile groupBy):
-        # skip the O(n) result cache — the bucket projection
-        # recomputes from the internal rank checkpoint, so repeated
-        # curate(perplexity_ref=…) calls pin no rank frame
-        pin_result=False,
-    )
+    from pyspark import StorageLevel
+
+    pinned = scored.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        n = pinned.count()
+        base, rem = divmod(n, 3)
+        cut1 = base + (1 if rem >= 1 else 0)
+        cut2 = cut1 + base + (1 if rem >= 2 else 0)
+        ranked = with_global_row_number(
+            pinned.withColumn("_series", F.lit("all")).withColumn(
+                "_ord", F.struct(F.col("avg_nlp"), F.col(id_col))
+            ),
+            order_col="_ord",
+            series_col="_series",
+            name="_rn",
+            # single-pass consumers (bucket filter / tercile groupBy):
+            # skip the O(n) result cache — the bucket projection
+            # recomputes from the internal rank checkpoint, so repeated
+            # curate(perplexity_ref=…) calls pin no rank frame
+            pin_result=False,
+        )
+    finally:
+        pinned.unpersist()
     bucket = (
         F.when(F.col("_rn") <= F.lit(cut1), F.lit("head"))
         .when(F.col("_rn") <= F.lit(cut2), F.lit("middle"))
