@@ -159,31 +159,42 @@ def resample_regular(
     Fixed-width intervals only (epoch math); calendar intervals
     (months) go through date_trunc rollups instead.
 
-    Plan: bucket = epoch-floor (one projection), per-series min/max
-    (one agg) -> ``sequence()`` + ``explode`` builds the grid with no
-    driver loop, left-join bucket averages, then the ffill window. Two
-    shuffles regardless of series count or gap density.
+    Plan (r13 single-scan form): bucket = epoch-floor (one projection)
+    → per-(series, bucket) averages (one agg) → per-series ordered
+    window takes each bucket's successor → ``sequence()`` + ``explode``
+    emits the bucket itself plus its gap rows (null values) directly —
+    no second scan for the series bounds (the grid's first/last points
+    are the min/max OBSERVED buckets, because the old
+    ``sequence(floor(min_ts), max_ts)`` form is step-aligned and so
+    also started/ended exactly there) and no grid⋈obs join — then the
+    ffill window. One scan and two shuffles (agg + window) regardless
+    of series count or gap density; gap rows never cross a shuffle
+    (the explode runs above the window's exchange).
     """
     step = int(interval_seconds)
     bucket = F.timestamp_seconds(
         (F.floor(F.unix_timestamp(F.col(ts_col)) / step) * step).cast("bigint")
     )
-    obs = df.groupBy(series_col, bucket.alias("_grid_ts")).agg(
+    obs = df.groupBy(series_col, bucket.alias("_obs_ts")).agg(
         *[F.avg(c).alias(c) for c in value_cols]
     )
-    bounds = df.groupBy(series_col).agg(
-        F.min(ts_col).alias("_lo"), F.max(ts_col).alias("_hi")
+    w_next = Window.partitionBy(series_col).orderBy("_obs_ts")
+    staged = obs.withColumn("_nxt", F.lead("_obs_ts").over(w_next))
+    grid_seq = F.expr(
+        f"sequence(_obs_ts, coalesce(_nxt - interval {step} seconds, _obs_ts), "
+        f"interval {step} seconds)"
     )
-    grid = bounds.select(
+    exploded = staged.select(
+        series_col, "_obs_ts", *value_cols, F.explode(grid_seq).alias("_grid_ts")
+    )
+    joined = exploded.select(
         series_col,
-        F.explode(
-            F.expr(
-                f"sequence(timestamp_seconds(cast(floor(unix_timestamp(_lo) / {step}) "
-                f"* {step} as bigint)), _hi, interval {step} seconds)"
-            )
-        ).alias("_grid_ts"),
+        "_grid_ts",
+        *[
+            F.when(F.col("_grid_ts") == F.col("_obs_ts"), F.col(c)).alias(c)
+            for c in value_cols
+        ],
     )
-    joined = grid.join(obs, [series_col, "_grid_ts"], "left")
     if fill == "ffill":
         w = (
             Window.partitionBy(series_col)
