@@ -391,12 +391,18 @@ def connected_components(
     edges = half.unionByName(
         half.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).cache()
-    n_edges = edges.count() // 2  # materializes the cache either way
-    if n_edges <= driver_max_edges:
-        # collect from the already-materialized cache (collecting
-        # `half` would recompute the whole upstream pair pipeline);
-        # the doubled directions are harmless to union-find
-        rows = [(r["a"], r["b"]) for r in edges.collect()]
+    # ONE probe job decides the strategy AND, when small, already IS
+    # the collect (r13 — the previous count-then-collect pair cost an
+    # extra full job barrier per CC call): limit past the doubled cap
+    # returns every row iff the graph is within the union-find budget.
+    # On a big graph the incremental take stops after a few partitions
+    # and the work is not wasted — the computed partitions land in the
+    # edge cache the propagation loop reads anyway. Doubled directions
+    # are harmless to union-find.
+    cap_rows = 2 * driver_max_edges
+    probe = edges.limit(cap_rows + 2).collect()
+    if len(probe) <= cap_rows:
+        rows = [(r["a"], r["b"]) for r in probe]
         id_type = pairs.schema[src].dataType
         out = _driver_union_find(rows, id_type, pairs.sparkSession, stats)
         edges.unpersist()

@@ -274,20 +274,64 @@ def kmeans_centroids(
     return cents
 
 
-def _auto_centroids(
-    df: DataFrame, n_centroids: int | None, sample_size: int
-) -> tuple[int, int]:
-    """Resolve ``n_centroids=None`` to a corpus-proportional quantizer
-    size: ``k = clamp(ceil(n / 512), 16, 1024)`` (cell population —
-    and with it the within-cell pair/probe work — then tracks a fixed
-    target instead of growing with the corpus), with the sample grown
-    to ``max(sample_size, 8k)`` capped at 16384 so every centroid sees
-    several points. Costs one count() when auto-sizing."""
+_SAMPLE_CAP = 16384
+
+
+def _auto_quantizer_sample(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int | None,
+    sample_size: int,
+    seed: int,
+) -> tuple[int, "np.ndarray"]:
+    """Resolve the quantizer size and training sample together, with
+    the fewest jobs. Explicit ``n_centroids`` → one sample job.
+    ``None`` → corpus-proportional ``k = clamp(ceil(n / 512), 16,
+    1024)`` (cell population — and with it the within-cell pair/probe
+    work — then tracks a fixed target instead of growing with the
+    corpus), with the sample grown to ``max(sample_size, 8k)`` capped
+    at ``_SAMPLE_CAP`` so every centroid sees several points. r13
+    job fusion: the auto path collects the max-budget sample FIRST —
+    when it comes back short of the cap it IS the corpus count, so
+    sizing + sampling is one job (the r12 shape paid a separate
+    count() action); only a corpus past the cap still pays the count.
+    The truncated prefix of the hash-ordered cap sample is exactly the
+    sample the direct ``limit(s)`` would have selected, so centroids —
+    and every downstream assignment — are unchanged."""
     if n_centroids is not None:
-        return int(n_centroids), sample_size
-    n = df.count()
+        return int(n_centroids), _quantizer_sample(
+            df, id_col, vec_col, sample_size, seed
+        )
+    rows = _quantizer_sample_rows(df, id_col, vec_col, _SAMPLE_CAP, seed)
+    n = len(rows) if len(rows) < _SAMPLE_CAP else df.count()
     k = max(16, min(1024, -(-n // 512)))
-    return k, min(max(sample_size, 8 * k), 16384)
+    s = min(max(sample_size, 8 * k), _SAMPLE_CAP)
+    return k, _sample_array(rows[:s])
+
+
+def _quantizer_sample_rows(
+    df: DataFrame, id_col: str, vec_col: str, sample_size: int, seed: int
+) -> list:
+    """The hash-ordered sample rows (selection order preserved) —
+    executed as a per-partition top-k, no full sort."""
+    return (
+        df.select(F.col(id_col).alias("_sid"), F.col(vec_col).alias("_v"))
+        .orderBy(
+            F.xxhash64(F.col("_sid").cast("string"), F.lit(int(seed))),
+            F.col("_sid"),
+        )
+        .limit(sample_size)
+        .collect()
+    )
+
+
+def _sample_array(rows: list) -> np.ndarray:
+    """Id-sorted vector matrix from hash-ordered sample rows: k-means
+    init indexes into it, so the array order must be as deterministic
+    as the selection."""
+    rows = sorted(rows, key=lambda r: r["_sid"])
+    return np.array([r["_v"] for r in rows], dtype=np.float64)
 
 
 def _quantizer_sample(
@@ -299,17 +343,9 @@ def _quantizer_sample(
     id-SORTED so k-means init — which indexes into it — is as
     deterministic as the selection. An unordered ``limit()`` here made
     every IVF consumer's output depend on partition layout."""
-    rows = (
-        df.select(F.col(id_col).alias("_sid"), F.col(vec_col).alias("_v"))
-        .orderBy(
-            F.xxhash64(F.col("_sid").cast("string"), F.lit(int(seed))),
-            F.col("_sid"),
-        )
-        .limit(sample_size)
-        .collect()
+    return _sample_array(
+        _quantizer_sample_rows(df, id_col, vec_col, sample_size, seed)
     )
-    rows.sort(key=lambda r: r["_sid"])
-    return np.array([r["_v"] for r in rows], dtype=np.float64)
 
 
 def ivf_topk(
@@ -340,8 +376,9 @@ def ivf_topk(
     from pyspark.sql import Window
     from pyspark.sql.functions import pandas_udf
 
-    n_centroids, sample_size = _auto_centroids(corpus, n_centroids, sample_size)
-    sample = _quantizer_sample(corpus, id_col, vec_col, sample_size, seed)
+    n_centroids, sample = _auto_quantizer_sample(
+        corpus, id_col, vec_col, n_centroids, sample_size, seed
+    )
     cents = kmeans_centroids(sample, n_centroids, seed=seed)
     sc = corpus.sparkSession.sparkContext
     bc = sc.broadcast(cents)
@@ -400,9 +437,10 @@ def ivf_assign(
     ``k = clamp(ceil(n / 512), 16, 1024)`` — SemDeDup-style blocking
     is only bounded if cell population tracks corpus size (pair work
     is Σ|cell|² ≈ n·512 at the target), so a fixed k that was right
-    for 10k vectors is quadratic poison at 10M. Costs one count().
-    The sample grows to ``max(sample_size, 8k)`` (capped at 16384) so
-    every centroid sees several sample points.
+    for 10k vectors is quadratic poison at 10M. The sample grows to
+    ``max(sample_size, 8k)`` (capped at 16384) so every centroid sees
+    several sample points; sizing + sampling fuse into one job below
+    the cap (see :func:`_auto_quantizer_sample`).
 
     NOTE the k=1024 cap (the driver-sample budget can't train more
     centroids): past ~524k vectors mean cell population grows with n
@@ -410,8 +448,9 @@ def ivf_assign(
     :func:`ivf_assign_bounded` layers recursive sub-quantization on
     top of this primitive and is what :func:`semantic_dedup` uses.
     """
-    n_centroids, sample_size = _auto_centroids(df, n_centroids, sample_size)
-    sample = _quantizer_sample(df, id_col, vec_col, sample_size, seed)
+    n_centroids, sample = _auto_quantizer_sample(
+        df, id_col, vec_col, n_centroids, sample_size, seed
+    )
     base = ensure_parallelism(df).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("vec"),
