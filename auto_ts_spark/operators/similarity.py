@@ -854,7 +854,13 @@ def semantic_dedup(
                     F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine"),
                 )
                 .filter(F.col("cosine") >= F.lit(threshold))
-                .dropDuplicates(["id_a", "id_b"])
+                # no dropDuplicates: every id sits in exactly ONE cell
+                # (a block label, or the bounded IVF assignment), so the
+                # id_a < id_b cell join emits each unordered pair once —
+                # and the only consumer is connected components, whose
+                # labels are per-node (duplicate edges could not change
+                # them anyway). The r12 dedup shuffled the full pair set
+                # for nothing (one whole Exchange at any scale).
                 .unionByName(star)
             )
             # connected_components eagerly localCheckpoints its labels,
