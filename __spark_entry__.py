@@ -2374,15 +2374,7 @@ def q_bpe_tokenize_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     merges, stats = BPE.train_bpe(docs, n_merges=50)
     tok = BPE.bpe_tokenize(docs, merges)
-    # stage the tokenizer once: the detok check and the char_total
-    # aggregate both read the token array, and as two independent
-    # aggregate expressions they each ran the normalize+split chain
-    # per row (r13 — CollapseProject keeps a non-cheap producer staged
-    # when it is referenced from more than one expression)
-    staged = tok.withColumn(
-        "_tk", F.filter(TX.tokens(F.col("text")), lambda t: t != "")
-    )
-    checks = staged.select(
+    checks = tok.select(
         F.sum(
             (
                 F.array_join(
@@ -2392,13 +2384,18 @@ def q_bpe_tokenize_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ),
                     "",
                 )
-                != F.concat(F.array_join(F.col("_tk"), " "), F.lit(" "))
+                != F.concat(
+                    F.array_join(
+                        F.filter(TX.tokens(F.col("text")), lambda t: t != ""), " "
+                    ),
+                    F.lit(" "),
+                )
             ).cast("int")
         ).alias("detok_mismatches"),
         F.sum("n_bpe_real").alias("bpe_total"),
         F.sum(
             F.aggregate(
-                F.col("_tk"),
+                F.filter(TX.tokens(F.col("text")), lambda t: t != ""),
                 F.lit(0),
                 lambda acc, t: acc + F.length(t) + 1,
             )
