@@ -60,22 +60,25 @@ def _daily_decimal_series(spark: SparkSession, sf_dir: str, with_id: bool = True
     (exact decimal sum routed to double), optionally tagged with the
     constant series_id the per-series operators group on.
 
-    Cached (r13): the aggregate is bounded by the CALENDAR — a few
-    hundred rows at any sf — while its input is the full events scan;
-    several queries consume the series through two or more plan
-    branches (seasonal_decompose's base/phase/grand, forecast_viz's
-    actuals + forecast, the leaderboards' fit + scoring join), and
-    without the cache every branch re-scanned and re-aggregated
-    events. Lazy, so single-consumer queries pay nothing extra; the
-    bench's clearCache between runs (and parity's periodic clears)
-    releases the few-KB block."""
+    Cached when the events scan is large (r13, size-gated): the
+    aggregate is bounded by the CALENDAR — a few hundred rows at any
+    sf — while its input is the full events scan; several queries
+    consume the series through two or more plan branches
+    (seasonal_decompose's base/phase/grand, forecast_viz's actuals +
+    forecast, the leaderboards' fit + scoring join), and without the
+    cache every branch re-scans and re-aggregates events. On a SMALL
+    scan the recompute is cheaper than the InMemoryRelation
+    round-trip (quiet-machine A/B: the unconditional cache cost
+    ~+0.5 s per consumer query at sf0.1), so the cache is gated on
+    the compile-time input size (PART.cache_if_costly, zero jobs);
+    the bench/parity clearCache cadence releases the block."""
+    ev = load_table(spark, sf_dir, "events")
     df = (
-        load_table(spark, sf_dir, "events")
-        .groupBy(F.date_trunc("day", "ts").alias("ts"))
+        ev.groupBy(F.date_trunc("day", "ts").alias("ts"))
         .agg(F.sum(F.col("value").cast("decimal(20,2)")).cast("double").alias("y"))
     )
     df = df.withColumn("series_id", PART.opaque_lit("0")) if with_id else df
-    return df.cache()
+    return PART.cache_if_costly(df, ev)
 
 
 # ---------------------------------------------------------------- queries
@@ -1623,18 +1626,22 @@ def _daily_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side combine on the single-row-group scan shuffles ~365 rows —
     repartitioning first would shuffle the full table (A/B: slower).
 
-    Cached (r13), same rationale as _daily_decimal_series: the series
-    is calendar-bounded (few hundred rows at any sf) but its plan is a
+    Cached when the events scan is large (r13, size-gated — same
+    rationale and gate as _daily_decimal_series): the series is
+    calendar-bounded (few hundred rows at any sf) but its plan is a
     full events scan, and the model queries consume it through two or
     more branches (run_all_models fit + score_predictions actuals,
-    residual diagnostics' resid/last/tail); lazy cache, cleared by the
-    bench/parity clearCache cadence."""
+    residual diagnostics' resid/last/tail); on a small scan the
+    recompute is cheaper than the cache round-trip, so
+    PART.cache_if_costly decides from the compile-time input size
+    (zero jobs); the bench/parity clearCache cadence releases the
+    block."""
     ev = load_table(spark, sf_dir, "events")
-    return (
+    return PART.cache_if_costly(
         ev.groupBy(F.date_trunc("day", "ts").alias("ts"))
         .agg(F.sum("value").alias("y"))
-        .withColumn("series_id", PART.opaque_lit("0"))
-        .cache()
+        .withColumn("series_id", PART.opaque_lit("0")),
+        ev,
     )
 
 

@@ -46,6 +46,37 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     return df
 
 
+# Below this compile-time estimate of the INPUT a bounded derived
+# frame is cheaper to recompute per consumer branch than to cache:
+# materializing an InMemoryRelation costs a query-stage barrier plus
+# columnar build/read overhead that a quiet-machine A/B measured at
+# ~+0.5 s per consumer query on a ~3 MB scan (r13), while above it the
+# cache replaces whole re-scans of the source per extra plan branch.
+# Same zero-job sizeInBytes gate as textops.SPAN_REPARTITION_MIN_BYTES.
+CACHE_INPUT_MIN_BYTES = 256 * 1024 * 1024
+
+
+def cache_if_costly(df: DataFrame, input_df: DataFrame) -> DataFrame:
+    """``df.cache()`` only when recomputing ``df`` would re-read a
+    large input (compile-time ``sizeInBytes`` estimate of
+    ``input_df``, no job). Use for small derived frames (bounded
+    aggregates) consumed through several plan branches: on a big
+    source every extra branch is a full re-scan — cache; on a small
+    source the recompute is cheaper than the InMemoryRelation
+    round-trip — don't. Stats unavailable → cache (the scale-safe
+    default)."""
+    try:
+        raw = (
+            input_df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        size = int(raw if isinstance(raw, int) else raw.toString())
+        if size < CACHE_INPUT_MIN_BYTES:
+            return df
+    except Exception:
+        pass
+    return df.cache()
+
+
 def bounded_window_key(col: str):
     """A constant-per-frame, data-dependent partition key for windows
     over frames that genuinely need ONE global ordering (leaderboard

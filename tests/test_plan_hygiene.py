@@ -264,3 +264,23 @@ def test_scoring_join_never_broadcasts_actuals(spark):
     # the compile-time plan, which is what the misestimate corrupted)
     head = plan.split("HashAggregate")[0]
     assert "BroadcastHashJoin" not in head, head
+
+
+def test_cache_if_costly_gates_on_input_size(spark):
+    """The size-gated cache helper: a small input estimate must NOT
+    cache (recompute beats the InMemoryRelation round-trip — the r13
+    quiet-machine A/B), a large one must. Zero jobs either way: the
+    decision reads the compile-time sizeInBytes estimate only."""
+    from auto_ts_spark.operators.partitioning import cache_if_costly
+
+    small_in = spark.range(100)
+    small = cache_if_costly(small_in.groupBy().count(), small_in)
+    assert small.storageLevel.useMemory is False
+
+    # range's estimate is 8 bytes/row: 2e9 rows ≈ 16 GB >> the gate
+    big_in = spark.range(2_000_000_000)
+    big = cache_if_costly(big_in.groupBy().count(), big_in)
+    try:
+        assert big.storageLevel.useMemory is True
+    finally:
+        big.unpersist()
