@@ -34,6 +34,19 @@ def get_spark(app_name: str = "auto_ts_spark", *, shuffle_partitions: int | None
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Spark's compiled-codegen class cache holds only 100 entries by
+        # default (static conf, shared by every job in the JVM). An
+        # application that runs more than ~100 distinct operator shapes
+        # — any real multi-query pipeline, and this engine's curate()
+        # alone generates dozens — evicts and re-Janino-compiles
+        # constantly; measured here, one cold curate_full pays ~100 s of
+        # JIT/codegen CPU and a re-run after 29 other queries still pays
+        # ~12 s. Entries are compiled classes (class metadata, not data),
+        # so the memory cost of 5000 entries is tens of MB of metaspace.
+        .config(
+            "spark.sql.codegen.cache.maxEntries",
+            os.environ.get("SPARK_GRAFT_CODEGEN_CACHE", "5000"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
