@@ -1058,9 +1058,7 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # training and scoring cover the SAME documents: reuse the
     # trainer's persisted feature table for the scoring pass (r13 —
-    # one tokenize→hash→aggregate pass over the corpus, not two; the
-    # bench's clearCache between runs releases the blocks, and each
-    # re-run re-persists its own)
+    # one tokenize→hash→aggregate pass over the corpus, not two)
     w, labeled = QC.train_quality_classifier(
         docs,
         F.col("lang") == "en",
@@ -1069,7 +1067,18 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         lr=1.0,
         return_features=True,
     )
-    return QC.classify(docs, w, n_buckets=128, features=labeled)
+    # r14 (advisor item): eagerly checkpoint the scored output — one
+    # narrow row per document — then RELEASE the trainer's persisted
+    # O(docs x tokens) feature table here, instead of leaking it until
+    # an external clearCache. Checkpoint blocks are freed by the
+    # ContextCleaner when the returned frame is dropped; a persisted
+    # frame pinned in the CacheManager never is. Same pattern as
+    # curate()'s neg_fraction==1.0 classifier branch.
+    scored = QC.classify(
+        docs, w, n_buckets=128, features=labeled
+    ).localCheckpoint(eager=True)
+    labeled.unpersist()
+    return scored
 
 
 def q_repeated_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2664,30 +2673,95 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # samples a 50-query prefix of this dict, so the dict is kept in
     # EXPLICIT ROUND-ROBIN order — every round, the queries whose last
     # driver row is oldest move to the front and the queries the
-    # driver just checked rotate below the line. With 115 registered
+    # driver just checked rotate below the line. With 116 registered
     # queries and a 50-slot window this bounds driver staleness at
     # ~one round for every query (local sf0.01 parity covers the off
-    # rounds). r13 window: zero overlap with CORRECTNESS_r12 keys —
-    # the new r13 queries (cluster_balanced_sample, html_extract)
-    # lead, then bucketed_join_revenue (displaced from the r12 window,
-    # oldest driver row on the board), then the r11-green hash-checked
-    # set rotating back in (automl_leaderboard_contract displaced
-    # below the line to keep 50 slots; it is r11-driver-green and
-    # first in line for r14).
-    # Rows-only forms stay BELOW the line per the r10 verdict: each
-    # has a value-checked twin that is already driver-green, so
-    # window slots go to hash-checked forms only — this window is
-    # 50/50 value-checked.
-    # --- new in r13 (2): never driver-checked, so they take the
-    # first slots; both value-checked end-to-end (the cluster
-    # assignment itself and the extracted text are compared, not just
-    # row counts) ---
+    # rounds). r14 window: zero overlap with CORRECTNESS_r13 keys, and
+    # it re-oracles the r13/r14-touched operator families post-
+    # optimization (semantic_dedup, dsir_weights, lm_perplexity +
+    # perplexity_buckets, quality_classifier, repeated_span_scrub,
+    # resample_ffill). Composition: the 11 never-driver-checked forms
+    # lead, then the two r10-green rows (oldest on the board), the
+    # three r11-green rows, then 34 of the r12-green set; the 16
+    # r12-green rows left out (asof variants, calendar/cumsum-class
+    # scalar transforms — all untouched since r12) rotate directly
+    # below the line and are first in line for r15.
+    # --- never driver-checked (11) ---
+    "semantic_dedup": q_semantic_dedup,
+    "dsir_weights": q_dsir_weights,
+    "lm_perplexity": q_lm_perplexity,
+    "perplexity_buckets": q_perplexity_buckets,
+    "residual_diagnostics": q_residual_diagnostics,
+    "var1_forecast": q_var1_forecast,
+    "quantile_profile": q_quantile_profile,
+    "automl_forecast": q_automl_forecast,
+    "lsh_ann_topk": q_lsh_ann_topk,
+    "ivf_ann_topk": q_ivf_ann_topk,
+    "feature_importance": q_feature_importance,
+    # --- last driver-checked r10 (2) ---
+    "automl_leaderboard": q_automl_leaderboard,
+    "adf_stationarity": q_adf_stationarity,
+    # --- last driver-checked r11 (3) ---
+    "automl_leaderboard_contract": q_automl_leaderboard_contract,
+    "tpch_pricing_summary": q_tpch_pricing_summary,
+    "repeated_span_scrub": q_repeated_span_scrub,
+    # --- last driver-checked r12, rotating back in (34) ---
+    "audio_ima_adpcm_features": q_audio_ima_adpcm_features,
+    "doc_chunks": q_doc_chunks,
+    "bpe_pair_counts": q_bpe_pair_counts,
+    "bpe_tokenize_contract": q_bpe_tokenize_contract,
+    "heavy_hitters": q_heavy_hitters,
+    "stratified_sample": q_stratified_sample,
+    "video_frame_features": q_video_frame_features,
+    "audio_spectral_features": q_audio_spectral_features,
+    "streaming_heavy_hitters": q_streaming_heavy_hitters,
+    "quality_classifier": q_quality_classifier,
+    "ar1_forecast": q_ar1_forecast,
+    "df_test_stationarity": q_df_test_stationarity,
+    "predict_feature_splice": q_predict_feature_splice,
+    "snaive_forecast_intervals": q_snaive_forecast_intervals,
+    "lsh_ann_recall": q_lsh_ann_recall,
+    "ivf_ann_recall": q_ivf_ann_recall,
+    "multimodal_features": q_multimodal_features,
+    "feature_importance_contract": q_feature_importance_contract,
+    "seasonal_period_map": q_seasonal_period_map,
+    "streaming_sessionize": q_streaming_sessionize,
+    "streaming_dedup": q_streaming_dedup,
+    "forecast_viz_join": q_forecast_viz_join,
+    "revenue_rollup": q_revenue_rollup,
+    "seasonal_decompose": q_seasonal_decompose,
+    "asof_join": q_asof_join,
+    "resample_ffill": q_resample_ffill,
+    "range_join_window": q_range_join_window,
+    "pacf": q_pacf,
+    "shipping_priority": q_shipping_priority,
+    "lag_matrix": q_lag_matrix,
+    "rolling_stats": q_rolling_stats,
+    "categorical_drift": q_categorical_drift,
+    "expanding_folds": q_expanding_folds,
+    "naive_forecast_metrics": q_naive_forecast_metrics,
+    # ================= below the driver's 50-slot line =================
+    # --- r12-green, displaced this round; first in line for r15 (16) ---
+    "asof_join_nearest": q_asof_join_nearest,
+    "asof_join_strict": q_asof_join_strict,
+    "asof_join_forward": q_asof_join_forward,
+    "minmax_profile": q_minmax_profile,
+    "dataset_split": q_dataset_split,
+    "json_props_extract": q_json_props_extract,
+    "fillna_ffill": q_fillna_ffill,
+    "dedup_columns": q_dedup_columns,
+    "label_encode": q_label_encode,
+    "customer_set_ops": q_customer_set_ops,
+    "datetime_parse": q_datetime_parse,
+    "difference": q_difference,
+    "cumsum": q_cumsum,
+    "calendar_features": q_calendar_features,
+    "future_index": q_future_index,
+    "sliding_folds": q_sliding_folds,
+    # --- r13-green (just driver-checked), rotating below (50) ---
     "cluster_balanced_sample": q_cluster_balanced_sample,
     "html_extract": q_html_extract,
-    # --- r9-green, displaced from the r12 window by doc_chunks;
-    # oldest driver row on the board ---
     "bucketed_join_revenue": q_bucketed_join_revenue,
-    # --- driver-green r11 (first 48 of 50), rotating back in ---
     "audio_g711_features": q_audio_g711_features,
     "drift_profile": q_drift_profile,
     "c4_line_clean": q_c4_line_clean,
@@ -2735,80 +2809,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_forecast_state": q_streaming_forecast_state,
     "streaming_sliding_rollup": q_streaming_sliding_rollup,
     "pack_manifest": q_pack_manifest,
-    # ================= 50-slot window boundary =================
-    # --- r11-green tail (3), displaced from this window by
-    # cluster_balanced_sample + html_extract + bucketed_join_revenue;
-    # first in line for r14 ---
-    "automl_leaderboard_contract": q_automl_leaderboard_contract,
-    "tpch_pricing_summary": q_tpch_pricing_summary,
-    "repeated_span_scrub": q_repeated_span_scrub,
-    # --- driver-green in r12 (50), rotate back in r14 ---
-    "audio_ima_adpcm_features": q_audio_ima_adpcm_features,
-    "doc_chunks": q_doc_chunks,
-    "asof_join_nearest": q_asof_join_nearest,
-    "asof_join_strict": q_asof_join_strict,
-    "bpe_pair_counts": q_bpe_pair_counts,
-    "bpe_tokenize_contract": q_bpe_tokenize_contract,
-    "heavy_hitters": q_heavy_hitters,
-    "stratified_sample": q_stratified_sample,
-    "video_frame_features": q_video_frame_features,
-    "audio_spectral_features": q_audio_spectral_features,
-    "streaming_heavy_hitters": q_streaming_heavy_hitters,
-    "quality_classifier": q_quality_classifier,
-    "asof_join_forward": q_asof_join_forward,
-    "minmax_profile": q_minmax_profile,
-    "dataset_split": q_dataset_split,
-    "json_props_extract": q_json_props_extract,
-    "fillna_ffill": q_fillna_ffill,
-    "ar1_forecast": q_ar1_forecast,
-    "df_test_stationarity": q_df_test_stationarity,
-    "predict_feature_splice": q_predict_feature_splice,
-    "snaive_forecast_intervals": q_snaive_forecast_intervals,
-    "lsh_ann_recall": q_lsh_ann_recall,
-    "ivf_ann_recall": q_ivf_ann_recall,
-    "multimodal_features": q_multimodal_features,
-    "feature_importance_contract": q_feature_importance_contract,
-    "seasonal_period_map": q_seasonal_period_map,
-    "streaming_sessionize": q_streaming_sessionize,
-    "dedup_columns": q_dedup_columns,
-    "streaming_dedup": q_streaming_dedup,
-    "label_encode": q_label_encode,
-    "forecast_viz_join": q_forecast_viz_join,
-    "revenue_rollup": q_revenue_rollup,
-    "seasonal_decompose": q_seasonal_decompose,
-    "asof_join": q_asof_join,
-    "resample_ffill": q_resample_ffill,
-    "customer_set_ops": q_customer_set_ops,
-    "datetime_parse": q_datetime_parse,
-    "range_join_window": q_range_join_window,
-    "pacf": q_pacf,
-    "shipping_priority": q_shipping_priority,
-    "lag_matrix": q_lag_matrix,
-    "difference": q_difference,
-    "cumsum": q_cumsum,
-    "rolling_stats": q_rolling_stats,
-    "calendar_features": q_calendar_features,
-    "categorical_drift": q_categorical_drift,
-    "future_index": q_future_index,
-    "expanding_folds": q_expanding_folds,
-    "sliding_folds": q_sliding_folds,
-    "naive_forecast_metrics": q_naive_forecast_metrics,
-    # --- r9-green overflow (strong pytest + parity coverage) ---
-    "residual_diagnostics": q_residual_diagnostics,
-    "var1_forecast": q_var1_forecast,
-    "quantile_profile": q_quantile_profile,
-    "semantic_dedup": q_semantic_dedup,
-    "dsir_weights": q_dsir_weights,
-    "lm_perplexity": q_lm_perplexity,
-    "perplexity_buckets": q_perplexity_buckets,
-    # --- rows-only forms: value-checked twins are driver-green,
-    # so these never spend a window slot ---
-    "automl_forecast": q_automl_forecast,  # rows-only
-    "lsh_ann_topk": q_lsh_ann_topk,  # rows-only
-    "ivf_ann_topk": q_ivf_ann_topk,  # rows-only
-    "feature_importance": q_feature_importance,  # rows-only
-    "automl_leaderboard": q_automl_leaderboard,  # rows-only
-    "adf_stationarity": q_adf_stationarity,  # rows-only
 }
 
 

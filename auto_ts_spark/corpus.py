@@ -185,6 +185,19 @@ def curate(
 
         if not stage_counts:  # tick() already checkpointed it
             out = out.cache()
+        # accept release responsibility for the operator's gated
+        # DISK_ONLY token persist (one tokenize pass at scale instead
+        # of two) ONLY when this call has a guaranteed eager point
+        # after which the scrub output is materialized somewhere every
+        # later consumer reads from: the tick() checkpoint
+        # (stage_counts) or the pre-near-dedup cache, populated by the
+        # near-dup stage's eager connected components. Without such a
+        # point the final caller action would re-read the released
+        # blocks' lineage and pay double tokenize again — so pass no
+        # handles and the operator persists nothing (safe recompute).
+        _scrub_handles: list | None = (
+            [] if (stage_counts or near_dedup) else None
+        )
         out = tick(
             "scrub_spans",
             scrub_repeated_spans(
@@ -193,8 +206,17 @@ def curate(
                 id_col=id_col,
                 window=scrub_window,
                 mode="apply",
+                release_handles=_scrub_handles,
             ),
         )
+        if stage_counts and _scrub_handles:
+            # tick() just checkpointed the scrub output eagerly — the
+            # token blocks are dead now
+            for h in _scrub_handles:
+                h.unpersist()
+            _scrub_handles = []
+    else:
+        _scrub_handles = None
     if quality:
         # the gate is one boolean expression over the text column —
         # a shuffle-free filter, decision-identical to quality_filter
@@ -274,6 +296,16 @@ def curate(
             )
         drop = clusters.filter(~F.col("is_keep")).select(id_col)
         out = tick("near_dedup", out.join(drop, id_col, "left_anti"))
+        if _scrub_handles:
+            # the near-dup stage's eager connected components just
+            # materialized the pre-near-dedup cache (which includes the
+            # scrub output), so every later consumer reads that cache:
+            # the scrub stage's token blocks are dead. An evicted cache
+            # block recomputes correctly — it would just pay the second
+            # tokenize again.
+            for h in _scrub_handles:
+                h.unpersist()
+            _scrub_handles = []
     if perplexity_ref is not None:
         # CCNet LM-perplexity gate (lm_quality): train a bigram
         # stupid-backoff LM on the trusted reference, tercile the

@@ -103,7 +103,10 @@ def ngram_jaccard_pairs(
     # it to the shared 60-bit md5 integer first (r13, guide §2.3 —
     # narrower join key and shuffle payload than a 3-token string; the
     # DuckDB oracle hashes identically, so pairs and jaccard are
-    # engine-identical short of an in-document 60-bit collision)
+    # engine-identical. Vs TRUE string Jaccard the bound is: unchanged
+    # short of a 60-bit collision within the union of any candidate
+    # pair's shingle sets — a cross-document collision can inflate an
+    # intersection too, not just an in-document one)
     sh = ensure_parallelism(df).select(
         F.col(id_col).alias("id"),
         F.array_distinct(
@@ -197,10 +200,13 @@ def minhash_lsh_pairs(
     # narrower types): the band explode ships each document's verify
     # set `bands` times, and a hash long is ~2.5× narrower than a
     # 3-token shingle string (and compares as one integer instead of a
-    # string walk in array_intersect). Set size — and with it every
-    # jaccard — is unchanged short of a 60-bit md5 collision inside
-    # one document; the DuckDB oracle applies the same md5-derived
-    # hash, so the candidate set and scores stay engine-identical.
+    # string walk in array_intersect). Vs TRUE string Jaccard, set
+    # sizes and intersections — and with them every jaccard — are
+    # unchanged short of a 60-bit md5 collision within the union of a
+    # candidate pair's shingle sets (cross-document collisions count
+    # too, not just in-document ones); the DuckDB oracle applies the
+    # same md5-derived hash, so the candidate set and scores stay
+    # engine-identical regardless.
     shingled = ensure_parallelism(df).select(
         F.col(id_col).alias("id"),
         TX.shingles(F.col(text_col), shingle_n).alias("sh_all"),
@@ -398,7 +404,14 @@ def connected_components(
     # On a big graph the incremental take stops after a few partitions
     # and the work is not wasted — the computed partitions land in the
     # edge cache the propagation loop reads anyway. Doubled directions
-    # are harmless to union-find.
+    # are harmless to union-find. Driver-cost note (r13 advisor): on
+    # the BIG-graph path this probe transiently collects up to
+    # 2*driver_max_edges+2 slim (a, b) rows (~tens of MB at the 500k
+    # default) that the old count-based probe did not; that is inside
+    # the same documented driver budget the union-find path already
+    # commits to, and it is released as soon as the length check
+    # fails. If driver pressure ever shows up at 100TB-regime edge
+    # counts, probe with a count + LocalLimit instead.
     cap_rows = 2 * driver_max_edges
     probe = edges.limit(cap_rows + 2).collect()
     if len(probe) <= cap_rows:

@@ -55,6 +55,11 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
 # Same zero-job sizeInBytes gate as textops.SPAN_REPARTITION_MIN_BYTES.
 CACHE_INPUT_MIN_BYTES = 256 * 1024 * 1024
 
+# one-shot flag: cache_if_costly warns the first time its zero-job
+# size probe breaks (see the except branch) instead of silently
+# degrading to unconditional caching
+_SIZE_PROBE_WARNED = False
+
 
 def cache_if_costly(df: DataFrame, input_df: DataFrame) -> DataFrame:
     """``df.cache()`` only when recomputing ``df`` would re-read a
@@ -73,7 +78,22 @@ def cache_if_costly(df: DataFrame, input_df: DataFrame) -> DataFrame:
         if size < CACHE_INPUT_MIN_BYTES:
             return df
     except Exception:
-        pass
+        # advisor item (r13): a silently-broken size probe (e.g. a
+        # PySpark internal-API change) would invisibly re-introduce the
+        # unconditional-cache small-scan regression the gate was built
+        # to prevent — warn once so it is observable, then keep the
+        # scale-safe always-cache fallback.
+        global _SIZE_PROBE_WARNED
+        if not _SIZE_PROBE_WARNED:
+            _SIZE_PROBE_WARNED = True
+            import warnings
+
+            warnings.warn(
+                "cache_if_costly: optimizedPlan().stats() size probe "
+                "failed; falling back to unconditional cache",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     return df.cache()
 
 

@@ -682,6 +682,7 @@ def scrub_repeated_spans(
     window: int = 8,
     min_dup_docs: int = 2,
     mode: str = "profile",
+    release_handles: list | None = None,
 ) -> DataFrame:
     """Cross-document repeated-span scrubbing — the distributed
     approximation of suffix-array ExactSubstr dedup (Lee et al. 2022,
@@ -729,6 +730,25 @@ def scrub_repeated_spans(
     toks = ensure_parallelism(df).select(
         F.col(id_col).alias("_doc"), raw_tokens.alias("_tk")
     )
+    big_input = _wants_fp_repartition(df)
+    if big_input and release_handles is not None:
+        # the token frame feeds TWO plan branches (the span explode and
+        # the coverage rejoin), so without a persist the whitespace
+        # tokenization of the whole corpus runs twice (r13 verdict's
+        # top "not yet" item). Above the same compile-time size gate as
+        # the fingerprint repartition, persist it DISK_ONLY —
+        # write-through, so the token arrays never compete with
+        # execution heap (the similarity.vec_storage_level rationale) —
+        # and the second branch re-reads tokens instead of re-splitting
+        # text. Below the gate (bench scale) the recompute is cheaper
+        # than the block round-trip, so the plan is unchanged. Persist
+        # only when the caller accepts release responsibility via
+        # ``release_handles`` (the ivf_assign_bounded contract);
+        # ``None`` leaves nothing pinned.
+        from pyspark import StorageLevel
+
+        toks = toks.persist(StorageLevel.DISK_ONLY)
+        release_handles.append(toks)
     n = F.size(F.col("_tk"))
     spans = toks.select(
         "_doc",
@@ -757,7 +777,7 @@ def scrub_repeated_spans(
     # the cheaper fused plan. Partition count inherits
     # spark.sql.shuffle.partitions — the session's cluster-scale
     # knob — and AQE may coalesce.
-    if _wants_fp_repartition(df):
+    if big_input:
         spans = spans.repartition(F.col("_fp"))
     if min_dup_docs == 2:
         # "appears in >= 2 distinct docs" is exactly min(doc) != max(doc)

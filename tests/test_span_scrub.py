@@ -199,3 +199,63 @@ def test_empty_and_whitespace_only_docs_do_not_crash(spark):
     )
     assert applied.loc[1, "text"] == ""
     assert applied.loc[2, "text"] == ""
+
+
+def test_token_persist_gate_and_release_contract(spark):
+    """r14: above the compile-time input-size gate the operator may
+    persist the token frame (one tokenize pass instead of two) — but
+    ONLY when the caller accepts release responsibility by passing
+    ``release_handles``; with ``None`` nothing is ever pinned. The
+    gate reads the optimizer estimate (zero jobs), so a tiny filtered
+    range with a huge pre-filter estimate exercises the big branch
+    with 4 real rows."""
+    from auto_ts_spark.operators.textops import scrub_repeated_spans
+
+    big_est = (
+        spark.range(2_000_000_000)  # ~16 GB estimate, no CBO filter stats
+        .filter("id < 4")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.when(
+                F.col("id") < 2, F.lit(f"lead {SHARED} tail")
+            ).otherwise(F.lit("plain unrelated words only")).alias("text"),
+        )
+    )
+
+    # caller accepts release responsibility -> DISK_ONLY token persist
+    handles: list = []
+    out = (
+        scrub_repeated_spans(big_est, window=8, release_handles=handles)
+        .toPandas()
+        .set_index("doc_id")
+    )
+    try:
+        assert len(handles) == 1
+        lvl = handles[0].storageLevel
+        assert lvl.useDisk is True and lvl.useMemory is False  # DISK_ONLY
+        # semantics unchanged by the persist: docs 0 and 1 are fully
+        # identical 10-token texts, so every window is duplicated and
+        # all 10 tokens are scrubbed
+        assert out.loc[0, "n_tokens_removed"] == 10
+        assert out.loc[1, "n_tokens_removed"] == 10
+        assert out.loc[2, "n_tokens_removed"] == 0
+    finally:
+        for h in handles:
+            h.unpersist()
+
+    # no handles -> nothing pinned, even above the gate
+    before = dict(spark.sparkContext._jsc.getPersistentRDDs())
+    out2 = scrub_repeated_spans(big_est, window=8).toPandas().set_index("doc_id")
+    after = dict(spark.sparkContext._jsc.getPersistentRDDs())
+    assert len(after) == len(before)
+    assert out2.loc[0, "n_tokens_removed"] == 10
+
+    # small input (tiny KNOWN estimate — range stats; a createDataFrame
+    # LogicalRDD has unknown stats and takes the scale-safe big branch)
+    # -> gate off, list stays empty
+    small = spark.range(4).select(
+        F.col("id").alias("doc_id"), F.lit(f"a {SHARED} b").alias("text")
+    )
+    handles2: list = []
+    scrub_repeated_spans(small, window=8, release_handles=handles2).collect()
+    assert handles2 == []
