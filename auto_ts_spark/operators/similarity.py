@@ -46,6 +46,20 @@ def cosine(a: Column, b: Column) -> Column:
     return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
+def cosine_with_norms(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """``cosine()`` with the two norms precomputed per ROW in the
+    pre-join projections instead of per PAIR in the join output (r14,
+    guide §1.2 per-task work): ``norm`` is an O(dim) array aggregate,
+    so a pair stage over cells of size m was paying 2(m-1) norm
+    evaluations per vector where one suffices — the same
+    higher-order-function re-evaluation class as the r6 winnowing fix.
+    Value-identical by construction: the same IEEE expression
+    ``dot/(na*nb)`` over the same doubles, with the multiplication
+    order of ``cosine(a, b)`` preserved (na = norm(a-side)); only one
+    extra double per row crosses the shuffle."""
+    return F.try_divide(dot(a, b), na * nb)
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -63,13 +77,21 @@ def brute_force_topk(
     """
     from pyspark.sql import Window
 
+    # cast AND norm once per row in the projections (r14): previously
+    # both the array<double> cast and the two O(dim) norm aggregates
+    # were re-evaluated per (query, corpus) pair in the scored select
+    qv = F.col(vec_col).cast("array<double>")
     q = F.broadcast(
         queries.select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+            F.col(id_col).alias("query_id"),
+            qv.alias("qvec"),
+            norm(qv).alias("_qn"),
         )
     )
     c = ensure_parallelism(corpus).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+        F.col(id_col).alias("neighbor_id"),
+        qv.alias("cvec"),
+        norm(qv).alias("_cn"),
     )
     scored = (
         c.crossJoin(q)
@@ -78,9 +100,8 @@ def brute_force_topk(
             "query_id",
             "neighbor_id",
             F.round(
-                cosine(
-                    F.col("qvec").cast("array<double>"),
-                    F.col("cvec").cast("array<double>"),
+                cosine_with_norms(
+                    F.col("qvec"), F.col("cvec"), F.col("_qn"), F.col("_cn")
                 ),
                 6,
             ).alias("cosine"),
@@ -147,7 +168,9 @@ def lsh_topk(
         random_hyperplanes(dim, n_planes, seed + 97 * t) for t in range(n_tables)
     ]
 
-    def signatures(df: DataFrame, idc: str, out_id: str, out_vec: str) -> DataFrame:
+    def signatures(
+        df: DataFrame, idc: str, out_id: str, out_vec: str, out_nrm: str
+    ) -> DataFrame:
         v = F.col(vec_col).cast("array<double>")
         sig_structs = F.array(
             *[
@@ -158,12 +181,24 @@ def lsh_topk(
                 for t, planes in enumerate(tables)
             ]
         )
+        # norm carried from here (one double per row) so the exact
+        # verify below scores pairs without re-running the O(dim)
+        # norm aggregate per candidate (r14, cosine_with_norms)
         return df.select(
-            F.col(idc).alias(out_id), v.alias(out_vec), F.explode(sig_structs).alias("s")
-        ).select(out_id, out_vec, F.col("s.tbl").alias("tbl"), F.col("s.sig").alias("sig"))
+            F.col(idc).alias(out_id),
+            v.alias(out_vec),
+            norm(v).alias(out_nrm),
+            F.explode(sig_structs).alias("s"),
+        ).select(
+            out_id,
+            out_vec,
+            out_nrm,
+            F.col("s.tbl").alias("tbl"),
+            F.col("s.sig").alias("sig"),
+        )
 
-    qs = signatures(queries, id_col, "query_id", "qvec")
-    cs = signatures(ensure_parallelism(corpus), id_col, "neighbor_id", "cvec")
+    qs = signatures(queries, id_col, "query_id", "qvec", "_qn")
+    cs = signatures(ensure_parallelism(corpus), id_col, "neighbor_id", "cvec", "_cn")
     cand = (
         cs.join(F.broadcast(qs), ["tbl", "sig"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -172,7 +207,12 @@ def lsh_topk(
     scored = cand.select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cosine"),
+        F.round(
+            cosine_with_norms(
+                F.col("qvec"), F.col("cvec"), F.col("_qn"), F.col("_cn")
+            ),
+            6,
+        ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
@@ -201,15 +241,23 @@ def embedding_near_dup_pairs(
             for t, planes in enumerate(tables)
         ]
     )
+    # norm rides the member struct (one double per row) so the exact
+    # verify scores pairs without re-running the O(dim) norm aggregate
+    # per pair (r14, cosine_with_norms)
     sigs = ensure_parallelism(df).select(
-        F.col(id_col).alias("id"), v.alias("vec"), F.explode(sig_structs).alias("s")
-    ).select("id", "vec", F.col("s.tbl").alias("tbl"), F.col("s.sig").alias("sig"))
+        F.col(id_col).alias("id"),
+        v.alias("vec"),
+        norm(v).alias("nrm"),
+        F.explode(sig_structs).alias("s"),
+    ).select(
+        "id", "vec", "nrm", F.col("s.tbl").alias("tbl"), F.col("s.sig").alias("sig")
+    )
     # bucket-group pair generation: signatures computed once, shuffle
     # carries (bucket → members); see minhash_lsh_pairs for the skew
     # trade-off discussion
     buckets = (
         sigs.groupBy("tbl", "sig")
-        .agg(F.collect_list(F.struct("id", "vec")).alias("ms"))
+        .agg(F.collect_list(F.struct("id", "vec", "nrm")).alias("ms"))
         .filter(F.size("ms") > 1)
     )
     pairs = buckets.select(F.explode("ms").alias("a"), "ms").select(
@@ -220,7 +268,12 @@ def embedding_near_dup_pairs(
         pairs.select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.round(cosine(F.col("a.vec"), F.col("b.vec")), 6).alias("cosine"),
+            F.round(
+                cosine_with_norms(
+                    F.col("a.vec"), F.col("b.vec"), F.col("a.nrm"), F.col("b.nrm")
+                ),
+                6,
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
         .dropDuplicates(["id_a", "id_b"])
@@ -392,21 +445,32 @@ def ivf_topk(
         order = np.argsort(d2, axis=1)[:, :n_probe].astype("int32")
         return pd.Series(list(order))
 
+    # norms precomputed per row (r14, cosine_with_norms): the within-
+    # cell verify no longer re-runs the O(dim) norm aggregate per pair
     c = ensure_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cvec"),
-    ).withColumn("cell", nearest_cell("cvec"))
+    ).withColumn("_cn", norm(F.col("cvec"))).withColumn(
+        "cell", nearest_cell("cvec")
+    )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qvec"),
-    ).withColumn("cell", F.explode(probe_cells("qvec")))
+    ).withColumn("_qn", norm(F.col("qvec"))).withColumn(
+        "cell", F.explode(probe_cells("qvec"))
+    )
     scored = (
         c.join(F.broadcast(q), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cosine"),
+            F.round(
+                cosine_with_norms(
+                    F.col("qvec"), F.col("cvec"), F.col("_qn"), F.col("_cn")
+                ),
+                6,
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
@@ -839,11 +903,21 @@ def semantic_dedup(
             else nullcontext(reduced)
         )
         with ctx as blocked:
+            # norm once per row per side (r14, cosine_with_norms): in a
+            # cell of m vectors the pair verify was re-running the
+            # O(dim) norm aggregate 2(m-1) times per vector; one extra
+            # double per row through the cell join replaces all of them
             a = blocked.select(
-                "cell", F.col("id").alias("id_a"), F.col("vec").alias("va")
+                "cell",
+                F.col("id").alias("id_a"),
+                F.col("vec").alias("va"),
+                norm(F.col("vec")).alias("_na"),
             )
             b = blocked.select(
-                "cell", F.col("id").alias("id_b"), F.col("vec").alias("vb")
+                "cell",
+                F.col("id").alias("id_b"),
+                F.col("vec").alias("vb"),
+                norm(F.col("vec")).alias("_nb"),
             )
             pairs = (
                 a.join(b, "cell")
@@ -851,7 +925,12 @@ def semantic_dedup(
                 .select(
                     "id_a",
                     "id_b",
-                    F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine"),
+                    F.round(
+                        cosine_with_norms(
+                            F.col("va"), F.col("vb"), F.col("_na"), F.col("_nb")
+                        ),
+                        6,
+                    ).alias("cosine"),
                 )
                 .filter(F.col("cosine") >= F.lit(threshold))
                 # no dropDuplicates: every id sits in exactly ONE cell

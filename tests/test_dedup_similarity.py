@@ -458,3 +458,77 @@ def test_ivf_bounded_stats_contract(spark):
     small = spark.createDataFrame(pdf.head(50))
     ivf_assign_bounded(small, max_cell_size=64, n_centroids=4, stats=st2)
     assert st2 == {"sub_levels": 0, "hash_split_cells": 0}
+
+
+def test_pair_scoring_norms_precomputed_per_row(spark):
+    """r14: the pair-verify stages must evaluate the O(dim) norm
+    aggregate once per ROW (pre-join projection / member struct), not
+    once per PAIR — value-identical to plain cosine() by construction
+    (same IEEE dot/(na*nb) over the same doubles), so this pins the
+    PLAN shape: the post-explode scoring projection of
+    embedding_near_dup_pairs must contain exactly one array aggregate
+    (the dot product), with the norms read from the carried struct
+    field."""
+    import numpy as np
+    import pandas as pd
+
+    from auto_ts_spark.operators.similarity import (
+        cosine,
+        cosine_with_norms,
+        embedding_near_dup_pairs,
+        norm,
+    )
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(60, 16).round(3)
+    vecs[30:] = vecs[:30] + rng.randn(30, 16) * 0.01  # planted near-dups
+    pdf = pd.DataFrame(
+        {"vec_id": range(60), "embedding": list(map(list, vecs))}
+    )
+    df = spark.createDataFrame(pdf)
+    out = embedding_near_dup_pairs(df, threshold=0.9)
+
+    # 1. value identity vs the per-pair form on the same planted pairs
+    a = F.col("embedding").cast("array<double>")
+    ref = (
+        df.alias("x")
+        .crossJoin(df.alias("y"))
+        .filter(F.col("x.vec_id") < F.col("y.vec_id"))
+        .select(
+            F.col("x.vec_id").alias("id_a"),
+            F.col("y.vec_id").alias("id_b"),
+            F.round(
+                cosine(
+                    F.col("x.embedding").cast("array<double>"),
+                    F.col("y.embedding").cast("array<double>"),
+                ),
+                6,
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.9)
+    )
+    got = {(r.id_a, r.id_b): r.cosine for r in out.collect()}
+    want = {(r.id_a, r.id_b): r.cosine for r in ref.collect()}
+    # LSH may miss pairs (recall < 1) but every found pair's score
+    # must be bit-identical to the per-pair cosine
+    assert got, "no pairs found on planted near-dups"
+    for k, v in got.items():
+        assert k in want and want[k] == v, (k, v, want.get(k))
+
+    # 2. plan shape: the scoring expressions above the bucket
+    # collect_list read the norms from the carried struct fields
+    # (a.nrm * b.nrm) and contain NO norm evaluation — norm compiles
+    # to aggregate(transform(v, x*x)), so `transform(` in the scoring
+    # segment would mean the per-pair recompute came back. (The dot's
+    # zip_with may appear more than once up there — Catalyst copies
+    # the cosine into the Filter and the Project; runtime
+    # subexpression elimination dedups it — but transform( must not
+    # appear at all.)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert ".nrm" in plan, plan
+    score_segment = plan.split("collect_list")[0]  # above the agg
+    assert score_segment.count("transform(") == 0, score_segment
+    # and the pre-shuffle signature projection is where the single
+    # norm evaluation lives
+    below = plan.split("collect_list", 1)[1]
+    assert below.count("transform(") >= 1, below
